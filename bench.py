@@ -1,0 +1,59 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + materialize counts via a
+cheap action). A warm-up pass on sf-independent metadata (session boot,
+JIT) is excluded from per-query timings by timing only after the session
+is live.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_examples_spark.queries import registry
+from flink_examples_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(registry().items()):
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        # force full materialization of the result (not just count pushdown)
+        n = df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        del n
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Windowed / grouped top-N (SURVEY.md §2.7).
+
+Reference: topn/HotItems.java:79-147 — after a sliding-window count, key
+by windowEnd, buffer all (item, count) rows in ListState, fire an
+event-time timer at windowEnd+1, sort desc, take top 3.
+
+In Spark the buffering + timer machinery disappears: a rank window
+function over ``partitionBy(windowEnd)`` is the same computation, planned
+as one shuffle + in-partition sort. The ordering is made TOTAL (count
+desc, then key asc) so top-N membership is deterministic under ties —
+the reference relies on arrival order, which is not reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    n: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the top ``n`` rows per partition under a total order.
+
+    ``order_cols`` must define a total order (pass a unique tiebreak
+    column last) — otherwise top-N membership is nondeterministic.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def hot_items(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    filter_expr: str = "event_type = 'view'",
+    duration: str = "1 hour",
+    slide: str = "5 minutes",
+    n: int = 3,
+) -> DataFrame:
+    """The reference's flagship HotItems query (HotItems.java:55-81),
+    re-expressed: filter → sliding-window count per key → top-N per
+    window end.
+
+    Plan shape: parquet scan (filter + column pruning pushed down) →
+    window expansion → partial/final hash agg (one shuffle) → rank window
+    (second shuffle on window_end) — the same two network boundaries the
+    Flink job has (keyBy(itemId), keyBy(windowEnd)), but with map-side
+    combine and AQE-coalesced partitions for free.
+    """
+    counts = (
+        events.filter(filter_expr)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("view_count"))
+        .select(
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            F.col("view_count"),
+        )
+    )
+    return top_n_per_group(
+        counts,
+        ["window_end"],
+        [F.desc("view_count"), F.asc(key_col)],
+        n,
+    ).select("window_end", key_col, "view_count", "rank")

@@ -1,0 +1,128 @@
+"""Time and count windows as declarative DataFrame transforms.
+
+Reference coverage (SURVEY.md §2.5):
+  W2 tumbling event-time window  — WindowWordCount.java:47-51, WindowJoin.java:43
+  W3 sliding event-time window   — HotItems.java:75 (1 h size, 5 min slide)
+  W4 session window (gap)        — SessionWindow.java:52-56
+  W1 count window (size, slide)  — WindowWordCount.java:57 countWindow(10,5)
+  A4 window metadata in output   — HotItems.java:149-159 (window.getEnd())
+
+All of these are expressed with built-in Spark window primitives so
+Catalyst plans partial+final aggregation (the reference hand-optimizes
+this: HotItems.java:76-78) and the parquet scan only reads the columns
+referenced. The same expressions work unchanged on a streaming DataFrame
+with ``withWatermark`` applied upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Tumbling event-time window aggregation (W2).
+
+    Windows are epoch-aligned, ``[start, start + duration)``. Output
+    carries ``window_start`` / ``window_end`` as first-class columns
+    (the reference must thread window metadata through a WindowFunction,
+    HotItems.java:149-159; in Spark it's just a struct column).
+    """
+    out = df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Sliding event-time window aggregation (W3, HotItems.java:75).
+
+    Each row lands in ``duration/slide`` windows; Spark expands this
+    before the aggregation (a generate + hash-agg plan), which keeps it
+    a single shuffle — no per-window state replay.
+    """
+    out = df.groupBy(
+        F.window(F.col(ts_col), duration, slide).alias("w"), *keys
+    ).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Session window with inactivity gap (W4, SessionWindow.java:52-56).
+
+    ``session_window`` merges per-key sessions: start = first event ts,
+    end = last event ts + gap. Works in batch and streaming.
+    """
+    out = df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"), *keys
+    ).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
+def count_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    size: int,
+    slide: int,
+    value_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Count window (W1): per key, fire every ``slide`` records over the
+    last ``size`` records (WindowWordCount.java:57 ``countWindow(10, 5)``).
+
+    Spark has no data-driven windows; in batch the exact semantics are a
+    row-frame window function — per-key row_number ordered by event time,
+    a ``ROWS BETWEEN size-1 PRECEDING AND CURRENT ROW`` frame, and a
+    fire predicate ``rn % slide == 0``. This is a single shuffle on the
+    key and stays entirely JVM-side. The streaming variant lives in
+    ``streaming/stateful.py`` (ring buffer in GroupState).
+
+    ``order_tiebreak`` makes the per-key order total (deterministic fire
+    points when timestamps tie).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    frame = w.rowsBetween(-(size - 1), 0)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("window_sum", F.sum(F.col(value_col).cast("decimal(18,2)")).over(frame))
+        .withColumn("window_count", F.count(F.lit(1)).over(frame))
+        .filter(F.col("rn") % slide == 0)
+        .select(
+            *keys,
+            F.col("rn").alias("fire_at_row"),
+            F.col("window_count"),
+            F.col("window_sum").cast("double").alias("window_sum"),
+        )
+    )
