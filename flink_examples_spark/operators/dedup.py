@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Four dedup families, all shuffle-conscious:
+
+  exact        — hash-groupBy on a normalized fingerprint (one shuffle)
+  ngram-jaccard — shingle → inverted-index self-join → exact Jaccard
+  MinHash+LSH  — shingle → k minhashes → banded buckets → bucket join
+                 (candidate generation never goes quadratic)
+  SimHash      — per-token bit votes → compact integer signature
+
+Hashes are md5-derived (functions.text.hash60) so results are
+deterministic and reproducible in any SQL engine — at 100 TB you want
+dedup decisions to be replayable, not dependent on a JVM hash seed.
+
+At scale the shingle inverted index is the dominant shuffle; frequency
+capping (``max_shingle_freq``) drops degenerate shingles that would
+create quadratic join blowup on boilerplate text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_examples_spark.functions.text import fingerprint_md5, hash60, tokens
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct normalized text.
+
+    Output: ``fingerprint, keep_id (min id), n_copies``. A single
+    hash-aggregate shuffle on the fingerprint; at 100 TB this is the
+    cheapest possible dedup (map-side partial agg collapses copies
+    before the exchange).
+    """
+    return (
+        df.select(
+            fingerprint_md5(text_col).alias("fingerprint"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(doc_id, shingle)``."""
+    shingle_expr = "transform(sequence(0, size(t) - %d), i -> %s)" % (
+        n,
+        " || ' ' || ".join(f"t[i + {j}]" for j in range(n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+        .filter(F.size("t") >= n)
+        .select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs above ``threshold``.
+
+    Inverted-index self-join: pairs only form on a shared shingle, so
+    cost is Σ freq(shingle)² — bounded by ``max_shingle_freq`` capping,
+    never |docs|². Jaccard is exact integer arithmetic
+    (``i / (n1 + n2 - i)``), bit-identical to the SQL oracle.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: ``(doc_id, i, minhash)`` for i in [0,k).
+
+    hash_i(shingle) = hash60(shingle || '#i') — salted md5, deterministic
+    across engines. One explode (k per shingle) + one groupBy(doc, i):
+    linear in corpus size, map-side combinable.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    idx = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i")
+    return (
+        sh.select("doc_id", "shingle", idx)
+        .withColumn(
+            "h", hash60(F.concat(F.col("shingle"), F.lit("#"), F.col("i")))
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (the 100 TB dedup path).
+
+    Signatures → bands of ``band_size`` rows → band-key buckets →
+    self-join inside buckets only. Docs agreeing on any full band
+    become a candidate pair; candidates are deterministic, so the SQL
+    oracle reproduces them exactly. Downstream, verify candidates with
+    ``ngram_jaccard_pairs`` semantics on the candidate set only.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    num_bands = num_hashes // band_size
+    sig = sig.withColumn("band", (F.col("i") / band_size).cast("int"))
+    # Per (doc, band): fold the band's minhashes (in i-order) into one key.
+    band_cols = [
+        F.min(F.when(F.col("i") % band_size == j, F.col("minhash"))).alias(f"v{j}")
+        for j in range(band_size)
+    ]
+    bands = (
+        sig.groupBy("doc_id", "band")
+        .agg(*band_cols)
+        .withColumn(
+            "band_key",
+            F.md5(F.concat_ws("_", *[F.col(f"v{j}").cast("string") for j in range(band_size)])),
+        )
+        .select("doc_id", "band", "band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature per document: ``(doc_id, simhash)``.
+
+    Classic bit-vote scheme: every token votes +1/-1 on each signature
+    bit according to its hash; bit j of the signature is 1 iff the vote
+    sum is positive. Token multiplicity weights votes (no distinct).
+    Near-dups then reduce to small-Hamming-distance pairs — compare via
+    ``bit_count(xor(a, b))`` which stays integer and engine-portable.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+        .withColumn("tv", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"))
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("j")
+    votes = (
+        tok.select("doc_id", "tv", j)
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(tv, j) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bit", F.when(F.col("v") > 0, F.expr("shiftleft(1, j)")).otherwise(0)
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bit").alias("simhash"))
+    )

@@ -1,0 +1,145 @@
+"""Join operators (SURVEY.md §2.6).
+
+Reference coverage:
+  J1 window equi-join      — join/WindowJoin.java:39-58 (tumbling 2000 ms)
+  J2 interval join         — join/IntervalJoin.java:40-54 ([-2s,+1s] per key)
+  J3 broadcast dim join    — connect/BroadcastDimension.java:92-126
+  J4 keyed co-process match with timeout (as-of + unmatched side output)
+                           — connect/DoubleStreamMatch.java:131-231
+  J6 map-side cached join  — cache/DistributedCacheExample.java:29-56
+
+All are expressed as declarative DataFrame joins so Catalyst picks the
+physical strategy: small sides become BroadcastHashJoin (J3/J6 are
+*exactly* Spark's broadcast join), equi+range conditions become a
+shuffled join with a range residual, and AQE re-plans skew at runtime.
+The exact-timer streaming variant of J4 lives in streaming/stateful.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream/fact ⋈ broadcast dimension (J3, BroadcastDimension.java:92-126).
+
+    The reference replicates the dim table into per-task MapState; Spark's
+    BroadcastExchange ships it to every executor once per plan — same
+    data movement, no keyed shuffle of the fact side.
+    """
+    return facts.join(F.broadcast(dim), on=on, how=how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+) -> DataFrame:
+    """Keyed interval join (J2, IntervalJoin.java:40-54).
+
+    Emits pairs where ``left.ts + lower <= right.ts <= left.ts + upper``
+    and keys are equal. ``lower``/``upper`` are INTERVAL strings (signed,
+    e.g. ``"-2 hours"``). Planned as an equi-join on the key with the
+    range as a residual filter — one shuffle on the key; in streaming the
+    same expression + watermarks both sides is Spark's canonical
+    stream-stream interval join.
+    """
+    lo = F.expr(f"INTERVAL {lower}")
+    hi = F.expr(f"INTERVAL {upper}")
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts] + lo)
+        & (right[right_ts] <= left[left_ts] + hi)
+    )
+    return left.join(right, cond)
+
+
+def window_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    duration: str,
+) -> tuple[DataFrame, DataFrame, Column]:
+    """Tumbling-window equi-join (J1, WindowJoin.java:39-58).
+
+    Rows join when keys are equal AND both fall in the same tumbling
+    window. Returns the two window-stamped inputs and the join condition
+    so callers control projection. Joining on the epoch-aligned
+    ``window_start`` column (not a range) keeps this a pure equi-join —
+    single hash shuffle, no theta-join blowup.
+    """
+    lw = left.withColumn("window_start", F.window(F.col(left_ts), duration)["start"])
+    rw = right.withColumn("window_start", F.window(F.col(right_ts), duration)["start"])
+    cond = (lw[key] == rw[key]) & (lw["window_start"] == rw["window_start"])
+    return lw, rw, cond
+
+
+def as_of_match(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_id: str,
+    right_id: str,
+    left_ts: str,
+    right_ts: str,
+    max_age: str,
+) -> DataFrame:
+    """Dual-stream match with timeout (J4, DoubleStreamMatch.java:131-231).
+
+    For each left row, pick the EARLIEST right row with the same key in
+    ``[left.ts - max_age, left.ts]``; left rows with no partner emit with
+    ``match_status='unmatched'`` — the reference's timer-fired side
+    output becomes a null-padded outer-join row, same observable result.
+
+    Batch formulation: interval join → rank partner candidates per left
+    row (earliest ts, then id — total order) → keep rank 1 → right-pad
+    the unmatched via left join.
+    """
+    age = F.expr(f"INTERVAL {max_age}")
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col(left_id).alias("left_id"),
+        F.col(left_ts).alias("lts"),
+    )
+    r = right.select(
+        F.col(key).alias("k"),
+        F.col(right_id).alias("right_id"),
+        F.col(right_ts).alias("rts"),
+    )
+    cand = l.join(
+        r,
+        (l["k"] == r["k"]) & (r["rts"] >= l["lts"] - age) & (r["rts"] <= l["lts"]),
+    ).select(l["k"], "left_id", "lts", "right_id", "rts")
+    w = Window.partitionBy("left_id").orderBy(F.asc("rts"), F.asc("right_id"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("left_id", "right_id")
+    )
+    return (
+        l.join(best, "left_id", "left")
+        .withColumn(
+            "match_status",
+            F.when(F.col("right_id").isNull(), F.lit("unmatched")).otherwise(
+                F.lit("matched")
+            ),
+        )
+        .select(
+            F.col("left_id"),
+            F.col("k").alias(key),
+            F.col("right_id"),
+            F.col("match_status"),
+        )
+    )

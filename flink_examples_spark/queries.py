@@ -285,6 +285,241 @@ def max_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Joins (J1-J6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "regional_revenue",
+    oracle="""
+    SELECT r_name AS region_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="J3/J6: fact ⋈ broadcast dimension chain. "
+        "Ref: BroadcastDimension.java:92-126, DistributedCacheExample.java:29-56.",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.joins import broadcast_dim_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    dim = nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .transform(
+            lambda facts: broadcast_dim_join(
+                facts.withColumnRenamed("c_nationkey", "n_nationkey"), dim, "n_nationkey", "inner"
+            )
+        )
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "top_unshipped_orders",
+    oracle="""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="Multi-join + agg + deterministic top-10 (TPC-H Q3 shape).",
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    customer = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < cutoff)
+    lineitem = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > cutoff
+    )
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"])
+        .join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "colocated_nation_revenue",
+    oracle="""
+    SELECT n_name AS nation_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="5-way join, customer/supplier co-located (TPC-H Q5 shape). "
+        "Catalyst reorders; nation broadcast.",
+)
+def colocated_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "interval_join_click_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts >= p.ts - INTERVAL '2 hours' AND c.ts <= p.ts
+    """,
+    doc="J2: keyed interval join, clicks in [-2h, 0] of each purchase. "
+        "Ref: IntervalJoin.java:40-54.",
+)
+def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.joins import interval_join
+
+    events = load_table(spark, "events", sf_dir)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    return interval_join(
+        p, c, "user_id", "ts", "cts", "'-2' hours", "'0' hours"
+    ).select("purchase_id", "click_id", p["user_id"].alias("user_id"))
+
+
+@register(
+    "window_join_hourly",
+    oracle="""
+    WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               user_id, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ), v AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               user_id, event_id AS view_id
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT c.window_start AS window_start, c.user_id AS user_id,
+           c.click_id, v.view_id
+    FROM c JOIN v ON c.user_id = v.user_id AND c.window_start = v.window_start
+    """,
+    doc="J1: tumbling-window equi-join of two event streams. "
+        "Ref: WindowJoin.java:39-58.",
+)
+def window_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.joins import window_equi_join
+
+    events = load_table(spark, "events", sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    lw, rw, cond = window_equi_join(clicks, views, "user_id", "ts", "ts", "1 hour")
+    return lw.join(rw, cond).select(
+        lw["window_start"].alias("window_start"),
+        lw["user_id"].alias("user_id"),
+        "click_id",
+        "view_id",
+    )
+
+
+@register(
+    "purchase_click_match",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS left_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT event_id AS right_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ), ranked AS (
+        SELECT p.left_id, c.right_id,
+               row_number() OVER (
+                   PARTITION BY p.left_id ORDER BY c.ts ASC, c.right_id ASC
+               ) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL '2 hours' AND c.ts <= p.ts
+    )
+    SELECT p.left_id, p.user_id,
+           b.right_id,
+           CASE WHEN b.right_id IS NULL THEN 'unmatched' ELSE 'matched' END
+               AS match_status
+    FROM p LEFT JOIN (SELECT left_id, right_id FROM ranked WHERE rn = 1) b
+      ON p.left_id = b.left_id
+    """,
+    doc="J4: dual-stream match — earliest partner within timeout, "
+        "unmatched side output. Ref: DoubleStreamMatch.java:131-231.",
+)
+def purchase_click_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.joins import as_of_match
+
+    events = load_table(spark, "events", sf_dir)
+    p = events.filter(F.col("event_type") == "purchase")
+    c = events.filter(F.col("event_type") == "click")
+    return as_of_match(
+        p, c, "user_id", "event_id", "event_id", "ts", "ts", "'2' hours"
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti join (the reference's 'unmatched' side-output generalized; "
+        "Spark left_anti built-in).",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
 # Word count family (P2 flatMap; WordCount.java:73-88, SideOutput.java:89-103)
 # ---------------------------------------------------------------------------
 
@@ -305,6 +540,306 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline ops; generalizes §2.12 functions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+               length(replace(text, ' ', '')) AS n_chars_ns
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           len(toks) AS n_tokens,
+           n_chars_ns * 1.0 / len(toks) AS avg_token_len,
+           len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is','it')))
+               * 1.0 / len(toks) AS stopword_ratio,
+           least(1.0, len(toks) / 50.0)
+               * (1 - len(list_filter(toks, x -> x IN ('the','a','of','to','and','in','is','it')))
+                      * 1.0 / len(toks)) AS quality_score
+    FROM t
+    """,
+    doc="Text quality scoring: token count, avg token length, stopword "
+        "ratio, composite quality — all codegen'd expressions.",
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        T.avg_token_length("text").alias("avg_token_len"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.quality_score("text").alias("quality_score"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(toks,
+                    x -> x IN ('the','a','of','to','and','in','is','it')))
+                    * 1.0 / len(toks) > 0.03
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM t
+    """,
+    doc="Language-ID heuristic (stopword density) as a label column.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", "lang", T.lang_id_en("text").alias("predicted_lang")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(trim(lower(text))) AS fingerprint FROM documents
+    """,
+    doc="Document fingerprinting (md5 of normalized text) — exact-dedup key.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import fingerprint_md5
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+@register(
+    "token_count_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> ''))) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="Corpus-level token accounting per source.",
+)
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(lower(text))) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup via fingerprint hash-groupBy (one shuffle, map-side "
+        "combine).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(
+        load_table(spark, "documents", sf_dir), "doc_id", "text"
+    )
+
+
+_SHINGLE_SQL = """
+        SELECT DISTINCT doc_id,
+               toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+            FROM documents
+        ) t CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 2
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+    doc="Near-dup pairs by exact 3-gram Jaccard >= 0.1 (inverted-index "
+        "self-join, never all-pairs).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), "doc_id", "text", n=3, threshold=0.1
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    hashed AS (
+        SELECT doc_id, g.i,
+               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
+        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
+    ),
+    sig AS (
+        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
+                   || '_' ||
+                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
+                   AS band_key
+        FROM sig GROUP BY doc_id, i // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash(k=8)+LSH(4 bands x 2) candidate pairs — md5-salted "
+        "hashes, deterministic across engines; the sub-quadratic dedup "
+        "path for 100 TB corpora.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=8,
+        band_size=2,
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS tok
+        FROM documents
+    ), tv AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS tv FROM tok
+    ), votes AS (
+        SELECT doc_id, g.j,
+               SUM(CASE WHEN (tv >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM tv CROSS JOIN generate_series(0, 15) AS g(j)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="SimHash(16-bit) signatures — token bit votes; near-dups = small "
+        "Hamming distance.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, "documents", sf_dir), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+        list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COSINE_SQL}, 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    ) t WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors (fold-order-fixed "
+        "dot products; broadcast query side).",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "ann_cosine_topk_gemm",
+    oracle=None,  # numpy GEMM accumulation order differs from SQL fold
+    doc="Same top-k via Arrow-batched numpy GEMM (mapInPandas) — the "
+        "throughput path; validated against ann_cosine_topk in tests.",
+)
+def ann_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import cosine_topk_gemm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_gemm(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COSINE_SQL}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_COSINE_SQL}, 6) >= 0.45
+    """,
+    doc="Embedding near-dup sweep: all pairs with cosine >= 0.45.",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(load_table(spark, "embeddings", sf_dir))
 
 
 @register(

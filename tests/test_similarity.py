@@ -1,0 +1,63 @@
+"""The numpy-GEMM top-k path must agree with the expression-fold path."""
+
+from pyspark.sql import functions as F
+
+from flink_examples_spark.catalog import load_table
+from flink_examples_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_gemm,
+    hyperplane_lsh_buckets,
+)
+
+
+def test_gemm_matches_expression_topk(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    expr_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 5))
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    gemm_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 5))
+        for r in cosine_topk_gemm(emb, q, k=5).collect()
+    }
+    assert expr_rows == gemm_rows
+
+
+def test_neardup_gemm_matches_expr(spark, sf_dir):
+    from flink_examples_spark.operators.dedup import exact_dedup_groups  # noqa: F401
+    from flink_examples_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    gemm = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_neardup_pairs(emb, strategy="gemm").collect()
+    }
+    expr = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_neardup_pairs(emb, strategy="expr").collect()
+    }
+    assert gemm == expr
+
+
+def test_neardup_lsh_is_subset_of_exact(spark, sf_dir):
+    from flink_examples_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_neardup_pairs(emb, strategy="gemm").collect()
+    }
+    lsh = {(r.vec_a, r.vec_b) for r in embedding_neardup_lsh(emb).collect()}
+    assert lsh <= exact
+
+
+def test_lsh_buckets_deterministic(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    b1 = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(emb).collect()}
+    b2 = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(emb).collect()}
+    assert b1 == b2
+    assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in b1.values())
