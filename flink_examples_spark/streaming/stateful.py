@@ -1,0 +1,274 @@
+"""Stateful streaming operators on ``applyInPandasWithState``
+(SURVEY.md §2.8, §7.4.2-7.4.3).
+
+These are the reference's keyed ProcessFunctions with real cross-batch
+state and timeouts:
+
+  streaming_fraud_detector     — TimerService.java:68-139 (ValueState +
+                                 timer; ST1/ST4)
+  streaming_count_window       — WindowWordCount.java:57 countWindow(10,5)
+                                 (W1; per-key ring buffer)
+  streaming_double_stream_match— DoubleStreamMatch.java:131-231 (J4;
+                                 first-arrival state + event-time timeout
+                                 → matched pairs / unmatched side output)
+  streaming_dedup_ttl          — keyed first-occurrence dedup with state
+                                 TTL (ST6, StateTtl.java:15-22)
+  streaming_dfa_alerts         — StateMachineExample.java:133-166 (ST7)
+
+State values are kept as flat tuples (SURVEY.md §7.4.9): GroupState is
+Arrow-serialized every trigger, so compact state is what survives a
+100 TB key space. Rows are processed in (ts, id) order within each
+trigger; cross-trigger order is the source's replay order — feed sorted
+files (or Kafka partitions with per-key ordering) for exact parity with
+the batch formulations, which tests assert.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Mapping, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_fraud_detector(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "value",
+    id_col: str = "event_id",
+    small: float = 10.0,
+    large: float = 400.0,
+    within_ms: int = 3_600_000,
+) -> DataFrame:
+    """Small-then-large rule with per-key state across triggers.
+
+    State = the last event (id, amount, epoch-ms): the reference's
+    ValueState flag + 60 s timer collapses to "was the previous event
+    small and recent" — checked per arriving row, so the alert fires in
+    the same trigger the large amount arrives (no timer latency).
+    Output matches operators.stateful.fraud_pairs on the same data.
+    """
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            prev_id, prev_amount, prev_ts = state.get
+        else:
+            prev_id, prev_amount, prev_ts = None, None, None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                ts_ms = int(getattr(row, ts_col).value // 1_000_000)
+                amount = float(getattr(row, amount_col))
+                rid = int(getattr(row, id_col))
+                if (
+                    prev_amount is not None
+                    and prev_amount < small
+                    and amount > large
+                    and ts_ms - prev_ts <= within_ms
+                ):
+                    out.append((key_t[0], prev_id, rid))
+                prev_id, prev_amount, prev_ts = rid, amount, ts_ms
+        state.update((prev_id, prev_amount, prev_ts))
+        if out:
+            yield pd.DataFrame(out, columns=[key, "small_id", "large_id"])
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        f"{key} long, small_id long, large_id long",
+        "prev_id long, prev_amount double, prev_ts long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_count_window(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    size: int = 10,
+    slide: int = 5,
+) -> DataFrame:
+    """Count window (size, slide) per key across triggers (W1).
+
+    State = (rows seen, ring buffer of the last ``size-1`` values).
+    Fires every ``slide`` rows with the count/sum over the last ``size``
+    rows — the data-driven window Spark lacks natively. Matches
+    operators.windows.count_window_agg row-for-row on ordered replay.
+    """
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            rn, buf = state.get
+            buf = list(buf)
+        else:
+            rn, buf = 0, []
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                buf.append(float(getattr(row, value_col)))
+                if len(buf) > size:
+                    buf.pop(0)
+                rn += 1
+                if rn % slide == 0:
+                    out.append((key_t[0], rn, len(buf), round(sum(buf), 2)))
+        state.update((rn, buf))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key, "fire_at_row", "window_count", "window_sum"]
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        f"{key} long, fire_at_row long, window_count long, window_sum double",
+        "rn long, buf array<double>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_double_stream_match(
+    tagged: DataFrame,
+    key: str = "order_id",
+    side_col: str = "side",
+    ts_col: str = "ts",
+    timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Dual-stream matcher with event-time timeout (J4).
+
+    Input: the two streams union'd with a ``side`` tag column and a
+    watermark on ``ts`` (the KeyedCoProcessFunction's two inputs,
+    DoubleStreamMatch.java:129-134). Per key: first arrival is stored in
+    state with an event-time timeout at ``ts + timeout_ms``; when the
+    other side arrives the pair is emitted with status ``matched``; if
+    the watermark passes the timeout first, the stored side emits with
+    status ``unmatched_<side>`` — the reference's side-output for
+    exception orders (DoubleStreamMatch.java:214-231).
+    """
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            side, ts_ms = state.get
+            out.append((key_t[0], f"unmatched_{side}"))
+            state.remove()
+        else:
+            pending = state.get if state.exists else None
+            for pdf in pdfs:
+                pdf = pdf.sort_values(ts_col, kind="mergesort")
+                for row in pdf.itertuples(index=False):
+                    side = getattr(row, side_col)
+                    ts_ms = int(getattr(row, ts_col).value // 1_000_000)
+                    if pending is None:
+                        pending = (side, ts_ms)
+                    elif pending[0] != side:
+                        out.append((key_t[0], "matched"))
+                        pending = None
+                    # same side twice: keep the first (reference stores one)
+            if pending is not None:
+                state.update(pending)
+                state.setTimeoutTimestamp(pending[1] + timeout_ms)
+            elif state.exists:
+                state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=[key, "status"])
+
+    return tagged.groupBy(key).applyInPandasWithState(
+        fn,
+        f"{key} string, status string",
+        "side string, ts_ms long",
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_dedup_ttl(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """First-occurrence dedup per key with optional state TTL (ST6).
+
+    Emits ``(key..., n_dropped)`` on first sight; later duplicates only
+    bump a counter in state. With ``ttl_ms``, the seen-marker expires on
+    a processing-time timeout (StateTtl.java:15-22 OnCreateAndWrite +
+    NeverReturnExpired: an expired key is treated as brand new). This is
+    the streaming twin of exact_dedup_groups.
+    """
+    keys = list(key_cols)
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.hasTimedOut:
+            state.remove()
+            first = True
+            dropped = n - 1 if n else 0
+        elif state.exists:
+            first = False
+            (dropped,) = state.get
+            dropped += n
+        else:
+            first = n > 0
+            dropped = n - 1 if n else 0
+        if n or not state.exists:
+            state.update((dropped,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        if first and n:
+            yield pd.DataFrame([tuple(key_t)], columns=keys)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    schema = ", ".join(f"{k} string" for k in keys)
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn, schema, "dropped long", "append", timeout
+    )
+
+
+def streaming_dfa_alerts(
+    events: DataFrame,
+    transitions: Mapping[str, set[str]],
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    symbol_col: str = "event_type",
+) -> DataFrame:
+    """DFA per key with cross-trigger state (ST7): emits one row per
+    invalid transition as it happens (the reference's Alert stream)."""
+    trans = {k: frozenset(v) for k, v in transitions.items()}
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cur = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                sym = getattr(row, symbol_col)
+                if cur is not None and sym not in trans.get(cur, frozenset()):
+                    out.append((key_t[0], int(getattr(row, id_col)), cur, sym))
+                cur = sym
+        state.update((cur,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key, "alert_event_id", "from_state", "to_state"]
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        f"{key} long, alert_event_id long, from_state string, to_state string",
+        "cur string",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,127 @@
+"""Golden-output CEP tests, ported from the reference's deterministic
+fixtures (SURVEY.md §5.1).
+
+1. MATCH_RECOGNIZE ticker V-pattern — flink-sql/sql/dml/CEP.md:44-67
+   input (11 ACME rows), golden output CEP.md:107-111: exactly one
+   match with start 10:00:04, bottom 10:00:07, end 10:00:08.
+2. Pattern-API fixture — cep/FlinkCEP.java:36-46 events, pattern
+   start → followedByAny SubEvent middle → followedByAny end
+   (FlinkCEP.java:48-79); expected match id triples drawn from
+   {2} x {6} x {8} relaxed-all semantics.
+"""
+
+import datetime as dt
+
+import pandas as pd
+
+from flink_examples_spark.operators.cep import Pat, match_recognize
+
+
+def _ticker_df(spark):
+    base = dt.datetime(2020, 1, 1, 10, 0, 0)
+    prices = [12, 17, 19, 21, 25, 18, 15, 14, 24, 25, 19]
+    rows = [
+        ("ACME", base + dt.timedelta(seconds=i), p, 1)
+        for i, p in enumerate(prices)
+    ]
+    return spark.createDataFrame(rows, "symbol string, rowtime timestamp, price long, tax long")
+
+
+def test_match_recognize_v_pattern_golden(spark):
+    # PATTERN (START_ROW PRICE_DOWN+ PRICE_UP), DEFINE per CEP.md:83-90,
+    # AFTER MATCH SKIP TO LAST PRICE_UP (== past-last here).
+    def down(row, ctx):
+        prev = ctx.last(1)
+        return prev is not None and row["price"] < prev["price"]
+
+    def up(row, ctx):
+        prev = ctx.last(1)
+        return prev is not None and row["price"] > prev["price"]
+
+    pattern = [
+        Pat("START_ROW"),
+        Pat("PRICE_DOWN", where=down, quantifier="plus"),
+        Pat("PRICE_UP", where=up),
+    ]
+
+    def measures(vars_map, pdf):
+        return {
+            "start_tstamp": vars_map["START_ROW"].iloc[0]["rowtime"],
+            "bottom_tstamp": vars_map["PRICE_DOWN"].iloc[-1]["rowtime"],
+            "end_tstamp": vars_map["PRICE_UP"].iloc[-1]["rowtime"],
+        }
+
+    out = match_recognize(
+        _ticker_df(spark),
+        partition_by=["symbol"],
+        order_by=["rowtime"],
+        pattern=pattern,
+        measures=measures,
+        output_schema="symbol string, start_tstamp timestamp, "
+        "bottom_tstamp timestamp, end_tstamp timestamp",
+        after_match="skip_past_last",
+    ).collect()
+
+    base = dt.datetime(2020, 1, 1, 10, 0, 0)
+    assert len(out) == 1, [tuple(r) for r in out]
+    r = out[0]
+    assert r.symbol == "ACME"
+    assert r.start_tstamp == base + dt.timedelta(seconds=4)
+    assert r.bottom_tstamp == base + dt.timedelta(seconds=7)
+    assert r.end_tstamp == base + dt.timedelta(seconds=8)
+
+
+def test_pattern_api_followed_by_any_golden(spark):
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, *r)
+        for i, r in enumerate(
+            [
+                (1, "barfoo", 1.0, None),
+                (2, "start", 2.0, None),
+                (3, "foobar", 3.0, None),
+                (4, "foo", 4.0, 1.0),
+                (5, "middle", 5.0, None),
+                (6, "middle", 6.0, 2.0),
+                (7, "bar", 3.0, 3.0),
+                (42, "42", 42.0, None),
+                (8, "end", 1.0, None),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "seq int, id int, name string, price double, volume double"
+    ).withColumn("part", F.lit(1))
+
+    pattern = [
+        Pat("start", where=lambda r, c: r["name"] == "start"),
+        Pat(
+            "middle",
+            where=lambda r, c: pd.notna(r["volume"]) and r["name"] == "middle",
+            contiguity="relaxedAll",  # followedByAny + subtype(SubEvent)
+        ),
+        Pat("end", where=lambda r, c: r["name"] == "end", contiguity="relaxedAll"),
+    ]
+
+    def measures(vars_map, pdf):
+        return {
+            "start_id": int(vars_map["start"].iloc[0]["id"]),
+            "middle_id": int(vars_map["middle"].iloc[0]["id"]),
+            "end_id": int(vars_map["end"].iloc[0]["id"]),
+        }
+
+    out = match_recognize(
+        df,
+        partition_by=["part"],
+        order_by=["seq"],
+        pattern=pattern,
+        measures=measures,
+        output_schema="part int, start_id int, middle_id int, end_id int",
+        all_matches=True,
+    ).collect()
+
+    triples = sorted((r.start_id, r.middle_id, r.end_id) for r in out)
+    # FlinkCEP.java expected output: the single SubEvent 'middle' (id 6)
+    # between 'start' (2) and 'end' (8) — relaxed-all finds exactly {2,6,8}
+    assert triples == [(2, 6, 8)], triples

@@ -1,0 +1,239 @@
+"""Streaming semantics tests (SURVEY.md §5.2.3).
+
+Each test replays a deterministic fixture through a directory file
+stream (one file per trigger, ordered by mtime) and asserts the
+streaming operator's output equals its batch formulation — the
+reference's embedded-fixture strategy (SessionWindow.java:63-77 etc.)
+adapted to micro-batch replay.
+"""
+
+import os
+import shutil
+import time
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_examples_spark.catalog import load_table
+from flink_examples_spark.streaming.sources import file_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def write_chunks(pdf: pd.DataFrame, directory: str, n_chunks: int) -> str:
+    """Write a pandas frame as n ts-ordered parquet chunks with
+    increasing mtimes so the file source replays them in order."""
+    os.makedirs(directory, exist_ok=True)
+    size = (len(pdf) + n_chunks - 1) // n_chunks
+    now = time.time() - n_chunks - 5
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * size : (i + 1) * size]
+        if chunk.empty:
+            continue
+        path = os.path.join(directory, f"{i:03d}.parquet")
+        chunk.to_parquet(path, index=False)
+        os.utime(path, (now + i, now + i))
+    return directory
+
+
+def run_to_memory(df, spark, name, mode, ckpt):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture()
+def events_pdf(spark):
+    return (
+        load_table(spark, "events", SF)
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+
+
+def test_streaming_tumbling_counts_match_batch(spark, tmp_path, events_pdf):
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    out = run_to_memory(agg, spark, "tumbling", "update", str(tmp_path / "ck"))
+    # update mode re-emits refined counts; keep the last emission per group
+    stream_rows = {
+        (r.ws, r.event_type): r.n
+        for r in out.withColumn("ord", F.monotonically_increasing_id())
+        .orderBy("ord")
+        .collect()
+    }
+    batch_rows = {
+        (r.ws, r.event_type): r.n
+        for r in load_table(spark, "events", SF)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_streaming_fraud_matches_batch(spark, tmp_path, events_pdf):
+    from flink_examples_spark.operators.stateful import fraud_pairs
+    from flink_examples_spark.streaming.stateful import streaming_fraud_detector
+
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_fraud_detector(src),
+        spark,
+        "fraud",
+        "append",
+        str(tmp_path / "ck"),
+    )
+    stream_alerts = {(r.user_id, r.small_id, r.large_id) for r in out.collect()}
+    batch_alerts = {
+        (r.user_id, r.small_id, r.large_id)
+        for r in fraud_pairs(
+            load_table(spark, "events", SF),
+            key="user_id", ts_col="ts", amount_col="value", id_col="event_id",
+            small=10.0, large=400.0, within="'60' minutes",
+        ).collect()
+    }
+    assert stream_alerts == batch_alerts
+
+
+def test_streaming_count_window_matches_batch(spark, tmp_path, events_pdf):
+    from flink_examples_spark.operators.windows import count_window_agg
+    from flink_examples_spark.streaming.stateful import streaming_count_window
+
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_count_window(src),
+        spark,
+        "cw",
+        "append",
+        str(tmp_path / "ck"),
+    )
+    stream_fires = {
+        (r.user_id, r.fire_at_row, r.window_count): r.window_sum
+        for r in out.collect()
+    }
+    batch = count_window_agg(
+        load_table(spark, "events", SF),
+        "ts", ["user_id"], size=10, slide=5,
+        value_col="value", order_tiebreak="event_id",
+    ).collect()
+    batch_fires = {
+        (r.user_id, r.fire_at_row, r.window_count): r.window_sum for r in batch
+    }
+    assert stream_fires.keys() == batch_fires.keys()
+    for k, v in stream_fires.items():
+        assert abs(v - batch_fires[k]) < 0.02, (k, v, batch_fires[k])
+
+
+def test_streaming_double_stream_match(spark, tmp_path):
+    from flink_examples_spark.streaming.stateful import (
+        streaming_double_stream_match,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # 3 matched pairs, 1 big-only, 1 small-only (DoubleStreamMatch shape)
+    for i in range(3):
+        rows.append(("o%d" % i, "big", base + pd.Timedelta(seconds=i)))
+        rows.append(("o%d" % i, "small", base + pd.Timedelta(seconds=i + 1)))
+    rows.append(("only_big", "big", base + pd.Timedelta(seconds=10)))
+    rows.append(("only_small", "small", base + pd.Timedelta(seconds=11)))
+    data = pd.DataFrame(rows, columns=["order_id", "side", "ts"])
+    # sentinel far in the future: advances the watermark so timeouts fire
+    sentinel = pd.DataFrame(
+        [("sentinel", "big", base + pd.Timedelta(hours=2))],
+        columns=["order_id", "side", "ts"],
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    data.to_parquet(os.path.join(d, "000.parquet"), index=False)
+    os.utime(os.path.join(d, "000.parquet"), (now, now))
+    sentinel.to_parquet(os.path.join(d, "001.parquet"), index=False)
+    os.utime(os.path.join(d, "001.parquet"), (now + 2, now + 2))
+
+    src = file_stream(spark, d, os.path.join(d, "000.parquet")).withWatermark(
+        "ts", "5 seconds"
+    )
+    out = run_to_memory(
+        streaming_double_stream_match(src, timeout_ms=60_000),
+        spark,
+        "dsm",
+        "append",
+        str(tmp_path / "ck"),
+    )
+    got = {(r.order_id, r.status) for r in out.collect()}
+    expected = {
+        ("o0", "matched"),
+        ("o1", "matched"),
+        ("o2", "matched"),
+        ("only_big", "unmatched_big"),
+        ("only_small", "unmatched_small"),
+    }
+    assert expected <= got, got
+
+
+def test_streaming_dedup_ttl_first_occurrence(spark, tmp_path):
+    from flink_examples_spark.streaming.stateful import streaming_dedup_ttl
+
+    pdf = pd.DataFrame(
+        {"fp": ["a", "b", "a", "c", "b", "a"], "n": [1, 2, 3, 4, 5, 6]}
+    )
+    d = write_chunks(pdf, str(tmp_path / "in"), 2)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_dedup_ttl(src, ["fp"]),
+        spark,
+        "dedup",
+        "append",
+        str(tmp_path / "ck"),
+    )
+    assert sorted(r.fp for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_streaming_dfa_matches_batch_alert_counts(spark, tmp_path, events_pdf):
+    from flink_examples_spark.operators.stateful import dfa_alerts
+    from flink_examples_spark.queries import _DFA_TRANSITIONS
+    from flink_examples_spark.streaming.stateful import streaming_dfa_alerts
+
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_dfa_alerts(src, _DFA_TRANSITIONS),
+        spark,
+        "dfa",
+        "append",
+        str(tmp_path / "ck"),
+    )
+    stream_counts = (
+        out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_alerts")).collect()
+    )
+    stream_map = {r.user_id: r.n_alerts for r in stream_counts}
+    batch_map = {
+        r.user_id: r.n_alerts
+        for r in dfa_alerts(
+            load_table(spark, "events", SF),
+            key="user_id", order_cols=["ts", "event_id"],
+            symbol_col="event_type", transitions=_DFA_TRANSITIONS,
+        ).collect()
+        if r.n_alerts > 0
+    }
+    assert stream_map == batch_map
