@@ -51,29 +51,34 @@ class Pat:
 
 @dataclass
 class MatchCtx:
-    """Navigation over rows already consumed by the in-progress match."""
+    """Navigation over rows already consumed by the in-progress match.
+
+    Rows are plain dicts (column -> value) — converted once per key from
+    Arrow, so predicate evaluation never pays pandas ``.iloc`` row
+    materialization in the NFA inner loop.
+    """
 
     _rows: list[tuple[str, int]] = field(default_factory=list)
-    _data: pd.DataFrame | None = None
+    _data: list[dict] | None = None
 
-    def last(self, n: int = 1) -> pd.Series | None:
+    def last(self, n: int = 1) -> dict | None:
         """LAST(x, n): the n-th previous row consumed by the match."""
         if len(self._rows) < n:
             return None
-        return self._data.iloc[self._rows[-n][1]]
+        return self._data[self._rows[-n][1]]
 
-    def first(self, var: str) -> pd.Series | None:
+    def first(self, var: str) -> dict | None:
         for name, idx in self._rows:
             if name == var:
-                return self._data.iloc[idx]
+                return self._data[idx]
         return None
 
-    def rows(self, var: str) -> list[pd.Series]:
-        return [self._data.iloc[i] for name, i in self._rows if name == var]
+    def rows(self, var: str) -> list[dict]:
+        return [self._data[i] for name, i in self._rows if name == var]
 
 
 def _find_matches(
-    pdf: pd.DataFrame,
+    records: list[dict],
     pattern: Sequence[Pat],
     start: int,
     within_check: Callable[[int, int], bool] | None,
@@ -84,15 +89,15 @@ def _find_matches(
     (lists of (var, row_idx)) to ``out``. In sequential mode
     (``all_matches=False``) stops after the first complete match —
     branch order makes PLUS greedy (longest repetition preferred)."""
-    n = len(pdf)
+    n = len(records)
 
     def pred_ok(elem: Pat, idx: int, consumed: list[tuple[str, int]]) -> bool:
         if within_check is not None and consumed and not within_check(consumed[0][1], idx):
             return False
         if elem.where is None:
             return True
-        ctx = MatchCtx(consumed, pdf)
-        return bool(elem.where(pdf.iloc[idx], ctx))
+        ctx = MatchCtx(consumed, records)
+        return bool(elem.where(records[idx], ctx))
 
     def dfs(elem_i: int, next_row: int, consumed: list[tuple[str, int]], in_plus: bool) -> bool:
         if elem_i == len(pattern):
@@ -172,19 +177,22 @@ def match_recognize(
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ocols, kind="mergesort").reset_index(drop=True)
+        # One Arrow->dict conversion per key; the NFA inner loop then
+        # touches plain Python objects only (no per-row pandas overhead).
+        records = pdf.to_dict("records")
         within_check = None
         if delta is not None and ts_col is not None:
-            ts = pdf[ts_col]
+            ts = pdf[ts_col].tolist()
 
             def within_check(first_idx: int, idx: int) -> bool:  # noqa: F811
-                return ts.iloc[idx] - ts.iloc[first_idx] <= delta
+                return ts[idx] - ts[first_idx] <= delta
 
         results: list[dict] = []
         start = 0
-        n = len(pdf)
+        n = len(records)
         while start < n and len(results) < max_matches_per_key:
             found: list[list[tuple[str, int]]] = []
-            _find_matches(pdf, pattern, start, within_check, all_matches, found)
+            _find_matches(records, pattern, start, within_check, all_matches, found)
             if not found:
                 start += 1
                 continue
@@ -207,4 +215,7 @@ def match_recognize(
             out[c] = key[i]
         return out[out_cols]
 
+    from flink_examples_spark.operators.util import keyed_python_partitions
+
+    df = keyed_python_partitions(df, pcols)
     return df.groupBy(*pcols).applyInPandas(run, output_schema)

@@ -252,8 +252,12 @@ def embedding_neardup_lsh(
             {"vec_a": ids[i], "vec_b": ids[j], "cosine": sims[i, j]}
         )
 
-    return e.groupBy("bucket").applyInPandas(
-        per_bucket, "vec_a long, vec_b long, cosine double"
+    from flink_examples_spark.operators.util import keyed_python_partitions
+
+    return (
+        keyed_python_partitions(e, ["bucket"])
+        .groupBy("bucket")
+        .applyInPandas(per_bucket, "vec_a long, vec_b long, cosine double")
     )
 
 

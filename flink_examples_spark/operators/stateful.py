@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_examples_spark.operators.util import keyed_python_partitions
+
 
 def fraud_pairs(
     df: DataFrame,
@@ -108,7 +110,8 @@ def dfa_alerts(
         )
 
     return (
-        df.groupBy(key)
+        keyed_python_partitions(df, [key])
+        .groupBy(key)
         .applyInPandas(run, f"key long, n_events long, n_alerts long")
         .withColumnRenamed("key", key)
     )
@@ -145,7 +148,8 @@ def delta_trigger(
         return out[["key", id_col, "bucket"]]
 
     return (
-        df.groupBy(key)
+        keyed_python_partitions(df, [key])
+        .groupBy(key)
         .applyInPandas(run, f"key long, {id_col} long, bucket long")
         .withColumnRenamed("key", key)
     )
