@@ -1,0 +1,286 @@
+"""Multimodal (image/audio/video) columns over binary payloads.
+
+Training-data pipelines carry media as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched Python (decode, feature
+extraction, resize, frame sampling). This module makes that plumbing
+real — schemas, ``mapInPandas`` signatures, batch shapes, partitioning —
+while the *codec* is a deterministic fake format (``FIMG``/``FAUD``/
+``FVID`` headers + payload bytes), because no image/audio libraries ship
+in this container. Real decoders are stubbed behind import-tries and
+raise ``NotImplementedError`` with the dependency named.
+
+Scale notes (100 TB design):
+- Media rows are wide: bound Arrow batch size with
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set by
+  engine_session) so a batch of payloads fits executor memory.
+- All transforms below are ``mapInPandas`` — narrow, no shuffle; media
+  bytes never leave their input partition. Only the final small feature
+  aggregations shuffle.
+- Payload bytes stay in Arrow buffers end-to-end (no per-row Python
+  object churn beyond the numpy view).
+
+Fake codec layouts (little-endian int32 fields):
+  FIMG: magic 'FIMG' | width | height | channels | pixel bytes
+        (row-major, width*height*channels bytes)
+  FAUD: magic 'FAUD' | sample_rate | n_samples | uint8 samples
+  FVID: magic 'FVID' | width | height | n_frames | frames, each
+        width*height bytes
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+IMAGE_MAGIC = b"FIMG"
+AUDIO_MAGIC = b"FAUD"
+VIDEO_MAGIC = b"FVID"
+
+# Typed metadata struct carried alongside every media payload.
+MEDIA_META_DDL = (
+    "struct<kind:string, width:int, height:int, channels:int, "
+    "sample_rate:int, n_frames:int, n_bytes:int>"
+)
+
+
+def _cycle_bytes(data: bytes, n: int) -> bytes:
+    """Repeat/truncate ``data`` to exactly ``n`` bytes (deterministic
+    pixel/sample synthesis from seed text)."""
+    if not data:
+        return b"\x00" * n
+    reps = -(-n // len(data))
+    return (data * reps)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Encoders (used to build test corpora from seed columns)
+# ---------------------------------------------------------------------------
+
+def encode_fake_images(
+    df: DataFrame,
+    id_col: str,
+    seed_text_col: str,
+    width_expr: str,
+    height_expr: str,
+    channels: int = 1,
+) -> DataFrame:
+    """Synthesize an ``FIMG`` binary column: header + pixels cycled from
+    the seed text's utf-8 bytes. ``width_expr``/``height_expr`` are SQL
+    expressions over the input row (deterministic, oracle-checkable)."""
+    src = df.selectExpr(
+        f"{id_col} as media_id",
+        f"{seed_text_col} as _seed",
+        f"cast(({width_expr}) as int) as _w",
+        f"cast(({height_expr}) as int) as _h",
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for seed, w, h in zip(pdf["_seed"], pdf["_w"], pdf["_h"]):
+                header = IMAGE_MAGIC + struct.pack("<iii", w, h, channels)
+                payloads.append(
+                    header + _cycle_bytes(str(seed).encode("utf-8"), w * h * channels)
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return src.mapInPandas(enc, "media_id long, payload binary")
+
+
+def encode_fake_videos(
+    df: DataFrame,
+    id_col: str,
+    seed_text_col: str,
+    width_expr: str,
+    height_expr: str,
+    n_frames_expr: str,
+) -> DataFrame:
+    """Synthesize an ``FVID`` binary column: header + n_frames fake
+    frames; frame f's bytes are the seed bytes cycled, offset by f so
+    frames differ deterministically."""
+    src = df.selectExpr(
+        f"{id_col} as media_id",
+        f"{seed_text_col} as _seed",
+        f"cast(({width_expr}) as int) as _w",
+        f"cast(({height_expr}) as int) as _h",
+        f"cast(({n_frames_expr}) as int) as _nf",
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for seed, w, h, nf in zip(pdf["_seed"], pdf["_w"], pdf["_h"], pdf["_nf"]):
+                base = str(seed).encode("utf-8")
+                frames = b"".join(
+                    _cycle_bytes(base[f % max(len(base), 1):] + base, w * h)
+                    for f in range(nf)
+                )
+                payloads.append(VIDEO_MAGIC + struct.pack("<iii", w, h, nf) + frames)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return src.mapInPandas(enc, "media_id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Decode / metadata extraction
+# ---------------------------------------------------------------------------
+
+def media_metadata(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Parse the typed metadata struct off each payload's header —
+    no full decode, reads a fixed 16-byte prefix per row."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw)
+                magic = raw[:4]
+                a, b, c = struct.unpack("<iii", raw[4:16])
+                if magic == IMAGE_MAGIC:
+                    m = ("image", a, b, c, None, None, len(raw))
+                elif magic == AUDIO_MAGIC:
+                    m = ("audio", None, None, None, a, None, len(raw))
+                elif magic == VIDEO_MAGIC:
+                    m = ("video", a, b, None, None, c, len(raw))
+                else:
+                    m = ("unknown", None, None, None, None, None, len(raw))
+                rows.append((mid,) + m)
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "kind", "width", "height", "channels",
+                         "sample_rate", "n_frames", "n_bytes"],
+            )
+
+    return df.mapInPandas(
+        meta,
+        f"{id_col} long, kind string, width int, height int, channels int, "
+        "sample_rate int, n_frames int, n_bytes int",
+    )
+
+
+def image_features(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Decode FIMG payloads and extract per-image pixel statistics
+    (mean/min/max byte value) — the feature-extraction batch shape:
+    numpy view over Arrow binary, no per-pixel Python."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw)
+                if raw[:4] != IMAGE_MAGIC:
+                    continue
+                w, h, c = struct.unpack("<iii", raw[4:16])
+                px = np.frombuffer(raw, dtype=np.uint8, offset=16)
+                rows.append((mid, w, h,
+                             round(float(px.mean()), 6),
+                             int(px.min()), int(px.max())))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "mean_px", "min_px", "max_px"],
+            )
+
+    return df.mapInPandas(
+        feats,
+        f"{id_col} long, width int, height int, mean_px double, "
+        "min_px int, max_px int",
+    )
+
+
+def image_resize(df: DataFrame, out_w: int, out_h: int,
+                 id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """Nearest-neighbor resize of FIMG payloads to (out_w, out_h) —
+    returns new FIMG binaries. Real pixel work in numpy (gather by
+    index grid), the canonical media-transform batch shape."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw)
+                if raw[:4] != IMAGE_MAGIC:
+                    continue
+                w, h, c = struct.unpack("<iii", raw[4:16])
+                px = np.frombuffer(raw, dtype=np.uint8, offset=16).reshape(h, w * c)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w * c) * (w * c)) // (out_w * c)
+                out = px[yi][:, xi]
+                ids.append(mid)
+                payloads.append(
+                    IMAGE_MAGIC + struct.pack("<iii", out_w, out_h, c)
+                    + out.tobytes()
+                )
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return df.mapInPandas(rs, f"{id_col} long, payload binary")
+
+
+def video_frame_sample(df: DataFrame, every: int = 2,
+                       id_col: str = "media_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """Sample every ``every``-th frame from FVID payloads; one output row
+    per kept frame with the frame's bytes and per-frame mean byte value
+    (frame-level fan-out, the video batch shape)."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw)
+                if raw[:4] != VIDEO_MAGIC:
+                    continue
+                w, h, nf = struct.unpack("<iii", raw[4:16])
+                fsz = w * h
+                for f in range(0, nf, every):
+                    frame = np.frombuffer(
+                        raw, dtype=np.uint8, offset=16 + f * fsz, count=fsz
+                    )
+                    rows.append((mid, f, round(float(frame.mean()), 6)))
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "mean_px"])
+
+    return df.mapInPandas(fs, f"{id_col} long, frame_idx int, mean_px double")
+
+
+# ---------------------------------------------------------------------------
+# Real-codec stubs (gated imports; the container has no media libraries)
+# ---------------------------------------------------------------------------
+
+def decode_image_real(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Decode real image formats (JPEG/PNG) to pixel features.
+
+    STUB: requires ``pillow``, which is not installed in this container.
+    The Spark-side plumbing is identical to :func:`image_features` —
+    swap the codec inside the mapInPandas body."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "decode_image_real requires pillow (PIL); not installed in this "
+            "container. Use image_features (FIMG fake codec) for plumbing "
+            "tests."
+        ) from e
+    raise NotImplementedError("real-codec path intentionally unimplemented")
+
+
+def decode_audio_real(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Decode real audio (WAV/FLAC) to sample features.
+
+    STUB: requires ``soundfile``/``librosa``; not installed here."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "decode_audio_real requires soundfile; not installed in this "
+            "container."
+        ) from e
+    raise NotImplementedError("real-codec path intentionally unimplemented")

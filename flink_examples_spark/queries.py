@@ -1094,3 +1094,74 @@ def wordcount_side_output(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("channel", "word", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "media_image_features",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(4 + doc_id % 4 AS INT) AS width,
+               CAST(4 + n_chars % 4 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id AS media_id, width, height,
+           round(list_aggregate(
+               list_transform(
+                   string_split_regex(
+                       substring(repeat(text,
+                           CAST(ceil((width*height)*1.0/length(text)) AS INT)),
+                           1, width*height), ''),
+                   x -> ord(x)), 'avg'), 6) AS mean_px
+    FROM t
+    """,
+    doc="Multimodal: documents -> FIMG binary payloads (mapInPandas "
+        "encode) -> pixel-feature extraction (numpy over Arrow binary); "
+        "oracle recomputes the byte stats closed-form. Plumbing per "
+        "SURVEY.md §7 north-star ops; no shuffle until the final compare.",
+)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.multimodal import (
+        encode_fake_images,
+        image_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    images = encode_fake_images(
+        docs, "doc_id", "text",
+        width_expr="4 + doc_id % 4",
+        height_expr="4 + n_chars % 4",
+    )
+    return image_features(images).select("media_id", "width", "height", "mean_px")
+
+
+@register(
+    "media_video_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, CAST(1 + doc_id % 5 AS INT), 2)) AS INT)
+               AS frame_idx
+    FROM documents
+    """,
+    doc="Multimodal: documents -> FVID fake videos (1 + doc_id%5 frames) "
+        "-> sample every 2nd frame via mapInPandas frame fan-out; oracle "
+        "generates the expected frame indices closed-form.",
+)
+def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.multimodal import (
+        encode_fake_videos,
+        video_frame_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    videos = encode_fake_videos(
+        docs, "doc_id", "text",
+        width_expr="4 + doc_id % 3",
+        height_expr="4",
+        n_frames_expr="1 + doc_id % 5",
+    )
+    return video_frame_sample(videos, every=2).select("media_id", "frame_idx")
