@@ -1,0 +1,141 @@
+"""Async / external-lookup enrichment (SURVEY.md §2.11 M1, §2.3 P4).
+
+The reference's AsyncIOExample.java:119-151,220-275 hides per-record
+lookup latency with AsyncDataStream.orderedWait/unorderedWait (timeout
+10 s, capacity 20, thread-pool client). Spark-first mapping: the lookup
+runs inside ``mapInPandas``, where each Arrow batch amortizes client
+setup (the RichMapFunction ``open()`` analog, DistributedCacheExample.
+java:35-56) and a thread pool overlaps per-row latency within the batch.
+No shuffle — enrichment is a narrow transform; throughput scales with
+input partitions, and ``capacity`` bounds in-flight calls per partition
+exactly like the reference's orderedWait capacity.
+
+Two surfaces:
+- ``async_enrich`` — per-row callable on a thread pool, ordered or
+  unordered result emission, per-call timeout with a None fill
+  (AsyncIOExample's timeout semantics).
+- ``broadcast_lookup_enrich`` — the preferred scale path when the
+  dimension fits in memory: ship the dict once per executor via a
+  broadcast variable and do a vectorized pandas ``map`` (no threads,
+  no network; BroadcastDimension.java:92-126 / J6 map-side join).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from concurrent.futures import ALL_COMPLETED, FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def async_enrich(
+    df: DataFrame,
+    enrich_fn: Callable[[dict], dict],
+    output_schema: str,
+    *,
+    capacity: int = 20,
+    timeout_s: float = 10.0,
+    ordered: bool = True,
+) -> DataFrame:
+    """Enrich each row via ``enrich_fn(row_dict) -> extra_cols_dict`` on
+    a per-partition thread pool.
+
+    - ``capacity``: max in-flight calls per partition (orderedWait's
+      capacity; backpressure by bounded submission window).
+    - ``timeout_s``: per-call budget; on timeout the extra columns are
+      None (the reference completes exceptionally — we emit a null row
+      instead so the pipeline keeps flowing; filter on null to split a
+      "failed" side output).
+    - ``ordered``: True emits rows in input order (orderedWait); False
+      emits in completion order within the batch (unorderedWait —
+      row *set* is identical, useful when downstream is order-free).
+
+    Output columns: input columns + keys of the dict ``enrich_fn``
+    returns, in ``output_schema`` order.
+    """
+    out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with ThreadPoolExecutor(max_workers=capacity) as pool:
+            for pdf in batches:
+                records = pdf.to_dict("records")
+                results: list[tuple[int, dict | None]] = []
+                pending = {}
+                idx = 0
+
+                def drain(block_all: bool) -> None:
+                    nonlocal pending
+                    done, not_done = wait(
+                        pending,
+                        timeout=timeout_s if block_all else None,
+                        return_when=ALL_COMPLETED if block_all else FIRST_COMPLETED,
+                    )
+                    for fut in done:
+                        i = pending.pop(fut)
+                        try:
+                            results.append((i, fut.result(timeout=0)))
+                        except Exception:
+                            results.append((i, None))
+                    if block_all:
+                        for fut, i in pending.items():
+                            fut.cancel()
+                            results.append((i, None))
+                        pending = {}
+
+                for rec in records:
+                    while len(pending) >= capacity:
+                        drain(block_all=False)
+                    pending[pool.submit(enrich_fn, rec)] = idx
+                    idx += 1
+                drain(block_all=True)
+
+                if ordered:
+                    results.sort(key=lambda t: t[0])
+                rows = []
+                for i, extra in results:
+                    row = dict(records[i])
+                    row.update(extra or {})
+                    rows.append(row)
+                out = pd.DataFrame(rows)
+                for c in out_cols:
+                    if c not in out.columns:
+                        out[c] = None
+                yield out[out_cols]
+
+    return df.mapInPandas(run, output_schema)
+
+
+def broadcast_lookup_enrich(
+    df: DataFrame,
+    key_expr: str,
+    lookup: dict,
+    out_col: str,
+    out_type: str = "string",
+) -> DataFrame:
+    """Map-side dimension enrichment: broadcast ``lookup`` (a plain
+    dict) to every executor once and apply it vectorized per batch.
+
+    ``key_expr`` is a SQL expression computing the lookup key from the
+    row. This is the 100 TB path for small dims — zero shuffle, zero
+    per-row Python, one Arrow-batched ``Series.map`` per batch. For dims
+    too big to broadcast, use a real broadcast *join*
+    (operators/joins.py broadcast_dim_join).
+    """
+    bc = df.sparkSession.sparkContext.broadcast(lookup)
+    src = df.withColumn("__key", F.expr(key_expr))
+    in_cols = df.columns
+    schema = ", ".join(f"{c} {t}" for c, t in
+                       [(f.name, f.dataType.simpleString()) for f in df.schema.fields])
+    out_schema = f"{schema}, {out_col} {out_type}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        table = bc.value
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf["__key"].map(table)
+            yield pdf[in_cols + [out_col]]
+
+    return src.mapInPandas(run, out_schema)

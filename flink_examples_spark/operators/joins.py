@@ -143,3 +143,38 @@ def as_of_match(
             F.col("match_status"),
         )
     )
+
+
+def broadcast_pattern_match(
+    events: DataFrame,
+    pattern: DataFrame,
+    key: str,
+    order_cols: list[str],
+    action_col: str,
+    first_col: str = "first_action",
+    second_col: str = "second_action",
+) -> DataFrame:
+    """Broadcast control-pattern join (J5, BroadcastStreamConnect.java:
+    82-159): a tiny pattern table (pairs of consecutive actions) is
+    broadcast to every task; per-key state holding the previous action
+    becomes a ``lag`` window; a row matches when
+    (previous action, current action) equals a pattern pair.
+
+    Output: one row per detected (key, pattern) occurrence. The pattern
+    side rides a BroadcastExchange — the fact side shuffles once on the
+    key for the window, never for the join.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    seq = events.select(
+        F.col(key),
+        F.col(action_col).alias("_cur"),
+        F.lag(action_col).over(w).alias("_prev"),
+    )
+    return (
+        seq.join(
+            F.broadcast(pattern),
+            (seq["_prev"] == pattern[first_col])
+            & (seq["_cur"] == pattern[second_col]),
+        )
+        .select(F.col(key), F.col(first_col), F.col(second_col))
+    )

@@ -1165,3 +1165,121 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_frames_expr="1 + doc_id % 5",
     )
     return video_frame_sample(videos, every=2).select("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Async / lookup enrichment (M1, P4, J6/M3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "async_enrich_nation",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name AS nation
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+    doc="M1: async per-record enrichment — thread-pooled lookups inside "
+        "mapInPandas (orderedWait semantics, capacity-bounded); the "
+        "lookup client is a broadcast dict (J6/M3 distributed-cache "
+        "analog). Ref: async/AsyncIOExample.java:119-151, "
+        "cache/DistributedCacheExample.java:29-56.",
+)
+def async_enrich_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.enrich import async_enrich
+
+    nation = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in load_table(spark, "nation", sf_dir).collect()
+    }
+    bc = spark.sparkContext.broadcast(nation)
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+
+    def lookup(row: dict) -> dict:
+        return {"nation": bc.value.get(row["user_id"] % 25)}
+
+    return async_enrich(
+        events,
+        lookup,
+        "event_id long, user_id long, nation string",
+        capacity=20,
+        ordered=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast pattern/control join + scalar-function surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "pattern_pair_broadcast",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    pattern AS (
+        SELECT 'click' AS first_action, 'purchase' AS second_action
+        UNION ALL
+        SELECT 'view', 'error'
+    )
+    SELECT s.user_id, p.first_action, p.second_action
+    FROM seq s JOIN pattern p
+      ON s.prev = p.first_action AND s.cur = p.second_action
+    """,
+    doc="J5: broadcast control-pattern join — tiny pattern table of "
+        "consecutive-action pairs broadcast to all tasks; per-key "
+        "prev-action state as a lag window. "
+        "Ref: connect/BroadcastStreamConnect.java:82-159.",
+)
+def pattern_pair_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.joins import broadcast_pattern_match
+
+    pattern = spark.createDataFrame(
+        [("click", "purchase"), ("view", "error")],
+        "first_action string, second_action string",
+    )
+    return broadcast_pattern_match(
+        load_table(spark, "events", sf_dir),
+        pattern,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        action_col="event_type",
+    )
+
+
+@register(
+    "json_props_ip_buckets",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+           concat_ws('.',
+               CAST((user_id * 2654435761 % 4294967296) // 16777216 % 256 AS VARCHAR),
+               CAST((user_id * 2654435761 % 4294967296) // 65536 % 256 AS VARCHAR),
+               CAST((user_id * 2654435761 % 4294967296) // 256 % 256 AS VARCHAR),
+               CAST((user_id * 2654435761 % 4294967296) % 256 AS VARCHAR)) AS ip
+    FROM events
+    """,
+    doc="§2.12 scalar surface: JSON field navigation (TwitterJson.java:"
+        "79-87), modulo bucketing (AsyncIOExample.java:269), IPv4 "
+        "int->dotted-quad formatting (state/event/Event.java "
+        "formatAddress) — all JVM codegen'd expressions, zero Python.",
+)
+def json_props_ip_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.scalar import (
+        bucket_mod,
+        ipv4_str,
+        json_field,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    k = json_field("props", "$.k").cast("long")
+    fake_ip = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return events.select(
+        "event_id",
+        k.alias("k"),
+        bucket_mod(k, 10).alias("bucket"),
+        ipv4_str(fake_ip).alias("ip"),
+    )

@@ -180,3 +180,83 @@ def side_output_foreach_batch(
             batch_df.unpersist()
 
     return write
+
+
+def kv_hset_foreach_batch(
+    client_factory: Callable[[], object],
+    hash_name: str,
+    key_col: str,
+    value_col: str,
+    pipeline_size: int = 500,
+) -> Callable[[DataFrame, int], None]:
+    """Redis-style HSET sink (K7, RedisSinkExample.java:44-68).
+
+    The reference maps each record to ``HSET hash_name key value`` via a
+    jedis pool. Here the client is injected (``client_factory`` runs
+    once per partition on the executor — the RichSinkFunction ``open()``
+    slot) and must expose ``hset_many(hash_name, [(key, value), ...])``
+    and optionally ``close()``. Writes are pipelined ``pipeline_size``
+    entries per call; per-key set semantics make replayed micro-batches
+    idempotent (exactly-once observable).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        def per_partition(rows) -> None:
+            client = client_factory()
+            try:
+                buf: list[tuple] = []
+                for row in rows:
+                    buf.append((row[key_col], row[value_col]))
+                    if len(buf) >= pipeline_size:
+                        client.hset_many(hash_name, buf)
+                        buf = []
+                if buf:
+                    client.hset_many(hash_name, buf)
+            finally:
+                close = getattr(client, "close", None)
+                if close is not None:
+                    close()
+
+        batch_df.select(key_col, value_col).foreachPartition(per_partition)
+
+    return write
+
+
+def bulk_index_foreach_batch(
+    client_factory: Callable[[], object],
+    index: str,
+    id_col: str,
+    doc_cols: Sequence[str],
+    bulk_actions: int = 1000,
+) -> Callable[[DataFrame, int], None]:
+    """Elasticsearch-style bulk index sink (K8, ESSink.java:44-63).
+
+    The reference buffers IndexRequests and flushes every
+    ``bulkFlushMaxActions``. The injected client (one per partition)
+    must expose ``bulk_index(index, [(doc_id, doc_dict), ...])`` and
+    optionally ``close()``. Document ids make retried bulks idempotent
+    (the failure-handler discussion at ESSink.java:76-120 reduces to
+    replay + idempotent put).
+    """
+    cols = list(doc_cols)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        def per_partition(rows) -> None:
+            client = client_factory()
+            try:
+                buf: list[tuple] = []
+                for row in rows:
+                    buf.append((row[id_col], {c: row[c] for c in cols}))
+                    if len(buf) >= bulk_actions:
+                        client.bulk_index(index, buf)
+                        buf = []
+                if buf:
+                    client.bulk_index(index, buf)
+            finally:
+                close = getattr(client, "close", None)
+                if close is not None:
+                    close()
+
+        batch_df.select(id_col, *cols).foreachPartition(per_partition)
+
+    return write
