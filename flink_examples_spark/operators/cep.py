@@ -141,6 +141,44 @@ def _find_matches(
     dfs(0, start, [], False)
 
 
+def _greedy_partial(
+    records: list[dict],
+    pattern: Sequence[Pat],
+    start: int,
+    within_check: Callable[[int, int], bool] | None,
+) -> list[tuple[str, int]]:
+    """Longest greedy prefix consumed from ``start`` without completing
+    the pattern — the representative partial match the reference's
+    TimedOutPartialMatchHandler would see at timeout (CEPTimeout.java:
+    72-103). Multiple concurrent partials collapse to the first-branch
+    one (documented divergence)."""
+    consumed: list[tuple[str, int]] = []
+    n = len(records)
+    next_row = start
+    for elem in pattern:
+        hit = None
+        if elem.contiguity == "strict":
+            cands = [next_row] if next_row < n else []
+        else:
+            cands = range(next_row, n)
+        for idx in cands:
+            if within_check is not None and consumed and not within_check(
+                consumed[0][1], idx
+            ):
+                break
+            ctx = MatchCtx(consumed, records)
+            if elem.where is None or bool(elem.where(records[idx], ctx)):
+                hit = idx
+                break
+            if elem.contiguity == "strict":
+                break
+        if hit is None:
+            break
+        consumed.append((elem.name, hit))
+        next_row = hit + 1
+    return consumed
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: Sequence[str],
@@ -153,6 +191,7 @@ def match_recognize(
     ts_col: str | None = None,
     all_matches: bool = False,
     max_matches_per_key: int = 100_000,
+    timeout_measures: Callable[[dict[str, pd.DataFrame], pd.DataFrame], dict] | None = None,
 ) -> DataFrame:
     """Run a MATCH_RECOGNIZE-style pattern per key.
 
@@ -168,6 +207,14 @@ def match_recognize(
 
     within: pandas-Timedelta string; with ``ts_col``, bounds
     last.ts - first.ts (FlinkCEP.java:80 ``within(10s)``).
+
+    timeout_measures (C4): when set (requires ``within``), begun-but-
+    incomplete matches emit a row too — the reference's
+    TimedOutPartialMatchHandler side output (CEPTimeout.java:72-103).
+    Batch end-of-input acts as the final MAX watermark, so every pending
+    partial times out (E1 end-of-stream flush). Include a discriminator
+    column (e.g. ``timed_out boolean``) in the schema and filter to
+    split the side output (P7).
     """
     pattern = list(pattern)
     pcols = list(partition_by)
@@ -194,6 +241,17 @@ def match_recognize(
             found: list[list[tuple[str, int]]] = []
             _find_matches(records, pattern, start, within_check, all_matches, found)
             if not found:
+                if timeout_measures is not None:
+                    partial = _greedy_partial(records, pattern, start, within_check)
+                    if partial:
+                        pvars: dict[str, list[int]] = {}
+                        for var, idx in partial:
+                            pvars.setdefault(var, []).append(idx)
+                        results.append(timeout_measures(
+                            {v: pdf.iloc[idxs] for v, idxs in pvars.items()}, pdf
+                        ))
+                        start = partial[0][1] + 1
+                        continue
                 start += 1
                 continue
             for consumed in found:

@@ -1283,3 +1283,21 @@ def json_props_ip_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_mod(k, 10).alias("bucket"),
         ipv4_str(fake_ip).alias("ip"),
     )
+
+
+@register(
+    "ann_cosine_topk_ivf",
+    oracle=None,  # approximate by construction (probe subset); recall
+                  # vs brute force asserted in tests/test_similarity.py
+    doc="IVF ANN — coarse k-means quantizer (driver-trained on a "
+        "bounded sample), per-query n_probe cell filter fused into one "
+        "mapInPandas scoring pass; the scale path for 100 TB corpora "
+        "(partitionBy(cluster) makes the probe a partition-pruned scan).",
+)
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=16, n_probe=4
+    )

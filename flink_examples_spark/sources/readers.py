@@ -1,0 +1,74 @@
+"""Batch readers (SURVEY.md §2.1) and writers (§2.2 K3/K4 batch side).
+
+Streaming counterparts live in streaming/sources.py / streaming/sinks.py.
+Every reader returns a lazy DataFrame scan so Catalyst pushes filters
+and prunes columns into the file source (check ``PushedFilters`` /
+``ReadSchema`` in ``.explain("formatted")``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_text_lines(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """S1/S2: text-file line source; multi-path replaces the reference's
+    manual union loop (WordCount.java:35-41) — Spark unions file splits
+    natively and keeps per-file parallelism."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.text(list(paths))
+
+
+def read_csv_records(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    header: bool = False,
+) -> DataFrame:
+    """S5: schema-ful CSV scan (PojoCsvInputFormat with explicit field
+    order, HotItems.java:47-55). The DDL string IS the field order."""
+    return spark.read.schema(schema_ddl).option("header", header).csv(path)
+
+
+def read_json_records(
+    spark: SparkSession, path: str, schema_ddl: str | None = None
+) -> DataFrame:
+    """JSON-lines scan (the Jackson-per-record paths: Kafka2Kafka.java:
+    84-93, TwitterJson.java:74-96). Explicit schema beats inference at
+    scale — inference reads the data twice."""
+    reader = spark.read
+    if schema_ddl is not None:
+        reader = reader.schema(schema_ddl)
+    return reader.json(path)
+
+
+def from_elements(
+    spark: SparkSession, rows: Iterable[tuple], schema_ddl: str
+) -> DataFrame:
+    """S3/S4: bounded in-memory source (env.fromElements /
+    fromCollection — WordCount.java:49, BroadcastStreamConnect.java:
+    62-71). For rate-limited replay use streaming.sources.rate_events."""
+    return spark.createDataFrame(list(rows), schema_ddl)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K4: writeAsText (IterateExample.java:102). Single string column
+    required; callers concat beforehand (HotItems.java:129-140 style)."""
+    df.write.mode(mode).text(path)
+
+
+def write_orc_lz4(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K3 batch: columnar ORC with LZ4 (FsBulkFormatSink.java:44-58).
+    The reference hand-vectorizes POJOs into VectorizedRowBatch
+    (StudentVectorizer.java:26-38); Spark's ORC writer vectorizes
+    natively."""
+    df.write.mode(mode).option("compression", "lz4").orc(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = False) -> None:
+    """K2 batch row-format: CSV part files."""
+    df.write.mode(mode).option("header", header).csv(path)

@@ -125,3 +125,52 @@ def test_pattern_api_followed_by_any_golden(spark):
     # FlinkCEP.java expected output: the single SubEvent 'middle' (id 6)
     # between 'start' (2) and 'end' (8) — relaxed-all finds exactly {2,6,8}
     assert triples == [(2, 6, 8)], triples
+
+
+def test_within_timeout_partial_match_side_output(spark):
+    """C4 (cep/CEPTimeout.java:53-103): create->pay within 10 min; paid
+    orders emit a match, unpaid orders' partial matches time out into a
+    side output (discriminator column + filter = OutputTag)."""
+    import pandas as pd
+
+    rows = [
+        ("order_1", "create", "2020-01-01 00:00:00"),
+        ("order_1", "pay",    "2020-01-01 00:05:00"),
+        ("order_2", "create", "2020-01-01 00:00:00"),   # never paid
+        ("order_3", "create", "2020-01-01 00:00:00"),
+        ("order_3", "pay",    "2020-01-01 00:20:00"),   # pay too late
+    ]
+    df = spark.createDataFrame(rows, "order_id string, action string, ts string") \
+        .selectExpr("order_id", "action", "cast(ts as timestamp) as ts")
+
+    pattern = [
+        Pat("create", where=lambda r, c: r["action"] == "create",
+            contiguity="strict"),
+        Pat("pay", where=lambda r, c: r["action"] == "pay",
+            contiguity="relaxed"),
+    ]
+
+    def measures(vars_map, pdf):
+        return {"order_id": vars_map["create"].iloc[0]["order_id"],
+                "timed_out": False}
+
+    def timeout_measures(vars_map, pdf):
+        return {"order_id": vars_map["create"].iloc[0]["order_id"],
+                "timed_out": True}
+
+    out = match_recognize(
+        df,
+        partition_by=["order_id"],
+        order_by=["ts"],
+        pattern=pattern,
+        measures=measures,
+        output_schema="order_id string, timed_out boolean",
+        within="10 minutes",
+        ts_col="ts",
+        timeout_measures=timeout_measures,
+    ).toPandas()
+
+    matched = set(out[~out["timed_out"]]["order_id"])
+    timed_out = set(out[out["timed_out"]]["order_id"])
+    assert matched == {"order_1"}
+    assert timed_out == {"order_2", "order_3"}

@@ -61,3 +61,40 @@ def test_lsh_buckets_deterministic(spark, sf_dir):
     b2 = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(emb).collect()}
     assert b1 == b2
     assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in b1.values())
+
+
+def test_ivf_exact_when_probing_all_cells(spark, sf_dir):
+    """n_probe == n_clusters degenerates IVF to exact brute force."""
+    from flink_examples_spark.operators.similarity import (
+        cosine_topk_gemm,
+        cosine_topk_ivf,
+    )
+    from flink_examples_spark.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_gemm(emb, q, k=3).toPandas()
+    ivf = cosine_topk_ivf(emb, q, k=3, n_clusters=8, n_probe=8).toPandas()
+    key = ["query_id", "rank"]
+    assert (
+        exact.sort_values(key).reset_index(drop=True)[["query_id", "neighbor_id", "rank"]]
+        .equals(ivf.sort_values(key).reset_index(drop=True)[["query_id", "neighbor_id", "rank"]])
+    )
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """With n_probe < n_clusters, results are a subset of the scored
+    universe and recall vs exact top-k stays useful (>= 40% here)."""
+    from flink_examples_spark.operators.similarity import (
+        cosine_topk_gemm,
+        cosine_topk_ivf,
+    )
+    from flink_examples_spark.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_gemm(emb, q, k=5).toPandas()
+    ivf = cosine_topk_ivf(emb, q, k=5, n_clusters=16, n_probe=4).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+    ivf_pairs = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    assert len(ivf_pairs & exact_pairs) / len(exact_pairs) >= 0.4
