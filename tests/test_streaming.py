@@ -237,3 +237,116 @@ def test_streaming_dfa_matches_batch_alert_counts(spark, tmp_path, events_pdf):
         if r.n_alerts > 0
     }
     assert stream_map == batch_map
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path, events_pdf):
+    """W4 streaming: session_window agg under availableNow replay equals
+    the batch formulation (SessionWindow.java:52-77 semantics)."""
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "user_id", "n")
+    )
+    out = run_to_memory(agg, spark, "sess", "append", str(tmp_path / "ck"))
+    stream_rows = {(r.ws, r.user_id): r.n for r in out.collect()}
+    # Divergence (SURVEY.md §2.9 E1): Flink's end-of-stream MAX watermark
+    # flushes every open session; Spark's availableNow watermark stops at
+    # max(ts), so sessions still open at end-of-input (w.end > max ts)
+    # stay pending in append mode. Compare against batch minus those.
+    max_ts = load_table(spark, "events", SF).agg(F.max("ts")).first()[0]
+    batch_rows = {
+        (r.ws, r.user_id): r.n
+        for r in load_table(spark, "events", SF)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
+                "user_id", "n")
+        .collect()
+        if r.we <= max_ts
+    }
+    assert stream_rows == batch_rows
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path, events_pdf):
+    """J2 streaming: stream-stream inner join with a time-range condition
+    and watermarks on both sides (IntervalJoin.java:40-54, [-2s,+1s]
+    scaled to the fixture's minutes)."""
+    clicks_pdf = events_pdf[events_pdf["event_type"] == "click"]
+    purch_pdf = events_pdf[events_pdf["event_type"] == "purchase"]
+    d1 = write_chunks(clicks_pdf, str(tmp_path / "c"), 2)
+    d2 = write_chunks(purch_pdf, str(tmp_path / "p"), 2)
+    clicks = (
+        file_stream(spark, d1, os.path.join(d1, "000.parquet"))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+                F.col("ts").alias("cts"))
+    )
+    purchases = (
+        file_stream(spark, d2, os.path.join(d2, "000.parquet"))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("pts"))
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    out = run_to_memory(
+        clicks.join(purchases, cond).select("cu", "click_id", "purchase_id"),
+        spark, "ij", "append", str(tmp_path / "ck"),
+    )
+    stream_pairs = {(r.click_id, r.purchase_id) for r in out.collect()}
+
+    ev = load_table(spark, "events", SF)
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"))
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"))
+    batch_pairs = {
+        (r.click_id, r.purchase_id)
+        for r in bc.join(bp, cond).select("click_id", "purchase_id").collect()
+    }
+    assert stream_pairs == batch_pairs
+
+
+def test_streaming_late_rows_dropped_after_watermark(spark, tmp_path):
+    """E4/E7: rows older than the watermark are dropped from windowed
+    aggregation (Spark does not re-fire closed windows; the reference's
+    allowedLateness re-fire is a documented divergence, SURVEY.md §7.4.4)."""
+    frames = [
+        pd.DataFrame({
+            "ts": pd.to_datetime(["2024-01-01 00:01:00", "2024-01-01 02:00:00"]),
+            "k": ["a", "a"],
+        }),
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 02:30:00"]), "k": ["a"]}),
+        # 2.5 h behind the stream head — far past the 10 min threshold.
+        # (The watermark filter lags one batch: batch N filters with the
+        # watermark computed after batch N-1, hence the middle batch.)
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:02:00"]), "k": ["a"]}),
+    ]
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    for i, f in enumerate(frames):
+        p = os.path.join(d, f"{i:03d}.parquet")
+        f.to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = run_to_memory(agg, spark, "late", "append", str(tmp_path / "ck"))
+    rows = {r.ws.hour: r.n for r in out.collect()}
+    # the 00:00 window closed once the watermark passed 01:50; the late
+    # 00:02 row must NOT appear (count stays 1, no re-fire)
+    assert rows.get(0) == 1
