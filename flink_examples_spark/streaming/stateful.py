@@ -272,3 +272,90 @@ def streaming_dfa_alerts(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cep(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    pattern,
+    measures,
+    output_schema: str,
+    within_ms: int,
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Streaming CEP: the batch NFA (operators/cep.py) with its pending
+    buffer in GroupState (C1-C5 streaming; SURVEY.md §3.3).
+
+    Per key the state is the suffix of rows that can still begin or
+    extend a match, JSON-encoded. Each trigger appends the new rows,
+    re-runs the NFA from the buffer head, emits completed matches
+    (AFTER MATCH SKIP TO NEXT ROW), and evicts starts whose ``within``
+    horizon has passed — with per-key ordered arrival (the module
+    contract above) eviction is exact: a start older than
+    ``max_seen_ts - within`` can never complete.
+
+    Matches emit eagerly at first completion; for patterns whose greedy
+    PLUS could extend across a trigger boundary this can differ from a
+    single-batch run (documented divergence — strict fixed-length
+    patterns are exactly equal, which the tests assert).
+    """
+    import json
+
+    from flink_examples_spark.operators.cep import _find_matches
+
+    ocols = list(order_cols or [ts_col])
+    out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            buf_json, max_ts = state.get
+            records = [json.loads(s) for s in buf_json]
+        else:
+            records, max_ts = [], 0
+        new_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ocols, kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(pdf.columns, row))
+                d[ts_col] = int(d[ts_col].value // 1_000_000)  # epoch ms
+                new_rows.append(d)
+        records.extend(new_rows)
+        records.sort(key=lambda d: tuple(d[c] for c in ocols))
+        if records:
+            max_ts = max(max_ts, max(d[ts_col] for d in records))
+
+        def within_check(first_idx: int, idx: int) -> bool:
+            return records[idx][ts_col] - records[first_idx][ts_col] <= within_ms
+
+        results = []
+        start = 0
+        n = len(records)
+        while start < n:
+            found: list[list[tuple[str, int]]] = []
+            _find_matches(records, pattern, start, within_check, False, found)
+            if found:
+                vars_map: dict[str, list[dict]] = {}
+                for var, idx in found[0]:
+                    vars_map.setdefault(var, []).append(records[idx])
+                vars_pdf = {v: pd.DataFrame(rows) for v, rows in vars_map.items()}
+                results.append(measures(vars_pdf, None))
+                start = found[0][0][1] + 1
+            elif records[start][ts_col] + within_ms < max_ts:
+                start += 1  # horizon passed: this start can never complete
+            else:
+                break  # still completable with future rows — keep buffered
+        keep = records[start:]
+        state.update(([json.dumps(d) for d in keep], max_ts))
+        if results:
+            out = pd.DataFrame(results)
+            out[key] = key_t[0]
+            yield out[out_cols]
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        output_schema,
+        "buf array<string>, max_ts long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

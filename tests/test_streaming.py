@@ -350,3 +350,73 @@ def test_streaming_late_rows_dropped_after_watermark(spark, tmp_path):
     # the 00:00 window closed once the watermark passed 01:50; the late
     # 00:02 row must NOT appear (count stays 1, no re-fire)
     assert rows.get(0) == 1
+
+
+def test_streaming_cep_matches_batch_modulo_pending_tail(spark, tmp_path, events_pdf):
+    """C1-C5 streaming: the GroupState NFA over chunked replay finds the
+    same strict A<B<C-purchase matches as the batch NFA, except starts
+    still inside the ``within`` horizon of the stream head (no final MAX
+    watermark in availableNow — they stay pending, like Flink partials
+    before the last watermark)."""
+    from flink_examples_spark.operators.cep import Pat, match_recognize
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    def b_where(row, ctx):
+        prev = ctx.last(1)
+        return prev is not None and row["value"] > prev["value"]
+
+    def c_where(row, ctx):
+        prev = ctx.last(1)
+        return (prev is not None and row["value"] > prev["value"]
+                and row["event_type"] == "purchase")
+
+    pattern = [
+        Pat("A"),
+        Pat("B", where=b_where, contiguity="strict"),
+        Pat("C", where=c_where, contiguity="strict"),
+    ]
+    within_ms = 6 * 3600 * 1000
+
+    def s_measures(vars_map, pdf):
+        return {"a_id": int(vars_map["A"].iloc[0]["event_id"]),
+                "a_ts": int(vars_map["A"].iloc[0]["ts"]),
+                "c_id": int(vars_map["C"].iloc[0]["event_id"])}
+
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet")).select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    out = run_to_memory(
+        streaming_cep(
+            src, key="user_id", ts_col="ts", pattern=pattern,
+            measures=s_measures,
+            output_schema="user_id long, a_id long, a_ts long, c_id long",
+            within_ms=within_ms, order_cols=["ts", "event_id"],
+        ),
+        spark, "cep_stream", "append", str(tmp_path / "ck"),
+    )
+    stream_matches = {(r.user_id, r.a_id, r.c_id) for r in out.collect()}
+
+    def b_measures(vars_map, pdf):
+        return {"a_id": int(vars_map["A"].iloc[0]["event_id"]),
+                "a_ts": int(vars_map["A"].iloc[0]["ts"].value // 1_000_000),
+                "c_id": int(vars_map["C"].iloc[0]["event_id"])}
+
+    ev = load_table(spark, "events", SF).select(
+        "user_id", "event_id", "ts", "value", "event_type"
+    )
+    batch = match_recognize(
+        ev, partition_by=["user_id"], order_by=["ts", "event_id"],
+        pattern=pattern, measures=b_measures,
+        output_schema="user_id long, a_id long, a_ts long, c_id long",
+        within=f"{within_ms} ms", ts_col="ts",
+    ).collect()
+    max_ts_ms = int(events_pdf["ts"].max().value // 1_000_000)
+    batch_all = {(r.user_id, r.a_id, r.c_id) for r in batch}
+    batch_settled = {
+        (r.user_id, r.a_id, r.c_id)
+        for r in batch
+        if r.a_ts + within_ms < max_ts_ms
+    }
+    assert batch_settled <= stream_matches <= batch_all
+    assert stream_matches  # non-vacuous
