@@ -277,3 +277,178 @@ def match_recognize(
 
     df = keyed_python_partitions(df, pcols)
     return df.groupBy(*pcols).applyInPandas(run, output_schema)
+
+
+# ---------------------------------------------------------------------------
+# SQL-ish MATCH_RECOGNIZE front-end (C6, flink-sql/sql/dml/CEP.md:70-90)
+# ---------------------------------------------------------------------------
+
+_LAST_RE = None  # compiled lazily
+
+
+def _compile_expr(expr: str, measure_mode: bool):
+    """Compile the MATCH_RECOGNIZE expression subset the reference uses
+    (CEP.md:83-90) into a Python callable.
+
+    Supported grammar: ``VAR.field`` references, ``LAST(VAR.field[, n])``
+    / ``FIRST(VAR.field[, n])`` navigation, comparison operators
+    (``= < > <= >= <>``), ``AND/OR/NOT``, ``IS [NOT] NULL``, numeric and
+    string literals. SQL NULL comparison semantics are approximated:
+    a comparison against NULL evaluates the whole predicate to False.
+
+    DEFINE semantics (evaluating var X on candidate row r, r tentatively
+    mapped to X): ``X.field`` = r's field; ``LAST(X.field, n)`` (n>=1) =
+    n-th-from-last row previously mapped to X; ``OTHER.field`` =
+    LAST(OTHER.field) = last row mapped to OTHER.
+    MEASURES: ``VAR.field`` = LAST(VAR.field); FIRST/LAST navigate the
+    var's consumed rows.
+    """
+    import re
+
+    s = expr
+    s = re.sub(r"\bLAST\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+               lambda m: f'_last("{m.group(1)}","{m.group(2)}",{m.group(3) or 0})', s,
+               flags=re.IGNORECASE)
+    s = re.sub(r"\bFIRST\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+               lambda m: f'_first("{m.group(1)}","{m.group(2)}",{m.group(3) or 0})', s,
+               flags=re.IGNORECASE)
+    s = re.sub(r"\b(\w+)\.(\w+)\b(?!\s*\")",
+               lambda m: (f'_ref("{m.group(1)}","{m.group(2)}")'
+                          if m.group(1) not in ("_last", "_first", "_ref")
+                          else m.group(0)), s)
+    s = re.sub(r"\bIS\s+NOT\s+NULL\b", "is not None", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bIS\s+NULL\b", "is None", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bAND\b", "and", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bOR\b", "or", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNOT\b", "not", s, flags=re.IGNORECASE)
+    s = re.sub(r"<>", "!=", s)
+    s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+    code = compile(s, f"<define:{expr[:40]}>", "eval")
+
+    def run(namespace: dict):
+        try:
+            return eval(code, {"__builtins__": {}}, namespace)
+        except TypeError:
+            return False  # NULL comparison -> false (SQL 3VL approximation)
+
+    return run
+
+
+def _parse_pattern(pattern_str: str, define: dict) -> list[Pat]:
+    """``PATTERN (A B+ C)`` body -> Pat list. MATCH_RECOGNIZE is a regex
+    over the ordered row sequence, so contiguity is strict throughout;
+    ``+`` maps to the greedy PLUS quantifier. Variables without a DEFINE
+    entry get the implicit TRUE condition (CEP.md START_ROW)."""
+    pats = []
+    for tok in pattern_str.replace("(", " ").replace(")", " ").split():
+        quant = "one"
+        if tok.endswith("+"):
+            quant, tok = "plus", tok[:-1]
+        where = None
+        if tok in define:
+            compiled = _compile_expr(define[tok], measure_mode=False)
+            where = _make_define_predicate(tok, compiled)
+        pats.append(Pat(tok, where=where, quantifier=quant, contiguity="strict"))
+    return pats
+
+
+def _make_define_predicate(var: str, compiled):
+    def where(row: dict, ctx: MatchCtx) -> bool:
+        def _last(v, field, n):
+            n = int(n)
+            if v == var and n == 0:
+                return row.get(field)
+            rows = ctx.rows(v)
+            if n == 0:
+                return rows[-1][field] if rows else None
+            return rows[-n][field] if len(rows) >= n else None
+
+        def _first(v, field, n):
+            rows = ctx.rows(v)
+            n = int(n)
+            return rows[n][field] if len(rows) > n else None
+
+        def _ref(v, field):
+            if v == var:
+                return row.get(field)
+            rows = ctx.rows(v)
+            return rows[-1][field] if rows else None
+
+        return bool(compiled({"_last": _last, "_first": _first, "_ref": _ref}))
+
+    return where
+
+
+def match_recognize_sql(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    measures: dict[str, str],
+    pattern: str,
+    define: dict[str, str],
+    output_schema: str,
+    after_match: str = "SKIP TO NEXT ROW",
+    within: str | None = None,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """SQL-surface MATCH_RECOGNIZE (CEP.md:70-90) on top of the NFA.
+
+    after_match: ``SKIP TO NEXT ROW`` | ``SKIP PAST LAST ROW`` |
+    ``SKIP TO LAST <var>`` — the last form equals past-last when <var>
+    is the pattern's final element (the CEP.md:80 case); other targets
+    are unsupported (raise).
+    """
+    pats = _parse_pattern(pattern, define)
+
+    am = after_match.strip().upper()
+    if am == "SKIP TO NEXT ROW":
+        mode = "skip_to_next_row"
+    elif am == "SKIP PAST LAST ROW":
+        mode = "skip_past_last"
+    elif am.startswith("SKIP TO LAST "):
+        target = am.removeprefix("SKIP TO LAST ").strip()
+        if target != pats[-1].name.upper():
+            raise NotImplementedError(
+                "SKIP TO LAST is supported only for the final pattern "
+                "variable (equivalent to SKIP PAST LAST ROW, CEP.md:80)"
+            )
+        mode = "skip_past_last"
+    else:
+        raise NotImplementedError(f"AFTER MATCH {after_match!r}")
+
+    compiled_measures = {
+        name: _compile_expr(expr, measure_mode=True)
+        for name, expr in measures.items()
+    }
+
+    def measure_fn(vars_map: dict[str, pd.DataFrame], pdf) -> dict:
+        def _last(v, field, n):
+            rows = vars_map.get(v)
+            n = int(n)
+            if rows is None or len(rows) == 0:
+                return None
+            idx = len(rows) - 1 - n
+            return rows.iloc[idx][field] if idx >= 0 else None
+
+        def _first(v, field, n):
+            rows = vars_map.get(v)
+            n = int(n)
+            return rows.iloc[n][field] if rows is not None and len(rows) > n else None
+
+        def _ref(v, field):
+            return _last(v, field, 0)
+
+        ns = {"_last": _last, "_first": _first, "_ref": _ref}
+        return {name: fn(ns) for name, fn in compiled_measures.items()}
+
+    return match_recognize(
+        df,
+        partition_by=partition_by,
+        order_by=order_by,
+        pattern=pats,
+        measures=measure_fn,
+        output_schema=output_schema,
+        after_match=mode,
+        within=within,
+        ts_col=ts_col,
+    )

@@ -174,3 +174,40 @@ def test_within_timeout_partial_match_side_output(spark):
     timed_out = set(out[out["timed_out"]]["order_id"])
     assert matched == {"order_1"}
     assert timed_out == {"order_2", "order_3"}
+
+
+def test_match_recognize_sql_front_end_golden(spark):
+    """The SQL-surface front-end reproduces CEP.md:70-111 verbatim:
+    PATTERN/DEFINE/MEASURES/AFTER MATCH as strings, golden output row
+    (ACME, 10:00:04 / 10:00:07 / 10:00:08 shifted to the test base)."""
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    out = match_recognize_sql(
+        _ticker_df(spark),
+        partition_by=["symbol"],
+        order_by=["rowtime"],
+        measures={
+            "start_tstamp": "FIRST(START_ROW.rowtime)",
+            "bottom_tstamp": "LAST(PRICE_DOWN.rowtime)",
+            "end_tstamp": "LAST(PRICE_UP.rowtime)",
+        },
+        pattern="(START_ROW PRICE_DOWN+ PRICE_UP)",
+        define={
+            "PRICE_DOWN":
+                "(LAST(PRICE_DOWN.price, 1) IS NULL AND "
+                "PRICE_DOWN.price < START_ROW.price) OR "
+                "PRICE_DOWN.price < LAST(PRICE_DOWN.price, 1)",
+            "PRICE_UP": "PRICE_UP.price > LAST(PRICE_DOWN.price, 1)",
+        },
+        output_schema="symbol string, start_tstamp timestamp, "
+        "bottom_tstamp timestamp, end_tstamp timestamp",
+        after_match="SKIP TO LAST PRICE_UP",
+    ).collect()
+
+    base = dt.datetime(2020, 1, 1, 10, 0, 0)
+    assert len(out) == 1, [tuple(r) for r in out]
+    r = out[0]
+    assert r.symbol == "ACME"
+    assert r.start_tstamp == base + dt.timedelta(seconds=4)
+    assert r.bottom_tstamp == base + dt.timedelta(seconds=7)
+    assert r.end_tstamp == base + dt.timedelta(seconds=8)
