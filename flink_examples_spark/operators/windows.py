@@ -126,3 +126,31 @@ def count_window_agg(
             F.col("window_sum").cast("double").alias("window_sum"),
         )
     )
+
+
+def trailing_time_window_agg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    aggs: dict[str, Column],
+    trailing_seconds: int,
+) -> DataFrame:
+    """Time-evictor window (W5, CustomizeEvictorAndTrigger.java:43-61):
+    at every row, aggregate only the key's rows from the trailing
+    ``trailing_seconds`` — the reference's ``TimeEvictor.of(10s)``
+    keeping a sliding evidence buffer per car.
+
+    Batch formulation: a RANGE frame over epoch seconds — one shuffle on
+    the key, no Python, and the frame bound is evaluated inside codegen.
+    ``aggs`` maps output name -> aggregate over the frame (e.g.
+    ``F.max("speed")``).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-trailing_seconds, 0)
+    )
+    out = df
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out

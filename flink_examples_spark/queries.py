@@ -1301,3 +1301,35 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=16, n_probe=4
     )
+
+
+@register(
+    "evictor_trailing_stats",
+    oracle="""
+    SELECT event_id,
+           max(value) OVER w AS trailing_max,
+           COUNT(*) OVER w AS trailing_n
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="W5 evictor: TimeEvictor(10s)-style trailing buffer as a RANGE "
+        "frame over epoch seconds — per-row aggregate over the key's "
+        "last 30 minutes, fully codegen'd. "
+        "Ref: evictor/CustomizeEvictorAndTrigger.java:43-61.",
+)
+def evictor_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.windows import trailing_time_window_agg
+
+    return trailing_time_window_agg(
+        load_table(spark, "events", sf_dir),
+        key="user_id",
+        ts_col="ts",
+        aggs={
+            "trailing_max": F.max("value"),
+            "trailing_n": F.count(F.lit(1)),
+        },
+        trailing_seconds=1800,
+    ).select("event_id", "trailing_max", "trailing_n")

@@ -260,3 +260,36 @@ def bulk_index_foreach_batch(
         batch_df.select(id_col, *cols).foreachPartition(per_partition)
 
     return write
+
+
+def transactional_foreach_batch(
+    write_fn: Callable[[DataFrame, int], None],
+    commit_log_dir: str,
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once wrapper for non-idempotent foreachBatch writers
+    (K5, SURVEY.md §7.4.5).
+
+    Kafka2Kafka.java:121-149 gets exactly-once from a two-phase
+    transactional producer; the Spark-native equivalent is epoch-id
+    dedup: ``batch_id`` is stable across replays of the same epoch, so
+    a batch whose commit marker exists is skipped entirely. Write the
+    marker only after ``write_fn`` returns — a crash between the two
+    replays the batch (at-least-once into an already-written target →
+    pair with an idempotent/upsert writer, or accept the txn boundary
+    at the marker write, which is the same boundary Flink's 2PC commit
+    has). In production the marker directory lives on the checkpoint
+    filesystem.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commit_log_dir, f"{batch_id}.committed")
+        if os.path.exists(marker):
+            return
+        write_fn(batch_df, batch_id)
+        os.makedirs(commit_log_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.replace(tmp, marker)
+
+    return write

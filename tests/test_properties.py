@@ -1,0 +1,106 @@
+"""Property-based randomized tests (SURVEY.md §5.2.4).
+
+The reference's generator sources (state/generator/EventsGenerator.java:
+58-104 — DFA walk with an error-rate knob; StudentGenerator) become
+seeded hypothesis generators; invariants replace golden outputs:
+
+- alert count == number of injected invalid transitions
+- windowed counts partition the input (sum == row count)
+- binary int-pair codec round-trips (EventDeSerializer.java:21-39)
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from flink_examples_spark.queries import _DFA_TRANSITIONS
+
+SYMBOLS = sorted(_DFA_TRANSITIONS)
+
+
+def _walk_with_errors(rng: random.Random, n: int, error_rate: float):
+    """Seeded DFA walk emitting (symbol, is_injected_error) — the
+    EventsGenerator error-knob pattern."""
+    seq = []
+    state = None
+    errors = 0
+    for _ in range(n):
+        legal = sorted(_DFA_TRANSITIONS[state]) if state else SYMBOLS
+        if state is not None and rng.random() < error_rate:
+            illegal = sorted(set(SYMBOLS) - _DFA_TRANSITIONS[state])
+            if illegal:
+                sym = rng.choice(illegal)
+                errors += 1
+            else:
+                sym = rng.choice(legal)
+        else:
+            sym = rng.choice(legal)
+        seq.append(sym)
+        state = sym
+    return seq, errors
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31), error_rate=st.floats(0.0, 0.5))
+def test_dfa_alert_count_equals_injected_errors(spark, seed, error_rate):
+    from flink_examples_spark.operators.stateful import dfa_alerts
+
+    rng = random.Random(seed)
+    rows, expected = [], {}
+    for user in range(5):
+        seq, errors = _walk_with_errors(rng, 40, error_rate)
+        expected[user] = errors
+        rows.extend((user, i, sym) for i, sym in enumerate(seq))
+    df = spark.createDataFrame(rows, "user_id long, pos long, sym string")
+    out = {
+        r["user_id"]: r["n_alerts"]
+        for r in dfa_alerts(
+            df, key="user_id", order_cols=["pos"], symbol_col="sym",
+            transitions=_DFA_TRANSITIONS,
+        ).collect()
+    }
+    assert out == expected
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 2**31))
+def test_tumbling_windows_partition_the_input(spark, seed):
+    rng = random.Random(seed)
+    n = rng.randint(1, 200)
+    rows = [
+        (i, "2024-01-01 %02d:%02d:00" % (rng.randint(0, 23), rng.randint(0, 59)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts string").select(
+        "id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    total = (
+        df.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("s"))
+        .first()["s"]
+    )
+    assert total == n
+
+
+def test_binary_int_pair_codec_roundtrip(spark):
+    """EventDeSerializer.java:21-39: 2x little-endian int32 payloads
+    decode via pure expressions (no UDF)."""
+    from flink_examples_spark.streaming.sources import decode_int_pair_binary
+
+    pairs = [(167772161, 3), (0, 0), (2130706433, 6), (16909060, 1)]
+    payloads = [(struct.pack("<ii", a, b),) for a, b in pairs]
+    df = spark.createDataFrame(payloads, "value binary")
+    got = [
+        (r["source_address"], r["event_type_ordinal"])
+        for r in decode_int_pair_binary(df).collect()
+    ]
+    assert got == pairs

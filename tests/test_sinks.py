@@ -99,3 +99,18 @@ def test_bulk_index_sink_documents(spark, tmp_path):
     write(df, batch_id=0)
     recs2 = [r for r in _read_all(out_dir) if "id" in r]
     assert {r["id"] for r in recs2} == set(range(7))
+
+
+def test_transactional_foreach_batch_skips_replayed_epochs(spark, tmp_path):
+    from flink_examples_spark.streaming.sinks import transactional_foreach_batch
+
+    calls = []
+    write = transactional_foreach_batch(
+        lambda df, bid: calls.append((bid, df.count())),
+        str(tmp_path / "commits"),
+    )
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    write(df, 0)
+    write(df, 0)   # replay of the same epoch -> skipped
+    write(df, 1)
+    assert calls == [(0, 2), (1, 2)]
