@@ -420,3 +420,115 @@ def test_streaming_cep_matches_batch_modulo_pending_tail(spark, tmp_path, events
     }
     assert batch_settled <= stream_matches <= batch_all
     assert stream_matches  # non-vacuous
+
+
+def test_stream_static_broadcast_dim_join(spark, tmp_path, events_pdf):
+    """J3 streaming: stream-static join — the streaming fact side joins
+    the (re-read-per-batch) static dimension, Spark's native form of the
+    broadcast MapState dimension (BroadcastDimension.java:92-126)."""
+    d = write_chunks(events_pdf.head(200), str(tmp_path / "in"), 2)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    nation = load_table(spark, "nation", SF).select(
+        (F.col("n_nationkey") % 25).alias("nk"), "n_name"
+    )
+    joined = src.withColumn("nk", F.col("user_id") % 25).join(
+        F.broadcast(nation), "nk"
+    ).select("event_id", "n_name")
+    out = run_to_memory(joined, spark, "ssj", "append", str(tmp_path / "ck"))
+    got = {(r.event_id, r.n_name) for r in out.collect()}
+    nmap = {r.nk: r.n_name for r in nation.collect()}
+    expected = {
+        (int(r.event_id), nmap[int(r.user_id) % 25])
+        for r in events_pdf.head(200).itertuples(index=False)
+    }
+    assert got == expected
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, tmp_path):
+    """ST8: restarting a query on the same checkpointLocation resumes
+    from committed offsets — the second run must process only files
+    added after the first run (Checkpointing.java:28-47 externalized
+    retain semantics are Spark's default)."""
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    for i in range(2):
+        pd.DataFrame({"v": [i]}).to_parquet(os.path.join(d, f"{i:03d}.parquet"))
+        os.utime(os.path.join(d, f"{i:03d}.parquet"), (now + i, now + i))
+    ck = str(tmp_path / "ck")
+
+    def run_once(run_rows):
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        q = (
+            src.writeStream.foreachBatch(
+                lambda bdf, bid: run_rows.extend(r.v for r in bdf.collect())
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    first: list = []
+    run_once(first)
+    assert sorted(first) == [0, 1]
+
+    pd.DataFrame({"v": [2]}).to_parquet(os.path.join(d, "002.parquet"))
+    os.utime(os.path.join(d, "002.parquet"), (now + 5, now + 5))
+    second: list = []
+    run_once(second)
+    # same checkpoint -> the restarted query sees only the new file
+    assert sorted(second) == [2]
+
+
+def test_streaming_windowed_topn_foreach_batch(spark, tmp_path, events_pdf):
+    """T1 streaming: windowed counts in append mode, ranked per closed
+    window inside foreachBatch (HotItems.java:79-147's timer-at-
+    windowEnd+1 == rank rows arriving after the watermark closes the
+    window)."""
+    from flink_examples_spark.operators.topn import top_n_per_group
+
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.end").alias("window_end"), "event_type", "n")
+    )
+    collected: list = []
+
+    def rank_batch(batch_df, batch_id):
+        top = top_n_per_group(
+            batch_df, ["window_end"], [F.desc("n"), F.asc("event_type")],
+            n=2, rank_col="rnk",
+        )
+        collected.extend(
+            (r.window_end, r.event_type, r.n, r.rnk) for r in top.collect()
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(rank_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch_top = {
+        (r.window_end, r.event_type, r.n, r.rnk)
+        for r in top_n_per_group(
+            load_table(spark, "events", SF)
+            .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.end").alias("window_end"), "event_type", "n"),
+            ["window_end"], [F.desc("n"), F.asc("event_type")],
+            n=2, rank_col="rnk",
+        ).collect()
+    }
+    got = set(collected)
+    # append mode emits each closed window exactly once; windows still
+    # open at end-of-input (end > final watermark) never emit
+    assert got <= batch_top
+    assert len(got) >= len(batch_top) - 4  # at most the tail windows pending
