@@ -25,6 +25,12 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
 
+    ``extra_conf`` doubles as the global-job-parameter channel (M4/S11,
+    TransferGlobalParam.java:11-37 / WordCount.java:24-29): values set
+    here are visible to every operator via ``spark.conf.get`` — the
+    ``GlobalJobParameters`` equivalent; closure captures and broadcast
+    variables cover per-operator constants.
+
     Honors ``SPARK_GRAFT_CPUS`` for local core count. All settings are
     chosen to survive a 100 TB / 1000-executor scale-up: AQE handles
     skew + partition sizing at runtime, broadcast threshold lets small

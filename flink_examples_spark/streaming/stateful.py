@@ -17,7 +17,13 @@ state and timeouts:
 
 State values are kept as flat tuples (SURVEY.md §7.4.9): GroupState is
 Arrow-serialized every trigger, so compact state is what survives a
-100 TB key space. Rows are processed in (ts, id) order within each
+100 TB key space.
+
+State addressing (ST11, uid/AssignUid.java:18-49): Flink names stateful
+operators with ``.uid()`` so savepoints survive DAG edits; Spark keys
+state by the operator's position in the query plan — do NOT reorder or
+insert stateful operators over an existing checkpoint directory (start a
+fresh checkpoint instead), the positional equivalent of changing a uid. Rows are processed in (ts, id) order within each
 trigger; cross-trigger order is the source's replay order — feed sorted
 files (or Kafka partitions with per-key ordering) for exact parity with
 the batch formulations, which tests assert.

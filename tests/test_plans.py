@@ -3,24 +3,24 @@
 Correctness tests prove operators compute the right rows; these prove
 the *plans* stay scale-safe: filters reach the parquet scan, projections
 prune columns, small dimensions broadcast instead of shuffling facts,
-and relational pipelines stay inside WholeStageCodegen. A regression
-here (e.g. a UDF sneaking into a filter, a dim join falling back to
-sort-merge) is a 100x cost bug at scale even though results stay right.
+and relational pipelines stay JVM-side. A regression here (e.g. a UDF
+sneaking into a filter, a dim join falling back to sort-merge) is a
+100x cost bug at scale even though results stay right.
 """
 
 from __future__ import annotations
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from flink_examples_spark.catalog import load_table
-
-
-def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from flink_examples_spark.plans import (
+    exchange_count,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    python_eval_nodes,
+    read_schema_columns,
+)
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -30,20 +30,15 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     ev = load_table(spark, "events", sf_dir).filter(
         F.col("event_type") == "view"
     )
-    plan = plan_of(ev)
-    assert "PushedFilters" in plan
-    assert "EqualTo(event_type,view)" in plan or "event_type" in plan.split(
-        "PushedFilters"
-    )[1].split("]")[0]
+    assert any("event_type" in f for f in pushed_filters(ev))
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """A 2-column projection must scan 2 columns (ReadSchema), not all 6."""
     ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
-    plan = plan_of(ev)
-    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
-    assert "event_id" in read_schema and "user_id" in read_schema
-    assert "event_type" not in read_schema and "props" not in read_schema
+    cols = read_schema_columns(ev)
+    assert {"event_id", "user_id"} <= cols
+    assert "event_type" not in cols and "props" not in cols
 
 
 def test_dimension_join_broadcasts(spark, sf_dir):
@@ -51,16 +46,15 @@ def test_dimension_join_broadcasts(spark, sf_dir):
     never a shuffled sort-merge join of facts against a 25-row table."""
     import __spark_entry__ as E
 
-    plan = plan_of(E.queries()["regional_revenue"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    cust_orders = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
-    # customer⋈orders⋈lineitem may legitimately shuffle; nation/region must not:
-    # with only 2 big joins there are at most 2 non-broadcast joins
-    assert cust_orders <= 2
+    df = E.queries()["regional_revenue"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    # customer⋈orders⋈lineitem may legitimately shuffle; nation/region must not
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 2
 
 
 def test_aggregation_is_partial_then_final(spark, sf_dir):
-    """Catalyst must plan partial+final HashAggregate around the exchange
+    """Catalyst must plan partial+final HashAggregate around one exchange
     (the reference hand-codes this as AggregateFunction pre-aggregation,
     HotItems.java:76-78)."""
     agg = (
@@ -68,9 +62,8 @@ def test_aggregation_is_partial_then_final(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.sum("l_quantity").alias("sum_qty"))
     )
-    plan = plan_of(agg)
-    assert plan.count("HashAggregate") >= 2
-    assert "Exchange" in plan
+    assert formatted_plan(agg).count("HashAggregate") >= 2
+    assert exchange_count(agg) == 1
 
 
 def test_relational_core_is_jvm_only_and_vectorized(spark, sf_dir):
@@ -80,10 +73,9 @@ def test_relational_core_is_jvm_only_and_vectorized(spark, sf_dir):
     the properties codegen depends on instead.)"""
     import __spark_entry__ as E
 
-    plan = plan_of(E.queries()["pricing_summary"](spark, sf_dir))
-    assert "Batched: true" in plan  # vectorized parquet reader
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    df = E.queries()["pricing_summary"](spark, sf_dir)
+    assert "Batched: true" in formatted_plan(df)  # vectorized parquet reader
+    assert python_eval_nodes(df) == []
 
 
 def test_python_stage_partition_count_pinned(spark, sf_dir):
@@ -91,9 +83,10 @@ def test_python_stage_partition_count_pinned(spark, sf_dir):
     count (exempt from AQE byte-wise coalescing) — operators/util.py."""
     import __spark_entry__ as E
 
-    plan = plan_of(E.queries()["cep_ascending_purchase"](spark, sf_dir))
+    df = E.queries()["cep_ascending_purchase"](spark, sf_dir)
+    plan = formatted_plan(df)
     assert "REPARTITION_BY_NUM" in plan
-    assert "FlatMapGroupsInPandas" in plan
+    assert python_eval_nodes(df) == ["FlatMapGroupsInPandas"]
 
 
 def test_interval_join_single_shuffle_per_side(spark, sf_dir):
@@ -101,6 +94,15 @@ def test_interval_join_single_shuffle_per_side(spark, sf_dir):
     as residual condition — not a cartesian/nested-loop plan."""
     import __spark_entry__ as E
 
-    plan = plan_of(E.queries()["interval_join_click_purchase"](spark, sf_dir))
+    plan = formatted_plan(E.queries()["interval_join_click_purchase"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_pipeline_is_shuffle_free(spark, sf_dir):
+    """Media transforms are narrow: encode -> features adds ZERO shuffle
+    exchanges (payload bytes never leave their input partition)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["media_image_features"](spark, sf_dir)
+    assert exchange_count(df) == 0
