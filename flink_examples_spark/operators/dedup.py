@@ -206,3 +206,109 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         .groupBy("doc_id")
         .agg(F.sum("bit").alias("simhash"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iter: int = 15,
+    driver_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Cluster duplicate pairs into connected components — the "which
+    docs are the same document" step after any pair generator
+    (MinHash/SimHash/Jaccard/embedding).
+
+    Two-tier by edge count (the pair graph is orders of magnitude
+    smaller than the corpus — its size, not the input's, is what
+    matters):
+    - ≤ ``driver_threshold`` edges: union-find on the driver. One
+      collect of the edge set, zero iterative jobs — even a 100 TB
+      corpus with a 0.1% dup rate fits millions of pairs in driver
+      memory, and path-compressed union-find is near-linear.
+    - larger graphs: distributed min-label propagation, one join +
+      groupBy per round over the EDGE set, O(component diameter)
+      rounds, lineage truncated per round.
+
+    Output: ``node, cluster_id`` (min member id) for every node
+    appearing in a pair.
+    """
+    # Materialize the pair base once: everything downstream (the doubled
+    # edge set, the driver collect or every propagation round) would
+    # otherwise re-execute the expensive upstream pair pipeline —
+    # MinHash, LSH, embedding scoring — per consumer.
+    base = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
+    edges = base.union(
+        base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if edges.count() <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            ra, rb = find(row["src"]), find(row["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, "node long, cluster_id long"
+        )
+
+    # loop path: pin the doubled edge set too (joined every round)
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select("src").distinct().withColumn("cluster_id", F.col("src"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("src").alias("dst"), F.col("cluster_id").alias("nlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlabel").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neigh, "src", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nlabel", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("node"), "cluster_id")
+
+
+def keep_canonical(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Drop every clustered doc except its cluster's min-id canonical —
+    the dedup pipeline's final filter. Docs in no cluster pass through."""
+    losers = components.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

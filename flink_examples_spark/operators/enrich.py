@@ -23,7 +23,7 @@ Two surfaces:
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from concurrent.futures import ALL_COMPLETED, FIRST_COMPLETED, ThreadPoolExecutor, wait
+from concurrent.futures import ALL_COMPLETED, ThreadPoolExecutor, wait
 
 import pandas as pd
 
@@ -63,34 +63,28 @@ def async_enrich(
             for pdf in batches:
                 records = pdf.to_dict("records")
                 results: list[tuple[int, dict | None]] = []
-                pending = {}
-                idx = 0
-
-                def drain(block_all: bool) -> None:
-                    nonlocal pending
+                # Submission windows of ``capacity`` keep at most
+                # ``capacity`` calls in flight (orderedWait's bounded
+                # buffer) while amortizing synchronization to one wait()
+                # per window instead of per row.
+                for base in range(0, len(records), capacity):
+                    window = records[base:base + capacity]
+                    pending = {
+                        pool.submit(enrich_fn, rec): base + j
+                        for j, rec in enumerate(window)
+                    }
                     done, not_done = wait(
-                        pending,
-                        timeout=timeout_s if block_all else None,
-                        return_when=ALL_COMPLETED if block_all else FIRST_COMPLETED,
+                        pending, timeout=timeout_s, return_when=ALL_COMPLETED
                     )
                     for fut in done:
-                        i = pending.pop(fut)
+                        i = pending[fut]
                         try:
                             results.append((i, fut.result(timeout=0)))
                         except Exception:
                             results.append((i, None))
-                    if block_all:
-                        for fut, i in pending.items():
-                            fut.cancel()
-                            results.append((i, None))
-                        pending = {}
-
-                for rec in records:
-                    while len(pending) >= capacity:
-                        drain(block_all=False)
-                    pending[pool.submit(enrich_fn, rec)] = idx
-                    idx += 1
-                drain(block_all=True)
+                    for fut in not_done:
+                        fut.cancel()
+                        results.append((pending[fut], None))
 
                 if ordered:
                     results.sort(key=lambda t: t[0])

@@ -1333,3 +1333,60 @@ def evictor_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         trailing_seconds=1800,
     ).select("event_id", "trailing_max", "trailing_n")
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    hashed AS (
+        SELECT doc_id, g.i,
+               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
+        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
+    ),
+    sig AS (
+        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
+                   || '_' ||
+                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
+                   AS band_key
+        FROM sig GROUP BY doc_id, i // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT s AS node, s AS lbl FROM edges
+        UNION
+        SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+    )
+    SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+    doc="Dedup clustering: MinHash-LSH pairs -> connected components "
+        "(min-label propagation, O(diameter) rounds over the edge set "
+        "only) -> (doc, canonical cluster id); recursive-CTE closure as "
+        "the oracle. The 'same document' resolution step after any pair "
+        "generator.",
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), "doc_id", "text",
+        num_hashes=8, band_size=2,
+    )
+    return connected_components(pairs, "doc_a", "doc_b")
