@@ -30,6 +30,11 @@ def main() -> None:
 
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm the Python/Arrow worker pool so the alphabetically-first
+    # pandas-UDF query isn't billed for executor-python startup
+    spark.range(spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, q in sorted(registry().items()):

@@ -140,15 +140,20 @@ def trailing_time_window_agg(
     ``trailing_seconds`` — the reference's ``TimeEvictor.of(10s)``
     keeping a sliding evidence buffer per car.
 
-    Batch formulation: a RANGE frame over epoch seconds — one shuffle on
-    the key, no Python, and the frame bound is evaluated inside codegen.
+    Batch formulation: a RANGE frame over epoch microseconds — one
+    shuffle on the key, no Python, and the frame bound is evaluated
+    inside codegen.
     ``aggs`` maps output name -> aggregate over the frame (e.g.
     ``F.max("speed")``).
     """
+    # Order by MICROSECOND epoch: cast-to-long truncates to seconds,
+    # which both collapses sub-second-distinct rows into one range
+    # position and widens the frame boundary by up to a second —
+    # divergent from any microsecond-precise engine at real data scale.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts_col).cast("long"))
-        .rangeBetween(-trailing_seconds, 0)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-trailing_seconds * 1_000_000, 0)
     )
     out = df
     for name, expr in aggs.items():
