@@ -72,3 +72,33 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
               header: bool = False) -> None:
     """K2 batch row-format: CSV part files."""
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key —
+    the co-located-join strategy for repeated big-big joins at scale.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle exchange: each task reads matching bucket files
+    from both sides (tests/test_bucketing.py asserts the exchange-free
+    plan). This is the persistent-layout analog of the reference's keyBy
+    pre-partitioning reuse (DoubleStreamMatch.java:100,129 — SURVEY.md
+    §4.1), amortizing one shuffle at write time across every later join.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format(fmt)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
