@@ -1390,3 +1390,26 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8, band_size=2,
     )
     return connected_components(pairs, "doc_a", "doc_b")
+
+
+@register(
+    "count_distinct_daily_approx",
+    oracle=None,  # HLL++ estimates are engine-specific; the error bound
+                  # vs the exact count is asserted in tests/test_sketches.py
+    doc="A5 scale path: approx_count_distinct (HyperLogLog++, rsd=2%) "
+        "per day — sketches merge map-side, so the exact variant's "
+        "shuffle of every distinct user collapses to a few KB per "
+        "partition; the streaming-safe distinct at 100 TB. Plus t-digest "
+        "percentiles (percentile_approx) over the same groups.",
+)
+def count_distinct_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99_value"),
+        )
+        .select("day", "approx_users", "p50_value", "p99_value")
+    )

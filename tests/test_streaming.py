@@ -532,3 +532,42 @@ def test_streaming_windowed_topn_foreach_batch(spark, tmp_path, events_pdf):
     # open at end-of-input (end > final watermark) never emit
     assert got <= batch_top
     assert len(got) >= len(batch_top) - 4  # at most the tail windows pending
+
+
+def test_rolling_file_sink_buckets_by_hour(spark, tmp_path, events_pdf):
+    """K2/K3: the rolling file sink partitions part files by event-time
+    bucket (DateTimeBucketAssigner yyyy-MM-dd--HH,
+    FsRowFormatSink.java:44-64); files finalize per micro-batch commit;
+    the bucket column makes downstream scans partition-prunable."""
+    from flink_examples_spark.streaming.sinks import rolling_file_sink
+
+    d = write_chunks(events_pdf.head(500), str(tmp_path / "in"), 2)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out_dir = str(tmp_path / "out")
+    q = (
+        rolling_file_sink(
+            src.select("event_id", "ts"),
+            out_dir,
+            str(tmp_path / "ck"),
+            fmt="parquet",
+            bucket_by_time="yyyy-MM-dd--HH",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    buckets = sorted(
+        f.split("=")[1] for f in os.listdir(out_dir) if f.startswith("bucket=")
+    )
+    expected = sorted(
+        events_pdf.head(500)["ts"].dt.strftime("%Y-%m-%d--%H").unique()
+    )
+    assert buckets == expected
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 500
+    # partition pruning: a single-bucket read scans one directory
+    one = back.filter(F.col("bucket") == buckets[0])
+    from flink_examples_spark.plans import formatted_plan
+    assert f"bucket = {buckets[0]}" in formatted_plan(one) \
+        or "PartitionFilters" in formatted_plan(one)
