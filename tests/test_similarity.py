@@ -25,7 +25,6 @@ def test_gemm_matches_expression_topk(spark, sf_dir):
 
 
 def test_neardup_gemm_matches_expr(spark, sf_dir):
-    from flink_examples_spark.operators.dedup import exact_dedup_groups  # noqa: F401
     from flink_examples_spark.operators.similarity import embedding_neardup_pairs
 
     emb = load_table(spark, "embeddings", sf_dir)

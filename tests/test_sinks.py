@@ -11,8 +11,6 @@ from __future__ import annotations
 import json
 import os
 
-import pytest
-
 from flink_examples_spark.streaming.sinks import (
     bulk_index_foreach_batch,
     kv_hset_foreach_batch,

@@ -8,7 +8,6 @@ adapted to micro-batch replay.
 """
 
 import os
-import shutil
 import time
 
 import pandas as pd
