@@ -147,23 +147,34 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    strategy: str = "gemm",
+    strategy: str = "blocked",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup sweep).
 
-    ``strategy='gemm'`` (default): broadcast the normalized corpus matrix
-    and score each Arrow batch with one numpy matmul — ~30x faster than
-    the pair-join expression plan (interpreted array folds don't codegen).
-    Output values are rounded to 6 dp, at which both strategies agree
-    bit-for-bit with the SQL oracle (verified at sf0.01 and sf0.1).
+    ``strategy='blocked'`` (default): distributed block-pair GEMM
+    (``embedding_neardup_blocked``) — exact results, NO driver-side
+    collect, executor memory bounded by one block pair. The registered
+    path; survives arbitrary corpus sizes.
+
+    ``strategy='gemm'``: collect the corpus to the driver and broadcast
+    the normalized matrix — fastest on a corpus that fits driver memory
+    (benchmarks, small reruns), a scale-killer otherwise. Never use from
+    a registered pipeline.
 
     ``strategy='expr'``: pure column-expression pair join — slower but
-    zero driver-side collection; used as the cross-check baseline.
+    all-JVM; the cross-check baseline.
 
-    Both are quadratic in the corpus; at 100 TB compose with
+    All three are exact and agree bit-for-bit at 6 dp with the SQL
+    oracle (verified at sf0.01 and sf0.1); all are quadratic in total
+    work. For approximate sub-quadratic search compose with
     ``hyperplane_lsh_buckets`` (see ``embedding_neardup_lsh``) so the
     matmul runs per bucket, not per corpus.
     """
+    if strategy == "blocked":
+        return embedding_neardup_blocked(
+            embeddings, id_col, vec_col, threshold, n_blocks=n_blocks
+        )
     e = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -215,6 +226,85 @@ def embedding_neardup_pairs(
                 )
 
     return e.mapInPandas(score, "vec_a long, vec_b long, cosine double")
+
+
+def embedding_neardup_blocked(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine sweep via a distributed triangle block
+    join — the collect-free formulation of the GEMM strategy.
+
+    Rows hash into ``n_blocks`` blocks; each unordered block pair (i<=j)
+    becomes one ``applyInPandas`` group that GEMMs block i against
+    block j. A pair of vectors lands in exactly one block pair, so the
+    output is exact with no dedup pass. Replication cost is
+    ``n_blocks+1`` copies of each row (the classic triangle join) —
+    choose ``n_blocks`` ~ sqrt(parallelism); executor memory is bounded
+    by two blocks, never the corpus, and the driver holds nothing.
+    """
+    import numpy as np
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "blk", F.pmod(F.crc32(F.col("vid").cast("string")), F.lit(n_blocks)).cast("int")
+    )
+    # Row in block b: left side of pairs (b, j>=b), right side of (i<=b, b).
+    left = e.select(
+        "vid", "v", F.lit(1).alias("is_left"),
+        F.col("blk").alias("pa"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("pb"),
+    )
+    right = e.select(
+        "vid", "v", F.lit(0).alias("is_left"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
+        F.col("blk").alias("pb"),
+    ).filter(F.col("pa") != F.col("pb"))  # diagonal handled from the left copy
+
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+
+    def per_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = key
+        lhs = pdf[pdf["is_left"] == 1]
+        if lhs.empty:
+            return empty
+        l_ids = lhs["vid"].to_numpy()
+        l_m = np.stack(lhs["v"].to_numpy())
+        l_m = l_m / np.linalg.norm(l_m, axis=1, keepdims=True)
+        if pa == pb:
+            sims = np.round(l_m @ l_m.T, 6)
+            i, j = np.nonzero((sims >= threshold) & (l_ids[:, None] < l_ids[None, :]))
+            return pd.DataFrame(
+                {"vec_a": l_ids[i], "vec_b": l_ids[j], "cosine": sims[i, j]}
+            )
+        rhs = pdf[pdf["is_left"] == 0]
+        if rhs.empty:
+            return empty
+        r_ids = rhs["vid"].to_numpy()
+        r_m = np.stack(rhs["v"].to_numpy())
+        r_m = r_m / np.linalg.norm(r_m, axis=1, keepdims=True)
+        sims = np.round(l_m @ r_m.T, 6)
+        i, j = np.nonzero(sims >= threshold)
+        a, b = l_ids[i], r_ids[j]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cosine": sims[i, j],
+            }
+        )
+
+    from flink_examples_spark.operators.util import keyed_python_partitions
+
+    grouped = keyed_python_partitions(left.unionByName(right), ["pa", "pb"])
+    return grouped.groupBy("pa", "pb").applyInPandas(
+        per_pair, "vec_a long, vec_b long, cosine double"
+    )
 
 
 def embedding_neardup_lsh(

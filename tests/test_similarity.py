@@ -97,3 +97,37 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
     ivf_pairs = set(zip(ivf["query_id"], ivf["neighbor_id"]))
     assert len(ivf_pairs & exact_pairs) / len(exact_pairs) >= 0.4
+
+
+def test_neardup_blocked_matches_expr(spark, sf_dir):
+    """The distributed triangle block join is exact: identical pair set
+    and 6-dp cosines vs the all-JVM expression baseline."""
+    from flink_examples_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    blocked = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_neardup_pairs(emb, strategy="blocked", n_blocks=4).collect()
+    }
+    expr = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in embedding_neardup_pairs(emb, strategy="expr").collect()
+    }
+    assert blocked == expr
+    assert len(blocked) > 0
+
+
+def test_registered_neardup_never_collects(spark, sf_dir, monkeypatch):
+    """Scale guard: the registered embedding_neardup query must not pull
+    the corpus to the driver (VERDICT r1 headline). DataFrame.collect is
+    poisoned for the whole build+execute of the query."""
+    from pyspark.sql import DataFrame
+
+    from flink_examples_spark.queries import registry
+
+    def boom(self):
+        raise AssertionError("registered neardup path called DataFrame.collect()")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = registry()["embedding_neardup"].spark_fn(spark, sf_dir)
+    assert df.count() > 0
