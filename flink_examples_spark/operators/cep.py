@@ -306,13 +306,25 @@ def _compile_expr(expr: str, measure_mode: bool):
     import re
 
     s = expr
+    # Stash SQL string literals ('' escapes an embedded quote) so no
+    # rewrite below touches their contents — 'FOO AND BAR' must survive
+    # keyword substitution, and 'a=b' must survive the = rewrite.
+    literals: list[str] = []
+
+    def _stash(m: "re.Match[str]") -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    s = re.sub(r"'(?:[^']|'')*'", _stash, s)
     s = re.sub(r"\bLAST\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
                lambda m: f'_last("{m.group(1)}","{m.group(2)}",{m.group(3) or 0})', s,
                flags=re.IGNORECASE)
     s = re.sub(r"\bFIRST\s*\(\s*(\w+)\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
                lambda m: f'_first("{m.group(1)}","{m.group(2)}",{m.group(3) or 0})', s,
                flags=re.IGNORECASE)
-    s = re.sub(r"\b(\w+)\.(\w+)\b(?!\s*\")",
+    # VAR.field — identifier-led only: a decimal literal like 10.5 must
+    # NOT become _ref("10","5") (silent-False latent bug, ADVICE r1).
+    s = re.sub(r"(?<![\w.])([A-Za-z_]\w*)\.(\w+)\b",
                lambda m: (f'_ref("{m.group(1)}","{m.group(2)}")'
                           if m.group(1) not in ("_last", "_first", "_ref")
                           else m.group(0)), s)
@@ -323,6 +335,8 @@ def _compile_expr(expr: str, measure_mode: bool):
     s = re.sub(r"\bNOT\b", "not", s, flags=re.IGNORECASE)
     s = re.sub(r"<>", "!=", s)
     s = re.sub(r"(?<![<>!=])=(?!=)", "==", s)
+    for i, lit in enumerate(literals):
+        s = s.replace(f"\x00{i}\x00", repr(lit[1:-1].replace("''", "'")))
     code = compile(s, f"<define:{expr[:40]}>", "eval")
 
     def run(namespace: dict):

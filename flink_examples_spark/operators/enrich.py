@@ -22,8 +22,9 @@ Two surfaces:
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable, Iterator
-from concurrent.futures import ALL_COMPLETED, ThreadPoolExecutor, wait
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
 import pandas as pd
 
@@ -45,7 +46,10 @@ def async_enrich(
 
     - ``capacity``: max in-flight calls per partition (orderedWait's
       capacity; backpressure by bounded submission window).
-    - ``timeout_s``: per-call budget; on timeout the extra columns are
+    - ``timeout_s``: per-call budget, measured from the call's own
+      submission (the reference's per-record orderedWait timeout — a
+      call queued behind a slow predecessor still gets its full budget
+      from when it was triggered); on timeout the extra columns are
       None (the reference completes exceptionally — we emit a null row
       instead so the pipeline keeps flowing; filter on null to split a
       "failed" side output).
@@ -73,18 +77,31 @@ def async_enrich(
                         pool.submit(enrich_fn, rec): base + j
                         for j, rec in enumerate(window)
                     }
-                    done, not_done = wait(
-                        pending, timeout=timeout_s, return_when=ALL_COMPLETED
-                    )
-                    for fut in done:
-                        i = pending[fut]
-                        try:
-                            results.append((i, fut.result(timeout=0)))
-                        except Exception:
-                            results.append((i, None))
-                    for fut in not_done:
-                        fut.cancel()
-                        results.append((pending[fut], None))
+                    # Per-future deadline from its own submission time:
+                    # a call that sat queued (pool threads still busy
+                    # with a cancelled-but-running predecessor) is only
+                    # timed out once ITS budget lapses, not the window's.
+                    deadline = {f: time.monotonic() + timeout_s for f in pending}
+                    while pending:
+                        now = time.monotonic()
+                        for fut in [f for f in pending if now >= deadline[f]
+                                    and not f.done()]:
+                            fut.cancel()
+                            results.append((pending.pop(fut), None))
+                        if not pending:
+                            break
+                        slack = min(deadline[f] for f in pending) - now
+                        done, _ = wait(
+                            set(pending),
+                            timeout=max(slack, 0.0),
+                            return_when=FIRST_COMPLETED,
+                        )
+                        for fut in done:
+                            i = pending.pop(fut)
+                            try:
+                                results.append((i, fut.result(timeout=0)))
+                            except Exception:
+                                results.append((i, None))
 
                 if ordered:
                     results.sort(key=lambda t: t[0])

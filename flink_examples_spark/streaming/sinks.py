@@ -109,9 +109,19 @@ def parquet_upsert_foreach_batch(
     same rows → idempotent, which upgrades the sink to exactly-once
     observable semantics. In production the same callback shape wraps
     ``df.write.jdbc`` or a Delta ``MERGE``.
+
+    TEST-HARNESS SINK: it rewrites the whole target per micro-batch
+    (fine for fixtures, a scale-killer on a real table — use
+    ``jdbc_upsert_foreach_batch`` or Delta MERGE in production), and the
+    final overwrite is non-atomic: a crash between the target delete and
+    rewrite leaves the only complete copy in ``<target>.tmp-<batch>``,
+    from which the next successful batch (or a manual move) recovers.
+    The tmp copy is deleted once the target write succeeds.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(list(key_cols)).cache()
         if os.path.isdir(target_dir) and any(
@@ -127,6 +137,7 @@ def parquet_upsert_foreach_batch(
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(target_dir)
         batch.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return write
 

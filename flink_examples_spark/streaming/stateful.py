@@ -202,11 +202,13 @@ def streaming_dedup_ttl(
 ) -> DataFrame:
     """First-occurrence dedup per key with optional state TTL (ST6).
 
-    Emits ``(key..., n_dropped)`` on first sight; later duplicates only
-    bump a counter in state. With ``ttl_ms``, the seen-marker expires on
-    a processing-time timeout (StateTtl.java:15-22 OnCreateAndWrite +
-    NeverReturnExpired: an expired key is treated as brand new). This is
-    the streaming twin of exact_dedup_groups.
+    Emits the key columns on first sight; later duplicates only bump a
+    drop counter held in state. With ``ttl_ms``, the seen-marker expires
+    on a processing-time timeout (StateTtl.java:15-22 OnCreateAndWrite +
+    NeverReturnExpired): when the timeout fires with no data the state
+    is removed outright — NOT re-created — so the key's next occurrence
+    is treated as brand new and re-emitted. This is the streaming twin
+    of exact_dedup_groups.
     """
     keys = list(key_cols)
 
@@ -215,9 +217,14 @@ def streaming_dedup_ttl(
         for pdf in pdfs:
             n += len(pdf)
         if state.hasTimedOut:
+            # TTL expired. No data this trigger: drop the state and do
+            # NOT re-arm (re-creating here would leak state + churn the
+            # timer forever and suppress the key's re-emission, D8).
             state.remove()
-            first = True
-            dropped = n - 1 if n else 0
+            if n == 0:
+                return
+            first = True  # expired key re-occurring: brand new
+            dropped = n - 1
         elif state.exists:
             first = False
             (dropped,) = state.get
@@ -225,7 +232,7 @@ def streaming_dedup_ttl(
         else:
             first = n > 0
             dropped = n - 1 if n else 0
-        if n or not state.exists:
+        if n:
             state.update((dropped,))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
@@ -289,6 +296,7 @@ def streaming_cep(
     output_schema: str,
     within_ms: int,
     order_cols: Sequence[str] | None = None,
+    timeout_measures=None,
 ) -> DataFrame:
     """Streaming CEP: the batch NFA (operators/cep.py) with its pending
     buffer in GroupState (C1-C5 streaming; SURVEY.md §3.3).
@@ -301,6 +309,17 @@ def streaming_cep(
     contract above) eviction is exact: a start older than
     ``max_seen_ts - within`` can never complete.
 
+    timeout_measures (C4 streaming, cep/CEPTimeout.java:59-103): when
+    set, a start whose horizon passes does NOT evict silently — its
+    longest greedy partial match emits through this callable (same
+    contract as the batch ``match_recognize(timeout_measures=...)``:
+    ``fn(vars_map, None) -> dict``; include a discriminator column such
+    as ``timed_out boolean`` in ``output_schema`` and filter to split
+    the side output). The partial can only emit once the watermark-like
+    horizon ``max_seen_ts - within`` passes its first row, which may be
+    a later trigger than the one that buffered it — the timer latency
+    the reference's TimedOutPartialMatchHandler has too.
+
     Matches emit eagerly at first completion; for patterns whose greedy
     PLUS could extend across a trigger boundary this can differ from a
     single-batch run (documented divergence — strict fixed-length
@@ -308,7 +327,7 @@ def streaming_cep(
     """
     import json
 
-    from flink_examples_spark.operators.cep import _find_matches
+    from flink_examples_spark.operators.cep import _find_matches, _greedy_partial
 
     ocols = list(order_cols or [ts_col])
     out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
@@ -348,7 +367,25 @@ def streaming_cep(
                 results.append(measures(vars_pdf, None))
                 start = found[0][0][1] + 1
             elif records[start][ts_col] + within_ms < max_ts:
-                start += 1  # horizon passed: this start can never complete
+                # Horizon passed: this start can never complete. Emit the
+                # timed-out partial (C4 side output) instead of silently
+                # evicting, then skip past its first row — the batch
+                # timeout path's advance rule (operators/cep.py:253).
+                if timeout_measures is not None:
+                    partial = _greedy_partial(
+                        records, pattern, start, within_check
+                    )
+                    if partial:
+                        pvars: dict[str, list[dict]] = {}
+                        for var, idx in partial:
+                            pvars.setdefault(var, []).append(records[idx])
+                        results.append(timeout_measures(
+                            {v: pd.DataFrame(r) for v, r in pvars.items()},
+                            None,
+                        ))
+                        start = partial[0][1] + 1
+                        continue
+                start += 1
             else:
                 break  # still completable with future rows — keep buffered
         keep = records[start:]

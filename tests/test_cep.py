@@ -211,3 +211,30 @@ def test_match_recognize_sql_front_end_golden(spark):
     assert r.start_tstamp == base + dt.timedelta(seconds=4)
     assert r.bottom_tstamp == base + dt.timedelta(seconds=7)
     assert r.end_tstamp == base + dt.timedelta(seconds=8)
+
+
+def test_match_recognize_sql_float_and_string_literals(spark):
+    """Decimal literals must not be rewritten as VAR.field refs
+    (10.5 -> _ref("10","5") silently falsified every predicate, ADVICE
+    r1 cep.py:315), and quoted literals containing keywords survive
+    substitution untouched."""
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    pdf = pd.DataFrame(
+        {
+            "sym": ["X"] * 4,
+            "seq": [1, 2, 3, 4],
+            "price": [10.4, 10.6, 10.4, 12.0],
+        }
+    )
+    out = match_recognize_sql(
+        spark.createDataFrame(pdf),
+        partition_by=["sym"],
+        order_by=["seq"],
+        measures={"hi_seq": "LAST(HI.seq)", "tag": "'UP AND AWAY'"},
+        pattern="(HI)",
+        define={"HI": "HI.price > 10.5 AND HI.sym = 'X'"},
+        output_schema="sym string, hi_seq long, tag string",
+    ).toPandas()
+    assert sorted(out["hi_seq"]) == [2, 4]
+    assert set(out["tag"]) == {"UP AND AWAY"}

@@ -55,3 +55,24 @@ def test_broadcast_lookup_enrich(spark):
         df, "code % 100", {0: "zero", 5: "five", 10: "ten"}, "label"
     ).toPandas()
     assert dict(zip(out["id"], out["label"])) == {1: "zero", 2: "five", 3: "ten"}
+
+
+def test_async_enrich_per_call_timeout_nulls_only_slow_call(spark):
+    """timeout_s is a PER-CALL budget measured from each call's own
+    submission: one stuck lookup nulls out, its window-mates complete
+    normally (AsyncIOExample's per-record orderedWait timeout)."""
+
+    def maybe_slow(row: dict) -> dict:
+        if row["id"] == 3:
+            time.sleep(0.6)
+        return {"v": row["id"] * 10}
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    out = async_enrich(
+        df.coalesce(1), maybe_slow, "id long, v long",
+        capacity=3, timeout_s=0.25, ordered=True,
+    ).toPandas()
+    by_id = dict(zip(out["id"], out["v"]))
+    assert by_id[3] is None or by_id[3] != by_id[3]  # null/NaN
+    for i in (0, 1, 2, 4, 5):
+        assert by_id[i] == i * 10

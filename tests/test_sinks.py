@@ -112,3 +112,22 @@ def test_transactional_foreach_batch_skips_replayed_epochs(spark, tmp_path):
     write(df, 0)   # replay of the same epoch -> skipped
     write(df, 1)
     assert calls == [(0, 2), (1, 2)]
+
+
+def test_parquet_upsert_foreach_batch_merges_and_cleans_tmp(spark, tmp_path):
+    """K6 upsert twin: last-write-wins per key, replay-idempotent, and
+    the intermediate tmp directory is removed after a successful batch
+    (ADVICE r1 sinks.py:125 leak)."""
+    from flink_examples_spark.streaming.sinks import parquet_upsert_foreach_batch
+
+    target = str(tmp_path / "tbl")
+    write = parquet_upsert_foreach_batch(target, ["k"])
+    write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+    write(spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string"), 1)
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+    # replay of the same epoch re-merges the same rows -> unchanged
+    write(spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string"), 1)
+    got2 = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got2 == got
+    assert [p for p in os.listdir(tmp_path) if ".tmp-" in p] == []

@@ -570,3 +570,138 @@ def test_rolling_file_sink_buckets_by_hour(spark, tmp_path, events_pdf):
     from flink_examples_spark.plans import formatted_plan
     assert f"bucket = {buckets[0]}" in formatted_plan(one) \
         or "PartitionFilters" in formatted_plan(one)
+
+
+def test_streaming_dedup_ttl_expires_and_re_emits(spark, tmp_path):
+    """ST6 TTL semantics (StateTtl.java OnCreateAndWrite): when the TTL
+    fires with no data the key's state is dropped — not re-created — so
+    a later re-occurrence is treated as brand new and re-emitted
+    (ADVICE r1 stateful.py:228)."""
+    from flink_examples_spark.streaming.stateful import streaming_dedup_ttl
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    ck = str(tmp_path / "ck")
+
+    def emit_run(name):
+        # memory sink can't recover from a checkpoint; foreachBatch can,
+        # and runs on the driver so collecting into a local list is fine.
+        rows: list = []
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        q = (
+            streaming_dedup_ttl(src, ["fp"], ttl_ms=100)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: rows.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(r.fp for r in rows)
+
+    pd.DataFrame({"fp": ["a", "b", "a"]}).to_parquet(
+        os.path.join(d, "000.parquet"), index=False
+    )
+    assert emit_run("ttl_r1") == ["a", "b"]
+
+    time.sleep(0.5)  # let the 100 ms TTL lapse in wall clock
+    pd.DataFrame({"fp": ["zz"]}).to_parquet(
+        os.path.join(d, "001.parquet"), index=False
+    )
+    # this run's batch fires the expired timeouts for a/b (no data rows)
+    assert emit_run("ttl_r2") == ["zz"]
+
+    pd.DataFrame({"fp": ["a"]}).to_parquet(
+        os.path.join(d, "002.parquet"), index=False
+    )
+    # the expired key re-occurs -> brand new -> re-emitted
+    assert emit_run("ttl_r3") == ["a"]
+
+
+def test_streaming_cep_timed_out_partial_across_trigger_boundary(
+    spark, tmp_path
+):
+    """C4 streaming (cep/CEPTimeout.java:59-103): a begun-but-incomplete
+    match whose ``within`` horizon passes in a LATER trigger emits as a
+    timed-out partial (discriminator column side output) instead of
+    silently evicting — mirroring the batch timeout_measures contract
+    (tests/test_cep.py::test_within_timeout_partial_match_side_output)."""
+    from flink_examples_spark.operators.cep import Pat
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    # trigger 0: order_1 completes; order_2 begins (never pays);
+    # order_3 begins and pays too late WITHIN the same trigger.
+    pd.DataFrame(
+        {
+            "order_id": ["order_1", "order_1", "order_2", "order_3",
+                         "order_3"],
+            "action": ["create", "pay", "create", "create", "pay"],
+            "ts": [base, base + 5 * m, base, base, base + 20 * m],
+        }
+    ).to_parquet(os.path.join(d, "000.parquet"), index=False)
+    os.utime(os.path.join(d, "000.parquet"), (now, now))
+    # trigger 1: an unrelated later event on order_2's key advances its
+    # horizon past create+10min -> the partial times out HERE.
+    pd.DataFrame(
+        {
+            "order_id": ["order_2"],
+            "action": ["ship"],
+            "ts": [base + 20 * m],
+        }
+    ).to_parquet(os.path.join(d, "001.parquet"), index=False)
+    os.utime(os.path.join(d, "001.parquet"), (now + 1, now + 1))
+
+    pattern = [
+        Pat("create", where=lambda r, c: r["action"] == "create",
+            contiguity="strict"),
+        Pat("pay", where=lambda r, c: r["action"] == "pay",
+            contiguity="relaxed"),
+    ]
+
+    def measures(vars_map, pdf):
+        return {"timed_out": False}
+
+    def timeout_measures(vars_map, pdf):
+        return {"timed_out": True}
+
+    batches: list = []
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    q = (
+        streaming_cep(
+            src, key="order_id", ts_col="ts", pattern=pattern,
+            measures=measures,
+            output_schema="order_id string, timed_out boolean",
+            within_ms=10 * 60 * 1000,
+            order_cols=["ts"],
+            timeout_measures=timeout_measures,
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, bid: batches.append((bid, bdf.collect()))
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = {(r.order_id, r.timed_out) for _, b in batches for r in b}
+    assert rows == {
+        ("order_1", False),   # paid in time -> real match
+        ("order_2", True),    # never paid -> timed-out partial
+        ("order_3", True),    # paid too late -> timed-out partial
+    }
+    # order_2's timeout must fire in the SECOND trigger (its horizon
+    # only passes when the later event arrives across the boundary).
+    by_batch = {bid: {(r.order_id, r.timed_out) for r in b}
+                for bid, b in batches if b}
+    late_batches = [bid for bid, s in by_batch.items()
+                    if ("order_2", True) in s]
+    assert late_batches and min(late_batches) >= 1, by_batch
