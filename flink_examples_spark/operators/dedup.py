@@ -176,6 +176,53 @@ def minhash_lsh_pairs(
     )
 
 
+def verify_jaccard_on_candidates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on candidate pairs — the
+    verification stage after LSH (or any sub-quadratic candidate
+    generator): LSH recalls candidates cheaply, this confirms them
+    exactly before any destructive dedup decision.
+
+    ``pairs`` must have ``doc_a < doc_b`` columns. Cost is |pairs| joins
+    against the shingle index (shuffled by doc id) — linear in the
+    candidate set, never corpus², so the expensive exactness is paid
+    only where LSH says it might matter.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash signature per document: ``(doc_id, simhash)``.
 

@@ -1424,3 +1424,209 @@ def count_distinct_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "approx_users", "p50_value", "p99_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (SURVEY §4 scale notes; operators/skew.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "skew_salted_event_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-stage salted aggregation over a 5-value hot key "
+        "(event_type): partials per (key, salt) fan the hot key across "
+        "reducers, finals merge per key — result identical to the plain "
+        "groupBy, which the oracle proves.",
+)
+def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.skew import salted_two_stage_agg
+
+    events = load_table(spark, "events", sf_dir)
+    out = salted_two_stage_agg(
+        events,
+        keys=["event_type"],
+        partial_aggs={
+            "pn": F.count(F.lit(1)),
+            "psum": F.sum(_dec("value")),
+            "pmax": F.max("value"),
+        },
+        final_aggs={
+            "n_events": F.sum("pn"),
+            "sum_value": F.sum("psum").cast("double"),
+            "max_value": F.max("pmax"),
+        },
+        salt_source=["event_id"],
+        n_salts=16,
+    )
+    return out.select("event_type", "n_events", "sum_value", "max_value")
+
+
+@register(
+    "skew_salted_order_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o.o_totalprice) AS DECIMAL(18,2)) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Skew-safe replicated-salted equi-join (build side replicated "
+        "x8, probe salted deterministically) — row-identical to the "
+        "plain join, proven by the aggregated oracle.",
+)
+def skew_salted_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.skew import salted_replicate_join
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    customer = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_replicate_join(
+        orders, customer, key="custkey", n_salts=8,
+        probe_salt_source=["o_orderkey"],
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+        .select("segment", "n_orders", _dec("revenue").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup pipeline (the 100 TB corpus path): LSH candidates ->
+# exact-Jaccard verification on candidates only -> connected components
+# -> keep the canonical doc per cluster
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_pipeline_keep",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    hashed AS (
+        SELECT doc_id, g.i,
+               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
+        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
+    ),
+    sig AS (
+        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
+                   || '_' ||
+                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
+                   AS band_key
+        FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach AS (
+        SELECT s AS node, s AS lbl FROM edges
+        UNION
+        SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> cluster_id)
+    SELECT d.doc_id FROM documents d
+    ANTI JOIN losers l ON d.doc_id = l.node
+    """,
+    doc="The composed corpus-dedup pipeline a 100 TB run executes: "
+        "MinHash+LSH candidate pairs (sub-quadratic) -> exact 3-gram "
+        "Jaccard >= 0.3 verified on the candidate set only -> connected "
+        "components -> drop all but each cluster's min-id canonical. "
+        "Output: surviving doc_ids.",
+)
+def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+        minhash_lsh_pairs,
+        verify_jaccard_on_candidates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, band_size=2)
+    verified = verify_jaccard_on_candidates(
+        docs, cand, "doc_id", "text", n=3, threshold=0.3
+    )
+    comp = connected_components(verified, "doc_a", "doc_b")
+    return keep_canonical(docs, comp, "doc_id").select("doc_id")
+
+
+@register(
+    "embedding_neardup_keep",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round({_COSINE_SQL}, 6) >= 0.45
+    ),
+    edges AS (
+        SELECT pa AS s, pb AS d FROM pairs
+        UNION
+        SELECT pb, pa FROM pairs
+    ),
+    reach AS (
+        SELECT s AS node, s AS lbl FROM edges
+        UNION
+        SELECT e2.s, r.lbl FROM edges e2 JOIN reach r ON e2.d = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node <> cluster_id)
+    SELECT emb.vec_id FROM embeddings emb
+    ANTI JOIN losers l ON emb.vec_id = l.node
+    """,
+    doc="Embedding-side end-to-end dedup: cosine >= 0.45 near-dup pairs "
+        "(distributed triangle block GEMM, collect-free) -> connected "
+        "components -> keep each cluster's min-id vector. The vector twin "
+        "of dedup_pipeline_keep.",
+)
+def embedding_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+    )
+    from flink_examples_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs(emb, strategy="blocked")
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    return keep_canonical(emb, comp, "vec_id").select("vec_id")

@@ -68,6 +68,24 @@ def console_sink(df: DataFrame, label: str | None = None) -> DataStreamWriter:
     return w
 
 
+def kafka_payload(
+    df: DataFrame,
+    include_event_timestamp: bool = False,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Shape a frame into the Kafka producer record contract (K5):
+    string ``value``, optional string ``key`` (partitioner input),
+    optional ``timestamp`` (setWriteTimestampToKafka,
+    Kafka2Kafka.java:150). Pure projection — testable without a broker
+    and reused by ``kafka_sink``."""
+    cols = [F.col("value").cast("string").alias("value")]
+    if "key" in df.columns:
+        cols.insert(0, F.col("key").cast("string").alias("key"))
+    if include_event_timestamp:
+        cols.append(F.col(ts_col).alias("timestamp"))
+    return df.select(*cols)
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -84,13 +102,8 @@ def kafka_sink(
     landing table (SURVEY.md §7.4.5). ``setWriteTimestampToKafka`` maps
     to an explicit ``timestamp`` column.
     """
-    cols = [F.col("value").cast("string").alias("value")]
-    if "key" in df.columns:
-        cols.insert(0, F.col("key").cast("string").alias("key"))
-    if include_event_timestamp:
-        cols.append(F.col(ts_col).alias("timestamp"))
     return (
-        df.select(*cols)
+        kafka_payload(df, include_event_timestamp, ts_col)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

@@ -114,6 +114,42 @@ def rate_events(
     )
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    starting_offsets_by_timestamp: str | None = None,
+    max_offsets_per_trigger: int | None = None,
+    group_id_prefix: str | None = None,
+) -> dict[str, str]:
+    """Kafka consumer option map (S8, Kafka2Kafka.java:50-82) — pure
+    translation, testable without a broker (the sandbox ships no Kafka
+    connector jar; DIVERGENCES.md D16).
+
+    Offset start strategies map 1:1: setStartFromEarliest/Latest →
+    ``startingOffsets: earliest|latest``; setStartFromTimestamp(ms) →
+    ``startingOffsetsByTimestamp`` (JSON topic→partition→ms, overrides
+    startingOffsets); setStartFromSpecificOffsets → the JSON form of
+    ``startingOffsets``. setStartFromGroupOffsets has no equivalent:
+    Spark owns offsets in the checkpoint WAL, not the broker group —
+    offset commit on checkpoint (Kafka2Kafka.java:74) is therefore
+    automatic.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+    }
+    if starting_offsets_by_timestamp is not None:
+        opts["startingOffsetsByTimestamp"] = starting_offsets_by_timestamp
+    else:
+        opts["startingOffsets"] = starting_offsets
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if group_id_prefix is not None:
+        opts["groupIdPrefix"] = group_id_prefix
+    return opts
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -123,32 +159,21 @@ def kafka_stream(
     max_offsets_per_trigger: int | None = None,
     group_id_prefix: str | None = None,
 ) -> DataFrame:
-    """Kafka consumer stream (S8, Kafka2Kafka.java:50-82).
-
-    Offset start strategies map 1:1: setStartFromEarliest/Latest →
-    ``startingOffsets``; setStartFromTimestamp →
-    ``startingOffsetsByTimestamp``; per-partition specific offsets →
-    the JSON form of ``startingOffsets``. Offset commit on checkpoint
-    (Kafka2Kafka.java:74) is the engine's checkpoint WAL — no config
-    needed. Per-partition watermarking (S9, Kafka2Kafka.java:94-113):
-    apply ``withWatermark`` downstream; Spark's watermark is the global
-    min across partitions, the same merged semantics.
-    """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-    )
-    if starting_offsets_by_timestamp is not None:
-        reader = reader.option(
-            "startingOffsetsByTimestamp", starting_offsets_by_timestamp
-        )
-    else:
-        reader = reader.option("startingOffsets", starting_offsets)
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    if group_id_prefix is not None:
-        reader = reader.option("groupIdPrefix", group_id_prefix)
+    """Kafka consumer stream (S8) — ``kafka_source_options`` applied to
+    the kafka data source. Per-partition watermarking (S9,
+    Kafka2Kafka.java:94-113): apply ``withWatermark`` downstream;
+    Spark's watermark is the global min across partitions, the same
+    merged semantics."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets,
+        starting_offsets_by_timestamp,
+        max_offsets_per_trigger,
+        group_id_prefix,
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

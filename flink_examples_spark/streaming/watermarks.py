@@ -1,0 +1,114 @@
+"""Watermark ergonomics: idle sources (E5) and lateness classification
+(E7) — SURVEY.md §2.9.
+
+The reference's two watermark escape hatches:
+
+  withIdleness (Flink Window.md §2.4)
+      A source partition that stops producing marks itself idle so it
+      stops holding back the global watermark. Spark's analogue is the
+      multiple-watermark policy: a union of watermarked streams tracks
+      one watermark per input and combines them with ``min`` by default
+      — exactly the stall Flink's idleness solves. ``idle_aware_union``
+      switches the combination to ``max`` so the freshest input drives
+      event-time progress and an idle leg can't stall windows/CEP.
+
+  allowed lateness + late side output (Flink Window.md §2.5)
+      Flink keeps a fired window open for ``allowedLateness`` and routes
+      later-still rows to a side output. Spark's watermark is a hard
+      drop threshold with no classification. ``lateness_classifier``
+      reproduces the contract in foreachBatch: rows are labeled
+      ``on_time`` / ``late`` (inside the allowed-lateness grace) /
+      ``expired`` (Flink would side-output these) against a running
+      watermark = max event time seen in prior batches minus the
+      bounded-out-of-orderness delay. Like Spark's own watermark filter
+      the threshold lags one batch (memory: the filter for batch N uses
+      the watermark after batch N-1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def idle_aware_union(
+    streams: Sequence[DataFrame],
+    ts_col: str,
+    delay: str,
+    policy: str = "max",
+) -> DataFrame:
+    """Union watermarked streams without letting an idle leg stall the
+    global watermark (E5, Flink's ``withIdleness``).
+
+    Each input gets ``withWatermark(ts_col, delay)``; the session's
+    ``spark.sql.streaming.multipleWatermarkPolicy`` is set to ``policy``
+    (``max`` = advance with the freshest input, Flink-idleness-like;
+    ``min`` = Spark's safe default, stalls on idleness but never drops
+    a row that a slow-but-alive input still considers on time).
+
+    Trade-off to state in the job docs: under ``max``, rows from a
+    *slow* (not idle) input older than the fast input's watermark are
+    dropped as late — Flink's withIdleness has the same hazard when a
+    source is misclassified idle. The policy is session-wide and read
+    at query start.
+    """
+    if not streams:
+        raise ValueError("streams must be non-empty")
+    spark = streams[0].sparkSession
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+    out = None
+    for s in streams:
+        s = s.withWatermark(ts_col, delay)
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+def lateness_classifier(
+    ts_col: str,
+    delay_ms: int,
+    allowed_lateness_ms: int,
+    inner: Callable[[DataFrame, int], None],
+    label_col: str = "lateness",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch wrapper adding Flink's three-way lateness verdict
+    (E7/D2): ``on_time`` (ts >= watermark), ``late`` (within the
+    allowed-lateness grace — Flink re-fires the window), ``expired``
+    (later than watermark + allowed lateness — Flink's late side
+    output). Filter on the label to split the side outputs (P7).
+
+    The watermark is the running max event time across previous batches
+    minus ``delay_ms`` — one-batch lag, same as Spark's internal filter.
+    Use on a stream WITHOUT ``withWatermark`` (or with a delay widened
+    by ``allowed_lateness_ms``) so graced rows still reach the sink
+    instead of being dropped upstream. Cost per batch: one max()
+    aggregate — scale-independent.
+    """
+    holder: dict[str, int | None] = {"max_ts_ms": None}
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        max_ms = holder["max_ts_ms"]
+        if max_ms is None:
+            labeled = batch_df.withColumn(label_col, F.lit("on_time"))
+        else:
+            wm = F.timestamp_millis(F.lit(max_ms - delay_ms))
+            grace = F.timestamp_millis(
+                F.lit(max_ms - delay_ms - allowed_lateness_ms)
+            )
+            labeled = batch_df.withColumn(
+                label_col,
+                F.when(F.col(ts_col) >= wm, "on_time")
+                .when(F.col(ts_col) >= grace, "late")
+                .otherwise("expired"),
+            )
+        inner(labeled, batch_id)
+        batch_max = batch_df.agg(F.max(ts_col)).first()[0]
+        if batch_max is not None:
+            batch_ms = int(pd.Timestamp(batch_max).value // 1_000_000)
+            if max_ms is None or batch_ms > max_ms:
+                holder["max_ts_ms"] = batch_ms
+
+    return write

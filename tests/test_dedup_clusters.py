@@ -38,3 +38,60 @@ def test_keep_canonical_drops_non_minimal_members(spark):
     kept = sorted(r.doc_id for r in keep_canonical(docs, comp, "doc_id").collect())
     # clusters {1,2,3} -> keep 1; {10,11} -> keep 10; 20 unclustered -> kept
     assert kept == [1, 10, 20]
+
+
+def test_verify_jaccard_on_candidates_matches_full_jaccard(spark):
+    """The LSH-then-verify stage computes the SAME exact Jaccard as the
+    full inverted-index join, restricted to the candidate set — so
+    pipeline decisions (drop/keep) are identical wherever LSH recalled
+    the pair."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        verify_jaccard_on_candidates,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text")
+    verified = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in verify_jaccard_on_candidates(
+            docs, cand, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    cand_set = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert verified == {p: j for p, j in full.items() if p in cand_set}
+    assert verified  # non-vacuous at sf0.001
+
+
+def test_dedup_pipeline_keeps_canonicals_only(spark):
+    """End-to-end pipeline: every cluster keeps exactly its min-id doc;
+    unclustered docs all survive."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+        minhash_lsh_pairs,
+        verify_jaccard_on_candidates,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text")
+    verified = verify_jaccard_on_candidates(
+        docs, cand, "doc_id", "text", threshold=0.3
+    )
+    comp = connected_components(verified, "doc_a", "doc_b")
+    kept = {r.doc_id for r in keep_canonical(docs, comp, "doc_id")
+            .select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    clustered = {r.node: r.cluster_id for r in comp.collect()}
+    losers = {n for n, c in clustered.items() if n != c}
+    assert kept == all_ids - losers
+    assert losers  # non-vacuous: some dups exist at sf0.001

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import datetime as dt
 import os
+
+from pyspark.sql import functions as F
 
 from flink_examples_spark.sources.readers import (
     from_elements,
@@ -79,3 +82,74 @@ def test_write_text_and_csv(spark, tmp_path):
     df2 = from_elements(spark, [(1, "a"), (2, "b")], "id int, s string")
     write_csv(df2, cdir)
     assert spark.read.schema("id int, s string").csv(cdir).count() == 2
+
+
+def test_kafka_source_options_offset_strategies():
+    """S8 contract (Kafka2Kafka.java:50-82): every reference offset
+    start strategy maps to its exact Spark kafka-source option — pure
+    translation, asserted without a broker (none in the sandbox)."""
+    from flink_examples_spark.streaming.sources import kafka_source_options
+
+    # setStartFromEarliest / setStartFromLatest
+    assert kafka_source_options("b:9092", "t", "earliest") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "earliest",
+    }
+    assert kafka_source_options("b:9092", "t")["startingOffsets"] == "latest"
+    # setStartFromSpecificOffsets -> JSON startingOffsets
+    specific = '{"t":{"0":23,"1":-2}}'
+    assert (
+        kafka_source_options("b:9092", "t", specific)["startingOffsets"]
+        == specific
+    )
+    # setStartFromTimestamp -> startingOffsetsByTimestamp, overriding
+    # startingOffsets entirely
+    by_ts = '{"t":{"0":1700000000000,"1":1700000000000}}'
+    opts = kafka_source_options(
+        "b:9092", "t", "earliest",
+        starting_offsets_by_timestamp=by_ts,
+        max_offsets_per_trigger=5000,
+        group_id_prefix="flink-examples",
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsetsByTimestamp": by_ts,
+        "maxOffsetsPerTrigger": "5000",
+        "groupIdPrefix": "flink-examples",
+    }
+
+
+def test_kafka_payload_projection(spark):
+    """K5 producer record contract: key/value cast to string, optional
+    event timestamp column (setWriteTimestampToKafka)."""
+    from flink_examples_spark.streaming.sinks import kafka_payload
+
+    df = spark.createDataFrame(
+        [(1, 42, "2020-01-01 00:00:00")], "key int, value int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plain = kafka_payload(df)
+    assert plain.columns == ["key", "value"]
+    row = plain.first()
+    assert (row.key, row.value) == ("1", "42")
+    with_ts = kafka_payload(df, include_event_timestamp=True)
+    assert with_ts.columns == ["key", "value", "timestamp"]
+    assert with_ts.first().timestamp == dt.datetime(2020, 1, 1)
+
+
+def test_decode_int_pair_binary_roundtrip(spark):
+    """EventDeSerializer.java:21-39: two little-endian int32s decode via
+    built-in expressions (no UDF) — round-trip against struct.pack."""
+    import struct
+
+    from flink_examples_spark.streaming.sources import decode_int_pair_binary
+
+    cases = [(0, 0), (1, 3), (2**31 - 1, 4), (305419896, 2), (65536, 1)]
+    payloads = [(struct.pack("<ii", a, o),) for a, o in cases]
+    df = spark.createDataFrame(payloads, "value binary")
+    got = [
+        (r.source_address, r.event_type_ordinal)
+        for r in decode_int_pair_binary(df).collect()
+    ]
+    assert got == cases

@@ -705,3 +705,103 @@ def test_streaming_cep_timed_out_partial_across_trigger_boundary(
     late_batches = [bid for bid, s in by_batch.items()
                     if ("order_2", True) in s]
     assert late_batches and min(late_batches) >= 1, by_batch
+
+
+def test_idle_aware_union_windows_fire_despite_idle_leg(
+    spark, tmp_path, events_pdf
+):
+    """E5 (Flink Window.md §2.4 withIdleness): under Spark's default
+    ``min`` multiple-watermark policy an idle union leg pins the global
+    watermark at zero and append-mode windows never finalize; the
+    idle_aware_union helper (policy=max) lets the active leg drive the
+    watermark so windows fire."""
+    from flink_examples_spark.streaming.watermarks import idle_aware_union
+
+    head = events_pdf.head(400)
+    active_dir = write_chunks(head, str(tmp_path / "active"), 2)
+    idle_dir = str(tmp_path / "idle")
+    os.makedirs(idle_dir)
+    schema_file = os.path.join(active_dir, "000.parquet")
+
+    def windowed(policy, name):
+        legs = [
+            file_stream(spark, d, schema_file).select("ts", "value")
+            for d in (active_dir, idle_dir)
+        ]
+        agg = (
+            idle_aware_union(legs, "ts", "0 seconds", policy=policy)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        try:
+            return run_to_memory(
+                agg, spark, name, "append", str(tmp_path / f"ck_{name}")
+            ).collect()
+        finally:
+            spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+
+    assert windowed("min", "idle_min") == []  # stalled: the D4 problem
+    fired = windowed("max", "idle_max")
+    assert fired  # idle leg no longer stalls emission
+    # every hour window strictly below the final watermark fired
+    max_ts = head["ts"].max()
+    expected = {
+        (ts.floor("h"), n)
+        for ts, n in head.groupby(head["ts"].dt.floor("h"))["ts"].count().items()
+        if ts.floor("h") + pd.Timedelta(hours=1) <= max_ts
+    }
+    got = {(pd.Timestamp(r.w.start), r.n) for r in fired}
+    assert expected <= got
+
+
+def test_lateness_classifier_three_way_split(spark, tmp_path):
+    """E7/D2 (Flink Window.md §2.5 allowed lateness): rows label
+    on_time / late (within grace) / expired (Flink's late side output)
+    against the running watermark, which lags one batch like Spark's
+    own filter."""
+    from flink_examples_spark.streaming.watermarks import lateness_classifier
+
+    t = lambda m: pd.Timestamp("2020-01-01 10:00:00") + pd.Timedelta(minutes=m)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    # batch 0: seeds the max (watermark still unset -> all on_time)
+    pd.DataFrame({"rid": [0, 1], "ts": [t(0), t(5)]}).to_parquet(
+        os.path.join(d, "000.parquet"), index=False
+    )
+    # batch 1: wm = 10:05 - 1min = 10:04; grace floor = 09:59
+    #   rid 2 @10:06 on_time, rid 3 @10:03 late, rid 4 @09:30 expired
+    pd.DataFrame({"rid": [2, 3, 4], "ts": [t(6), t(3), t(-30)]}).to_parquet(
+        os.path.join(d, "001.parquet"), index=False
+    )
+    # batch 2: wm = 10:06 - 1min = 10:05; grace floor = 10:00
+    #   rid 5 @10:04 late, rid 6 @09:59 expired, rid 7 @10:05 on_time
+    pd.DataFrame({"rid": [5, 6, 7], "ts": [t(4), t(-1), t(5)]}).to_parquet(
+        os.path.join(d, "002.parquet"), index=False
+    )
+    for i in range(3):
+        os.utime(os.path.join(d, f"{i:03d}.parquet"), (now + i, now + i))
+
+    labels: dict[int, str] = {}
+
+    def collect(batch_df, batch_id):
+        for r in batch_df.collect():
+            labels[r.rid] = r.lateness
+
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    q = (
+        src.writeStream.foreachBatch(
+            lateness_classifier("ts", 60_000, 5 * 60_000, collect)
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    assert labels == {
+        0: "on_time", 1: "on_time",
+        2: "on_time", 3: "late", 4: "expired",
+        5: "late", 6: "expired", 7: "on_time",
+    }
