@@ -109,15 +109,23 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: ``(doc_id, i, minhash)`` for i in [0,k).
 
     hash_i(shingle) = hash60(shingle || '#i') — salted md5, deterministic
     across engines. One explode (k per shingle) + one groupBy(doc, i):
-    linear in corpus size, map-side combinable.
+    linear in corpus size, map-side combinable. ``shingles_df``: pass a
+    precomputed (ideally persisted) shingle index when a pipeline uses
+    it more than once — tokenizing 100 TB twice is the avoidable cost.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles_df if shingles_df is not None \
+        else shingles(df, id_col, text_col, n)
     idx = F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i")
     return (
         sh.select("doc_id", "shingle", idx)
@@ -136,6 +144,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate near-dup pairs (the 100 TB dedup path).
 
@@ -145,7 +154,7 @@ def minhash_lsh_pairs(
     oracle reproduces them exactly. Downstream, verify candidates with
     ``ngram_jaccard_pairs`` semantics on the candidate set only.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles_df)
     num_bands = num_hashes // band_size
     sig = sig.withColumn("band", (F.col("i") / band_size).cast("int"))
     # Per (doc, band): fold the band's minhashes (in i-order) into one key.
@@ -183,6 +192,7 @@ def verify_jaccard_on_candidates(
     text_col: str,
     n: int = 3,
     threshold: float = 0.3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY on candidate pairs — the
     verification stage after LSH (or any sub-quadratic candidate
@@ -194,7 +204,8 @@ def verify_jaccard_on_candidates(
     candidate set, never corpus², so the expensive exactness is paid
     only where LSH says it might matter.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = shingles_df if shingles_df is not None \
+        else shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -1572,17 +1572,33 @@ def skew_salted_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Output: surviving doc_ids.",
 )
 def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from flink_examples_spark.operators.dedup import (
         connected_components,
         keep_canonical,
         minhash_lsh_pairs,
+        shingles,
         verify_jaccard_on_candidates,
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    cand = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, band_size=2)
+    # Tokenize/shingle the corpus ONCE: both the LSH candidate stage and
+    # the Jaccard verify stage read this index; without the persist each
+    # re-scans and re-distincts the corpus (the dominant avoidable cost
+    # at 100 TB, where the index would be staged to parquet between
+    # stages). Measured at sf0.1 the cache write costs ~1.5 s more than
+    # the second scan saves — the crossover is corpus size, so the
+    # registered path takes the scale-honest side. MEMORY_AND_DISK so
+    # oversized partitions spill, not OOM.
+    sh = shingles(docs, "doc_id", "text", n=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=8, band_size=2, shingles_df=sh
+    )
     verified = verify_jaccard_on_candidates(
-        docs, cand, "doc_id", "text", n=3, threshold=0.3
+        docs, cand, "doc_id", "text", n=3, threshold=0.3, shingles_df=sh
     )
     comp = connected_components(verified, "doc_a", "doc_b")
     return keep_canonical(docs, comp, "doc_id").select("doc_id")
@@ -1630,3 +1646,45 @@ def embedding_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_neardup_pairs(emb, strategy="blocked")
     comp = connected_components(pairs, "vec_a", "vec_b")
     return keep_canonical(emb, comp, "vec_id").select("vec_id")
+
+
+@register(
+    "doc_quality_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, len(toks) AS n,
+               len(list_filter(toks,
+                   x -> x IN ('the','a','of','to','and','in','is','it')))
+                   * 1.0 / len(toks) AS sr
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n < 10 THEN 'too_short'
+                WHEN least(1.0, n / 50.0) * (1 - sr) < 0.3 THEN 'low_quality'
+                WHEN sr <= 0.03 THEN 'non_english'
+                ELSE 'keep' END AS verdict
+    FROM s
+    """,
+    doc="Training-data keep/drop gate: first-match classification "
+        "(too_short / low_quality / non_english / keep) from the "
+        "codegen'd quality signals — the filter pass a corpus pipeline "
+        "runs before dedup. Pure JVM expressions, no shuffle at all.",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = T.token_count("text")
+    q = T.quality_score("text")
+    lid = T.lang_id_en("text")
+    verdict = (
+        F.when(n < 10, "too_short")
+        .when(q < 0.3, "low_quality")
+        .when(lid != F.lit("en"), "non_english")
+        .otherwise("keep")
+    )
+    return docs.select("doc_id", verdict.alias("verdict"))

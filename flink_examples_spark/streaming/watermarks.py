@@ -112,3 +112,39 @@ def lateness_classifier(
                 holder["max_ts_ms"] = batch_ms
 
     return write
+
+
+def run_with_restarts(
+    build_and_start: Callable[[], "object"],
+    max_restarts: int = 3,
+    delay_s: float = 1.0,
+    await_timeout_s: float = 180.0,
+) -> tuple["object", int]:
+    """Fixed-delay restart supervision for a streaming query (ST10,
+    Checkpointing.java:72-90 ``fixedDelayRestart(3, 10s)``).
+
+    Flink restarts the JOB from the last checkpoint; Spark's unit of
+    restart is the QUERY — re-``start()`` against the same checkpoint
+    location resumes from the last committed batch, which is the same
+    observable contract. ``build_and_start`` must return a freshly
+    started ``StreamingQuery`` each call (same checkpointLocation!).
+
+    Returns ``(query, n_restarts)`` once a run terminates cleanly;
+    re-raises the last failure when the budget is exhausted — Flink's
+    NoRestart fallback after the attempt count.
+    """
+    import time as _time
+
+    attempts = 0
+    while True:
+        q = build_and_start()
+        try:
+            q.awaitTermination(await_timeout_s)
+            if q.exception() is None:
+                return q, attempts
+            raise q.exception()
+        except Exception:
+            if attempts >= max_restarts:
+                raise
+            attempts += 1
+            _time.sleep(delay_s)

@@ -805,3 +805,62 @@ def test_lateness_classifier_three_way_split(spark, tmp_path):
         2: "on_time", 3: "late", 4: "expired",
         5: "late", 6: "expired", 7: "on_time",
     }
+
+
+def test_run_with_restarts_resumes_from_checkpoint(spark, tmp_path):
+    """ST10 (Checkpointing.java:72-90 fixedDelayRestart): a query that
+    fails mid-run is restarted against the same checkpoint and resumes
+    from the last committed batch — committed batches are not
+    re-delivered, the failed batch replays, nothing is lost."""
+    from flink_examples_spark.streaming.watermarks import run_with_restarts
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    for i, vals in enumerate(([1, 2], [3, 4])):
+        p = os.path.join(d, f"{i:03d}.parquet")
+        pd.DataFrame({"v": vals}).to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    seen: list[int] = []
+    flaky = {"armed": True}
+
+    def sink(bdf, bid):
+        rows = [r.v for r in bdf.collect()]
+        if flaky["armed"] and bid == 1:
+            flaky["armed"] = False
+            raise RuntimeError("injected failure before commit")
+        seen.extend(rows)
+
+    def build():
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        return (
+            src.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+
+    q, n_restarts = run_with_restarts(build, max_restarts=2, delay_s=0.2)
+    assert n_restarts == 1
+    assert sorted(seen) == [1, 2, 3, 4]  # batch 0 once, batch 1 replayed
+
+    # exhausted budget re-raises (NoRestart fallback)
+    always = {"armed": True}
+
+    def bad_sink(bdf, bid):
+        raise RuntimeError("always fails")
+
+    def build_bad():
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        return (
+            src.writeStream.foreachBatch(bad_sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck_bad"))
+            .start()
+        )
+
+    with pytest.raises(Exception):
+        run_with_restarts(build_bad, max_restarts=1, delay_s=0.1)
