@@ -97,11 +97,31 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    return _jaccard_above(inter, sizes, threshold)
+
+
+def _jaccard_above(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared tail of every Jaccard path: join the per-pair shingle
+    intersection counts (``doc_a, doc_b, n_common``) to the per-doc
+    sizes, compute exact integer Jaccard, filter on the threshold.
+    ``ngram_jaccard_pairs`` and ``verify_jaccard_on_candidates`` differ
+    only in how ``inter`` is produced (self-join vs candidate join) —
+    the arithmetic must stay bit-identical to the SQL oracle in one
+    place."""
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
         .withColumn(
-            "jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -216,22 +236,7 @@ def verify_jaccard_on_candidates(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_above(inter, sizes, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:

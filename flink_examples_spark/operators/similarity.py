@@ -241,9 +241,10 @@ def embedding_neardup_blocked(
     Rows hash into ``n_blocks`` blocks; each unordered block pair (i<=j)
     becomes one ``applyInPandas`` group that GEMMs block i against
     block j. A pair of vectors lands in exactly one block pair, so the
-    output is exact with no dedup pass. Replication cost is
-    ``n_blocks+1`` copies of each row (the classic triangle join) —
-    choose ``n_blocks`` ~ sqrt(parallelism); executor memory is bounded
+    output is exact with no dedup pass. Replication cost is exactly
+    ``n_blocks`` copies of each row — a row in block b goes left to
+    pairs (b, b..n-1) and right to (0..b-1, b) — the classic triangle
+    join; choose ``n_blocks`` ~ sqrt(parallelism); executor memory is bounded
     by two blocks, never the corpus, and the driver holds nothing.
     """
     import numpy as np

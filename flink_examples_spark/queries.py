@@ -1601,6 +1601,10 @@ def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, cand, "doc_id", "text", n=3, threshold=0.3, shingles_df=sh
     )
     comp = connected_components(verified, "doc_a", "doc_b")
+    # connected_components has already executed the pair pipeline
+    # (eager localCheckpoint), so nothing still reads the cache — free
+    # it here or repeated invocations (bench reps) pin storage forever.
+    sh.unpersist()
     return keep_canonical(docs, comp, "doc_id").select("doc_id")
 
 

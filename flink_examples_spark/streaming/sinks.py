@@ -125,32 +125,55 @@ def parquet_upsert_foreach_batch(
 
     TEST-HARNESS SINK: it rewrites the whole target per micro-batch
     (fine for fixtures, a scale-killer on a real table — use
-    ``jdbc_upsert_foreach_batch`` or Delta MERGE in production), and the
-    final overwrite is non-atomic: a crash between the target delete and
-    rewrite leaves the only complete copy in ``<target>.tmp-<batch>``,
-    from which the next successful batch (or a manual move) recovers.
-    The tmp copy is deleted once the target write succeeds.
+    ``jdbc_upsert_foreach_batch`` or Delta MERGE in production). The
+    final overwrite is non-atomic, so each merge is staged to
+    ``<target>.tmp-<batch>`` first and crash recovery is REAL: if a
+    crash between the target delete and rewrite leaves the target
+    missing/partial, the replayed batch merges against the newest
+    surviving tmp copy (which holds the complete pre-crash merge)
+    instead of the broken target, writing its own stage to a distinct
+    attempt path so the rescue copy is never clobbered before it is
+    read. All tmp stages are deleted once the target write succeeds.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        import glob
         import shutil
+        import uuid
 
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(list(key_cols)).cache()
-        if os.path.isdir(target_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(target_dir)
-        ):
-            existing = spark.read.parquet(target_dir)
+
+        def has_parquet(d: str) -> bool:
+            return os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d)
+            )
+
+        base = target_dir if has_parquet(target_dir) else None
+        if base is None:
+            # crashed mid-overwrite? newest complete tmp stage is the
+            # only full copy — recover from it
+            rescues = sorted(
+                (d for d in glob.glob(target_dir.rstrip("/") + ".tmp-*")
+                 if has_parquet(d)),
+                key=os.path.getmtime,
+            )
+            base = rescues[-1] if rescues else None
+        if base is not None:
+            existing = spark.read.parquet(base)
             keep = existing.join(batch.select(*key_cols), list(key_cols), "left_anti")
             merged = keep.unionByName(batch)
         else:
             merged = batch
-        tmp = target_dir.rstrip("/") + f".tmp-{batch_id}"
+        # unique attempt suffix: a replay must never overwrite the tmp
+        # stage it may be recovering FROM
+        tmp = target_dir.rstrip("/") + f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(target_dir)
         batch.unpersist()
-        shutil.rmtree(tmp, ignore_errors=True)
+        for d in glob.glob(target_dir.rstrip("/") + ".tmp-*"):
+            shutil.rmtree(d, ignore_errors=True)
 
     return write
 

@@ -204,18 +204,35 @@ def streaming_dedup_ttl(
 
     Emits the key columns on first sight; later duplicates only bump a
     drop counter held in state. With ``ttl_ms``, the seen-marker expires
-    on a processing-time timeout (StateTtl.java:15-22 OnCreateAndWrite +
-    NeverReturnExpired): when the timeout fires with no data the state
-    is removed outright — NOT re-created — so the key's next occurrence
-    is treated as brand new and re-emitted. This is the streaming twin
-    of exact_dedup_groups.
+    two ways, reproducing StateTtl.java:15-22 OnCreateAndWrite +
+    NeverReturnExpired:
+
+    - timer path: the processing-time timeout fires with no data → the
+      state is removed outright — NOT re-created — so the key's next
+      occurrence is brand new;
+    - read path: data arrives for a key whose stored last-write stamp
+      is already older than the TTL (the timeout may fire in the same
+      trigger or not at all under availableNow) — the expired state is
+      ignored, exactly NeverReturnExpired's read-time check, and the
+      key re-emits.
+
+    This is the streaming twin of exact_dedup_groups.
+
+    Operational note: an ARMED processing-time timer keeps an
+    ``availableNow`` run alive indefinitely (Spark waits to fire it);
+    bounded replay runs should stop the query once input is drained
+    instead of relying on self-termination. Continuous-trigger
+    deployments are unaffected.
     """
     keys = list(key_cols)
 
     def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import time as _time
+
         n = 0
         for pdf in pdfs:
             n += len(pdf)
+        now_ms = int(_time.time() * 1000)
         if state.hasTimedOut:
             # TTL expired. No data this trigger: drop the state and do
             # NOT re-arm (re-creating here would leak state + churn the
@@ -226,14 +243,20 @@ def streaming_dedup_ttl(
             first = True  # expired key re-occurring: brand new
             dropped = n - 1
         elif state.exists:
-            first = False
-            (dropped,) = state.get
-            dropped += n
+            dropped, last_ms = state.get
+            if ttl_ms is not None and now_ms - last_ms > ttl_ms:
+                # read-time expiry: NeverReturnExpired — stale marker
+                # counts as absent even before its timer fires
+                first = n > 0
+                dropped = n - 1 if n else 0
+            else:
+                first = False
+                dropped += n
         else:
             first = n > 0
             dropped = n - 1 if n else 0
         if n:
-            state.update((dropped,))
+            state.update((dropped, now_ms))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
         if first and n:
@@ -246,7 +269,7 @@ def streaming_dedup_ttl(
     )
     schema = ", ".join(f"{k} string" for k in keys)
     return df.groupBy(*keys).applyInPandasWithState(
-        fn, schema, "dropped long", "append", timeout
+        fn, schema, "dropped long, last_ms long", "append", timeout
     )
 
 
@@ -367,15 +390,23 @@ def streaming_cep(
                 results.append(measures(vars_pdf, None))
                 start = found[0][0][1] + 1
             elif records[start][ts_col] + within_ms < max_ts:
-                # Horizon passed: this start can never complete. Emit the
-                # timed-out partial (C4 side output) instead of silently
-                # evicting, then skip past its first row — the batch
-                # timeout path's advance rule (operators/cep.py:253).
+                # Horizon passed for the row at ``start``: nothing can
+                # complete FROM here. Emit the timed-out partial (C4
+                # side output) instead of silently evicting, then skip
+                # past its first row — the batch timeout path's advance
+                # rule (operators/cep.py:253). Guard: with a relaxed
+                # first element the greedy partial may ANCHOR at a later
+                # row whose own horizon has NOT passed (the row at
+                # ``start`` matched nothing) — that partial is still
+                # completable by future rows, so only the dead head row
+                # is dropped and the anchor stays buffered.
                 if timeout_measures is not None:
                     partial = _greedy_partial(
                         records, pattern, start, within_check
                     )
-                    if partial:
+                    if partial and (
+                        records[partial[0][1]][ts_col] + within_ms < max_ts
+                    ):
                         pvars: dict[str, list[dict]] = {}
                         for var, idx in partial:
                             pvars.setdefault(var, []).append(records[idx])

@@ -131,7 +131,12 @@ def run_with_restarts(
 
     Returns ``(query, n_restarts)`` once a run terminates cleanly;
     re-raises the last failure when the budget is exhausted — Flink's
-    NoRestart fallback after the attempt count.
+    NoRestart fallback after the attempt count. A query still running
+    when ``await_timeout_s`` elapses is NOT clean termination: it is
+    stopped and ``TimeoutError`` raised (not retried — a live query
+    that outruns the supervision window is a sizing problem, not a
+    failure; use this helper for bounded availableNow runs and leave
+    always-on queries to cluster-level supervision).
     """
     import time as _time
 
@@ -139,12 +144,19 @@ def run_with_restarts(
     while True:
         q = build_and_start()
         try:
-            q.awaitTermination(await_timeout_s)
-            if q.exception() is None:
-                return q, attempts
-            raise q.exception()
+            finished = q.awaitTermination(await_timeout_s)
+            if q.exception() is not None:
+                raise q.exception()
         except Exception:
             if attempts >= max_restarts:
                 raise
             attempts += 1
             _time.sleep(delay_s)
+            continue
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query still running after {await_timeout_s}s; "
+                "stopped without restart"
+            )
+        return q, attempts

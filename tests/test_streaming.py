@@ -37,6 +37,21 @@ def write_chunks(pdf: pd.DataFrame, directory: str, n_chunks: int) -> str:
     return directory
 
 
+def drain_and_stop(q, expected_input_rows, timeout=60):
+    """Stop an availableNow query that can never self-terminate because
+    an armed ProcessingTimeTimeout keeps it alive (Spark waits for the
+    timer indefinitely): wait until the expected input rows are
+    committed, give the timer batch one beat, then stop."""
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if sum(p["numInputRows"] for p in q.recentProgress) >= expected_input_rows:
+            break
+        time.sleep(0.2)
+    time.sleep(0.7)
+    q.stop()
+    q.awaitTermination(30)
+
+
 def run_to_memory(df, spark, name, mode, ckpt):
     q = (
         df.writeStream.format("memory")
@@ -583,7 +598,7 @@ def test_streaming_dedup_ttl_expires_and_re_emits(spark, tmp_path):
     os.makedirs(d)
     ck = str(tmp_path / "ck")
 
-    def emit_run(name):
+    def emit_run(name, n_new_rows):
         # memory sink can't recover from a checkpoint; foreachBatch can,
         # and runs on the driver so collecting into a local list is fine.
         rows: list = []
@@ -598,26 +613,26 @@ def test_streaming_dedup_ttl_expires_and_re_emits(spark, tmp_path):
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(180)
+        drain_and_stop(q, n_new_rows)
         return sorted(r.fp for r in rows)
 
     pd.DataFrame({"fp": ["a", "b", "a"]}).to_parquet(
         os.path.join(d, "000.parquet"), index=False
     )
-    assert emit_run("ttl_r1") == ["a", "b"]
+    assert emit_run("ttl_r1", 3) == ["a", "b"]
 
     time.sleep(0.5)  # let the 100 ms TTL lapse in wall clock
     pd.DataFrame({"fp": ["zz"]}).to_parquet(
         os.path.join(d, "001.parquet"), index=False
     )
     # this run's batch fires the expired timeouts for a/b (no data rows)
-    assert emit_run("ttl_r2") == ["zz"]
+    assert emit_run("ttl_r2", 1) == ["zz"]
 
     pd.DataFrame({"fp": ["a"]}).to_parquet(
         os.path.join(d, "002.parquet"), index=False
     )
     # the expired key re-occurs -> brand new -> re-emitted
-    assert emit_run("ttl_r3") == ["a"]
+    assert emit_run("ttl_r3", 1) == ["a"]
 
 
 def test_streaming_cep_timed_out_partial_across_trigger_boundary(
@@ -864,3 +879,121 @@ def test_run_with_restarts_resumes_from_checkpoint(spark, tmp_path):
 
     with pytest.raises(Exception):
         run_with_restarts(build_bad, max_restarts=1, delay_s=0.1)
+
+
+def test_streaming_cep_relaxed_anchor_not_falsely_timed_out(
+    spark, tmp_path
+):
+    """A greedy partial whose RELAXED first element anchors at a later
+    row (the dead head row matched nothing) must stay buffered while its
+    own horizon is open: no spurious timed_out row, and the match still
+    completes when the closing row arrives in a later trigger."""
+    from flink_examples_spark.operators.cep import Pat
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    s = lambda x: base + pd.Timedelta(seconds=x)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    frames = [
+        # head row 'x' never matches; 'a' anchors at t=5
+        pd.DataFrame({"k": ["g", "g"], "action": ["x", "a"],
+                      "ts": [s(0), s(5)]}),
+        # t=12 passes the head row's horizon (0+10<12) but NOT the
+        # anchor's (5+10=15) -> buggy code emitted a timeout here
+        pd.DataFrame({"k": ["g"], "action": ["noise"], "ts": [s(12)]}),
+        # closing row within the anchor's window (13-5=8 <= 10)
+        pd.DataFrame({"k": ["g"], "action": ["b"], "ts": [s(13)]}),
+    ]
+    for i, f in enumerate(frames):
+        p = os.path.join(d, f"{i:03d}.parquet")
+        f.to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    pattern = [
+        Pat("A", where=lambda r, c: r["action"] == "a", contiguity="relaxed"),
+        Pat("B", where=lambda r, c: r["action"] == "b", contiguity="relaxed"),
+    ]
+    out_rows: list = []
+    q = (
+        streaming_cep(
+            file_stream(spark, d, os.path.join(d, "000.parquet")),
+            key="k", ts_col="ts", pattern=pattern,
+            measures=lambda v, p: {"timed_out": False},
+            output_schema="k string, timed_out boolean",
+            within_ms=10_000, order_cols=["ts"],
+            timeout_measures=lambda v, p: {"timed_out": True},
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, bid: out_rows.extend(bdf.collect())
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert [(r.k, r.timed_out) for r in out_rows] == [("g", False)]
+
+
+def test_streaming_dedup_ttl_read_time_expiry(spark, tmp_path):
+    """NeverReturnExpired's READ-time check: a key whose marker is older
+    than the TTL re-emits even when no intermediate trigger fired its
+    timeout (the stale state is ignored, not returned)."""
+    from flink_examples_spark.streaming.stateful import streaming_dedup_ttl
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    ck = str(tmp_path / "ck")
+
+    def emit_run(fname, vals):
+        p = os.path.join(d, fname)
+        pd.DataFrame({"fp": vals}).to_parquet(p, index=False)
+        rows: list = []
+        src = file_stream(spark, d, p)
+        q = (
+            streaming_dedup_ttl(src, ["fp"], ttl_ms=100)
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: rows.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        drain_and_stop(q, len(vals))
+        return sorted(r.fp for r in rows)
+
+    assert emit_run("000.parquet", ["a", "a"]) == ["a"]
+    time.sleep(0.5)  # TTL (100 ms) long expired, no trigger ran
+    # same key arrives WITH data in the same trigger its timer would
+    # fire: the read path must treat the stale marker as absent
+    assert emit_run("001.parquet", ["a"]) == ["a"]
+
+
+def test_parquet_upsert_recovers_from_crashed_overwrite(spark, tmp_path):
+    """K6 crash recovery: if a crash between the target delete and
+    rewrite leaves only the tmp stage, the replayed batch merges against
+    that rescue copy — no pre-crash rows are lost."""
+    import shutil
+
+    from flink_examples_spark.streaming.sinks import (
+        parquet_upsert_foreach_batch,
+    )
+
+    target = str(tmp_path / "tbl")
+    write = parquet_upsert_foreach_batch(target, ["k"])
+    write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), 0)
+
+    # simulate the crash window of batch 1: the merged stage exists,
+    # the target overwrite never completed (target destroyed)
+    crash_tmp = target + ".tmp-1-deadbeef"
+    shutil.copytree(target, crash_tmp)
+    shutil.rmtree(target)
+
+    # replay of batch 1 must recover the rescue copy, not clobber it
+    write(spark.createDataFrame([(2, "b2"), (3, "c")], "k long, v string"), 1)
+    got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+    assert [p for p in os.listdir(tmp_path) if ".tmp-" in p] == []
