@@ -1,0 +1,118 @@
+"""Deterministic sampling & split assignment for corpus pipelines.
+
+Training-data jobs constantly need "take 10% of this", "hold out a test
+set", "downsample source X to 5%" — and at 100 TB those decisions must
+be REPLAYABLE: task retries, incremental re-runs, and audits all have to
+see the same verdict per row. So nothing here uses ``rand()`` (fresh
+randomness per task attempt breaks retry idempotency and can duplicate
+or drop rows); every decision is a pure function of the row's id via the
+md5-derived ``hash60`` (functions/text.py), reproducible in any SQL
+engine. All operators are narrow (no shuffle): the hash, bucket, and
+filter run inside the scan's whole-stage-codegen.
+
+Generalizes the reference's fromCollection/sampling idioms; the salts
+make independent decisions independent (the 10% sample and the 80/10/10
+split of the same corpus don't correlate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_examples_spark.functions.text import hash60
+
+_BUCKETS = 10_000
+
+
+def _bucket(id_col: str, salt: str) -> Column:
+    """Deterministic bucket in [0, 10000) from (id, salt)."""
+    return F.pmod(
+        hash60(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))),
+        F.lit(_BUCKETS),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by hash bucket.
+
+    ``weights`` are (name, fraction) in priority order; fractions are
+    mapped to contiguous bucket ranges of [0, 10000), so assignment is
+    total (every row gets a split), disjoint, and stable across runs,
+    retries, and engines. Adds a ``split`` column; no shuffle.
+    """
+    b = _bucket(id_col, salt)
+    expr = None
+    cum = 0
+    for name, w in weights:
+        cum += int(round(w * _BUCKETS))
+        expr = (
+            F.when(b < cum, name) if expr is None
+            else expr.when(b < cum, name)
+        )
+    # guard rounding gaps: anything past the last boundary joins the
+    # final split
+    out = expr.otherwise(weights[-1][0])
+    return df.withColumn("split", out)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows (by id hash).
+
+    The same (id, salt) is kept or dropped identically in every run —
+    the retry-safe replacement for ``df.sample`` in any pipeline whose
+    output feeds training. Filter-only: pushes into the scan.
+    """
+    return df.filter(_bucket(id_col, salt) < int(round(rate * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic downsampling (corpus mixture control).
+
+    ``rates`` maps stratum value -> keep fraction; strata not listed
+    keep ``default_rate``. The hash is salted with the stratum so the
+    same doc id appearing under different strata draws independently.
+    This is how a 100 TB mixing job pins "web 10%, books 100%, code
+    50%" reproducibly — one codegen'd filter, no shuffle, no rand().
+    """
+    b = F.pmod(
+        hash60(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit("#" + salt + "#"),
+                F.col(strata_col).cast("string"),
+            )
+        ),
+        F.lit(_BUCKETS),
+    )
+    thresh = None
+    for value, rate in rates.items():
+        cond = F.col(strata_col) == value
+        t = F.lit(int(round(rate * _BUCKETS)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(round(default_rate * _BUCKETS)))
+        if thresh is None
+        else thresh.otherwise(int(round(default_rate * _BUCKETS)))
+    )
+    return df.filter(b < thresh)

@@ -1692,3 +1692,82 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
     )
     return docs.select("doc_id", verdict.alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / split assignment (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_HASH60_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+@register(
+    "corpus_split_counts",
+    oracle=f"""
+    WITH b AS (
+        SELECT text,
+               {_HASH60_SQL.format(expr="CAST(doc_id AS VARCHAR) || '#split'")}
+                   % 10000 AS bkt
+        FROM documents
+    )
+    SELECT CASE WHEN bkt < 8000 THEN 'train'
+                WHEN bkt < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> ''))) AS BIGINT) AS total_tokens
+    FROM b GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by salted id "
+        "hash (no rand(): retry-safe, replayable in any engine) with "
+        "per-split doc/token accounting. Narrow op — the hash+bucket "
+        "runs inside the scan's codegen, zero extra shuffle beyond the "
+        "final count.",
+)
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import token_count
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               {_HASH60_SQL.format(
+                   expr="CAST(doc_id AS VARCHAR) || '#strata#' || source")}
+                   % 10000 AS bkt
+        FROM documents
+    )
+    WHERE bkt < CASE source
+                WHEN 'src0' THEN 10000
+                WHEN 'src1' THEN 2000
+                WHEN 'src2' THEN 500
+                ELSE 5000 END
+    """,
+    doc="Per-source deterministic downsampling (the corpus-mixture "
+        "control a 100 TB mixing job runs: 'src0 100%, src1 20%, src2 "
+        "5%, rest 50%'). Pure codegen'd filter over the scan — "
+        "replayable, no shuffle, no rand().",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.2, "src2": 0.05},
+        "doc_id",
+        default_rate=0.5,
+    ).select("doc_id", "source")

@@ -106,3 +106,33 @@ def test_media_pipeline_is_shuffle_free(spark, sf_dir):
 
     df = E.queries()["media_image_features"](spark, sf_dir)
     assert exchange_count(df) == 0
+
+
+def test_sampling_ops_are_narrow_jvm_filters(spark, sf_dir):
+    """Deterministic sampling/splitting must stay inside the scan's
+    codegen stage: zero exchanges, zero Python nodes — at 100 TB these
+    run as a free rider on whatever scan the pipeline already does."""
+    from flink_examples_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    for df in (
+        hash_split(docs, "doc_id"),
+        deterministic_sample(docs, "doc_id", 0.25),
+        stratified_sample(docs, "source", {"src0": 0.5}, "doc_id"),
+    ):
+        assert exchange_count(df) == 0
+        assert python_eval_nodes(df) == []
+
+
+def test_skew_salted_agg_is_two_stage(spark, sf_dir):
+    """The salted aggregation must plan exactly two exchanges (key+salt
+    partials, then key finals) — the fan-out that spreads a hot key."""
+    import __spark_entry__ as E
+
+    df = E.queries()["skew_salted_event_stats"](spark, sf_dir)
+    assert exchange_count(df) == 2
+    assert python_eval_nodes(df) == []

@@ -1,0 +1,74 @@
+"""Deterministic sampling / split operators (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_examples_spark.catalog import load_table
+from flink_examples_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_split_total_disjoint_and_stable(spark):
+    docs = load_table(spark, "documents", SF)
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    assert a == b  # replayable: same assignment every run
+    n = len(a)
+    assert n == docs.count()  # total: every row assigned exactly once
+    from collections import Counter
+
+    frac = {s: c / n for s, c in Counter(a.values()).items()}
+    assert set(frac) <= {"train", "val", "test"}
+    assert 0.7 < frac["train"] < 0.9  # 80% ±10pp at 500 docs
+    assert frac.get("val", 0) < 0.2 and frac.get("test", 0) < 0.2
+
+
+def test_deterministic_sample_rate_and_subset_nesting(spark):
+    docs = load_table(spark, "documents", SF)
+    s20 = {r.doc_id for r in
+           deterministic_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    s50 = {r.doc_id for r in
+           deterministic_sample(docs, "doc_id", 0.5).select("doc_id").collect()}
+    n = docs.count()
+    assert 0.1 < len(s20) / n < 0.3
+    assert 0.4 < len(s50) / n < 0.6
+    # same salt + larger rate => superset (bucket thresholds nest), the
+    # property that makes progressive scale-ups reuse previous samples
+    assert s20 <= s50
+
+
+def test_deterministic_sample_salt_independence(spark):
+    docs = load_table(spark, "documents", SF)
+    a = {r.doc_id for r in
+         deterministic_sample(docs, "doc_id", 0.5, salt="a")
+         .select("doc_id").collect()}
+    b = {r.doc_id for r in
+         deterministic_sample(docs, "doc_id", 0.5, salt="b")
+         .select("doc_id").collect()}
+    assert a != b  # different salts draw independently
+    n = docs.count()
+    overlap = len(a & b) / n
+    assert 0.1 < overlap < 0.4  # ~25% expected for two 50% draws
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark):
+    docs = load_table(spark, "documents", SF)
+    out = stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.0}, "doc_id",
+        default_rate=0.5,
+    )
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("src0") == total["src0"]  # rate 1.0 keeps all
+    assert "src1" not in by_src  # rate 0.0 drops all
+    others = sum(v for k, v in by_src.items() if k not in ("src0", "src1"))
+    others_total = sum(v for k, v in total.items() if k not in ("src0", "src1"))
+    assert 0.3 < others / others_total < 0.7  # default 0.5
