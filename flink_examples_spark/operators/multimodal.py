@@ -126,6 +126,36 @@ def encode_fake_videos(
     return src.mapInPandas(enc, "media_id long, payload binary")
 
 
+def encode_fake_audio(
+    df: DataFrame,
+    id_col: str,
+    seed_text_col: str,
+    sample_rate_expr: str,
+    n_samples_expr: str,
+) -> DataFrame:
+    """Synthesize an ``FAUD`` binary column: magic | sample_rate |
+    n_samples | uint8 samples cycled from the seed text's utf-8 bytes
+    (deterministic, oracle-checkable)."""
+    src = df.selectExpr(
+        f"{id_col} as media_id",
+        f"{seed_text_col} as _seed",
+        f"cast(({sample_rate_expr}) as int) as _sr",
+        f"cast(({n_samples_expr}) as int) as _n",
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for seed, sr, n in zip(pdf["_seed"], pdf["_sr"], pdf["_n"]):
+                header = AUDIO_MAGIC + struct.pack("<ii", sr, n)
+                payloads.append(
+                    header + _cycle_bytes(str(seed).encode("utf-8"), n)
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    return src.mapInPandas(enc, "media_id long, payload binary")
+
+
 # ---------------------------------------------------------------------------
 # Decode / metadata extraction
 # ---------------------------------------------------------------------------
@@ -191,6 +221,40 @@ def image_features(df: DataFrame, id_col: str = "media_id",
         feats,
         f"{id_col} long, width int, height int, mean_px double, "
         "min_px int, max_px int",
+    )
+
+
+def audio_features(df: DataFrame, id_col: str = "media_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Decode FAUD payloads to per-clip sample statistics (duration,
+    mean/max amplitude) — numpy view over Arrow binary, the audio
+    feature-extraction batch shape."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw)
+                if raw[:4] != AUDIO_MAGIC:
+                    continue
+                sr, n = struct.unpack("<ii", raw[4:12])
+                samples = np.frombuffer(raw, dtype=np.uint8, offset=12)
+                rows.append((
+                    mid, sr, n,
+                    round(float(n) / sr, 6),
+                    round(float(samples.mean()), 6),
+                    int(samples.max()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_samples",
+                         "duration_s", "mean_amp", "max_amp"],
+            )
+
+    return df.mapInPandas(
+        feats,
+        f"{id_col} long, sample_rate int, n_samples int, "
+        "duration_s double, mean_amp double, max_amp int",
     )
 
 

@@ -1771,3 +1771,56 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         default_rate=0.5,
     ).select("doc_id", "source")
+
+
+@register(
+    "media_audio_features",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+               CAST(16 + n_chars % 16 AS INT) AS n_samples
+        FROM documents
+    ), s AS (
+        SELECT doc_id, sample_rate, n_samples,
+               list_transform(
+                   string_split_regex(
+                       substring(repeat(text,
+                           CAST(ceil(n_samples * 1.0 / length(text)) AS INT)),
+                           1, n_samples), ''),
+                   x -> ord(x)) AS samples
+        FROM t
+    )
+    SELECT doc_id AS media_id, sample_rate, n_samples,
+           round(n_samples * 1000.0 / sample_rate, 6) AS duration_ms,
+           round(list_aggregate(samples, 'avg'), 6) AS mean_amp,
+           CAST(list_aggregate(samples, 'max') AS INT) AS max_amp
+    FROM s
+    """,
+    doc="Multimodal: documents -> FAUD fake audio clips (mapInPandas "
+        "encode) -> per-clip sample features (duration, mean/max "
+        "amplitude via numpy over Arrow binary); oracle recomputes the "
+        "cycled-byte stats closed-form. Completes the image/audio/video "
+        "triple of SURVEY.md §7 north-star media ops.",
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.multimodal import (
+        audio_features,
+        encode_fake_audio,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    clips = encode_fake_audio(
+        docs, "doc_id", "text",
+        sample_rate_expr="8000 + (doc_id % 3) * 4000",
+        n_samples_expr="16 + n_chars % 16",
+    )
+    # duration in ms: seconds (n/sr) lands on exact .5 round boundaries
+    # (19/16000 = .0011875) where Python rounds half-even and DuckDB
+    # half-up; ms keeps every value off the 6-dp boundary.
+    return audio_features(clips).select(
+        "media_id", "sample_rate", "n_samples",
+        F.round(F.col("n_samples") * 1000.0 / F.col("sample_rate"), 6)
+         .alias("duration_ms"),
+        "mean_amp", "max_amp",
+    )

@@ -106,3 +106,27 @@ def test_real_codec_stubs_raise(spark, seed_df):
         decode_image_real(images)
     with pytest.raises(NotImplementedError, match="soundfile"):
         decode_audio_real(images)
+
+
+def test_audio_roundtrip_metadata_and_features(spark, seed_df):
+    from flink_examples_spark.operators.multimodal import (
+        audio_features,
+        encode_fake_audio,
+        media_metadata,
+    )
+
+    clips = encode_fake_audio(
+        seed_df, "doc_id", "text",
+        sample_rate_expr="8000", n_samples_expr="8",
+    )
+    meta = {r["media_id"]: r.asDict() for r in media_metadata(clips).collect()}
+    assert meta[1]["kind"] == "audio"
+    assert meta[1]["sample_rate"] == 8000
+    assert meta[1]["n_bytes"] == 12 + 8  # FAUD header + samples
+
+    feats = {r["media_id"]: r.asDict() for r in audio_features(clips).collect()}
+    # doc 1 seed 'abcdefgh' cycled to 8 samples = the seed itself
+    seed = b"abcdefgh"
+    assert feats[1]["n_samples"] == 8
+    assert feats[1]["max_amp"] == max(seed)
+    assert abs(feats[1]["mean_amp"] - sum(seed) / 8) < 1e-6
