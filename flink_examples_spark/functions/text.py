@@ -77,6 +77,50 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(F.trim(F.lower(col)))
 
 
+def winnow_fingerprints(
+    text: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    character k-gram, then keep the minimum hash of each sliding window
+    of ``window`` consecutive k-gram hashes; the distinct minima are the
+    document's fingerprint set.
+
+    Guarantees: any shared substring of length >= k + window - 1 between
+    two documents yields at least one shared fingerprint, while storage
+    is ~1/window of the full k-gram set — the local-similarity
+    complement to [[fingerprint_md5]]'s whole-document key.
+
+    Implemented entirely as nested codegen'd array expressions (no
+    Python, no shuffle): ``transform(sequence) -> md5-hash -> windowed
+    array_min -> array_distinct``. Engine-portable: the per-gram hash is
+    the same ``('0x'||substr(md5(gram),1,15))::BIGINT`` the SQL oracles
+    use. Returns ``array<long>`` (empty for docs shorter than
+    ``k + window - 1``).
+    """
+    if not isinstance(text, str):
+        raise TypeError("winnow_fingerprints needs a column NAME (the "
+                        "expression is built as SQL text)")
+    s = f"`{text}`"
+    # k-gram hashes: h[i] = hash60(substr(text, i, k)), 1-based. The
+    # empty-input guards must be explicit ifs: sequence(1, 0) runs
+    # DESCENDING ([1, 0]) rather than producing an empty array.
+    grams = (
+        f"if(length({s}) < {k}, array(), "
+        f"transform(sequence(1, length({s}) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(substring({s}, i, {k})), 1, 15), "
+        "16, 10) as bigint)))"
+    )
+    # bind the gram array once via a single-element transform (SQL has
+    # no let-expression; this stops the subtree being evaluated twice)
+    mins = (
+        f"transform(array({grams}), g -> "
+        f"if(size(g) < {window}, array(), "
+        f"transform(sequence(1, size(g) - {window - 1}), "
+        f"j -> array_min(slice(g, j, {window})))))[0]"
+    )
+    return F.array_distinct(F.expr(mins))
+
+
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit integer hash from md5 hex (engine-portable).
 

@@ -1824,3 +1824,62 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("duration_ms"),
         "mean_amp", "max_amp",
     )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, i.i AS pos, length(text) - 4 AS n_grams,
+               ('0x' || substr(md5(substring(text, i.i, 5)), 1, 15))::BIGINT AS h
+        FROM documents CROSS JOIN generate_series(1, 1024) AS i(i)
+        WHERE i.i <= length(text) - 4
+    ), w AS (
+        SELECT doc_id, pos, n_grams,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM g
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n_grams - 3
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_fps,
+           MIN(fp) AS min_fp,
+           MAX(fp) AS max_fp,
+           CAST(SUM(fp % 1000003) AS BIGINT) AS fp_modsum
+    FROM fps GROUP BY doc_id
+    """,
+    doc="Winnowing (MOSS) fingerprints: 5-gram rolling hashes, window-4 "
+        "minima, distinct — any shared substring of length >= 8 chars "
+        "between two docs shares a fingerprint, at ~1/4 the storage of "
+        "the full gram set. Pure nested-array codegen (no Python, no "
+        "shuffle before the explode); the local-similarity complement "
+        "to doc_fingerprint's whole-document key.",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import winnow_fingerprints
+
+    # The winnow expression is ~n_grams * window md5 evaluations per
+    # row — CPU-heavy on tiny input bytes, so the file scan's natural
+    # 1-2 partitions serialize it (same failure mode
+    # keyed_python_partitions fixes for Python stages; here the stage
+    # is JVM codegen but equally CPU-bound). Fan out explicitly.
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # verify via per-doc aggregates of the fingerprint SET (count, min,
+    # max, mod-sum) — value-exact but |docs| output rows instead of the
+    # full exploded set (~n_grams/window rows per doc)
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(winnow_fingerprints("text", k=5, window=4)).alias("fp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+            F.sum(F.col("fp") % 1000003).alias("fp_modsum"),
+        )
+    )

@@ -104,3 +104,27 @@ def test_binary_int_pair_codec_roundtrip(spark):
         for r in decode_int_pair_binary(df).collect()
     ]
     assert got == pairs
+
+
+def test_winnow_fingerprint_guarantee_and_density(spark):
+    """Winnowing invariants: any shared substring of length >= k+w-1
+    (= 8) yields a shared fingerprint; fingerprint count is a fraction
+    of the gram count; short docs fingerprint to empty."""
+    from flink_examples_spark.functions.text import winnow_fingerprints
+
+    shared = "zqxwvutsrqponm"  # 14 chars > 8, appears in both docs
+    rows = [
+        (1, "aaaa " + shared + " bbbb"),
+        (2, "cccc dddd " + shared),
+        (3, "no overlap here at all!!"),
+        (4, "tiny"),  # < k+w-1: no complete window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: set(r.fps) for r in df.select(
+        "doc_id", winnow_fingerprints("text", 5, 4).alias("fps")
+    ).collect()}
+    assert out[1] & out[2]          # shared substring -> shared fp
+    assert not (out[1] & out[3] & out[2])
+    assert out[4] == set()
+    n_grams = len(rows[0][1]) - 4
+    assert len(out[1]) < n_grams    # winnowing compresses the gram set
