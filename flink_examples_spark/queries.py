@@ -1472,7 +1472,8 @@ def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_orders,
-           CAST(SUM(o.o_totalprice) AS DECIMAL(18,2)) AS revenue
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """,
@@ -1497,9 +1498,11 @@ def skew_salted_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("revenue"),
+            # sum in DECIMAL (exact, order-independent), present as
+            # DOUBLE — summing raw doubles hash-mismatches at sf0.1
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
         )
-        .select("segment", "n_orders", _dec("revenue").alias("revenue"))
+        .select("segment", "n_orders", "revenue")
     )
 
 
