@@ -171,12 +171,17 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(raw)
                 magic = raw[:4]
-                a, b, c = struct.unpack("<iii", raw[4:16])
-                if magic == IMAGE_MAGIC:
+                # per-magic header width: FAUD's header is 12 bytes, so
+                # unpacking a fixed 16-byte prefix would crash on clips
+                # with fewer than 4 samples
+                if magic == IMAGE_MAGIC and len(raw) >= 16:
+                    a, b, c = struct.unpack("<iii", raw[4:16])
                     m = ("image", a, b, c, None, None, len(raw))
-                elif magic == AUDIO_MAGIC:
+                elif magic == AUDIO_MAGIC and len(raw) >= 12:
+                    a, _n = struct.unpack("<ii", raw[4:12])
                     m = ("audio", None, None, None, a, None, len(raw))
-                elif magic == VIDEO_MAGIC:
+                elif magic == VIDEO_MAGIC and len(raw) >= 16:
+                    a, b, c = struct.unpack("<iii", raw[4:16])
                     m = ("video", a, b, None, None, c, len(raw))
                 else:
                     m = ("unknown", None, None, None, None, None, len(raw))
@@ -239,11 +244,14 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
                     continue
                 sr, n = struct.unpack("<ii", raw[4:12])
                 samples = np.frombuffer(raw, dtype=np.uint8, offset=12)
+                # degenerate clips (0 samples / 0 rate): nulls, not a
+                # task-killing ValueError/ZeroDivisionError — one bad
+                # row must not fail the whole Arrow batch
                 rows.append((
                     mid, sr, n,
-                    round(float(n) / sr, 6),
-                    round(float(samples.mean()), 6),
-                    int(samples.max()),
+                    round(float(n) / sr, 6) if sr else None,
+                    round(float(samples.mean()), 6) if samples.size else None,
+                    int(samples.max()) if samples.size else None,
                 ))
             yield pd.DataFrame(
                 rows,

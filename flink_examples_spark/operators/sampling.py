@@ -27,10 +27,18 @@ from flink_examples_spark.functions.text import hash60
 _BUCKETS = 10_000
 
 
+def _null_safe(col: Column) -> Column:
+    """NULL-safe string key: concat() null-propagates, which would give
+    NULL buckets — and a NULL bucket silently drops the row from every
+    filter (NULL < k is NULL). NULLs hash as a sentinel instead, so
+    NULL-id rows are sampled/split like any other value."""
+    return F.coalesce(col.cast("string"), F.lit("\x00null\x00"))
+
+
 def _bucket(id_col: str, salt: str) -> Column:
     """Deterministic bucket in [0, 10000) from (id, salt)."""
     return F.pmod(
-        hash60(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))),
+        hash60(F.concat(_null_safe(F.col(id_col)), F.lit("#" + salt))),
         F.lit(_BUCKETS),
     )
 
@@ -98,9 +106,9 @@ def stratified_sample(
     b = F.pmod(
         hash60(
             F.concat(
-                F.col(id_col).cast("string"),
+                _null_safe(F.col(id_col)),
                 F.lit("#" + salt + "#"),
-                F.col(strata_col).cast("string"),
+                _null_safe(F.col(strata_col)),
             )
         ),
         F.lit(_BUCKETS),

@@ -1780,6 +1780,9 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_audio_features",
     oracle="""
     WITH t AS (
+        -- ord-per-CHARACTER only equals the operator's UTF-8 BYTES for
+        -- ASCII text (true of the fixtures); n_samples >= 16 so clips
+        -- are never degenerate and length(text) > 0 for the repeat
         SELECT doc_id, text,
                CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
                CAST(16 + n_chars % 16 AS INT) AS n_samples
@@ -1833,9 +1836,13 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_winnow_fingerprints",
     oracle="""
     WITH g AS (
+        -- series bound must cover the longest document (max 577 chars
+        -- in the current fixtures); 4096 matches the shingle-SQL cap
+        -- convention and leaves 7x headroom before the oracle would
+        -- silently under-count versus the uncapped Spark side
         SELECT doc_id, i.i AS pos, length(text) - 4 AS n_grams,
                ('0x' || substr(md5(substring(text, i.i, 5)), 1, 15))::BIGINT AS h
-        FROM documents CROSS JOIN generate_series(1, 1024) AS i(i)
+        FROM documents CROSS JOIN generate_series(1, 4096) AS i(i)
         WHERE i.i <= length(text) - 4
     ), w AS (
         SELECT doc_id, pos, n_grams,

@@ -149,16 +149,28 @@ def parquet_upsert_foreach_batch(
                 f.endswith(".parquet") for f in os.listdir(d)
             )
 
-        base = target_dir if has_parquet(target_dir) else None
-        if base is None:
-            # crashed mid-overwrite? newest complete tmp stage is the
-            # only full copy — recover from it
-            rescues = sorted(
-                (d for d in glob.glob(target_dir.rstrip("/") + ".tmp-*")
-                 if has_parquet(d)),
-                key=os.path.getmtime,
+        def committed(d: str) -> bool:
+            # Spark's committer writes _SUCCESS last; a directory with
+            # part files but no marker is a crashed half-commit and must
+            # NOT be treated as authoritative.
+            return has_parquet(d) and os.path.isfile(
+                os.path.join(d, "_SUCCESS")
             )
-            base = rescues[-1] if rescues else None
+
+        rescues = sorted(
+            (d for d in glob.glob(target_dir.rstrip("/") + ".tmp-*")
+             if committed(d)),
+            key=os.path.getmtime,
+        )
+        if committed(target_dir):
+            base = target_dir
+        elif rescues:
+            # crashed mid-overwrite: the newest fully-committed tmp
+            # stage is the only complete copy — recover from it, never
+            # from a partially-moved target
+            base = rescues[-1]
+        else:
+            base = target_dir if has_parquet(target_dir) else None
         if base is not None:
             existing = spark.read.parquet(base)
             keep = existing.join(batch.select(*key_cols), list(key_cols), "left_anti")

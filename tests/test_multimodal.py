@@ -130,3 +130,29 @@ def test_audio_roundtrip_metadata_and_features(spark, seed_df):
     assert feats[1]["n_samples"] == 8
     assert feats[1]["max_amp"] == max(seed)
     assert abs(feats[1]["mean_amp"] - sum(seed) / 8) < 1e-6
+
+
+def test_audio_degenerate_clips_do_not_kill_the_batch(spark):
+    """A zero-sample or zero-rate clip yields nulls for its features —
+    it must not raise and take the whole Arrow batch down with it."""
+    import struct as _s
+
+    from flink_examples_spark.operators.multimodal import (
+        AUDIO_MAGIC,
+        audio_features,
+        media_metadata,
+    )
+
+    payloads = [
+        (1, AUDIO_MAGIC + _s.pack("<ii", 8000, 0)),          # 0 samples
+        (2, AUDIO_MAGIC + _s.pack("<ii", 0, 2) + b"ab"),     # 0 rate
+        (3, AUDIO_MAGIC + _s.pack("<ii", 8000, 2) + b"ab"),  # healthy
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    feats = {r.media_id: r.asDict() for r in audio_features(df).collect()}
+    assert feats[1]["mean_amp"] is None and feats[1]["max_amp"] is None
+    assert feats[2]["duration_ms" if "duration_ms" in feats[2] else "duration_s"] is None
+    assert feats[3]["max_amp"] == ord("b")
+    # metadata parse survives the header-only clip (12-byte FAUD header)
+    meta = {r.media_id: r.kind for r in media_metadata(df).collect()}
+    assert meta == {1: "audio", 2: "audio", 3: "audio"}

@@ -124,7 +124,8 @@ def test_winnow_fingerprint_guarantee_and_density(spark):
         "doc_id", winnow_fingerprints("text", 5, 4).alias("fps")
     ).collect()}
     assert out[1] & out[2]          # shared substring -> shared fp
-    assert not (out[1] & out[3] & out[2])
+    assert not (out[1] & out[3])    # no shared substring -> disjoint
+    assert not (out[2] & out[3])
     assert out[4] == set()
     n_grams = len(rows[0][1]) - 4
     assert len(out[1]) < n_grams    # winnowing compresses the gram set

@@ -72,3 +72,20 @@ def test_stratified_sample_respects_per_stratum_rates(spark):
     others = sum(v for k, v in by_src.items() if k not in ("src0", "src1"))
     others_total = sum(v for k, v in total.items() if k not in ("src0", "src1"))
     assert 0.3 < others / others_total < 0.7  # default 0.5
+
+
+def test_null_ids_and_strata_are_handled_not_dropped(spark):
+    """NULL ids/strata must hash via a sentinel — concat's null
+    propagation would otherwise give NULL buckets, silently dropping the
+    rows from every sample and funneling them all into the last split."""
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (2, None), (None, None)],
+        "id long, src string",
+    )
+    splits = hash_split(df, "id")
+    assert splits.count() == 4  # total: nobody dropped
+    # rate-1.0 sample keeps everything, including NULL ids
+    assert deterministic_sample(df, "id", 1.0).count() == 4
+    # rate-1.0 default keeps NULL strata too
+    kept = stratified_sample(df, "src", {"zzz": 0.0}, "id", default_rate=1.0)
+    assert kept.count() == 4

@@ -997,3 +997,15 @@ def test_parquet_upsert_recovers_from_crashed_overwrite(spark, tmp_path):
     got = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
     assert got == {(1, "a"), (2, "b2"), (3, "c")}
     assert [p for p in os.listdir(tmp_path) if ".tmp-" in p] == []
+
+    # harder crash: the target is PARTIALLY committed (part files moved
+    # but no _SUCCESS marker) — the committed rescue copy must win over
+    # the half-written target
+    crash_tmp2 = target + ".tmp-2-cafebabe"
+    shutil.copytree(target, crash_tmp2)
+    os.remove(os.path.join(target, "_SUCCESS"))
+    parts = [f for f in os.listdir(target) if f.endswith(".parquet")]
+    os.remove(os.path.join(target, parts[0]))  # half-moved commit
+    write(spark.createDataFrame([(4, "d")], "k long, v string"), 2)
+    got2 = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert got2 == {(1, "a"), (2, "b2"), (3, "c"), (4, "d")}
