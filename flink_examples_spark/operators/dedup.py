@@ -46,7 +46,17 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: ``(doc_id, shingle)``."""
+    """Distinct word n-gram shingles per document: ``(doc_id, shingle)``.
+
+    Per-doc dedup happens in codegen (``array_distinct`` on the shingle
+    array before the explode), NOT via ``.distinct()`` — a global
+    distinct would shuffle the full exploded set by (doc_id, shingle)
+    only for every downstream consumer to immediately re-shuffle by its
+    own key (shingle for the inverted-index joins, doc_id for sizes).
+    Dropping that exchange is one full pass over the corpus saved at
+    100 TB; within a row the array is a few hundred entries, so the
+    hash-set dedup is cheap and stays in the scan stage.
+    """
     shingle_expr = "transform(sequence(0, size(t) - %d), i -> %s)" % (
         n,
         " || ' ' || ".join(f"t[i + {j}]" for j in range(n)),
@@ -54,8 +64,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return (
         df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
         .filter(F.size("t") >= n)
-        .select("doc_id", F.explode(F.expr(shingle_expr)).alias("shingle"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array_distinct({shingle_expr})")).alias("shingle"),
+        )
     )
 
 

@@ -50,6 +50,17 @@ def _dec(col, scale: int = 2):
     return F.col(col).cast(f"decimal(18,{scale})")
 
 
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small single-file table across the cluster before a
+    CPU-heavy codegen stage (tokenize/shingle/hash): the file's 1-2
+    scan partitions would otherwise serialize work that AQE cannot
+    re-split (it only coalesces). At real scale the scan already has
+    thousands of partitions and the round-robin is a cheap narrow-ish
+    rebalance of the projected columns (doc_winnow_fingerprints
+    precedent, ~2x at sf0.1)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Flagship: HotItems sliding-window top-N (SURVEY §7.2; HotItems.java:55-81)
 # ---------------------------------------------------------------------------
@@ -938,7 +949,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        load_table(spark, "documents", sf_dir),
+        _fan_out(spark, load_table(spark, "documents", sf_dir)),
         "doc_id",
         "text",
         n=3,
@@ -980,7 +991,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        load_table(spark, "documents", sf_dir),
+        _fan_out(spark, load_table(spark, "documents", sf_dir)),
         "doc_id",
         "text",
         num_hashes=8,
@@ -1397,7 +1408,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = minhash_lsh_pairs(
-        load_table(spark, "documents", sf_dir), "doc_id", "text",
+        _fan_out(spark, load_table(spark, "documents", sf_dir)), "doc_id", "text",
         num_hashes=8, band_size=2,
     )
     return connected_components(pairs, "doc_a", "doc_b")
@@ -1594,7 +1605,7 @@ def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the second scan saves — the crossover is corpus size, so the
     # registered path takes the scale-honest side. MEMORY_AND_DISK so
     # oversized partitions spill, not OOM.
-    sh = shingles(docs, "doc_id", "text", n=3).persist(
+    sh = shingles(_fan_out(spark, docs), "doc_id", "text", n=3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cand = minhash_lsh_pairs(
@@ -1892,4 +1903,188 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fp").alias("max_fp"),
             F.sum(F.col("fp") % 1000003).alias("fp_modsum"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene: decontamination, repetition quality, PII scrub
+# (operators/decontam.py, operators/quality.py, functions/pii.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontam_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2]
+                         || ' ' || toks[g.i+3] AS shingle
+        FROM toks CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 3
+    ), b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#decontam'),
+                               1, 15))::BIGINT % 10000 AS bkt
+        FROM documents
+    ), ev AS (
+        SELECT DISTINCT shingle
+        FROM sh JOIN b USING (doc_id) WHERE bkt < 1000
+    ), tr AS (
+        SELECT sh.* FROM sh JOIN b USING (doc_id) WHERE bkt >= 1000
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY 1
+    ), hits AS (
+        SELECT tr.doc_id, COUNT(*) AS n_hits
+        FROM tr JOIN ev USING (shingle) GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_grams,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CASE WHEN COALESCE(h.n_hits, 0) > 0
+                THEN 'contaminated' ELSE 'clean' END AS verdict
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+    doc="Benchmark decontamination: deterministic 10% eval holdout "
+        "(salted hash split), 4-token shingles, train docs sharing any "
+        "shingle with the eval set flagged. Eval shingle set is "
+        "broadcast — the 100 TB train side is never shuffled by "
+        "shingle. n=4 (not the production-realistic 8) so the "
+        "small-vocab synthetic corpus yields non-trivial hits.",
+)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.decontam import ngram_decontaminate
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, "documents", sf_dir),
+        "doc_id",
+        weights=(("eval", 0.1), ("train", 0.9)),
+        salt="decontam",
+    )
+    return ngram_decontaminate(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "eval"),
+        "doc_id",
+        "text",
+        n=4,
+    )
+
+
+@register(
+    "doc_repetition_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               1 - len(list_distinct(toks)) * 1.0 / len(toks) AS dup_f,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS bgs
+        FROM t WHERE len(toks) >= 2
+    ), b AS (
+        SELECT doc_id, dup_f, unnest(bgs) AS bg FROM s
+    ), c AS (
+        SELECT doc_id, bg, COUNT(*) AS c, any_value(dup_f) AS dup_f
+        FROM b GROUP BY 1, 2
+    ), p AS (
+        SELECT doc_id, any_value(dup_f) AS dup_f,
+               MAX(c) * 1.0 / SUM(c) AS top_f
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id,
+           round(dup_f, 6) AS dup_token_frac,
+           round(top_f, 6) AS top_bigram_frac,
+           CASE WHEN top_f > 0.06 OR dup_f > 0.65
+                THEN 'repetitive' ELSE 'ok' END AS verdict
+    FROM p
+    """,
+    doc="Gopher-style repetition quality gate: duplicate-token fraction "
+        "(pure array codegen, zero shuffle) + modal-bigram share (one "
+        "keyed map-side-combined shuffle), thresholds 0.65 / 0.06 "
+        "flagging ~15% of the synthetic corpus as repetitive.",
+)
+def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.quality import repetition_signals
+
+    return repetition_signals(
+        load_table(spark, "documents", sf_dir),
+        "doc_id",
+        "text",
+        top_bigram_max=0.06,
+        dup_token_max=0.65,
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' cc admin@test.org' ELSE '' END
+                    || ' tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                    || '-0199'
+                    || ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS raw
+        FROM documents
+    ), s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_email,
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+        FROM raw
+    ), s2 AS (
+        SELECT doc_id, n_email,
+               len(regexp_extract_all(t1, '{_PII_PHONE}')) AS n_phone,
+               regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id, n_email, n_phone,
+               len(regexp_extract_all(t2, '{_PII_IPV4}')) AS n_ipv4,
+               regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS t3
+        FROM s2
+    )
+    SELECT doc_id, n_email, n_phone, n_ipv4, md5(t3) AS scrub_hash
+    FROM s3
+    """,
+    doc="PII scrub over synthesized contact lines (the parquet corpus "
+        "carries no PII, so deterministic email/phone/IP strings are "
+        "appended per doc, then redacted): ordered regex redaction in "
+        "the Java-regex/RE2 common subset, per-pattern counts, scrubbed "
+        "text verified by md5. Zero-shuffle codegen map pass.",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.pii import pii_counts, pii_scrub
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, " cc admin@test.org").otherwise(""),
+        F.lit(" tel 555-"),
+        (F.col("doc_id") % 900 + 100).cast("string"),
+        F.lit("-0199"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    with_pii = docs.select("doc_id", raw.alias("raw"))
+    return with_pii.select(
+        "doc_id",
+        *pii_counts("raw"),
+        F.md5(pii_scrub("raw")).alias("scrub_hash"),
     )

@@ -1,0 +1,136 @@
+"""Tests for decontamination, repetition quality, and PII scrubbing
+(operators/decontam.py, operators/quality.py, functions/pii.py) on
+crafted fixtures — edge cases the synthetic-corpus oracle queries can't
+exercise (exact contamination semantics, regex ordering, threshold
+boundaries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_examples_spark.functions.pii import pii_counts, pii_scrub
+from flink_examples_spark.operators.decontam import ngram_decontaminate
+from flink_examples_spark.operators.quality import repetition_signals
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontam_flags_copied_ngram_only(spark):
+    eval_df = _docs(spark, [(100, "the quick brown fox jumps over the dog")])
+    train = _docs(
+        spark,
+        [
+            # contains "quick brown fox jumps" — a copied 4-gram
+            (1, "she saw the quick brown fox jumps high today"),
+            # same vocabulary, no shared 4-token sequence
+            (2, "fox brown quick the dog over jumps jumps"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(train, eval_df, "doc_id", "text", n=4).collect()
+    }
+    assert out[1]["verdict"] == "contaminated"
+    assert out[1]["n_hits"] >= 1
+    assert out[2]["verdict"] == "clean"
+    assert out[2]["n_hits"] == 0
+    # n_grams counts DISTINCT shingles (doc 2 repeats "jumps")
+    assert out[2]["n_grams"] == 5
+
+
+def test_decontam_short_docs_have_no_row(spark):
+    eval_df = _docs(spark, [(100, "a b c d e")])
+    train = _docs(spark, [(1, "a b c")])  # 3 tokens < n=4: no shingles
+    assert ngram_decontaminate(train, eval_df, "doc_id", "text", n=4).count() == 0
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    eval_df = _docs(spark, [(100, "a b c d e")])
+    train = _docs(spark, [(1, "x y z w v u")])
+    plan = ngram_decontaminate(
+        train, eval_df, "doc_id", "text", n=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# repetition quality
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_flags_repeats(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),          # dup 0.75, top bigram 1.0
+            (2, "one two three four five six"),  # all distinct
+            (3, "solo"),                         # single token: excluded
+        ],
+    )
+    # explicit thresholds: the registry defaults (0.06) are tuned for
+    # ~60-token docs, where a modal-bigram share of 1/5 would be wild
+    rows = {r["doc_id"]: r for r in
+            repetition_signals(df, "doc_id", "text",
+                               top_bigram_max=0.5,
+                               dup_token_max=0.65).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["verdict"] == "repetitive"
+    assert rows[1]["dup_token_frac"] == 0.75
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[2]["verdict"] == "ok"
+    assert rows[2]["dup_token_frac"] == 0.0
+    # 5 distinct bigrams, modal share 1/5
+    assert rows[2]["top_bigram_frac"] == 0.2
+
+
+def test_repetition_threshold_boundary_is_exclusive(spark):
+    # top bigram share exactly at the threshold must NOT flag (strict >)
+    df = _docs(spark, [(1, "a b c d e")])  # modal bigram 1/4 = 0.25
+    row = repetition_signals(
+        df, "doc_id", "text", top_bigram_max=0.25, dup_token_max=0.9
+    ).collect()[0]
+    assert row["verdict"] == "ok"
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def _scrub_one(spark, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    return df.select(
+        pii_scrub("t").alias("s"), *pii_counts("t")
+    ).collect()[0]
+
+
+def test_pii_scrub_all_three_patterns(spark):
+    r = _scrub_one(
+        spark,
+        "mail bob.smith+x@corp.example.org or 555-123-4567, host 10.0.0.1 ok",
+    )
+    assert r["s"] == "mail <EMAIL> or <PHONE>, host <IP> ok"
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1)
+
+
+def test_pii_email_wins_over_inner_ip(spark):
+    # the dotted-quad inside the email's local part must be consumed by
+    # the email pass (declaration order), never double-counted as an IP
+    r = _scrub_one(spark, "x 1.2.3.4@ex.com y")
+    assert r["s"] == "x <EMAIL> y"
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (1, 0, 0)
+
+
+def test_pii_counts_multiple_and_none(spark):
+    r = _scrub_one(spark, "a@b.co c@d.org 1.1.1.1 2.2.2.2 3.3.3.3")
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (2, 0, 3)
+    clean = _scrub_one(spark, "no sensitive content here")
+    assert clean["s"] == "no sensitive content here"
+    assert (clean["n_email"], clean["n_phone"], clean["n_ipv4"]) == (0, 0, 0)
