@@ -2088,3 +2088,121 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pii_counts("raw"),
         F.md5(pii_scrub("raw")).alias("scrub_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence assembly: packing, chunking, corpus length stats
+# (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seq_pack_bins",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) // 256 AS pack_id
+        FROM t
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY 1, 2
+    """,
+    doc="Greedy in-order sequence packing into 256-token bins per "
+        "source (exclusive-prefix-sum window, integer-only -> "
+        "hash-exact), then per-bin accounting. At 100 TB packing runs "
+        "per (source x shard) key — thousands of independent window "
+        "partitions, never a global ordering.",
+)
+def seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.packing import pack_stats, sequence_pack
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_stats(
+        sequence_pack(docs, "doc_id", "text", target=256,
+                      partition_col="source"),
+        "source",
+    )
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, g.j AS chunk_idx,
+               toks[g.j * 32 + 1 : (g.j + 1) * 32] AS chunk
+        FROM t CROSS JOIN generate_series(0, 255) AS g(j)
+        WHERE g.j * 32 < len(toks)
+    )
+    SELECT doc_id, chunk_idx,
+           len(chunk) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM c
+    """,
+    doc="Context-window chunking: every document split into "
+        "non-overlapping 32-token windows (final chunk short), chunk "
+        "content fingerprinted by md5. Pure codegen transform + "
+        "posexplode — zero shuffle, embarrassingly parallel at any "
+        "scale.",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, "documents", sf_dir), "doc_id", "text",
+        chunk_tokens=32,
+    )
+
+
+@register(
+    "source_token_percentiles",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens
+    FROM t GROUP BY 1
+    """,
+    doc="Per-source token-length profile (exact linear-interpolated "
+        "p50/p90 — identical formula in Spark percentile and DuckDB "
+        "quantile_cont). The corpus-shape report a mixing job reads "
+        "before choosing pack/chunk budgets. Single map-side-combined "
+        "aggregation; at extreme scale swap percentile for the "
+        "t-digest sketch (queries.py count_distinct_daily_approx "
+        "precedent).",
+)
+def source_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = token_count("text")
+    return (
+        docs.select("source", n.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.percentile("n_tokens", 0.5), 6).alias("p50_tokens"),
+            F.round(F.percentile("n_tokens", 0.9), 6).alias("p90_tokens"),
+        )
+    )

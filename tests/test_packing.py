@@ -1,0 +1,85 @@
+"""Edge cases for sequence packing / chunking (operators/packing.py)
+that the registry oracle can't isolate: exact-boundary bins, oversized
+documents, divisible-length chunking."""
+
+from __future__ import annotations
+
+from flink_examples_spark.operators.packing import (
+    chunk_documents,
+    pack_stats,
+    sequence_pack,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pack_overflow_and_boundary(spark):
+    # target=4: doc1 (3 tok) starts bin 0; doc2 (3 tok) has exclusive
+    # prefix 3 < 4 so it ALSO lands in bin 0 (overflowing to 6 — the
+    # documented streaming-pack semantics); doc3's prefix is 6 -> bin 1.
+    # doc4's prefix is 8, exactly 2*target -> opens bin 2, proving the
+    # exact-boundary prefix starts a fresh bin.
+    df = _docs(
+        spark,
+        [
+            (1, "s", "a b c"),
+            (2, "s", "d e f"),
+            (3, "s", "g h"),
+            (4, "s", "i j"),
+        ],
+    )
+    packed = {
+        r["doc_id"]: r["pack_id"]
+        for r in sequence_pack(df, "doc_id", "text", 4, "source").collect()
+    }
+    assert packed == {1: 0, 2: 0, 3: 1, 4: 2}
+    stats = {
+        (r["source"], r["pack_id"]): (r["n_docs"], r["pack_tokens"])
+        for r in pack_stats(
+            sequence_pack(df, "doc_id", "text", 4, "source"), "source"
+        ).collect()
+    }
+    assert stats == {("s", 0): (2, 6), ("s", 1): (1, 2), ("s", 2): (1, 2)}
+
+
+def test_pack_oversized_doc_gets_own_bin_span(spark):
+    # a single doc larger than target occupies bins by itself; the NEXT
+    # doc's prefix (7) falls in bin floor(7/4)=1, sharing no bin with it
+    df = _docs(spark, [(1, "s", "a b c d e f g"), (2, "s", "x y")])
+    packed = {
+        r["doc_id"]: r["pack_id"]
+        for r in sequence_pack(df, "doc_id", "text", 4, "source").collect()
+    }
+    assert packed == {1: 0, 2: 1}
+
+
+def test_pack_partitions_are_independent(spark):
+    df = _docs(spark, [(1, "s1", "a b c"), (2, "s2", "d e f")])
+    packed = sequence_pack(df, "doc_id", "text", 4, "source").collect()
+    assert {r["pack_id"] for r in packed} == {0}
+
+
+def test_chunk_exact_multiple_has_no_empty_tail(spark):
+    df = _docs(spark, [(1, "s", "a b c d e f")])
+    rows = chunk_documents(df, "doc_id", "text", 3).collect()
+    assert [(r["chunk_idx"], r["n_chunk_tokens"]) for r in
+            sorted(rows, key=lambda r: r["chunk_idx"])] == [(0, 3), (1, 3)]
+
+
+def test_chunk_short_tail_and_single_token(spark):
+    df = _docs(spark, [(1, "s", "a b c d e"), (2, "s", "z")])
+    rows = chunk_documents(df, "doc_id", "text", 3).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["n_chunk_tokens"])
+    assert by_doc == {1: [3, 2], 2: [1]}
+
+
+def test_chunk_hashes_distinguish_content(spark):
+    df = _docs(spark, [(1, "s", "a b c a b c"), (2, "s", "a b c a b d")])
+    rows = chunk_documents(df, "doc_id", "text", 3).collect()
+    h = {(r["doc_id"], r["chunk_idx"]): r["chunk_hash"] for r in rows}
+    assert h[(1, 0)] == h[(1, 1)] == h[(2, 0)]  # identical token windows
+    assert h[(2, 1)] != h[(2, 0)]
