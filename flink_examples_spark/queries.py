@@ -2206,3 +2206,173 @@ def source_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("n_tokens", 0.9), 6).alias("p90_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the full training-data pipeline in one query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_pipeline_packs",
+    oracle="""
+    WITH RECURSIVE tq AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        FROM documents
+    ), qs AS (
+        SELECT doc_id, source, text, toks, len(toks) AS n,
+               len(list_filter(toks,
+                   x -> x IN ('the','a','of','to','and','in','is','it')))
+                   * 1.0 / len(toks) AS sr
+        FROM tq
+    ), quality AS (
+        SELECT doc_id, source, text, toks, n FROM qs
+        WHERE n >= 10 AND least(1.0, n / 50.0) * (1 - sr) >= 0.3 AND sr > 0.03
+    ), bkt AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#decontam'),
+                               1, 15))::BIGINT % 10000 AS b
+        FROM quality
+    ), sh4 AS (
+        SELECT DISTINCT doc_id,
+               toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2]
+                         || ' ' || toks[g.i+3] AS shingle
+        FROM quality CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 3
+    ), ev AS (
+        SELECT DISTINCT shingle FROM sh4 JOIN bkt USING (doc_id) WHERE b < 1000
+    ), contaminated AS (
+        SELECT DISTINCT sh4.doc_id
+        FROM sh4 JOIN bkt USING (doc_id) JOIN ev USING (shingle)
+        WHERE b >= 1000
+    ), clean AS (
+        SELECT q.* FROM quality q JOIN bkt USING (doc_id)
+        WHERE b >= 1000
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+        FROM clean CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 2
+    ), hashed AS (
+        SELECT doc_id, g.i,
+               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
+        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
+    ), sig AS (
+        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+    ), bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
+                   || '_' ||
+                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
+                   AS band_key
+        FROM sig GROUP BY doc_id, i // 2
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ), verified AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.3
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ), reach AS (
+        SELECT s AS node, s AS lbl FROM edges
+        UNION
+        SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+    ), comp AS (
+        SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    ), losers AS (
+        SELECT node FROM comp WHERE node <> cluster_id
+    ), kept AS (
+        SELECT c.* FROM clean c ANTI JOIN losers l ON c.doc_id = l.node
+    ), packed AS (
+        SELECT source, doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) // 256 AS pack_id
+        FROM kept
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+    doc="The full training-data pipeline composed end-to-end in ONE "
+        "declarative plan: quality gate (codegen) -> 10% eval holdout + "
+        "4-gram decontamination (broadcast semi-join) -> MinHash+LSH "
+        "candidates -> exact-Jaccard verify (threshold 0.3, candidates "
+        "only) -> connected components -> canonical keep -> 256-token "
+        "sequence packing per source. Every stage is the registered "
+        "scale path of its standalone query; Catalyst fuses the filters "
+        "into one corpus scan. This is the query a 100 TB corpus "
+        "actually runs.",
+)
+def corpus_pipeline_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from flink_examples_spark.functions import text as T
+    from flink_examples_spark.operators.decontam import ngram_decontaminate
+    from flink_examples_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+        minhash_lsh_pairs,
+        shingles,
+        verify_jaccard_on_candidates,
+    )
+    from flink_examples_spark.operators.packing import pack_stats, sequence_pack
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    n = T.token_count("text")
+    q = T.quality_score("text")
+    sr = T.stopword_ratio("text")
+    quality = docs.filter((n >= 10) & (q >= 0.3) & (sr > 0.03))
+
+    split = hash_split(
+        quality, "doc_id", weights=(("eval", 0.1), ("train", 0.9)),
+        salt="decontam",
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    eval_df = split.filter(F.col("split") == "eval").drop("split")
+    contaminated = (
+        ngram_decontaminate(train, eval_df, "doc_id", "text", n=4)
+        .filter(F.col("verdict") == "contaminated")
+        .select("doc_id")
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+
+    sh = shingles(
+        _fan_out(spark, clean), "doc_id", "text", n=3
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_lsh_pairs(
+        clean, "doc_id", "text", num_hashes=8, band_size=2, shingles_df=sh
+    )
+    verified = verify_jaccard_on_candidates(
+        clean, cand, "doc_id", "text", n=3, threshold=0.3, shingles_df=sh
+    )
+    comp = connected_components(verified, "doc_a", "doc_b")
+    sh.unpersist()
+    kept = keep_canonical(clean, comp, "doc_id")
+
+    return pack_stats(
+        sequence_pack(kept, "doc_id", "text", target=256,
+                      partition_col="source"),
+        "source",
+    )

@@ -136,3 +136,23 @@ def test_skew_salted_agg_is_two_stage(spark, sf_dir):
     df = E.queries()["skew_salted_event_stats"](spark, sf_dir)
     assert exchange_count(df) == 2
     assert python_eval_nodes(df) == []
+
+
+def test_chunking_and_scrub_are_shuffle_free(spark, sf_dir):
+    """doc_chunks and pii_scrub_stats are pure map passes — any Exchange
+    in their plans means a 100 TB corpus gets shuffled for a per-row
+    transform."""
+    import __spark_entry__ as E
+
+    assert exchange_count(E.queries()["doc_chunks"](spark, sf_dir)) == 0
+    assert exchange_count(E.queries()["pii_scrub_stats"](spark, sf_dir)) == 0
+
+
+def test_repetition_signals_stay_jvm_side(spark, sf_dir):
+    """The repetition quality pass is all builtin expressions — a Python
+    eval node appearing here would serialize the corpus through Arrow
+    for arithmetic Catalyst can do in codegen."""
+    import __spark_entry__ as E
+
+    df = E.queries()["doc_repetition_quality"](spark, sf_dir)
+    assert python_eval_nodes(df) == []
