@@ -55,14 +55,12 @@ def ngram_decontaminate(
     "eval" side is itself corpus-sized (then it's a shingle-keyed
     shuffle join, same shape as dedup's inverted index).
     """
-    # Shingling is CPU-bound inside the scan stage; a small table's 1-2
-    # file partitions would serialize it (doc_winnow_fingerprints
-    # precedent). At real scale the train scan already fans out and
-    # this is a cheap round-robin of the narrow (id, text) projection.
-    sc = train.sparkSession.sparkContext
-    sh_train = shingles(
-        train.repartition(sc.defaultParallelism), id_col, text_col, n
-    )
+    # No repartition here: the operator honors its zero-train-shuffle
+    # contract and leaves parallelism to the caller's scan. Small
+    # single-file inputs (whose 1-2 scan partitions serialize the
+    # CPU-bound shingling) should be fanned out AT THE CALL SITE
+    # (queries._fan_out precedent) where the input size is known.
+    sh_train = shingles(train, id_col, text_col, n)
     sh_eval = shingles(eval_df, id_col, text_col, n) \
         .select("shingle").distinct()
     if broadcast_eval:

@@ -24,11 +24,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 from flink_examples_spark.functions.text import tokens
 
 
-def dup_token_fraction(text_col: Column | str) -> Column:
+def dup_token_fraction(tokens_col: Column) -> Column:
     """Fraction of tokens that are repeats of an earlier token —
-    1 - distinct/total. NULL-free for non-empty token lists."""
-    t = tokens(text_col)
-    return 1 - F.size(F.array_distinct(t)) / F.size(t)
+    1 - distinct/total over an already-tokenized array column.
+    NULL-free for non-empty token lists."""
+    return 1 - F.size(F.array_distinct(tokens_col)) / F.size(tokens_col)
 
 
 def repetition_signals(
@@ -51,16 +51,14 @@ def repetition_signals(
     partial-aggregated map-side. The dup-token signal rides along as a
     first() over the already-grouped doc so the text is scanned once.
     """
-    # The bigram explode+count is CPU-bound on tiny input bytes, so a
-    # small table's 1-2 scan partitions would serialize it (same fix as
-    # doc_winnow_fingerprints); at real scale the scan already has
-    # thousands of partitions and this repartition is a no-op cost-wise.
-    sc = df.sparkSession.sparkContext
-    base = df.repartition(sc.defaultParallelism).select(
+    # No repartition here — small single-file inputs should be fanned
+    # out at the call site (queries._fan_out) where input size is
+    # known; the operator itself stays scan-parallelism-neutral.
+    base = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("t"),
     ).filter(F.size("t") >= 2)
-    dup = (1 - F.size(F.array_distinct("t")) / F.size("t")).alias("dup_f")
+    dup = dup_token_fraction(F.col("t")).alias("dup_f")
     bigram = F.expr("transform(sequence(0, size(t) - 2), i -> t[i] || ' ' || t[i + 1])")
     counts = (
         base.select("doc_id", dup, F.explode(bigram).alias("bg"))

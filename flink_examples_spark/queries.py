@@ -1964,8 +1964,10 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights=(("eval", 0.1), ("train", 0.9)),
         salt="decontam",
     )
+    # fan out the CPU-bound train-side shingling here (single small
+    # file at test scale); the operator itself never shuffles train
     return ngram_decontaminate(
-        docs.filter(F.col("split") == "train"),
+        _fan_out(spark, docs.filter(F.col("split") == "train")),
         docs.filter(F.col("split") == "eval"),
         "doc_id",
         "text",
@@ -2012,7 +2014,7 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.quality import repetition_signals
 
     return repetition_signals(
-        load_table(spark, "documents", sf_dir),
+        _fan_out(spark, load_table(spark, "documents", sf_dir)),
         "doc_id",
         "text",
         top_bigram_max=0.06,
@@ -2020,9 +2022,12 @@ def doc_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
-_PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+# single source of truth for the scrub patterns: the oracle SQL is
+# built from the same tuples the Spark operator consumes, so the two
+# sides cannot drift
+from flink_examples_spark.functions.pii import PII_PATTERNS as _PII
+
+_PII_EMAIL, _PII_PHONE, _PII_IPV4 = (p[1] for p in _PII)
 
 
 @register(
@@ -2320,9 +2325,13 @@ def source_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidates -> exact-Jaccard verify (threshold 0.3, candidates "
         "only) -> connected components -> canonical keep -> 256-token "
         "sequence packing per source. Every stage is the registered "
-        "scale path of its standalone query; Catalyst fuses the filters "
-        "into one corpus scan. This is the query a 100 TB corpus "
-        "actually runs.",
+        "scale path of its standalone query. The plan scans the corpus "
+        "once per DAG branch (train/eval/shingle/pack); at 100 TB you "
+        "stage the post-hygiene `clean` set to parquet between the "
+        "hygiene and dedup phases (or persist it) — here recompute "
+        "beats a cache write at test scale (dedup_pipeline_keep "
+        "measurement). This is the query a 100 TB corpus actually "
+        "runs.",
 )
 def corpus_pipeline_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
@@ -2352,7 +2361,8 @@ def corpus_pipeline_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = split.filter(F.col("split") == "train").drop("split")
     eval_df = split.filter(F.col("split") == "eval").drop("split")
     contaminated = (
-        ngram_decontaminate(train, eval_df, "doc_id", "text", n=4)
+        ngram_decontaminate(_fan_out(spark, train), eval_df,
+                            "doc_id", "text", n=4)
         .filter(F.col("verdict") == "contaminated")
         .select("doc_id")
     )
