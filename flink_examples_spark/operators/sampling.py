@@ -124,3 +124,63 @@ def stratified_sample(
         else thresh.otherwise(int(round(default_rate * _BUCKETS)))
     )
     return df.filter(b < thresh)
+
+
+def global_shuffle_rank(
+    df: DataFrame,
+    id_col: str,
+    num_buckets: int = 1024,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Assign every row a deterministic global shuffle position —
+    the "randomize the corpus order for training" step, replayable
+    across runs, retries, and engines (no ``rand()``).
+
+    Never a global sort. Two-level construction:
+
+      1. ``key = hash60(id # salt)`` orders rows pseudo-randomly;
+         ``bucket = key % num_buckets`` range-partitions that order.
+      2. within each bucket a ``row_number`` over (key, id) ranks
+         locally — ``num_buckets`` independent window partitions, each
+         ~|corpus|/num_buckets rows;
+      3. bucket sizes (a ``num_buckets``-row aggregate) turn into
+         exclusive prefix offsets on a single tiny window, broadcast
+         back; ``shuffle_rank = offset + local_rank - 1``.
+
+    Equivalent to ``ROW_NUMBER() OVER (ORDER BY bucket, key, id) - 1``
+    but the only global ordering ever materialized is over the
+    ``num_buckets`` offset rows. Size ``num_buckets`` so a bucket fits
+    a task (~100k rows/bucket at corpus scale); the (key, id) tiebreak
+    makes the rank total even under hash collisions.
+
+    Output: input columns + ``shuffle_rank`` (0-based, dense).
+    """
+    from pyspark.sql import Window
+
+    key = hash60(F.concat(_null_safe(F.col(id_col)), F.lit("#" + salt)))
+    keyed = df.withColumn("_sk", key).withColumn(
+        "_sb", F.pmod(F.col("_sk"), F.lit(num_buckets))
+    )
+    local = keyed.withColumn(
+        "_lr",
+        F.row_number().over(
+            Window.partitionBy("_sb").orderBy("_sk", id_col)
+        ),
+    )
+    sizes = keyed.groupBy("_sb").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = sizes.select(
+        "_sb",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_sb").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_sb")
+        .withColumn("shuffle_rank", F.col("_off") + F.col("_lr") - 1)
+        .drop("_sk", "_sb", "_lr", "_off")
+    )

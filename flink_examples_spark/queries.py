@@ -2386,3 +2386,33 @@ def corpus_pipeline_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       partition_col="source"),
         "source",
     )
+
+
+@register(
+    "corpus_shuffle_rank",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               {_HASH60_SQL.format(
+                   expr="CAST(doc_id AS VARCHAR) || '#shuffle'")} AS sk
+        FROM documents
+    )
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY sk % 32, sk, doc_id) - 1
+               AS shuffle_rank
+    FROM k
+    """,
+    doc="Deterministic global corpus shuffle for training order: "
+        "salted-hash sort key, two-level rank (per-bucket row_number + "
+        "broadcast prefix offsets over the 32 bucket sizes) — a dense "
+        "0-based permutation with NO global sort ever materialized; "
+        "replayable across runs/retries/engines. The oracle states the "
+        "same permutation as one global ROW_NUMBER.",
+)
+def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.sampling import global_shuffle_rank
+
+    docs = load_table(spark, "documents", sf_dir)
+    return global_shuffle_rank(docs, "doc_id", num_buckets=32).select(
+        "doc_id", "shuffle_rank"
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def read_text_lines(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
@@ -102,3 +102,34 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_partitioned_table(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hive-partitioned by low-cardinality columns
+    (date/source/shard) — the layout that turns time/source predicates
+    into DIRECTORY pruning: a scan with ``WHERE dt = X`` lists and
+    reads only the matching partition directories (PartitionFilters in
+    the plan), so a one-day query over a 100 TB / 3-year corpus touches
+    ~0.1% of files before a single row is decoded.
+
+    ``sort_cols`` additionally orders rows inside each file so min/max
+    row-group statistics prune within the partition (the poor man's
+    z-order for one dimension). Complements ``write_bucketed_table``:
+    bucket for join locality, partition for predicate locality.
+
+    Partition columns must be low-cardinality: one directory (and at
+    least one file) per distinct value — partitioning 100 TB by a
+    high-cardinality key is the small-files failure mode; bucket on
+    those instead.
+    """
+    if sort_cols:
+        df = df.repartition(*[F.col(c) for c in partition_cols]) \
+               .sortWithinPartitions(*sort_cols)
+    df.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)

@@ -46,3 +46,33 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
+    """write_partitioned_table + a partition-column predicate must show
+    PartitionFilters in the scan and actually skip the other
+    partitions' files — directory pruning, the time/source-locality
+    twin of the bucketed join-locality proof above."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.plans import formatted_plan
+    from flink_examples_spark.sources.readers import write_partitioned_table
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "dt", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_dt")
+    write_partitioned_table(ev, path, ["dt"], sort_cols=["ts"])
+
+    n_days = len(os.listdir(path))
+    assert sum(1 for d in os.listdir(path) if d.startswith("dt=")) >= 2
+
+    one_day = spark.read.parquet(path).filter(F.col("dt") == "2024-01-01")
+    plan = formatted_plan(one_day)
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters", 1)[1][:200]
+    # row-level truth: pruned scan equals the unpartitioned filter
+    expected = ev.filter(F.col("dt") == "2024-01-01").count()
+    assert one_day.count() == expected and expected > 0

@@ -89,3 +89,30 @@ def test_null_ids_and_strata_are_handled_not_dropped(spark):
     # rate-1.0 default keeps NULL strata too
     kept = stratified_sample(df, "src", {"zzz": 0.0}, "id", default_rate=1.0)
     assert kept.count() == 4
+
+
+def test_global_shuffle_rank_is_dense_deterministic_nontrivial(spark):
+    from flink_examples_spark.operators.sampling import global_shuffle_rank
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shuffle_rank"]
+         for r in global_shuffle_rank(df, "doc_id", 16).collect()}
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in global_shuffle_rank(df, "doc_id", 16).collect()}
+    assert a == b                                   # replayable
+    assert sorted(a.values()) == list(range(500))   # dense permutation
+    assert sum(1 for k, v in a.items() if k == v) < 10  # actually shuffled
+
+
+def test_global_shuffle_rank_salt_changes_order_and_nulls_rank(spark):
+    from flink_examples_spark.operators.sampling import global_shuffle_rank
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "doc_id long"
+    )
+    a = {r["doc_id"]: r["shuffle_rank"]
+         for r in global_shuffle_rank(df, "doc_id", 4, salt="s1").collect()}
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in global_shuffle_rank(df, "doc_id", 4, salt="s2").collect()}
+    assert sorted(a.values()) == [0, 1, 2, 3]  # NULL id still ranked
+    assert a != b                              # independent draws per salt

@@ -1009,3 +1009,72 @@ def test_parquet_upsert_recovers_from_crashed_overwrite(spark, tmp_path):
     write(spark.createDataFrame([(4, "d")], "k long, v string"), 2)
     got2 = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
     assert got2 == {(1, "a"), (2, "b2"), (3, "c"), (4, "d")}
+
+
+def test_streaming_corpus_hygiene_matches_batch(spark, tmp_path):
+    """Corpus-hygiene ops compose with Structured Streaming: the
+    stateless quality gate + PII scrub run per-microbatch unchanged,
+    and decontamination becomes a stream-static broadcast semi-join
+    (eval shingles are static/tiny) + streaming dropDuplicates — the
+    same verdicts the batch operators produce."""
+    from flink_examples_spark.functions import text as T
+    from flink_examples_spark.functions.pii import pii_scrub
+    from flink_examples_spark.operators.decontam import ngram_decontaminate
+    from flink_examples_spark.operators.dedup import shingles
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", SF)
+    split = hash_split(
+        docs, "doc_id", weights=(("eval", 0.1), ("train", 0.9)),
+        salt="decontam",
+    )
+    train_pdf = split.filter(F.col("split") == "train") \
+        .select("doc_id", "text").toPandas()
+    eval_df = split.filter(F.col("split") == "eval").select("doc_id", "text")
+
+    # batch truth
+    batch = {
+        r["doc_id"]: r["verdict"]
+        for r in ngram_decontaminate(
+            split.filter(F.col("split") == "train"), eval_df,
+            "doc_id", "text", n=3,
+        ).collect()
+    }
+    batch_contaminated = {k for k, v in batch.items() if v == "contaminated"}
+
+    d = write_chunks(train_pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+
+    # stateless leg: quality verdict + scrub hash per micro-batch row
+    stateless = src.select(
+        "doc_id",
+        (T.token_count("text") >= 10).alias("long_enough"),
+        F.md5(pii_scrub("text")).alias("scrub_hash"),
+    )
+    out1 = run_to_memory(stateless, spark, "hyg1", "append",
+                         str(tmp_path / "ck1"))
+    got1 = {r.doc_id: (r.long_enough, r.scrub_hash) for r in out1.collect()}
+    exp1 = {
+        r["doc_id"]: (r["long_enough"], r["scrub_hash"])
+        for r in split.filter(F.col("split") == "train").select(
+            "doc_id",
+            (T.token_count("text") >= 10).alias("long_enough"),
+            F.md5(pii_scrub("text")).alias("scrub_hash"),
+        ).collect()
+    }
+    assert got1 == exp1
+
+    # decontam leg: static eval shingle set, stream-static semi-join,
+    # streaming dropDuplicates for the distinct contaminated ids
+    ev_sh = F.broadcast(
+        shingles(eval_df, "doc_id", "text", 3).select("shingle").distinct()
+    )
+    contaminated_stream = (
+        shingles(src, "doc_id", "text", 3)
+        .join(ev_sh, "shingle")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    out2 = run_to_memory(contaminated_stream, spark, "hyg2", "append",
+                         str(tmp_path / "ck2"))
+    assert {r.doc_id for r in out2.collect()} == batch_contaminated
