@@ -177,6 +177,41 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc LSH band keys: ``(doc_id, band, band_key)``.
+
+    The persistent artifact of LSH dedup — at 100 TB this is the table
+    you stage (bucketed by ``band_key``) so later runs join against it
+    without recomputing signatures. Both the batch self-join
+    (``minhash_lsh_pairs``) and the incremental delta-vs-corpus path
+    (``incremental_lsh_pairs``) build on it.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles_df)
+    sig = sig.withColumn("band", (F.col("i") / band_size).cast("int"))
+    # Per (doc, band): fold the band's minhashes (in i-order) into one key.
+    band_cols = [
+        F.min(F.when(F.col("i") % band_size == j, F.col("minhash"))).alias(f"v{j}")
+        for j in range(band_size)
+    ]
+    return (
+        sig.groupBy("doc_id", "band")
+        .agg(*band_cols)
+        .withColumn(
+            "band_key",
+            F.md5(F.concat_ws("_", *[F.col(f"v{j}").cast("string") for j in range(band_size)])),
+        )
+        .select("doc_id", "band", "band_key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -194,22 +229,8 @@ def minhash_lsh_pairs(
     oracle reproduces them exactly. Downstream, verify candidates with
     ``ngram_jaccard_pairs`` semantics on the candidate set only.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles_df)
-    num_bands = num_hashes // band_size
-    sig = sig.withColumn("band", (F.col("i") / band_size).cast("int"))
-    # Per (doc, band): fold the band's minhashes (in i-order) into one key.
-    band_cols = [
-        F.min(F.when(F.col("i") % band_size == j, F.col("minhash"))).alias(f"v{j}")
-        for j in range(band_size)
-    ]
-    bands = (
-        sig.groupBy("doc_id", "band")
-        .agg(*band_cols)
-        .withColumn(
-            "band_key",
-            F.md5(F.concat_ws("_", *[F.col(f"v{j}").cast("string") for j in range(band_size)])),
-        )
-        .select("doc_id", "band", "band_key")
+    bands = minhash_band_keys(
+        df, id_col, text_col, num_hashes, band_size, n, shingles_df
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -223,6 +244,67 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def incremental_lsh_pairs(
+    corpus_bands: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Daily-increment dedup: candidate pairs for a NEW batch of
+    documents against an existing corpus, without recomputing or
+    reshuffling the corpus.
+
+    ``corpus_bands`` is the staged ``minhash_band_keys`` output for the
+    existing corpus (in production: read back from its bucketed table).
+    Only the delta is signatured here. Two candidate families:
+
+      - delta × corpus: the delta's band keys (tiny — one day of data)
+        are **broadcast** against the corpus band table, so the 100 TB
+        side is never shuffled;
+      - delta × delta: the plain LSH self-join within the new batch.
+
+    Output: ``doc_a, doc_b, against`` with ``against`` ∈
+    {'corpus','delta'}; (doc_a, doc_b) normalized doc_a < doc_b.
+    Feed the union into ``verify_jaccard_on_candidates`` /
+    ``connected_components`` exactly like the batch path.
+    """
+    delta_bands = minhash_band_keys(
+        delta, id_col, text_col, num_hashes, band_size, n
+    )
+    db = F.broadcast(delta_bands) if broadcast_delta else delta_bands
+    cross = (
+        corpus_bands.alias("c")
+        .join(
+            db.alias("d"),
+            (F.col("c.band") == F.col("d.band"))
+            & (F.col("c.band_key") == F.col("d.band_key")),
+        )
+        .select(
+            F.least("c.doc_id", "d.doc_id").alias("doc_a"),
+            F.greatest("c.doc_id", "d.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("against", F.lit("corpus"))
+    )
+    within = (
+        delta_bands.alias("a")
+        .join(
+            delta_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .withColumn("against", F.lit("delta"))
+    )
+    return cross.unionByName(within)
 
 
 def verify_jaccard_on_candidates(

@@ -2416,3 +2416,76 @@ def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_shuffle_rank(docs, "doc_id", num_buckets=32).select(
         "doc_id", "shuffle_rank"
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    bkt AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#incr'),
+                               1, 15))::BIGINT % 10000 AS b
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, g.i,
+               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
+        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
+    ),
+    sig AS (
+        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
+                   || '_' ||
+                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
+                   AS band_key
+        FROM sig GROUP BY doc_id, i // 2
+    ),
+    cb AS (SELECT bands.* FROM bands JOIN bkt USING (doc_id) WHERE b < 9000),
+    db AS (SELECT bands.* FROM bands JOIN bkt USING (doc_id) WHERE b >= 9000),
+    crossed AS (
+        SELECT DISTINCT least(c.doc_id, d.doc_id) AS doc_a,
+               greatest(c.doc_id, d.doc_id) AS doc_b,
+               'corpus' AS against
+        FROM cb c JOIN db d
+          ON c.band = d.band AND c.band_key = d.band_key
+    ),
+    within AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               'delta' AS against
+        FROM db a JOIN db b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM crossed UNION ALL SELECT * FROM within
+    """,
+    doc="Incremental (daily-delta) dedup: the 10% newest slice is "
+        "signatured and LSH-banded, then its band keys are BROADCAST "
+        "against the staged corpus band index — the 100 TB corpus is "
+        "neither re-signatured nor shuffled. Candidates labeled by "
+        "family (vs corpus / within delta) feed the same verify -> "
+        "components -> keep tail as the batch path.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_keys,
+    )
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, "documents", sf_dir), "doc_id",
+        weights=(("corpus", 0.9), ("delta", 0.1)), salt="incr",
+    )
+    corpus_bands = minhash_band_keys(
+        _fan_out(spark, docs.filter(F.col("split") == "corpus")),
+        "doc_id", "text",
+    )
+    return incremental_lsh_pairs(
+        corpus_bands,
+        _fan_out(spark, docs.filter(F.col("split") == "delta")),
+        "doc_id", "text",
+    )

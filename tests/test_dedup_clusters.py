@@ -95,3 +95,33 @@ def test_dedup_pipeline_keeps_canonicals_only(spark):
     losers = {n for n, c in clustered.items() if n != c}
     assert kept == all_ids - losers
     assert losers  # non-vacuous: some dups exist at sf0.001
+
+
+def test_incremental_lsh_pairs_families(spark):
+    """Delta-vs-corpus candidates come only from the broadcast cross
+    join ('corpus'), delta-vs-delta only from the within self-join
+    ('delta'), and corpus docs never pair with each other — the
+    incremental contract: the existing corpus is read, never
+    re-deduped."""
+    from flink_examples_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_keys,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, "totally unrelated content words apples pears")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, text), (11, text), (12, "nothing like anything else here")],
+        "doc_id long, text string",
+    )
+    cb = minhash_band_keys(corpus, "doc_id", "text")
+    out = incremental_lsh_pairs(cb, delta, "doc_id", "text").collect()
+    fams = {(r["doc_a"], r["doc_b"]): r["against"] for r in out}
+    assert fams[(1, 10)] == "corpus" and fams[(1, 11)] == "corpus"
+    assert fams[(10, 11)] == "delta"
+    # no corpus-corpus pair, nothing for the unrelated docs
+    assert all(not (a <= 2 and b <= 2) for a, b in fams)
+    assert all(12 not in p and 2 not in p for p in fams)

@@ -156,3 +156,51 @@ def test_repetition_signals_stay_jvm_side(spark, sf_dir):
 
     df = E.queries()["doc_repetition_quality"](spark, sf_dir)
     assert python_eval_nodes(df) == []
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Big-big joins (neither side broadcastable) can still row-prune
+    the fact scan: Spark's runtime bloom filter builds on the selective
+    (creation) side and is applied inside the fact side's scan stage —
+    at 100 TB this skips shuffling fact rows whose keys can't match.
+    Conf-gated; this pins the knobs that make it fire and the plan
+    shape, so the capability doesn't silently regress."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "10MB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        # force a non-broadcast join so the bloom path (not a broadcast
+        # hash join) carries the selectivity
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "bloom build side missing"
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan, \
+            "bloom probe not applied to fact side"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
