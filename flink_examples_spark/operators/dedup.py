@@ -283,7 +283,10 @@ def incremental_lsh_pairs(
         .join(
             db.alias("d"),
             (F.col("c.band") == F.col("d.band"))
-            & (F.col("c.band_key") == F.col("d.band_key")),
+            & (F.col("c.band_key") == F.col("d.band_key"))
+            # a doc id present on BOTH sides (re-ingestion, overlapping
+            # staging) must not emit a degenerate (x, x) self-pair
+            & (F.col("c.doc_id") != F.col("d.doc_id")),
         )
         .select(
             F.least("c.doc_id", "d.doc_id").alias("doc_a"),

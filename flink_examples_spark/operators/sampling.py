@@ -153,6 +153,12 @@ def global_shuffle_rank(
     a task (~100k rows/bucket at corpus scale); the (key, id) tiebreak
     makes the rank total even under hash collisions.
 
+    Precondition: ``id_col`` must be unique (it is the tiebreak). Rows
+    sharing an id — including two or more NULL ids, which hash to one
+    sentinel — tie on the ordering, and their relative ranks then
+    depend on partition layout (not replayable), in Spark and in any
+    SQL ROW_NUMBER alike.
+
     Output: input columns + ``shuffle_rank`` (0-based, dense).
     """
     from pyspark.sql import Window
@@ -167,7 +173,11 @@ def global_shuffle_rank(
             Window.partitionBy("_sb").orderBy("_sk", id_col)
         ),
     )
-    sizes = keyed.groupBy("_sb").agg(F.count(F.lit(1)).alias("_n"))
+    # bucket sizes come from the RANKED side (max local rank), not a
+    # re-aggregation of `keyed`: the groupBy reuses the window's _sb
+    # exchange (ReuseExchange), so the corpus is scanned and hashed
+    # once — re-deriving from `keyed` would build a second full pass.
+    sizes = local.groupBy("_sb").agg(F.max("_lr").alias("_n"))
     offsets = sizes.select(
         "_sb",
         F.coalesce(

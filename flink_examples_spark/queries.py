@@ -918,6 +918,26 @@ _SHINGLE_SQL = """
 _MAX_SHINGLE_FREQ = 64  # boilerplate cap: shingles in more docs than this
                         # are dropped before the self-join (Σfreq² bound)
 
+_MINHASH_BANDS_SQL = """hashed AS (
+        SELECT doc_id, g.i,
+               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
+        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
+    ),
+    sig AS (
+        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
+                   || '_' ||
+                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
+                   AS band_key
+        FROM sig GROUP BY doc_id, i // 2
+    )"""
+# the MinHash(k=8) -> 4x2 band-key CTE chain shared by every LSH
+# oracle; expects a preceding CTE named `sh` with (doc_id, shingle)
+
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -962,22 +982,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    hashed AS (
-        SELECT doc_id, g.i,
-               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
-        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
-    ),
-    sig AS (
-        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
-    ),
-    bands AS (
-        SELECT doc_id, i // 2 AS band,
-               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
-                   || '_' ||
-                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
-                   AS band_key
-        FROM sig GROUP BY doc_id, i // 2
-    )
+    {_MINHASH_BANDS_SQL}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key
@@ -1361,22 +1366,7 @@ def evictor_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_clusters",
     oracle=f"""
     WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
-    hashed AS (
-        SELECT doc_id, g.i,
-               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
-        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
-    ),
-    sig AS (
-        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
-    ),
-    bands AS (
-        SELECT doc_id, i // 2 AS band,
-               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
-                   || '_' ||
-                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
-                   AS band_key
-        FROM sig GROUP BY doc_id, i // 2
-    ),
+    {_MINHASH_BANDS_SQL},
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -1527,22 +1517,7 @@ def skew_salted_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_pipeline_keep",
     oracle=f"""
     WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
-    hashed AS (
-        SELECT doc_id, g.i,
-               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
-        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
-    ),
-    sig AS (
-        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
-    ),
-    bands AS (
-        SELECT doc_id, i // 2 AS band,
-               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
-                   || '_' ||
-                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
-                   AS band_key
-        FROM sig GROUP BY doc_id, i // 2
-    ),
+    {_MINHASH_BANDS_SQL},
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -2220,7 +2195,7 @@ def source_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_pipeline_packs",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE tq AS (
         SELECT doc_id, source, text,
                list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
@@ -2260,20 +2235,7 @@ def source_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
         FROM clean CROSS JOIN generate_series(1, 4096) AS g(i)
         WHERE g.i <= len(toks) - 2
-    ), hashed AS (
-        SELECT doc_id, g.i,
-               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
-        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
-    ), sig AS (
-        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
-    ), bands AS (
-        SELECT doc_id, i // 2 AS band,
-               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
-                   || '_' ||
-                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
-                   AS band_key
-        FROM sig GROUP BY doc_id, i // 2
-    ), cand AS (
+    ), {_MINHASH_BANDS_SQL}, cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key
@@ -2428,22 +2390,7 @@ def corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                1, 15))::BIGINT % 10000 AS b
         FROM documents
     ),
-    hashed AS (
-        SELECT doc_id, g.i,
-               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
-        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
-    ),
-    sig AS (
-        SELECT doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2
-    ),
-    bands AS (
-        SELECT doc_id, i // 2 AS band,
-               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
-                   || '_' ||
-                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
-                   AS band_key
-        FROM sig GROUP BY doc_id, i // 2
-    ),
+    {_MINHASH_BANDS_SQL},
     cb AS (SELECT bands.* FROM bands JOIN bkt USING (doc_id) WHERE b < 9000),
     db AS (SELECT bands.* FROM bands JOIN bkt USING (doc_id) WHERE b >= 9000),
     crossed AS (

@@ -130,6 +130,12 @@ def write_partitioned_table(
     those instead.
     """
     if sort_cols:
+        # the sort must LEAD with the partition columns: V1Writes
+        # inserts its own partition-column sort for partitionBy() and
+        # EliminateSorts would drop an inner sort on sort_cols alone
+        # (verified on Spark 4.1 — files came out unsorted); a sort
+        # already prefixed by the partition columns satisfies the
+        # required ordering and survives into the files
         df = df.repartition(*[F.col(c) for c in partition_cols]) \
-               .sortWithinPartitions(*sort_cols)
+               .sortWithinPartitions(*partition_cols, *sort_cols)
     df.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)

@@ -67,8 +67,17 @@ def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
     path = str(tmp_path / "events_by_dt")
     write_partitioned_table(ev, path, ["dt"], sort_cols=["ts"])
 
-    n_days = len(os.listdir(path))
     assert sum(1 for d in os.listdir(path) if d.startswith("dt=")) >= 2
+    # the sort contract must survive the write (V1Writes would drop a
+    # sort that doesn't lead with the partition columns): every file's
+    # ts column must be non-decreasing
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(path, "dt=*", "*.parquet"))[:5]:
+        ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+        assert ts == sorted(ts), f"unsorted file {f}"
 
     one_day = spark.read.parquet(path).filter(F.col("dt") == "2024-01-01")
     plan = formatted_plan(one_day)

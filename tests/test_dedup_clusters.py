@@ -125,3 +125,11 @@ def test_incremental_lsh_pairs_families(spark):
     # no corpus-corpus pair, nothing for the unrelated docs
     assert all(not (a <= 2 and b <= 2) for a, b in fams)
     assert all(12 not in p and 2 not in p for p in fams)
+
+    # re-ingestion: a doc id present on BOTH sides must not emit a
+    # degenerate (x, x) self-pair
+    delta_overlap = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    )
+    over = incremental_lsh_pairs(cb, delta_overlap, "doc_id", "text").collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in over)
