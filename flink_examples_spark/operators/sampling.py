@@ -194,3 +194,57 @@ def global_shuffle_rank(
         .withColumn("shuffle_rank", F.col("_off") + F.col("_lr") - 1)
         .drop("_sk", "_sb", "_lr", "_off")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: downsample each stratum
+    so kept sizes follow ``n_s^alpha`` (alpha < 1 flattens a skewed
+    source/language mix — the multilingual corpus-balancing rule from
+    the mBERT/XLM-R lineage), deterministically.
+
+    Keep-rate per stratum is ``(n_s / n_min)^(alpha-1)`` — the smallest
+    stratum keeps 100%, larger ones shed proportionally more. Rates are
+    quantized to integer bucket thresholds in [0, 10000] (matching the
+    ``_bucket`` grid) so the keep decision is exact and engine-portable
+    despite the float ``pow``; the per-row decision reuses
+    ``stratified_sample``'s salted hash, so it is replayable and
+    independent of any other sampling decision.
+
+    Unlike ``stratified_sample`` the rates are DATA-DEPENDENT: a tiny
+    per-stratum count aggregate (broadcast back, never a corpus
+    shuffle) computes them at run time — no hand-maintained rate map.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    n_min = counts.agg(F.min("_n_s").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        F.round(
+            F.pow(F.col("_n_s") / F.col("_n_min"), F.lit(alpha - 1.0))
+            * _BUCKETS,
+            0,
+        )
+        .cast("int")
+        .alias("_t"),
+    )
+    b = F.pmod(
+        hash60(
+            F.concat(
+                _null_safe(F.col(id_col)),
+                F.lit("#" + salt + "#"),
+                _null_safe(F.col(strata_col)),
+            )
+        ),
+        F.lit(_BUCKETS),
+    )
+    return (
+        df.withColumn("_b", b)
+        .join(F.broadcast(rates), strata_col)
+        .filter(F.col("_b") < F.col("_t"))
+        .drop("_b", "_t")
+    )

@@ -2436,3 +2436,43 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fan_out(spark, docs.filter(F.col("split") == "delta")),
         "doc_id", "text",
     )
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY 1
+    ), m AS (
+        SELECT MIN(n_s) AS n_min FROM c
+    ), r AS (
+        SELECT lang,
+               CAST(round(power(n_s * 1.0 / n_min, -0.3) * 10000, 0) AS INT)
+                   AS t
+        FROM c, m
+    ), b AS (
+        SELECT doc_id, lang,
+               {_HASH60_SQL.format(
+                   expr="CAST(doc_id AS VARCHAR) || '#temp#' || lang")}
+                   % 10000 AS bkt
+        FROM documents
+    )
+    SELECT doc_id, lang FROM b JOIN r USING (lang) WHERE bkt < t
+    """,
+    doc="Temperature-flattened language mixture (alpha=0.7): per-lang "
+        "keep-rates (n_s/n_min)^(alpha-1) computed from a tiny "
+        "broadcast count aggregate — the smallest language keeps 100%, "
+        "skewed ones shed — with the same salted-hash row decision as "
+        "stratified sampling (replayable, no rand()). Rates quantized "
+        "to the 10000-bucket grid so the float pow can't break "
+        "engine parity.",
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_mixture_sample(
+        docs, "lang", "doc_id", alpha=0.7
+    ).select("doc_id", "lang")

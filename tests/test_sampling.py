@@ -116,3 +116,23 @@ def test_global_shuffle_rank_salt_changes_order_and_nulls_rank(spark):
          for r in global_shuffle_rank(df, "doc_id", 4, salt="s2").collect()}
     assert sorted(a.values()) == [0, 1, 2, 3]  # NULL id still ranked
     assert a != b                              # independent draws per salt
+
+
+def test_temperature_mixture_flattens_and_keeps_smallest_whole(spark):
+    from flink_examples_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture_sample(df, "lang", "doc_id", alpha=0.7)
+    kept = {r["lang"]: r["count"]
+            for r in out.groupBy("lang").count().collect()}
+    assert kept["small"] == 50                       # min stratum keeps 100%
+    # big keeps ~(400/50)^-0.3 = 0.536 of 400 = ~214
+    assert 170 < kept["big"] < 260
+    # deterministic across invocations
+    kept2 = {r["lang"]: r["count"]
+             for r in temperature_mixture_sample(df, "lang", "doc_id", 0.7)
+             .groupBy("lang").count().collect()}
+    assert kept == kept2
