@@ -502,3 +502,34 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the 4x storage/bandwidth cut for a 100 TB embedding store (and the
+    input format GPU ANN services expect).
+
+    ``scale = max(|v_i|) / 127``; ``q_i = floor(v_i / scale + 0.5)``
+    (explicit half-up via floor, NOT round(): engines disagree on float
+    round-half semantics, floor(x+0.5) is bit-identical everywhere).
+    Zero vectors get scale 0 and all-zero codes. Pure array codegen
+    inside the scan — no shuffle, no Python.
+
+    Output: ``<id_col>, scale (double), q (array<int>)``; dequantize as
+    ``q_i * scale`` with max abs error ``scale/2`` per component.
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (mx / F.lit(127.0)).alias("scale")
+    q = F.when(
+        mx == 0.0,
+        F.transform(v, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5)).cast("int"),
+        )
+    )
+    return emb.select(F.col(id_col), scale, q.alias("q"))

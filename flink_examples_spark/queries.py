@@ -2476,3 +2476,58 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sample(
         docs, "lang", "doc_id", alpha=0.7
     ).select("doc_id", "lang")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e
+    ), q AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5)
+                                                     AS INT)) END AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale_r,
+           len(qv) AS n_dims,
+           CAST(list_aggregate(qv, 'min') AS INT) AS q_min,
+           CAST(list_aggregate(qv, 'max') AS INT) AS q_max,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                        i -> qv[i] * i)) AS BIGINT)
+               AS q_checksum
+    FROM q
+    """,
+    doc="Symmetric per-vector int8 quantization (scale = max|v|/127, "
+        "half-up via floor(x+0.5) so both engines round identically) — "
+        "the 4x storage cut for the embedding store. Verified by "
+        "integer aggregates of the code vector (position-weighted "
+        "checksum, min/max, dims) plus the 9-dp-rounded scale; pure "
+        "array codegen, zero shuffle.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = quantize_embeddings_int8(emb)
+    pos_weighted = F.expr(
+        "aggregate(zip_with(q, sequence(1, size(q)), (x, i) -> x * i),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        F.size("q").alias("n_dims"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        pos_weighted.alias("q_checksum"),
+    )

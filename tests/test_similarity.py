@@ -131,3 +131,26 @@ def test_registered_neardup_never_collects(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", boom)
     df = registry()["embedding_neardup"].spark_fn(spark, sf_dir)
     assert df.count() > 0
+
+
+def test_int8_quantization_error_bound_and_zero_vector(spark):
+    import numpy as np
+
+    from flink_examples_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    vecs = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector: scale 0, codes 0
+        (3, [1e-6, -1e-6, 5e-7, 0.0]),       # tiny magnitudes still code
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+
+    assert out[2]["scale"] == 0.0 and out[2]["q"] == [0, 0, 0, 0]
+    for vid, v in [(1, vecs[0][1]), (3, vecs[2][1])]:
+        scale, q = out[vid]["scale"], out[vid]["q"]
+        assert max(abs(x) for x in q) == 127          # max component saturates
+        deq = np.array(q) * scale
+        assert np.max(np.abs(deq - np.array(v))) <= scale / 2 + 1e-12
