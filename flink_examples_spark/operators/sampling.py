@@ -43,6 +43,23 @@ def _bucket(id_col: str, salt: str) -> Column:
     )
 
 
+def _strata_bucket(id_col: str, strata_col: str, salt: str) -> Column:
+    """Deterministic bucket in [0, 10000) from (id, salt, stratum) —
+    the shared grid for every per-stratum sampling decision; the oracle
+    SQL mirrors this expression byte-for-byte, so there must be exactly
+    one copy of it."""
+    return F.pmod(
+        hash60(
+            F.concat(
+                _null_safe(F.col(id_col)),
+                F.lit("#" + salt + "#"),
+                _null_safe(F.col(strata_col)),
+            )
+        ),
+        F.lit(_BUCKETS),
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -103,16 +120,7 @@ def stratified_sample(
     This is how a 100 TB mixing job pins "web 10%, books 100%, code
     50%" reproducibly — one codegen'd filter, no shuffle, no rand().
     """
-    b = F.pmod(
-        hash60(
-            F.concat(
-                _null_safe(F.col(id_col)),
-                F.lit("#" + salt + "#"),
-                _null_safe(F.col(strata_col)),
-            )
-        ),
-        F.lit(_BUCKETS),
-    )
+    b = _strata_bucket(id_col, strata_col, salt)
     thresh = None
     for value, rate in rates.items():
         cond = F.col(strata_col) == value
@@ -220,10 +228,17 @@ def temperature_mixture_sample(
     per-stratum count aggregate (broadcast back, never a corpus
     shuffle) computes them at run time — no hand-maintained rate map.
     """
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    # a NULL stratum is a stratum: key the counts and the rate join on
+    # the NULL-safe sentinel (a plain equi-join on strata_col would
+    # silently drop every NULL-stratum row — the module's documented
+    # invariant is that NULLs are sampled like any other value)
+    sv = _null_safe(F.col(strata_col))
+    counts = df.select(sv.alias("_sv")).groupBy("_sv").agg(
+        F.count(F.lit(1)).alias("_n_s")
+    )
     n_min = counts.agg(F.min("_n_s").alias("_n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
-        strata_col,
+        "_sv",
         F.round(
             F.pow(F.col("_n_s") / F.col("_n_min"), F.lit(alpha - 1.0))
             * _BUCKETS,
@@ -232,19 +247,11 @@ def temperature_mixture_sample(
         .cast("int")
         .alias("_t"),
     )
-    b = F.pmod(
-        hash60(
-            F.concat(
-                _null_safe(F.col(id_col)),
-                F.lit("#" + salt + "#"),
-                _null_safe(F.col(strata_col)),
-            )
-        ),
-        F.lit(_BUCKETS),
-    )
+    b = _strata_bucket(id_col, strata_col, salt)
     return (
         df.withColumn("_b", b)
-        .join(F.broadcast(rates), strata_col)
+        .withColumn("_sv", sv)
+        .join(F.broadcast(rates), "_sv")
         .filter(F.col("_b") < F.col("_t"))
-        .drop("_b", "_t")
+        .drop("_b", "_sv", "_t")
     )

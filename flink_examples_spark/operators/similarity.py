@@ -514,22 +514,32 @@ def quantize_embeddings_int8(
     ``scale = max(|v_i|) / 127``; ``q_i = floor(v_i / scale + 0.5)``
     (explicit half-up via floor, NOT round(): engines disagree on float
     round-half semantics, floor(x+0.5) is bit-identical everywhere).
-    Zero vectors get scale 0 and all-zero codes. Pure array codegen
-    inside the scan — no shuffle, no Python.
+    Zero vectors get scale 0 and all-zero codes. A narrow JVM-side
+    map pass inside the scan stage — no shuffle, no Python (the
+    higher-order transform itself is interpreted, not codegen'd, but
+    each element is visited exactly once).
 
     Output: ``<id_col>, scale (double), q (array<int>)``; dequantize as
     ``q_i * scale`` with max abs error ``scale/2`` per component.
     """
+    # two-step select: materialize the scale as a column FIRST, then
+    # reference it from the per-element lambda — embedding the
+    # array_max subtree inside the lambda would re-scan the whole
+    # array per element (higher-order functions get no common-
+    # subexpression elimination: O(d^2) per vector)
     v = F.col(vec_col)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = (mx / F.lit(127.0)).alias("scale")
+    scaled = emb.select(
+        F.col(id_col), v.alias("_v"), (mx / F.lit(127.0)).alias("scale")
+    )
+    s = F.col("scale")
     q = F.when(
-        mx == 0.0,
-        F.transform(v, lambda x: F.lit(0)),
+        s == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0)),
     ).otherwise(
         F.transform(
-            v,
-            lambda x: F.floor(x / (mx / F.lit(127.0)) + F.lit(0.5)).cast("int"),
+            F.col("_v"),
+            lambda x: F.floor(x / s + F.lit(0.5)).cast("int"),
         )
     )
-    return emb.select(F.col(id_col), scale, q.alias("q"))
+    return scaled.select(F.col(id_col), "scale", q.alias("q"))

@@ -2438,6 +2438,12 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the exact double Spark computes for alpha-1 (0.7 - 1.0 is NOT the
+# double -0.3); embedding its repr makes both engines exponentiate
+# with the identical value
+_TEMP_EXP = repr(0.7 - 1.0)
+
+
 @register(
     "corpus_temperature_mixture",
     oracle=f"""
@@ -2447,8 +2453,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT MIN(n_s) AS n_min FROM c
     ), r AS (
         SELECT lang,
-               CAST(round(power(n_s * 1.0 / n_min, -0.3) * 10000, 0) AS INT)
-                   AS t
+               CAST(round(power(n_s * 1.0 / n_min, {_TEMP_EXP}) * 10000, 0)
+                    AS INT) AS t
         FROM c, m
     ), b AS (
         SELECT doc_id, lang,
@@ -2496,7 +2502,7 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
     )
     SELECT vec_id,
-           round(scale, 9) AS scale_r,
+           round(scale, 6) AS scale_r,
            len(qv) AS n_dims,
            CAST(list_aggregate(qv, 'min') AS INT) AS q_min,
            CAST(list_aggregate(qv, 'max') AS INT) AS q_max,
@@ -2509,7 +2515,7 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "half-up via floor(x+0.5) so both engines round identically) — "
         "the 4x storage cut for the embedding store. Verified by "
         "integer aggregates of the code vector (position-weighted "
-        "checksum, min/max, dims) plus the 9-dp-rounded scale; pure "
+        "checksum, min/max, dims) plus the 6-dp-rounded scale; pure "
         "array codegen, zero shuffle.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2525,7 +2531,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return q.select(
         "vec_id",
-        F.round("scale", 9).alias("scale_r"),
+        F.round("scale", 6).alias("scale_r"),
         F.size("q").alias("n_dims"),
         F.array_min("q").alias("q_min"),
         F.array_max("q").alias("q_max"),

@@ -136,3 +136,20 @@ def test_temperature_mixture_flattens_and_keeps_smallest_whole(spark):
              for r in temperature_mixture_sample(df, "lang", "doc_id", 0.7)
              .groupBy("lang").count().collect()}
     assert kept == kept2
+
+
+def test_temperature_mixture_null_stratum_not_dropped(spark):
+    from flink_examples_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "en") for i in range(100)] + [(500 + i, None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture_sample(df, "lang", "doc_id", alpha=0.7)
+    kept = {r["lang"]: r["count"]
+            for r in out.groupBy("lang").count().collect()}
+    # the NULL stratum is a stratum: smallest (20) -> kept whole, and
+    # its rows must NOT vanish through the rates join
+    assert kept.get(None) == 20
+    # en keeps ~(100/20)^-0.3 = 0.617 -> ~62
+    assert 40 < kept["en"] < 85
