@@ -1,0 +1,49 @@
+"""Corpus snapshot diff — dataset versioning for training pipelines.
+
+Before retraining on corpus v2, a pipeline audits what changed since
+v1: which documents appeared, vanished, or were edited. The diff is a
+single full-outer join on the document id comparing content
+fingerprints (md5 of normalized text, the ``dedup.exact`` fingerprint),
+so the cost is one co-partitioned shuffle of (id, 16-byte hash) — not
+of document bodies — and the verdict is engine-portable.
+
+At 100 TB both snapshots are parquet; bucketing them on the id column
+(sources.write_bucketed_table) makes the diff exchange-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_examples_spark.functions.text import fingerprint_md5
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document diff verdict between two corpus snapshots.
+
+    Output: ``<id_col>, verdict`` with verdict ∈ {'added', 'removed',
+    'changed', 'unchanged'} — added = only in ``new``, removed = only
+    in ``old``, changed = present in both with different content
+    fingerprints.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_md5(text_col).alias("_fp_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_md5(text_col).alias("_fp_new"),
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("_fp_old").isNull(), "added")
+            .when(F.col("_fp_new").isNull(), "removed")
+            .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+            .otherwise("unchanged")
+            .alias("verdict"),
+        )
+    )

@@ -2537,3 +2537,50 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q").alias("q_max"),
         pos_weighted.alias("q_checksum"),
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, md5(trim(lower(text))) AS fp
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#snap'),
+                              1, 15))::BIGINT % 10000 < 9500
+    ), v2 AS (
+        SELECT doc_id,
+               md5(trim(lower(CASE WHEN doc_id % 7 = 0
+                                   THEN text || ' v2'
+                                   ELSE text END))) AS fp
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#snap'),
+                              1, 15))::BIGINT % 10000 >= 500
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.fp <> v2.fp THEN 'changed'
+                ELSE 'unchanged' END AS verdict
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    """,
+    doc="Dataset versioning: diff two corpus snapshots (v1 = hash "
+        "buckets <9500, v2 = buckets >=500 with every 7th doc edited) "
+        "into added/removed/changed/unchanged verdicts via one "
+        "full-outer join on (id, content fingerprint) — bodies never "
+        "shuffle, only 16-byte hashes; bucketed snapshots make the "
+        "diff exchange-free at 100 TB.",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.diff import snapshot_diff
+    from flink_examples_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = _bucket("doc_id", "snap")
+    v1 = docs.filter(b < 9500)
+    v2 = docs.filter(b >= 500).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return snapshot_diff(v1, v2, "doc_id", "text")

@@ -134,3 +134,27 @@ def test_pii_counts_multiple_and_none(spark):
     clean = _scrub_one(spark, "no sensitive content here")
     assert clean["s"] == "no sensitive content here"
     assert (clean["n_email"], clean["n_phone"], clean["n_ipv4"]) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_verdicts(spark):
+    from flink_examples_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish"),
+         (4, "Same  TEXT")],  # normalization: trim/lower only, spacing kept
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (5, "brand new"),
+         (4, "same  text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["verdict"]
+           for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}
