@@ -45,10 +45,18 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one synthetic table as a DataFrame (parquet scan, lazy).
 
-    The driver's parquet uses nanosecond timestamps; Spark reads those as
-    raw longs (``nanosAsLong``) and we truncate to micros — the same
-    ns→us truncation DuckDB applies, so event-time values agree exactly
-    between the engine and the oracle.
+    Timestamp normalization (the schema authority is whatever the driver
+    wrote, which has changed across rounds):
+
+    - nanosecond columns: Spark can't read timestamp[ns] natively, so
+      they're read as raw longs (``nanosAsLong``) and truncated to
+      micros — the same ns→us truncation DuckDB applies;
+    - microsecond columns without the UTC-adjustment flag: Spark 4
+      infers these as TIMESTAMP_NTZ, which breaks epoch arithmetic
+      (``unix_micros`` et al.) and diverges from the LTZ type every
+      operator was built against. Cast back to session-zoned TIMESTAMP
+      (sessions here run UTC, so values are identical to DuckDB's naive
+      reading either way).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -59,6 +67,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

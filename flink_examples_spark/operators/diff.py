@@ -39,7 +39,7 @@ def snapshot_diff(
     return (
         o.join(n, "doc_id", "full_outer")
         .select(
-            "doc_id",
+            F.col("doc_id").alias(id_col),
             F.when(F.col("_fp_old").isNull(), "added")
             .when(F.col("_fp_new").isNull(), "removed")
             .when(F.col("_fp_old") != F.col("_fp_new"), "changed")

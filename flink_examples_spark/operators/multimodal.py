@@ -241,6 +241,10 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(raw)
                 if raw[:4] != AUDIO_MAGIC:
+                    # non-audio payload in a mixed-media input: emit a
+                    # null-stats row (mirrors media_metadata's 'unknown'
+                    # row) — the repo convention is no silent drops
+                    rows.append((mid, None, None, None, None, None))
                     continue
                 sr, n = struct.unpack("<ii", raw[4:12])
                 samples = np.frombuffer(raw, dtype=np.uint8, offset=12)

@@ -76,7 +76,17 @@ def hash_split(
     mapped to contiguous bucket ranges of [0, 10000), so assignment is
     total (every row gets a split), disjoint, and stable across runs,
     retries, and engines. Adds a ``split`` column; no shuffle.
+
+    Fractions must sum to 1 (±1e-6): a short sum would otherwise dump
+    all unallocated bucket mass into the final split silently via the
+    rounding guard below, which only exists to absorb sub-bucket
+    (<1e-4) rounding residue.
     """
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(
+            f"hash_split weights must sum to 1.0, got {total!r}"
+        )
     b = _bucket(id_col, salt)
     expr = None
     cum = 0

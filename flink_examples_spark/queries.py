@@ -1362,9 +1362,7 @@ def evictor_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "trailing_max", "trailing_n")
 
 
-@register(
-    "dedup_minhash_clusters",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
     {_MINHASH_BANDS_SQL},
     pairs AS (
@@ -1384,12 +1382,16 @@ def evictor_trailing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
     )
     SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_clusters",
+    oracle=_CLUSTERS_ORACLE,
     doc="Dedup clustering: MinHash-LSH pairs -> connected components "
-        "(min-label propagation, O(diameter) rounds over the edge set "
-        "only) -> (doc, canonical cluster id); recursive-CTE closure as "
-        "the oracle. The 'same document' resolution step after any pair "
-        "generator.",
+        "(driver union-find below the edge threshold) -> (doc, canonical "
+        "cluster id); recursive-CTE closure as the oracle. The 'same "
+        "document' resolution step after any pair generator.",
 )
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.dedup import (
@@ -1402,6 +1404,29 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=8, band_size=2,
     )
     return connected_components(pairs, "doc_a", "doc_b")
+
+
+@register(
+    "dedup_minhash_clusters_dist",
+    oracle=_CLUSTERS_ORACLE,
+    doc="The SAME clustering forced onto the distributed "
+        "min-label-propagation + pointer-doubling branch "
+        "(driver_threshold=0) — the code path that actually runs above "
+        "5M dup edges at 100 TB. Registered separately so the driver's "
+        "correctness sweep signs the distributed tier against the "
+        "identical recursive-CTE oracle as the union-find tier.",
+)
+def dedup_minhash_clusters_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _fan_out(spark, load_table(spark, "documents", sf_dir)), "doc_id", "text",
+        num_hashes=8, band_size=2,
+    )
+    return connected_components(pairs, "doc_a", "doc_b", driver_threshold=0)
 
 
 @register(

@@ -27,25 +27,53 @@ The reference's two watermark escape hatches:
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Iterator, Sequence
+from contextlib import contextmanager
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_POLICY_KEY = "spark.sql.streaming.multipleWatermarkPolicy"
+
+
+@contextmanager
+def multiple_watermark_policy(
+    spark: SparkSession, policy: str = "max"
+) -> Iterator[None]:
+    """Scope ``spark.sql.streaming.multipleWatermarkPolicy`` to a
+    ``with`` block and restore the prior value (or unset) on exit.
+
+    The conf is session-wide and read at *query start*, so wrap the
+    ``.start()`` call — not the DataFrame build — in this context.
+    Without scoping, one ``max``-policy query would silently change the
+    lateness semantics of every multi-watermark query started later in
+    the session (rows from slow-but-alive legs dropped as late).
+    """
+    prev = spark.conf.get(_POLICY_KEY, None)
+    spark.conf.set(_POLICY_KEY, policy)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_POLICY_KEY)
+        else:
+            spark.conf.set(_POLICY_KEY, prev)
 
 
 def idle_aware_union(
     streams: Sequence[DataFrame],
     ts_col: str,
     delay: str,
-    policy: str = "max",
 ) -> DataFrame:
-    """Union watermarked streams without letting an idle leg stall the
+    """Union watermarked streams so an idle leg need not stall the
     global watermark (E5, Flink's ``withIdleness``).
 
-    Each input gets ``withWatermark(ts_col, delay)``; the session's
-    ``spark.sql.streaming.multipleWatermarkPolicy`` is set to ``policy``
+    Each input gets ``withWatermark(ts_col, delay)``. The watermark
+    *combination* policy is a session conf read at query start, not a
+    plan property, so this builder does NOT touch it — wrap the
+    ``start()`` call in ``multiple_watermark_policy(spark, "max")``
     (``max`` = advance with the freshest input, Flink-idleness-like;
     ``min`` = Spark's safe default, stalls on idleness but never drops
     a row that a slow-but-alive input still considers on time).
@@ -53,13 +81,10 @@ def idle_aware_union(
     Trade-off to state in the job docs: under ``max``, rows from a
     *slow* (not idle) input older than the fast input's watermark are
     dropped as late — Flink's withIdleness has the same hazard when a
-    source is misclassified idle. The policy is session-wide and read
-    at query start.
+    source is misclassified idle.
     """
     if not streams:
         raise ValueError("streams must be non-empty")
-    spark = streams[0].sparkSession
-    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
     out = None
     for s in streams:
         s = s.withWatermark(ts_col, delay)

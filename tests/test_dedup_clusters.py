@@ -29,6 +29,71 @@ def test_components_converge_on_hub_and_ring(spark):
     assert {out[100 + i] for i in range(6)} == {100}
 
 
+def _cc(spark, pairs, **kw):
+    return {r.node: r.cluster_id for r in
+            connected_components(pairs, "a", "b", **kw).collect()}
+
+
+def test_distributed_branch_matches_union_find_on_known_graphs(spark):
+    """driver_threshold=0 forces the distributed min-label-propagation
+    branch — the ONLY code path that runs above 5M dup edges at 100 TB
+    scale. Its output must be identical to the driver union-find on the
+    same pair sets (chain, ring, star, disjoint components)."""
+    graphs = [
+        [(1, 2), (2, 3), (3, 4), (10, 11)],                    # chain + pair
+        [(i, (i + 1) % 5) for i in range(5)]
+        + [(100, 100 + i) for i in range(1, 6)],               # ring + star
+        [(7, 7)],                                              # self-loop
+        [(2, 1), (4, 3), (3, 2)],                              # reversed ids
+    ]
+    for g in graphs:
+        pairs = spark.createDataFrame(g, "a long, b long")
+        assert _cc(spark, pairs, driver_threshold=0) == _cc(spark, pairs), g
+
+
+def test_distributed_branch_converges_on_long_ring_via_pointer_doubling(spark):
+    """A 64-ring has diameter 32 — pure one-hop min-label propagation
+    would need ~32 rounds, over the default max_iter=15. Pointer
+    doubling (label chains halve per round) must converge it within the
+    default budget and agree with union-find."""
+    n = 64
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    pairs = spark.createDataFrame(ring, "a long, b long")
+    out = _cc(spark, pairs, driver_threshold=0)  # default max_iter=15
+    assert out == {i: 0 for i in range(n)}
+    assert out == _cc(spark, pairs)
+
+
+def test_distributed_branch_raises_rather_than_returning_unconverged(spark):
+    """An exhausted round budget must raise, never silently hand
+    half-merged clusters to a destructive dedup step."""
+    import pytest
+
+    ring = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(ring, "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            pairs, "a", "b", driver_threshold=0, max_iter=2
+        ).collect()
+
+
+def test_distributed_branch_matches_union_find_on_real_lsh_pairs(spark):
+    """Parity on the actual sf0.001 MinHash-LSH candidate graph — the
+    same pair set the dedup_minhash_clusters oracle checks."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text").localCheckpoint()
+    dist = {r.node: r.cluster_id for r in
+            connected_components(pairs, "doc_a", "doc_b",
+                                 driver_threshold=0).collect()}
+    uf = {r.node: r.cluster_id for r in
+          connected_components(pairs, "doc_a", "doc_b").collect()}
+    assert dist == uf
+    assert dist  # non-vacuous
+
+
 def test_keep_canonical_drops_non_minimal_members(spark):
     docs = spark.createDataFrame(
         [(i, f"doc{i}") for i in (1, 2, 3, 10, 11, 20)], "doc_id long, text string"

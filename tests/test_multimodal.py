@@ -156,3 +156,31 @@ def test_audio_degenerate_clips_do_not_kill_the_batch(spark):
     # metadata parse survives the header-only clip (12-byte FAUD header)
     meta = {r.media_id: r.kind for r in media_metadata(df).collect()}
     assert meta == {1: "audio", 2: "audio", 3: "audio"}
+
+
+def test_audio_features_mixed_media_emits_null_row_not_drop(spark, seed_df):
+    """A non-FAUD payload (e.g. an image routed into the audio branch)
+    yields a null-stats row, not a silent drop — mixed-media inputs keep
+    one output row per input row, mirroring media_metadata's 'unknown'."""
+    from flink_examples_spark.operators.multimodal import (
+        audio_features,
+        encode_fake_audio,
+        encode_fake_images,
+    )
+
+    clips = encode_fake_audio(
+        seed_df.limit(1), "doc_id", "text",
+        sample_rate_expr="8000", n_samples_expr="8",
+    )
+    imgs = encode_fake_images(
+        seed_df.limit(1).select(
+            (seed_df.doc_id + 100).alias("doc_id"), "text"
+        ),
+        "doc_id", "text", width_expr="2", height_expr="2",
+    )
+    mixed = clips.unionByName(imgs)
+    feats = {r.media_id: r.asDict() for r in audio_features(mixed).collect()}
+    assert len(feats) == 2  # nobody dropped
+    img_id = [m for m in feats if m > 100][0]
+    assert feats[img_id]["sample_rate"] is None
+    assert feats[img_id]["mean_amp"] is None

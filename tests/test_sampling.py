@@ -29,6 +29,19 @@ def test_hash_split_total_disjoint_and_stable(spark):
     assert frac.get("val", 0) < 0.2 and frac.get("test", 0) < 0.2
 
 
+def test_hash_split_rejects_weights_not_summing_to_one(spark):
+    """A short weight sum must error loudly — the otherwise() guard
+    exists only to absorb sub-bucket rounding residue, not to silently
+    dump 30% of the corpus into the last split."""
+    import pytest
+
+    docs = load_table(spark, "documents", SF)
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        hash_split(docs, "doc_id", weights=(("train", 0.5), ("val", 0.2)))
+    # exact-1.0 and rounding-residue sums still accepted
+    hash_split(docs, "doc_id", weights=(("a", 0.3), ("b", 0.3), ("c", 0.4)))
+
+
 def test_deterministic_sample_rate_and_subset_nesting(spark):
     docs = load_table(spark, "documents", SF)
     s20 = {r.doc_id for r in

@@ -730,7 +730,10 @@ def test_idle_aware_union_windows_fire_despite_idle_leg(
     watermark at zero and append-mode windows never finalize; the
     idle_aware_union helper (policy=max) lets the active leg drive the
     watermark so windows fire."""
-    from flink_examples_spark.streaming.watermarks import idle_aware_union
+    from flink_examples_spark.streaming.watermarks import (
+        idle_aware_union,
+        multiple_watermark_policy,
+    )
 
     head = events_pdf.head(400)
     active_dir = write_chunks(head, str(tmp_path / "active"), 2)
@@ -744,19 +747,21 @@ def test_idle_aware_union_windows_fire_despite_idle_leg(
             for d in (active_dir, idle_dir)
         ]
         agg = (
-            idle_aware_union(legs, "ts", "0 seconds", policy=policy)
+            idle_aware_union(legs, "ts", "0 seconds")
             .groupBy(F.window("ts", "1 hour").alias("w"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        try:
+        with multiple_watermark_policy(spark, policy):
             return run_to_memory(
                 agg, spark, name, "append", str(tmp_path / f"ck_{name}")
             ).collect()
-        finally:
-            spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
 
     assert windowed("min", "idle_min") == []  # stalled: the D4 problem
     fired = windowed("max", "idle_max")
+    # the context manager restored the session conf on exit
+    assert spark.conf.get(
+        "spark.sql.streaming.multipleWatermarkPolicy", None
+    ) is None
     assert fired  # idle leg no longer stalls emission
     # every hour window strictly below the final watermark fired
     max_ts = head["ts"].max()
