@@ -7,12 +7,21 @@ Each query is timed end-to-end (plan + execute + materialize counts via a
 cheap action). A warm-up pass on sf-independent metadata (session boot,
 JIT) is excluded from per-query timings by timing only after the session
 is live.
+
+Depth: every query runs $SPARK_GRAFT_BENCH_REPS times (default 3);
+`queries` reports the per-query MIN (the stable "how fast can this plan
+go" on a box with ±20% noise), `spread` reports (max-min)/min per query
+so noisy queries are visible, and `movers` flags queries whose min moved
+>1.3x in either direction against the committed BENCH_r*.json with the
+highest round number — regressions self-report round-over-round.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -20,6 +29,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_examples_spark.queries import registry
 from flink_examples_spark.session import get_spark
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query seconds from the highest-numbered committed BENCH_r*.json.
+
+    Two shapes exist: this script's own JSON line (has a top-level
+    `queries` dict) and the round driver's wrapper, which embeds the
+    stdout tail — possibly truncated at the FRONT — as a `tail` string.
+    For the wrapper, recover the `"queries": {...}` object from the
+    tail text; a tail cut mid-object yields no timings rather than bad
+    ones."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = path, int(m.group(1))
+    if best is None:
+        return {}
+    try:
+        with open(best) as f:
+            doc = json.load(f)
+        if isinstance(doc.get("queries"), dict):
+            return dict(doc["queries"])
+        tail = doc.get("tail", "")
+        m = re.search(r'"queries"\s*:\s*(\{[^{}]*\})', tail)
+        if m:
+            return dict(json.loads(m.group(1)))
+    except (OSError, json.JSONDecodeError, AttributeError):
+        pass
+    return {}
 
 
 def main() -> None:
@@ -39,18 +79,32 @@ def main() -> None:
     # min-of-N repetitions: this box shows ±20% run-to-run noise on a
     # few queries, so a single rep can't distinguish a real regression
     # from jitter; the min is the stable "how fast can this plan go".
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    timings: dict[str, float] = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    runs: dict[str, list[float]] = {}
     for _ in range(reps):
         for name, q in sorted(registry().items()):
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             # force full materialization (not just count pushdown)
             n = df.collect()
-            elapsed = round(time.perf_counter() - t0, 4)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            runs.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 4)
+            )
             del n
+
+    timings = {name: min(ts) for name, ts in runs.items()}
+    spread = {
+        name: round((max(ts) - min(ts)) / min(ts), 3) if min(ts) > 0 else 0.0
+        for name, ts in runs.items()
+    }
+    prev = _previous_round_timings()
+    movers = {
+        name: {"prev": prev[name], "now": t,
+               "ratio": round(t / prev[name], 3)}
+        for name, t in timings.items()
+        if name in prev and prev[name] > 0
+        and (t / prev[name] > 1.3 or t / prev[name] < 1 / 1.3)
+    }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -60,6 +114,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "movers": movers,
                 "sf": sf,
                 "reps": reps,
             }

@@ -8,7 +8,9 @@ so the cost is one co-partitioned shuffle of (id, 16-byte hash) — not
 of document bodies — and the verdict is engine-portable.
 
 At 100 TB both snapshots are parquet; bucketing them on the id column
-(sources.write_bucketed_table) makes the diff exchange-free.
+(sources.write_bucketed_table) makes the diff exchange-free — proven at
+the plan level by tests/test_bucketing.py::
+test_snapshot_diff_on_bucketed_snapshots_is_exchange_free.
 """
 
 from __future__ import annotations

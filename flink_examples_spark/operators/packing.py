@@ -27,9 +27,16 @@ bins that never exceed ``target + chunk_tokens - 1``.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window, functions as F
 
-from flink_examples_spark.functions.text import token_count, tokens
+from flink_examples_spark.functions.text import hash60, token_count, tokens
+
+
+def _cols(partition_col: str | Sequence[str]) -> list[str]:
+    return [partition_col] if isinstance(partition_col, str) \
+        else list(partition_col)
 
 
 def sequence_pack(
@@ -37,23 +44,25 @@ def sequence_pack(
     id_col: str,
     text_col: str,
     target: int,
-    partition_col: str,
+    partition_col: str | Sequence[str],
 ) -> DataFrame:
-    """Assign every document a pack id within its partition key.
+    """Assign every document a pack id within its partition key(s).
 
-    Output: one row per document — ``<partition_col>, <id_col>,
+    Output: one row per document — ``<partition cols>, <id_col>,
     n_tokens, pack_id`` where ``pack_id = floor(exclusive-prefix-sum of
     n_tokens / target)`` in ``id_col`` order. Integer-only arithmetic:
-    hash-exact across engines.
+    hash-exact across engines. ``partition_col`` may be a single column
+    or a list (the sharded source×bucket shape at scale).
     """
+    parts = _cols(partition_col)
     w = (
-        Window.partitionBy(partition_col)
+        Window.partitionBy(*parts)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     n = token_count(text_col)
     return df.select(
-        F.col(partition_col),
+        *[F.col(c) for c in parts],
         F.col(id_col),
         n.alias("n_tokens"),
     ).withColumn(
@@ -62,10 +71,51 @@ def sequence_pack(
     )
 
 
-def pack_stats(packed: DataFrame, partition_col: str) -> DataFrame:
+def sequence_pack_sharded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: int,
+    partition_col: str,
+    n_shards: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """The 100 TB packing shape: pack within (``partition_col`` ×
+    deterministic hash shard) instead of one window partition per
+    source.
+
+    Order-dependent packing fundamentally serializes per window key, so
+    a handful of giant sources would bottleneck the whole job on a few
+    tasks. Sharding each source into ``n_shards`` deterministic
+    id-hash buckets yields sources × n_shards independent window
+    partitions — thousands of parallel packing tasks — while every
+    per-bin invariant (token conservation, overflow bound, id-order
+    determinism) still holds per (source, shard) key. The shard id is
+    hash60-derived (md5): replayable across runs, retries, and engines,
+    never ``rand()``.
+
+    Output: ``<partition_col>, pack_shard, <id_col>, n_tokens,
+    pack_id``.
+    """
+    shard = F.pmod(
+        hash60(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))),
+        F.lit(n_shards),
+    )
+    return sequence_pack(
+        df.withColumn("pack_shard", shard),
+        id_col,
+        text_col,
+        target,
+        [partition_col, "pack_shard"],
+    )
+
+
+def pack_stats(
+    packed: DataFrame, partition_col: str | Sequence[str]
+) -> DataFrame:
     """Per-bin accounting over ``sequence_pack`` output:
-    ``<partition_col>, pack_id, n_docs, pack_tokens``."""
-    return packed.groupBy(partition_col, "pack_id").agg(
+    ``<partition cols>, pack_id, n_docs, pack_tokens``."""
+    return packed.groupBy(*_cols(partition_col), "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )

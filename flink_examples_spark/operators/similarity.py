@@ -313,25 +313,56 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
-    """Scale path: LSH-bucket the corpus, then exact cosine within buckets.
+    """Scale path: multi-table hyperplane LSH, then exact cosine within
+    buckets — candidates are an OR over ``n_tables`` independent hash
+    tables of ``n_planes`` planes each, the standard recall fix for
+    sign-LSH (a single table's all-planes-agree probability decays as
+    p^planes; OR-ing L tables recovers 1-(1-p^b)^L).
 
-    One shuffle on the bucket key; each bucket's pair space is tiny, so
-    the total work is Σ|bucket|² instead of |corpus|². Recall < 1.0 by
-    construction (pairs split across buckets are missed) — raise
-    ``n_planes`` bands or OR multiple tables for higher recall.
+    One shuffle on the (table, bucket) key, and every emitted pair is
+    verified with EXACT cosine inside its bucket, so precision is 1.0 —
+    only recall is approximate. The same pair found in several tables is
+    deduplicated (cosines are identical by construction). In-bucket work
+    is ~L·n²/2^b under uniform buckets: recall and cost BOTH rise with
+    L and fall with b, so size b to the threshold — the fixture's 0.45
+    cosine (≈63°, per-plane agreement p≈0.65) needs few planes/many
+    tables; a production near-dup threshold of ≥0.9 cosine (p≈0.86)
+    sustains b=8-16 with L=8-32, keeping 2^b ≫ L and the total far
+    below corpus².
+
+    Measured recall vs the exact GEMM pair set (synthetic 64-d
+    embeddings, threshold 0.45, sf0.1 = 2000 vectors / 144 true pairs,
+    sf0.001 = 500 vectors / 7 pairs; tests/test_similarity.py holds the
+    defaults to the ≥0.85 floor):
+
+        n_planes  n_tables   recall sf0.1   recall sf0.001
+            8        1          0.03            0.00      (old default)
+            4        1          0.19            0.29
+            4        4          0.54            0.43
+            4        8          0.79            1.00
+            3        8          0.93            1.00
+            4       16          0.96            1.00      <- default
     """
     import numpy as np
 
-    buckets = hyperplane_lsh_buckets(
-        embeddings, id_col, vec_col, n_planes=n_planes, seed=seed, dim=dim
-    )
+    buckets = None
+    for t in range(n_tables):
+        bt = hyperplane_lsh_buckets(
+            embeddings, id_col, vec_col,
+            n_planes=n_planes, seed=seed + 7919 * t, dim=dim,
+        ).select(
+            F.col(id_col).alias("vid"),
+            F.concat(F.lit(f"{t}#"), F.col("bucket")).alias("bucket"),
+        )
+        buckets = bt if buckets is None else buckets.unionByName(bt)
     e = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    ).join(buckets.withColumnRenamed(id_col, "vid"), "vid")
+    ).join(buckets, "vid")
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vid"].to_numpy()
@@ -349,6 +380,9 @@ def embedding_neardup_lsh(
         keyed_python_partitions(e, ["bucket"])
         .groupBy("bucket")
         .applyInPandas(per_bucket, "vec_a long, vec_b long, cosine double")
+        # the same true pair collides in several tables; cosine is
+        # computed identically everywhere so distinct() collapses them
+        .distinct()
     )
 
 
@@ -433,7 +467,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     n_clusters: int = 16,
-    n_probe: int = 4,
+    n_probe: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """IVF approximate top-k — the 100 TB scale path for ANN.
@@ -443,11 +477,23 @@ def cosine_topk_ivf(
     ~n_probe/n_clusters of the corpus. Here assignment + probe-filter +
     scoring fuse into ONE ``mapInPandas`` pass (centroids and the
     per-query probe sets ship in the closure): zero shuffle until the
-    final top-k rank, and recall < 1.0 by construction (raise
-    ``n_probe`` to trade cost for recall; ``n_probe == n_clusters``
-    degenerates to exact brute force). On a persisted corpus, write
-    ``partitionBy(cluster)`` once and the probe filter becomes partition
-    pruning in the scan.
+    final top-k rank, and recall < 1.0 by construction
+    (``n_probe == n_clusters`` degenerates to exact brute force). On a
+    persisted corpus, write ``partitionBy(cluster)`` once and the probe
+    filter becomes partition pruning in the scan.
+
+    Measured top-5 recall vs exact GEMM (synthetic 64-d embeddings,
+    n_clusters=16, 20 queries; tests/test_similarity.py holds the
+    default to the ≥0.75 floor). The synthetic vectors are near-uniform
+    on the sphere — the worst case for a coarse quantizer; clustered
+    real embeddings sit higher at the same n_probe:
+
+        n_probe   recall sf0.1   recall sf0.001
+           1         0.27           0.26
+           2         0.41           0.41
+           4         0.62           0.61
+           8         0.82           0.81      <- default
+          16         1.00           1.00      (exact by construction)
     """
     import numpy as np
 

@@ -14,6 +14,7 @@ and get the driver's weaker rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -1319,14 +1320,16 @@ def json_props_ip_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="IVF ANN — coarse k-means quantizer (driver-trained on a "
         "bounded sample), per-query n_probe cell filter fused into one "
         "mapInPandas scoring pass; the scale path for 100 TB corpora "
-        "(partitionBy(cluster) makes the probe a partition-pruned scan).",
+        "(partitionBy(cluster) makes the probe a partition-pruned scan). "
+        "n_probe=8/16 is the measured >=0.8-recall operating point "
+        "(similarity.py docstring table).",
 )
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.similarity import cosine_topk_ivf
 
     emb = load_table(spark, "embeddings", sf_dir)
     return cosine_topk_ivf(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=16, n_probe=4
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=16, n_probe=8
     )
 
 
@@ -2140,6 +2143,50 @@ def seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seq_pack_bins_sharded",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pack'),
+                               1, 15))::BIGINT % 16 AS pack_shard,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT source, pack_shard, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, pack_shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) // 256 AS pack_id
+        FROM t
+    )
+    SELECT source, pack_shard, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY 1, 2, 3
+    """,
+    doc="The 100 TB packing shape: greedy 256-token packing within "
+        "(source x 16 deterministic id-hash shards) — sources x shards "
+        "independent window partitions instead of one serialized window "
+        "per source; per-bin accounting proves token conservation and "
+        "the overflow bound hold under sharding. Shard id is "
+        "hash60(doc_id#pack) % 16, replayable in any engine.",
+)
+def seq_pack_bins_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.packing import (
+        pack_stats,
+        sequence_pack_sharded,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_stats(
+        sequence_pack_sharded(docs, "doc_id", "text", target=256,
+                              partition_col="source", n_shards=16),
+        ["source", "pack_shard"],
+    )
+
+
+@register(
     "doc_chunks",
     oracle="""
     WITH t AS (
@@ -2218,9 +2265,7 @@ def source_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "corpus_pipeline_packs",
-    oracle=f"""
+_PIPELINE_ORACLE = f"""
     WITH RECURSIVE tq AS (
         SELECT doc_id, source, text,
                list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
@@ -2305,22 +2350,19 @@ def source_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS pack_tokens
     FROM packed GROUP BY 1, 2
-    """,
-    doc="The full training-data pipeline composed end-to-end in ONE "
-        "declarative plan: quality gate (codegen) -> 10% eval holdout + "
-        "4-gram decontamination (broadcast semi-join) -> MinHash+LSH "
-        "candidates -> exact-Jaccard verify (threshold 0.3, candidates "
-        "only) -> connected components -> canonical keep -> 256-token "
-        "sequence packing per source. Every stage is the registered "
-        "scale path of its standalone query. The plan scans the corpus "
-        "once per DAG branch (train/eval/shingle/pack); at 100 TB you "
-        "stage the post-hygiene `clean` set to parquet between the "
-        "hygiene and dedup phases (or persist it) — here recompute "
-        "beats a cache write at test scale (dedup_pipeline_keep "
-        "measurement). This is the query a 100 TB corpus actually "
-        "runs.",
-)
-def corpus_pipeline_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _corpus_pipeline(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
+    """Shared body of the fused and staged flagship pipelines: hygiene
+    (quality gate -> eval holdout -> decontamination), then dedup
+    (LSH -> verify -> components -> canonical keep), then packing. With
+    ``stage_dir`` the post-hygiene ``clean`` set is written to parquet
+    (partitioned by source) and the dedup phase reads it back — the
+    restartable two-phase shape a 100 TB run uses, with byte-identical
+    results to the fused plan."""
     from pyspark import StorageLevel
 
     from flink_examples_spark.functions import text as T
@@ -2355,6 +2397,19 @@ def corpus_pipeline_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = train.join(contaminated, "doc_id", "left_anti")
 
+    if stage_dir is not None:
+        from flink_examples_spark.sources.readers import (
+            write_partitioned_table,
+        )
+
+        # phase boundary: persist the post-hygiene set, then run dedup
+        # against the staged parquet — the hygiene lineage is gone, so
+        # a dedup-phase failure restarts from disk, not from the raw
+        # corpus. Partitioned by source: the pack stage's window keys
+        # align with directories.
+        write_partitioned_table(clean, stage_dir, ["source"])
+        clean = spark.read.parquet(stage_dir).select(*docs.columns)
+
     sh = shingles(
         _fan_out(spark, clean), "doc_id", "text", n=3
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -2373,6 +2428,52 @@ def corpus_pipeline_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       partition_col="source"),
         "source",
     )
+
+
+@register(
+    "corpus_pipeline_packs",
+    oracle=_PIPELINE_ORACLE,
+    doc="The full training-data pipeline composed end-to-end in ONE "
+        "declarative plan: quality gate (codegen) -> 10% eval holdout + "
+        "4-gram decontamination (broadcast semi-join) -> MinHash+LSH "
+        "candidates -> exact-Jaccard verify (threshold 0.3, candidates "
+        "only) -> connected components -> canonical keep -> 256-token "
+        "sequence packing per source. Every stage is the registered "
+        "scale path of its standalone query. The plan scans the corpus "
+        "once per DAG branch (train/eval/shingle/pack); "
+        "corpus_pipeline_packs_staged is the two-phase variant that "
+        "stages the post-hygiene set to parquet. This is the query a "
+        "100 TB corpus actually runs.",
+)
+def corpus_pipeline_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_pipeline(spark, sf_dir)
+
+
+@register(
+    "corpus_pipeline_packs_staged",
+    oracle=_PIPELINE_ORACLE,
+    doc="The SAME flagship pipeline split at the hygiene/dedup boundary: "
+        "the post-hygiene `clean` set is written to parquet "
+        "(write_partitioned_table by source, overwrite-idempotent) and "
+        "dedup+packing run from the staged files. At 100 TB this is the "
+        "operational shape — the expensive hygiene pass is checkpointed "
+        "durably, dedup restarts from disk — and the driver verifies it "
+        "against the IDENTICAL oracle as the fused plan, proving the "
+        "stage boundary changes nothing but lineage.",
+)
+def corpus_pipeline_packs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    # deterministic per-sf staging location, overwritten each run —
+    # repeated driver invocations stay idempotent and disk-bounded
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "flink_examples_spark_stage",
+        hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        "clean",
+    )
+    return _corpus_pipeline(spark, sf_dir, stage_dir=stage)
 
 
 @register(
@@ -2461,6 +2562,123 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fan_out(spark, docs.filter(F.col("split") == "delta")),
         "doc_id", "text",
     )
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, text FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#snap'),
+                              1, 15))::BIGINT % 10000 < 9500
+    ), v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#snap'),
+                              1, 15))::BIGINT % 10000 >= 500
+    ), dd AS (
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN md5(trim(lower(v1.text))) <> md5(trim(lower(v2.text)))
+                        THEN 'changed'
+                    ELSE 'unchanged' END AS verdict
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    ), delta AS (
+        SELECT v2.doc_id, v2.text
+        FROM v2 JOIN dd ON v2.doc_id = dd.doc_id
+        WHERE dd.verdict IN ('added', 'changed')
+    ), sh AS (
+        SELECT DISTINCT 'c' AS side, doc_id,
+               toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM v1
+        ) t CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 2
+        UNION ALL
+        SELECT DISTINCT 'd' AS side, doc_id,
+               toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM delta
+        ) t CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 2
+    ), hashed AS (
+        SELECT side, doc_id, g.i,
+               ('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT AS h
+        FROM sh CROSS JOIN generate_series(0, 7) AS g(i)
+    ), sig AS (
+        SELECT side, doc_id, i, MIN(h) AS minhash FROM hashed GROUP BY 1, 2, 3
+    ), bands AS (
+        SELECT side, doc_id, i // 2 AS band,
+               md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN minhash END) AS VARCHAR)
+                   || '_' ||
+                   CAST(MIN(CASE WHEN i % 2 = 1 THEN minhash END) AS VARCHAR))
+                   AS band_key
+        FROM sig GROUP BY side, doc_id, i // 2
+    ),
+    cb AS (SELECT doc_id, band, band_key FROM bands WHERE side = 'c'),
+    db AS (SELECT doc_id, band, band_key FROM bands WHERE side = 'd'),
+    crossed AS (
+        SELECT DISTINCT least(c.doc_id, d.doc_id) AS doc_a,
+               greatest(c.doc_id, d.doc_id) AS doc_b,
+               'corpus' AS against
+        FROM cb c JOIN db d
+          ON c.band = d.band AND c.band_key = d.band_key
+             AND c.doc_id <> d.doc_id
+    ),
+    within AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               'delta' AS against
+        FROM db a JOIN db b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM crossed UNION ALL SELECT * FROM within
+    """,
+    doc="The daily 100 TB operation, composed end-to-end: snapshot diff "
+        "v2-vs-v1 (fingerprint full-outer join) selects ONLY the "
+        "added/changed documents, which are then signatured and "
+        "LSH-checked against the v1 corpus band index via the broadcast "
+        "incremental path — unchanged docs are never re-shingled, the "
+        "corpus is never reshuffled, and a changed doc's stale v1 "
+        "self-entry can't emit an (x,x) pair. Composes operators/diff.py "
+        "with operators/dedup.py incremental_lsh_pairs.",
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_keys,
+    )
+    from flink_examples_spark.operators.diff import snapshot_diff
+    from flink_examples_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = _bucket("doc_id", "snap")
+    v1 = docs.filter(b < 9500).select("doc_id", "text")
+    v2 = docs.filter(b >= 500).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    delta_ids = (
+        snapshot_diff(v1, v2, "doc_id", "text")
+        .filter(F.col("verdict").isin("added", "changed"))
+        .select("doc_id")
+    )
+    delta = v2.join(delta_ids, "doc_id")
+    corpus_bands = minhash_band_keys(
+        _fan_out(spark, v1), "doc_id", "text"
+    )
+    return incremental_lsh_pairs(corpus_bands, delta, "doc_id", "text")
 
 
 # the exact double Spark computes for alpha-1 (0.7 - 1.0 is NOT the

@@ -433,3 +433,54 @@ def streaming_cep(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sequence_pack(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: int,
+    partition_col: str,
+) -> DataFrame:
+    """Streaming twin of ``operators.packing.sequence_pack``: greedy
+    in-order token packing with the running per-key prefix carried in
+    GroupState across micro-batches.
+
+    Contract (same as the batch window's ORDER BY): rows must arrive in
+    non-decreasing ``id_col`` order per key across batches — the shape
+    of an append-only ingest replay. Within a batch rows are sorted by
+    id; across batches the state carries the exclusive token prefix, so
+    ``pack_id = prefix // target`` is identical to the batch
+    formulation row-for-row (asserted by
+    tests/test_streaming.py::test_streaming_sequence_pack_matches_batch).
+
+    Token semantics mirror functions.text.tokens (lowercase, split on
+    single spaces, empties dropped) so streamed counts are bit-identical
+    to the codegen path.
+    """
+
+    def fn(
+        key_t, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (prefix,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(id_col).iterrows():
+                toks = [t for t in str(row[text_col]).lower().split(" ") if t]
+                out.append(
+                    (key_t[0], row[id_col], len(toks), prefix // target)
+                )
+                prefix += len(toks)
+        state.update((prefix,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[partition_col, id_col, "n_tokens", "pack_id"]
+            )
+
+    return docs.groupBy(partition_col).applyInPandasWithState(
+        fn,
+        f"{partition_col} string, {id_col} long, n_tokens int, pack_id long",
+        "prefix long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

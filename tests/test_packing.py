@@ -61,6 +61,41 @@ def test_pack_partitions_are_independent(spark):
     assert {r["pack_id"] for r in packed} == {0}
 
 
+def test_sharded_pack_invariants_and_per_shard_parity(spark):
+    """The sharded (source × hash-bucket) packing shape — what a 100 TB
+    corpus actually runs — preserves every packing invariant per
+    (source, shard) key: one output row per doc, token conservation,
+    and pack_id == floor(exclusive-prefix/target) in doc_id order
+    within each shard."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.functions.text import token_count
+    from flink_examples_spark.operators.packing import sequence_pack_sharded
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    target, n_shards = 64, 4
+    packed = sequence_pack_sharded(
+        docs, "doc_id", "text", target, "source", n_shards=n_shards
+    ).collect()
+
+    # exactly one row per doc; tokens conserved
+    assert len(packed) == docs.count()
+    total = docs.agg(F.sum(token_count("text"))).first()[0]
+    assert sum(r["n_tokens"] for r in packed) == total
+    # shards actually fan out (the point of the shape)
+    assert {r["pack_shard"] for r in packed} == set(range(n_shards))
+
+    # per-(source, shard) prefix-sum semantics hold independently
+    groups: dict[tuple, list] = {}
+    for r in packed:
+        groups.setdefault((r["source"], r["pack_shard"]), []).append(r)
+    for rows in groups.values():
+        prefix = 0
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            assert r["pack_id"] == prefix // target, rows
+            prefix += r["n_tokens"]
+
+
 def test_chunk_exact_multiple_has_no_empty_tail(spark):
     df = _docs(spark, [(1, "s", "a b c d e f")])
     rows = chunk_documents(df, "doc_id", "text", 3).collect()

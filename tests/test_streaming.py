@@ -1083,3 +1083,130 @@ def test_streaming_corpus_hygiene_matches_batch(spark, tmp_path):
     out2 = run_to_memory(contaminated_stream, spark, "hyg2", "append",
                          str(tmp_path / "ck2"))
     assert {r.doc_id for r in out2.collect()} == batch_contaminated
+
+
+def test_streaming_sequence_pack_matches_batch(spark, tmp_path):
+    """Streaming twin of sequence_pack: the per-key token prefix lives
+    in GroupState across micro-batches, so an append-only id-ordered
+    ingest packs row-for-row identically to the batch window
+    formulation."""
+    from flink_examples_spark.operators.packing import sequence_pack
+    from flink_examples_spark.streaming.stateful import (
+        streaming_sequence_pack,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    batch = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["pack_id"])
+        for r in sequence_pack(docs, "doc_id", "text", 128, "source").collect()
+    }
+
+    pdf = docs.select("source", "doc_id", "text").toPandas() \
+        .sort_values("doc_id")  # append-only id-ordered ingest
+    d = write_chunks(pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    packed = streaming_sequence_pack(src, "doc_id", "text", 128, "source")
+    out = run_to_memory(packed, spark, "spack", "append",
+                        str(tmp_path / "ck"))
+    got = {r.doc_id: (r.source, r.n_tokens, r.pack_id)
+           for r in out.collect()}
+    assert got == batch
+    # cross-batch state actually mattered: some key spans multiple bins
+    assert len({(s, p) for s, _, p in got.values()}) > len(
+        {s for s, _, _ in got.values()}
+    )
+
+
+def test_streaming_temperature_mixture_matches_batch(spark, tmp_path):
+    """Streaming twin of temperature_mixture_sample: the per-stratum
+    keep-rates are a tiny static aggregate (computed once from the
+    corpus census, broadcast into the stream-static join); the per-row
+    salted-hash decision is stateless — streamed keep set == batch."""
+    from flink_examples_spark.operators.sampling import (
+        _BUCKETS,
+        _null_safe,
+        _strata_bucket,
+        temperature_mixture_sample,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    batch_kept = {r.doc_id for r in
+                  temperature_mixture_sample(docs, "lang", "doc_id",
+                                             alpha=0.7).collect()}
+
+    # static rate table: same arithmetic as the batch operator
+    counts = docs.select(_null_safe(F.col("lang")).alias("_sv")) \
+        .groupBy("_sv").agg(F.count(F.lit(1)).alias("_n_s"))
+    n_min = counts.agg(F.min("_n_s").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "_sv",
+        F.round(F.pow(F.col("_n_s") / F.col("_n_min"), F.lit(0.7 - 1.0))
+                * _BUCKETS, 0).cast("int").alias("_t"),
+    )
+
+    pdf = docs.select("doc_id", "lang").toPandas()
+    d = write_chunks(pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    kept_stream = (
+        src.withColumn("_b", _strata_bucket("doc_id", "lang", "temp"))
+        .withColumn("_sv", _null_safe(F.col("lang")))
+        .join(F.broadcast(rates), "_sv")
+        .filter(F.col("_b") < F.col("_t"))
+        .select("doc_id")
+    )
+    out = run_to_memory(kept_stream, spark, "smix", "append",
+                        str(tmp_path / "ck"))
+    assert {r.doc_id for r in out.collect()} == batch_kept
+    assert batch_kept  # non-vacuous
+
+
+def test_streaming_snapshot_diff_matches_batch(spark, tmp_path):
+    """Streaming twin of snapshot_diff: v2 (today) streams against the
+    static v1 fingerprint table via a stream-static left join —
+    added/changed/unchanged verdicts per streamed row; 'removed' is
+    inherently an absence (no v2 row ever arrives) so it's closed
+    batch-side by anti-joining v1 against the streamed ids, mirroring
+    how a daily job closes the books after the ingest drains."""
+    from flink_examples_spark.functions.text import fingerprint_md5
+    from flink_examples_spark.operators.diff import snapshot_diff
+    from flink_examples_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, "documents", SF)
+    b = _bucket("doc_id", "snap")
+    v1 = docs.filter(b < 9500).select("doc_id", "text")
+    v2 = docs.filter(b >= 500).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    batch = {r.doc_id: r.verdict
+             for r in snapshot_diff(v1, v2, "doc_id", "text").collect()}
+
+    old_fp = v1.select("doc_id", fingerprint_md5("text").alias("_fp_old"))
+    pdf = v2.toPandas()
+    d = write_chunks(pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    verdicts = (
+        src.withColumn("_fp_new", fingerprint_md5("text"))
+        .join(old_fp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_fp_old").isNull(), "added")
+            .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+            .otherwise("unchanged").alias("verdict"),
+        )
+    )
+    out = run_to_memory(verdicts, spark, "sdiff", "append",
+                        str(tmp_path / "ck"))
+    streamed = {r.doc_id: r.verdict for r in out.collect()}
+
+    seen = spark.createDataFrame(
+        [(i,) for i in streamed], "doc_id long"
+    )
+    removed = {r.doc_id for r in
+               v1.join(seen, "doc_id", "left_anti").select("doc_id").collect()}
+    combined = dict(streamed)
+    combined.update({i: "removed" for i in removed})
+    assert combined == batch
+    assert set(batch.values()) == {"added", "removed", "changed", "unchanged"}
