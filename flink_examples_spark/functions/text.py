@@ -28,6 +28,31 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-family pretokenizer, reduced to the RE2-compatible subset both
+# Spark (Java regex) and DuckDB (RE2) evaluate identically: contraction
+# suffixes, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, whitespace runs. The original's
+# trailing-whitespace lookahead ((?!\S)) is dropped — RE2 has no
+# lookahead — which only changes how interior whitespace RUNS split,
+# not the total count's usefulness as a sequence-length estimate.
+BPE_SPLIT_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-style pretokens of the RAW text (no lowercasing — case is
+    signal to a real tokenizer). Cross-engine parity is pinned by
+    tests and the ``bpe_token_stats`` oracle."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_REGEX), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sequence-length estimate a training pipeline budgets with: the
+    BPE pretoken count upper-bounds (and tracks) the real subword count
+    far better than whitespace words on punctuation/number-heavy text."""
+    return F.size(bpe_tokens(text))
+
+
 def char_count_no_spaces(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     return F.length(F.replace(col, F.lit(" "), F.lit("")))

@@ -158,3 +158,55 @@ def test_snapshot_diff_verdicts(spark):
            for r in snapshot_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "unchanged", 5: "added"}
+
+
+# ---------------------------------------------------------------------------
+# BPE pretokenization (functions/text.py BPE_SPLIT_REGEX)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pretokens_match_duckdb_on_adversarial_text(spark):
+    """The engine-parity contract for the BPE regex: Spark's Java-regex
+    evaluation and DuckDB's RE2 evaluation must produce IDENTICAL token
+    lists on contraction/punctuation/number/whitespace-heavy text —
+    the exact classes where regex dialects usually diverge."""
+    import duckdb
+
+    from flink_examples_spark.functions.text import (
+        BPE_SPLIT_REGEX,
+        bpe_tokens,
+    )
+
+    samples = [
+        "Hello world, it's 2026! a1b2 --dash  double  space",
+        "tab\tand\nnewline mix 3.14 isn't it",
+        "we'll they're I'd you've o'clock ''quoted''",
+        "...!!! ??? #hash_tag @user 100,000.00",
+        "",
+    ]
+    df = _docs(spark, list(enumerate(samples)))
+    got = {r.doc_id: r.toks
+           for r in df.select("doc_id", bpe_tokens("text").alias("toks"))
+           .collect()}
+    for i, s in enumerate(samples):
+        want = duckdb.sql(
+            "select regexp_extract_all(?, ?)", params=[s, BPE_SPLIT_REGEX]
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
+        # tokens reassemble the original text exactly (lossless split)
+        assert "".join(got[i]) == s
+
+
+def test_bpe_count_exceeds_ws_count_on_punctuated_text(spark):
+    """The budgeting rationale: on punctuation/number-heavy text the
+    BPE pretoken count is strictly larger than whitespace words —
+    whitespace counting under-budgets sequence length."""
+    from flink_examples_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    df = _docs(spark, [(1, "well, it's 3.14 -- isn't it?!")])
+    r = df.select(token_count("text").alias("ws"),
+                  bpe_token_count("text").alias("bpe")).first()
+    assert r.bpe > r.ws
