@@ -45,6 +45,34 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document as ONE array row:
+    ``(doc_id, sh)`` — the pre-explode form. Docs with fewer than ``n``
+    tokens are dropped (they have no shingles). Entirely narrow: the
+    tokenize/slide/dedup all run inside the scan's codegen.
+
+    The expression is TOTAL — the short-doc case returns array() inside
+    the expression instead of relying on the row filter to shield it.
+    Catalyst may infer `size(shingles) > 0` from a downstream explode
+    and evaluate it in the same predicate as (or before) the size
+    guard; under ANSI mode a non-total expression then throws
+    INVALID_ARRAY_INDEX on a doc with < n tokens (sequence(0,-1) counts
+    DOWN). Never assume filter order shields a partial expression.
+    """
+    shingle_expr = "transform(sequence(0, size(t) - %d), i -> %s)" % (
+        n,
+        " || ' ' || ".join(f"t[i + {j}]" for j in range(n)),
+    )
+    safe = f"if(size(t) >= {n}, array_distinct({shingle_expr}), array())"
+    return (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+        .filter(F.size("t") >= n)
+        .select("doc_id", F.expr(safe).alias("sh"))
+    )
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: ``(doc_id, shingle)``.
 
@@ -56,6 +84,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     Dropping that exchange is one full pass over the corpus saved at
     100 TB; within a row the array is a few hundred entries, so the
     hash-set dedup is cheap and stays in the scan stage.
+
+    Kept as the direct explode-in-one-Project formulation rather than
+    delegating to ``shingle_arrays``: routing the array through a
+    second Project measured ~2.7x slower on the decontam join path
+    (the inferred-from-Generate size filter re-evaluates the array
+    expression across the Project boundary, defeating subexpression
+    reuse).
     """
     shingle_expr = "transform(sequence(0, size(t) - %d), i -> %s)" % (
         n,
@@ -193,7 +228,60 @@ def minhash_band_keys(
     without recomputing signatures. Both the batch self-join
     (``minhash_lsh_pairs``) and the incremental delta-vs-corpus path
     (``incremental_lsh_pairs``) build on it.
+
+    Two formulations with bit-identical output:
+
+    - default (``shingles_df=None``): each doc's k minhashes are
+      ``array_min(transform(sh, s -> hash60(s#i)))`` over the per-row
+      shingle ARRAY — pure codegen, ZERO shuffle (the old
+      explode+groupBy formulation shuffled |shingles|·k rows per
+      corpus pass), and streaming-safe (no aggregation state), which
+      is what lets the incremental delta path run as a stream;
+    - ``shingles_df`` given: the exploded+staged shingle index is
+      reused via the aggregate path, for pipelines that already pay
+      for (and persist) that index across several consumers.
     """
+    if num_hashes % band_size:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide into whole bands of "
+            f"band_size={band_size} — a partial band would hash "
+            f"differently per formulation"
+        )
+    if shingles_df is None:
+        arr = shingle_arrays(df, id_col, text_col, n)
+
+        def _minhash(i: int):
+            # one-arg lambda only: F.transform treats a two-parameter
+            # callable as (element, index) and would pass the array
+            # index into the second slot
+            return F.array_min(
+                F.transform(
+                    F.col("sh"), lambda s: hash60(F.concat(s, F.lit(f"#{i}")))
+                )
+            )
+
+        mh = [_minhash(i).alias(f"m{i}") for i in range(num_hashes)]
+        sig_row = arr.select("doc_id", *mh)
+        bands = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(num_hashes // band_size)
+        ])
+        return sig_row.select(
+            "doc_id", F.explode(bands).alias("bk")
+        ).select("doc_id", F.col("bk.band").alias("band"),
+                 F.col("bk.band_key").alias("band_key"))
+
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles_df)
     sig = sig.withColumn("band", (F.col("i") / band_size).cast("int"))
     # Per (doc, band): fold the band's minhashes (in i-order) into one key.
@@ -228,6 +316,16 @@ def minhash_lsh_pairs(
     become a candidate pair; candidates are deterministic, so the SQL
     oracle reproduces them exactly. Downstream, verify candidates with
     ``ngram_jaccard_pairs`` semantics on the candidate set only.
+
+    Recall: a pair at Jaccard j survives with p = 1-(1-j^b)^(k/b)
+    (k=8, b=2 defaults → 0.31 at j=0.3, 0.68 at j=0.5, 0.92 at j=0.7).
+    Measured against the exact inverted-index join on the fixtures
+    (sf0.001: 28 true pairs, sf0.1: 256): recall 1.00 at every
+    threshold ≥0.3 with both k=8 and k=16 — the fixture dups are
+    near-identical, i.e. deep in the high-j regime
+    (tests/test_dedup_clusters.py pins the 1.00 floor). For a corpus
+    where marginal-j pairs matter, raise k (more bands at the same
+    band_size shifts the S-curve left).
     """
     bands = minhash_band_keys(
         df, id_col, text_col, num_hashes, band_size, n, shingles_df
@@ -277,6 +375,13 @@ def incremental_lsh_pairs(
     delta_bands = minhash_band_keys(
         delta, id_col, text_col, num_hashes, band_size, n
     )
+    if broadcast_delta:
+        # the delta-is-small contract also means its band index is
+        # cheap to MATERIALIZE once: both consumers (the broadcast
+        # cross join and the within self-join's two sides) would
+        # otherwise re-run the shingle -> minhash pipeline per use —
+        # three delta scans instead of one
+        delta_bands = delta_bands.localCheckpoint(eager=True)
     db = F.broadcast(delta_bands) if broadcast_delta else delta_bands
     cross = (
         corpus_bands.alias("c")

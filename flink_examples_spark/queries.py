@@ -986,14 +986,18 @@ def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and min of corpus-wide bigram frequencies, WITH multiplicity "
         "— no distinct). The integer twin of CCNet-style LM-perplexity "
         "filtering: gibberish surfaces as low familiar_sum/min_cnt, "
-        "with none of the cross-engine float-log hazards. Plan: one "
-        "count shuffle + one join, both keyed on the bigram "
-        "(co-partitioned, ReuseExchange-able), then the per-doc agg.",
+        "with none of the cross-engine float-log hazards. Plan: the "
+        "global frequency is a COUNT window partitioned by the bigram "
+        "on the exploded set — ONE corpus scan and one exchange, where "
+        "the count-then-join-back formulation would scan and explode "
+        "the corpus twice.",
 )
 def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    from pyspark.sql import Window
+
     from flink_examples_spark.functions.text import tokens
 
+    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
     bigram_expr = F.expr(
         "transform(sequence(0, size(t) - 2), i -> t[i] || ' ' || t[i+1])"
     )
@@ -1002,9 +1006,9 @@ def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 2)
         .select("doc_id", F.explode(bigram_expr).alias("bigram"))
     )
-    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    c = F.count(F.lit(1)).over(Window.partitionBy("bigram"))
     return (
-        bg.join(cnt, "bigram")
+        bg.withColumn("c", c)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -94,6 +94,28 @@ def test_distributed_branch_matches_union_find_on_real_lsh_pairs(spark):
     assert dist  # non-vacuous
 
 
+def test_minhash_lsh_candidate_recall_floor(spark):
+    """The text-side LSH recall contract (dedup.py docstring table):
+    every exact-Jaccard pair ≥0.3 on the fixture is recalled by the
+    default k=8/b=2 banding — measured 1.00 at sf0.001 and sf0.1; a
+    banding or salt regression that starts missing true near-dups
+    fails this loudly."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    cand = {(r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    true_pairs = {(r.doc_a, r.doc_b)
+                  for r in ngram_jaccard_pairs(docs, "doc_id", "text",
+                                               threshold=0.3).collect()}
+    assert true_pairs  # non-vacuous
+    assert true_pairs <= cand  # recall 1.0 on the fixture
+
+
 def test_keep_canonical_drops_non_minimal_members(spark):
     docs = spark.createDataFrame(
         [(i, f"doc{i}") for i in (1, 2, 3, 10, 11, 20)], "doc_id long, text string"

@@ -1160,6 +1160,57 @@ def test_streaming_temperature_mixture_matches_batch(spark, tmp_path):
     assert batch_kept  # non-vacuous
 
 
+def test_streaming_incremental_ingest_matches_batch(spark, tmp_path):
+    """The daily-ingest dedup runs as a STREAM: delta documents arrive
+    in micro-batches, their LSH band keys are computed per-row (the
+    narrow array_min/transform formulation — no aggregation state), and
+    a stream-static join against the staged corpus band index emits
+    candidate pairs incrementally. Must equal the batch
+    incremental_lsh_pairs 'corpus' family pair-for-pair."""
+    from flink_examples_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_band_keys,
+    )
+    from flink_examples_spark.operators.sampling import _bucket
+
+    docs = load_table(spark, "documents", SF)
+    b = _bucket("doc_id", "incr")
+    corpus = docs.filter(b < 9000).select("doc_id", "text")
+    delta = docs.filter(b >= 9000).select("doc_id", "text")
+    corpus_bands = minhash_band_keys(corpus, "doc_id", "text") \
+        .localCheckpoint()
+
+    batch = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_lsh_pairs(corpus_bands, delta,
+                                       "doc_id", "text").collect()
+        if r.against == "corpus"
+    }
+
+    d = write_chunks(delta.toPandas(), str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    sbands = minhash_band_keys(src, "doc_id", "text")  # narrow: stream-safe
+    pairs = (
+        sbands.alias("d")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("c.band") == F.col("d.band"))
+            & (F.col("c.band_key") == F.col("d.band_key"))
+            & (F.col("c.doc_id") != F.col("d.doc_id")),
+        )
+        .select(
+            F.least("c.doc_id", "d.doc_id").alias("doc_a"),
+            F.greatest("c.doc_id", "d.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    out = run_to_memory(pairs, spark, "sincr", "append",
+                        str(tmp_path / "ck"))
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert got == batch
+    assert batch  # non-vacuous: the fixture has cross-snapshot dups
+
+
 def test_streaming_snapshot_diff_matches_batch(spark, tmp_path):
     """Streaming twin of snapshot_diff: v2 (today) streams against the
     static v1 fingerprint table via a stream-static left join —
