@@ -75,6 +75,20 @@ def main() -> None:
     spark.range(spark.sparkContext.defaultParallelism).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # warm higher-order-function eval and the broadcast-join machinery —
+    # ann_cosine_topk is alphabetically first and was paying both
+    # first-use costs as measurement noise (its spread was 2.5x)
+    from pyspark.sql import functions as F
+
+    r = spark.range(64)
+    r.select(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        ).alias("s")
+    ).count()
+    r.join(F.broadcast(spark.range(8)), "id", "left").count()
 
     # min-of-N repetitions: this box shows ±20% run-to-run noise on a
     # few queries, so a single rep can't distinguish a real regression

@@ -961,6 +961,95 @@ def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_datacard",
+    oracle="""
+    WITH q AS (
+        SELECT source, lang,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS n_toks,
+               md5(trim(lower(text))) AS fp
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+           CAST(SUM(CASE WHEN n_toks >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_len_ok
+    FROM q GROUP BY 1
+    """,
+    doc="Per-source dataset card: the one-pass census a data team "
+        "publishes with a release — doc/token totals, language count, "
+        "exact-duplicate count (docs minus distinct fingerprints), and "
+        "the length-gate pass count. Integer-only aggregates "
+        "(hash-exact); one map-side-combined shuffle on source; the "
+        "distinct counts are per-group hash aggregates, not corpus "
+        "distincts.",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import (
+        fingerprint_md5,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select(
+        "source", "lang",
+        token_count("text").alias("n_toks"),
+        fingerprint_md5("text").alias("fp"),
+    )
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        F.sum(F.when(F.col("n_toks") >= 10, 1).otherwise(0)).alias("n_len_ok"),
+    )
+
+
+@register(
+    "token_zipf_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), c AS (
+        SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_distinct,
+           CAST(SUM(cnt) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt
+    FROM c
+    """,
+    doc="Token-distribution shape for tokenizer planning: distinct "
+        "types, total tokens, hapax legomena (frequency-1 types — the "
+        "vocabulary tail a BPE merge schedule has to absorb), and the "
+        "head frequency. Two map-side-combined aggregations (token, "
+        "then global); the second input is |vocab| rows, not the "
+        "corpus.",
+)
+def token_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    c = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("cnt").alias("n_total"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.max("cnt").alias("max_cnt"),
+    )
+
+
+@register(
     "doc_bigram_familiarity",
     oracle="""
     WITH t AS (
