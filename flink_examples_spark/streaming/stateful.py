@@ -440,7 +440,7 @@ def streaming_sequence_pack(
     id_col: str,
     text_col: str,
     target: int,
-    partition_col: str,
+    partition_col: str | Sequence[str],
 ) -> DataFrame:
     """Streaming twin of ``operators.packing.sequence_pack``: greedy
     in-order token packing with the running per-key prefix carried in
@@ -454,10 +454,19 @@ def streaming_sequence_pack(
     formulation row-for-row (asserted by
     tests/test_streaming.py::test_streaming_sequence_pack_matches_batch).
 
+    ``partition_col`` may be a list — e.g. ``[source, shard]``, the
+    sharded 100 TB shape (tests assert parity with
+    ``sequence_pack_sharded``); key column types are taken from the
+    input schema.
+
     Token semantics mirror functions.text.tokens (lowercase, split on
     single spaces, empties dropped) so streamed counts are bit-identical
     to the codegen path.
     """
+    parts = [partition_col] if isinstance(partition_col, str) \
+        else list(partition_col)
+    types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    key_ddl = ", ".join(f"{c} {types[c]}" for c in parts)
 
     def fn(
         key_t, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -468,18 +477,18 @@ def streaming_sequence_pack(
             for _, row in pdf.sort_values(id_col).iterrows():
                 toks = [t for t in str(row[text_col]).lower().split(" ") if t]
                 out.append(
-                    (key_t[0], row[id_col], len(toks), prefix // target)
+                    (*key_t, row[id_col], len(toks), prefix // target)
                 )
                 prefix += len(toks)
         state.update((prefix,))
         if out:
             yield pd.DataFrame(
-                out, columns=[partition_col, id_col, "n_tokens", "pack_id"]
+                out, columns=[*parts, id_col, "n_tokens", "pack_id"]
             )
 
-    return docs.groupBy(partition_col).applyInPandasWithState(
+    return docs.groupBy(*parts).applyInPandasWithState(
         fn,
-        f"{partition_col} string, {id_col} long, n_tokens int, pack_id long",
+        f"{key_ddl}, {id_col} long, n_tokens int, pack_id long",
         "prefix long",
         "append",
         GroupStateTimeout.NoTimeout,

@@ -210,3 +210,68 @@ def test_bpe_count_exceeds_ws_count_on_punctuated_text(spark):
     r = df.select(token_count("text").alias("ws"),
                   bpe_token_count("text").alias("bpe")).first()
     assert r.bpe > r.ws
+
+
+# ---------------------------------------------------------------------------
+# NULL / degenerate text robustness
+# ---------------------------------------------------------------------------
+
+
+def test_text_operators_survive_null_and_empty_docs(spark):
+    """A 100 TB crawl WILL contain null/empty/whitespace-only documents;
+    no text operator may crash on them, and the semantics pinned here
+    are the cross-engine-stable ones: null text yields null counts (SQL
+    aggregates skip them), whitespace-only yields no tokens/shingles,
+    and packing charges null docs zero budget while still emitting
+    their row (no silent drop)."""
+    from pyspark.sql import functions as F
+
+    from flink_examples_spark.functions.text import bpe_token_count, token_count
+    from flink_examples_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_band_keys,
+        shingles,
+    )
+    from flink_examples_spark.operators.packing import (
+        chunk_documents,
+        sequence_pack,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo bar baz one two three four five six"),
+         (2, None), (3, ""), (4, "   "), (5, "ab")],
+        "doc_id long, text string",
+    )
+
+    counts = {r.doc_id: r.n for r in
+              df.select("doc_id", token_count("text").alias("n")).collect()}
+    assert counts[1] == 11 and counts[5] == 1
+    assert counts[2] is None          # null propagates, never throws
+    assert counts[3] == 0 and counts[4] == 0
+    assert df.select(bpe_token_count("text")).count() == 5
+
+    # shingles/band keys: degenerate docs simply produce no rows
+    sh_docs = {r.doc_id for r in shingles(df, "doc_id", "text").collect()}
+    assert sh_docs == {1}
+    bk_docs = {r.doc_id for r in
+               minhash_band_keys(df, "doc_id", "text").collect()}
+    assert bk_docs == {1}
+
+    # exact dedup groups whitespace-variants together, null separately
+    groups = {r.fingerprint: r.n_copies for r in
+              exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert groups[None] == 1          # null text is its own group
+    assert 2 in groups.values()       # "" and "   " share a fingerprint
+
+    # packing: every doc keeps a row; null charges no budget
+    packed = {r.doc_id: (r.n_tokens, r.pack_id) for r in
+              sequence_pack(df.withColumn("source", F.lit("s")),
+                            "doc_id", "text", 8, "source").collect()}
+    assert len(packed) == 5
+    assert packed[2][0] is None
+    # doc 5 follows docs 2-4 (which contributed 0 tokens): same prefix
+    assert packed[5][1] == packed[2][1]
+
+    # chunking skips token-less docs entirely (nothing to chunk)
+    assert {r.doc_id for r in
+            chunk_documents(df, "doc_id", "text", 3).collect()} == {1, 5}

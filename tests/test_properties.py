@@ -192,3 +192,48 @@ def test_chunking_partitions_every_token_exactly_once(spark, doc_lens, c):
         assert sum(sizes) == n
         assert all(s == c for s in sizes[:-1])
         assert 1 <= sizes[-1] <= c
+
+
+def test_bpe_pretokens_losslessly_partition_any_text(spark):
+    """BPE_SPLIT_REGEX must PARTITION every string: concatenating the
+    matches reproduces the input byte-for-byte (no char falls between
+    matches, none is double-counted), and Spark and DuckDB agree on the
+    token lists. 200 adversarial strings — random mixes of letters,
+    digits, punctuation, contractions, unicode and whitespace runs —
+    checked in one job."""
+    import random
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from flink_examples_spark.functions.text import BPE_SPLIT_REGEX, bpe_tokens
+
+    rng = random.Random(42)
+    alphabets = [
+        "abc XYZ 012",
+        "'stsre 've'll'd n''t",
+        ".,;:!?-()[]#@/\\\"",
+        " \t\n\r  ",
+        "café über 中文 10①",
+        "a1b2 3.14 1,000,000 --flag",
+    ]
+    samples = []
+    for i in range(200):
+        parts = []
+        for _ in range(rng.randint(0, 12)):
+            a = rng.choice(alphabets)
+            k = rng.randint(1, 6)
+            parts.append("".join(rng.choice(a) for _ in range(k)))
+        samples.append("".join(parts))
+    df = spark.createDataFrame(
+        list(enumerate(samples)), "i long, text string"
+    )
+    got = {r.i: r.toks for r in
+           df.select("i", bpe_tokens("text").alias("toks")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        assert "".join(got[i]) == s, (i, repr(s), got[i])
+        want = con.execute(
+            "select regexp_extract_all(?, ?)", [s, BPE_SPLIT_REGEX]
+        ).fetchone()[0]
+        assert got[i] == want, (i, repr(s))

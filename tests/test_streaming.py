@@ -1117,6 +1117,49 @@ def test_streaming_sequence_pack_matches_batch(spark, tmp_path):
     )
 
 
+def test_streaming_sharded_pack_matches_batch(spark, tmp_path):
+    """The sharded (source × hash-shard) packing shape also streams:
+    composite GroupState keys, one running prefix per (source, shard),
+    row-identical to batch sequence_pack_sharded under an id-ordered
+    replay."""
+    from flink_examples_spark.operators.packing import sequence_pack_sharded
+    from flink_examples_spark.streaming.stateful import (
+        streaming_sequence_pack,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    batch = {
+        r["doc_id"]: (r["source"], r["pack_shard"], r["n_tokens"], r["pack_id"])
+        for r in sequence_pack_sharded(
+            docs, "doc_id", "text", 128, "source", n_shards=4
+        ).collect()
+    }
+
+    # shard assignment is a narrow deterministic expression — compute it
+    # on the stream exactly as the batch operator does
+    from pyspark.sql import functions as _F
+
+    from flink_examples_spark.functions.text import hash60
+
+    shard = _F.pmod(
+        hash60(_F.concat(_F.col("doc_id").cast("string"), _F.lit("#pack"))),
+        _F.lit(4),
+    )
+    pdf = docs.select("source", "doc_id", "text").toPandas() \
+        .sort_values("doc_id")
+    d = write_chunks(pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet")) \
+        .withColumn("pack_shard", shard)
+    packed = streaming_sequence_pack(
+        src, "doc_id", "text", 128, ["source", "pack_shard"]
+    )
+    out = run_to_memory(packed, spark, "sspack", "append",
+                        str(tmp_path / "ck"))
+    got = {r.doc_id: (r.source, r.pack_shard, r.n_tokens, r.pack_id)
+           for r in out.collect()}
+    assert got == batch
+
+
 def test_streaming_temperature_mixture_matches_batch(spark, tmp_path):
     """Streaming twin of temperature_mixture_sample: the per-stratum
     keep-rates are a tiny static aggregate (computed once from the
