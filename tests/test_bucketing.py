@@ -92,6 +92,49 @@ def test_snapshot_diff_on_bucketed_snapshots_is_exchange_free(
         spark.sql("DROP TABLE IF EXISTS snap_v2")
 
 
+def test_staged_band_index_self_joins_exchange_free(
+    spark, sf_dir, tmp_path, no_broadcast
+):
+    """dedup.py's staging claim, proven at the plan level: the MinHash
+    band-key table persisted bucketed on its join key self-joins with
+    ZERO exchanges — so a staged 100 TB corpus band index generates LSH
+    candidates without ever reshuffling. Pairs must equal the in-memory
+    LSH join's."""
+    from flink_examples_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    bands = minhash_band_keys(docs, "doc_id", "text")
+    try:
+        # bucket on BOTH join keys: a band_key-only bucketing leaves the
+        # planner unable to line buckets up with the (band, band_key)
+        # join and it falls back to a full shuffle
+        write_bucketed_table(
+            bands, "band_idx", str(tmp_path / "b"), ["band", "band_key"],
+            8, sort_cols=["band", "band_key"],
+        )
+        b = spark.table("band_idx")
+        joined = b.alias("a").join(
+            b.alias("c"),
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.band_key") == F.col("c.band_key"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        assert exchange_count(joined) == 0  # zipped bucket files, no shuffle
+        # columns: [doc_id, band, band_key] x2; the set comparison
+        # absorbs the multi-band duplicates that minhash_lsh_pairs'
+        # trailing distinct() removes
+        got = {(r[0], r[3]) for r in joined.collect()}
+        want = {(r.doc_a, r.doc_b)
+                for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+        assert got == want and got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_idx")
+
+
 def test_partitioned_layout_prunes_directories(spark, sf_dir, tmp_path):
     """write_partitioned_table + a partition-column predicate must show
     PartitionFilters in the scan and actually skip the other

@@ -275,3 +275,55 @@ def test_text_operators_survive_null_and_empty_docs(spark):
     # chunking skips token-less docs entirely (nothing to chunk)
     assert {r.doc_id for r in
             chunk_documents(df, "doc_id", "text", 3).collect()} == {1, 5}
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty partitions and empty deltas are routine at scale (a quiet
+    ingest day, an all-filtered source); every operator must return an
+    empty result, not crash."""
+    from flink_examples_spark.operators.dedup import (
+        connected_components,
+        incremental_lsh_pairs,
+        keep_canonical,
+        minhash_band_keys,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from flink_examples_spark.operators.diff import snapshot_diff
+    from flink_examples_spark.operators.packing import (
+        chunk_documents,
+        sequence_pack_sharded,
+    )
+    from flink_examples_spark.operators.sampling import (
+        global_shuffle_rank,
+        temperature_mixture_sample,
+    )
+    from flink_examples_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        quantize_embeddings_int8,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, source string, text string")
+    pairs = spark.createDataFrame([], "a long, b long")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+    assert connected_components(pairs, "a", "b").count() == 0
+    assert minhash_lsh_pairs(docs, "doc_id", "text").count() == 0
+    assert ngram_jaccard_pairs(docs, "doc_id", "text").count() == 0
+    assert keep_canonical(
+        docs, connected_components(pairs, "a", "b"), "doc_id"
+    ).count() == 0
+    assert sequence_pack_sharded(docs, "doc_id", "text", 8, "source").count() == 0
+    assert chunk_documents(docs, "doc_id", "text", 4).count() == 0
+    assert embedding_neardup_lsh(emb).count() == 0
+    assert quantize_embeddings_int8(emb).count() == 0
+    assert global_shuffle_rank(docs, "doc_id").count() == 0
+    assert temperature_mixture_sample(docs, "source", "doc_id").count() == 0
+    assert snapshot_diff(docs, docs, "doc_id", "text").count() == 0
+    # empty DELTA against a real corpus: the daily no-op ingest
+    corpus = spark.createDataFrame(
+        [(1, "s", "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, source string, text string",
+    )
+    cb = minhash_band_keys(corpus, "doc_id", "text")
+    assert incremental_lsh_pairs(cb, docs, "doc_id", "text").count() == 0
