@@ -224,10 +224,14 @@ def minhash_band_keys(
     """Per-doc LSH band keys: ``(doc_id, band, band_key)``.
 
     The persistent artifact of LSH dedup — at 100 TB this is the table
-    you stage (bucketed by ``band_key``) so later runs join against it
-    without recomputing signatures. Both the batch self-join
-    (``minhash_lsh_pairs``) and the incremental delta-vs-corpus path
-    (``incremental_lsh_pairs``) build on it.
+    you stage, bucketed on BOTH join keys ``(band, band_key)``, so later
+    runs join against it without recomputing signatures AND without a
+    shuffle: tests/test_bucketing.py proves the staged table self-joins
+    with zero exchanges (bucketing on band_key alone falls back to a
+    full shuffle — the planner can't line buckets up with the two-key
+    join). Both the batch self-join (``minhash_lsh_pairs``) and the
+    incremental delta-vs-corpus path (``incremental_lsh_pairs``) build
+    on it.
 
     Two formulations with bit-identical output:
 

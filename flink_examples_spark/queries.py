@@ -1329,6 +1329,59 @@ def ann_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bkt AS (
+        SELECT vec_id,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#decontam'),
+                               1, 15))::BIGINT % 10000 AS b
+        FROM embeddings
+    ),
+    ev AS (SELECT e.* FROM e JOIN bkt USING (vec_id) WHERE b < 1000),
+    tr AS (SELECT e.* FROM e JOIN bkt USING (vec_id) WHERE b >= 1000),
+    hits AS (
+        SELECT a.vec_id, round({_COSINE_SQL.replace('b.v', 'q.v').replace('b.', 'q.')}, 6) AS cos
+        FROM tr a JOIN ev q ON TRUE
+    )
+    SELECT vec_id, COUNT(*) AS n_hits, MAX(cos) AS max_cos
+    FROM hits WHERE cos >= 0.4 GROUP BY 1
+    """,
+    doc="Semantic decontamination: flag training vectors whose embedding "
+        "is near-duplicate (cosine >= 0.4) to ANY held-out eval vector — "
+        "the paraphrase-contamination complement to n-gram decontam "
+        "(copied text changes its n-grams easily, its embedding less "
+        "so). The eval side is benchmarks — tiny by construction — so "
+        "it broadcasts and the train corpus is never shuffled: the "
+        "identical asymmetry as decontam_ngram. Exact expression-fold "
+        "cosine for oracle parity; at extreme scale swap the broadcast "
+        "scoring for the IVF/LSH candidate path.",
+)
+def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.sampling import _bucket
+    from flink_examples_spark.operators.similarity import (
+        cosine_similarity_col,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    b = _bucket("vec_id", "decontam")
+    ev = emb.filter(b < 1000).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    tr = emb.filter(b >= 1000)
+    cos = F.round(cosine_similarity_col(F.col("v"), F.col("qv")), 6)
+    return (
+        tr.join(F.broadcast(ev))
+        .select("vec_id", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.max("cos").alias("max_cos"))
+    )
+
+
+@register(
     "embedding_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
