@@ -1741,6 +1741,61 @@ def dedup_minhash_clusters_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    {_MINHASH_BANDS_SQL},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT s AS node, s AS lbl FROM edges
+        UNION
+        SELECT e.s, r.lbl FROM edges e JOIN reach r ON e.d = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed
+    FROM sizes GROUP BY 1
+    """,
+    doc="Duplicate-cluster size histogram — the report a dedup audit "
+        "reads before destructive removal: how many clusters of each "
+        "size, and how many documents canonical-keep would delete "
+        "(size-1 per cluster). Two tiny aggregations over the component "
+        "table (edge-set-sized, orders below the corpus).",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _fan_out(spark, load_table(spark, "documents", sf_dir)),
+        "doc_id", "text", num_hashes=8, band_size=2,
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).alias("docs_removed"),
+    )
+
+
+@register(
     "count_distinct_daily_approx",
     oracle=None,  # HLL++ estimates are engine-specific; the error bound
                   # vs the exact count is asserted in tests/test_sketches.py
