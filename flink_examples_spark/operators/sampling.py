@@ -265,3 +265,70 @@ def temperature_mixture_sample(
         .filter(F.col("_b") < F.col("_t"))
         .drop("_b", "_sv", "_t")
     )
+
+
+def plan_repeat_factors(
+    per_source: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    alpha: float = 0.7,
+    target_mult: float = 2.0,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Epoch planner: per-source repeat factors for a token budget.
+
+    Given per-source token counts, compute temperature-flattened mixture
+    weights ``w_s ∝ tokens_s^alpha`` and the repeat factor (epochs) each
+    source needs to fill a ``target_mult × total_tokens`` budget at those
+    weights, capped at ``max_epochs`` (the "don't repeat data more than
+    N times" rule of thumb from scaling-law practice). This is the
+    planning step a mixture-weighted training run does before writing
+    its sampling manifest.
+
+    Everything after the (tiny) per-source aggregate is arithmetic on a
+    20-row broadcast — zero additional shuffles at any corpus size; the
+    heavy lifting is the upstream token count, a one-pass map-side-
+    combined aggregate.
+
+    Engine parity: weights and repeat factors are quantized to a 1/10⁴
+    integer grid (``round(x*10000)``) right after the single ``pow``
+    call, and ``effective_tokens`` derives from the quantized factor —
+    so cross-engine float disagreement would need a libm result within
+    one ulp of a .5 grid boundary to change any output.
+
+    Output: ``<source_col>, tokens, weight_10k, repeat_10k,
+    repeat_factor, effective_tokens``.
+    """
+    t = F.col(tokens_col).cast("double")
+    totals = per_source.agg(
+        F.min(tokens_col).cast("double").alias("_t_min"),
+        F.sum(tokens_col).cast("double").alias("_t_total"),
+    )
+    w = per_source.crossJoin(F.broadcast(totals)).withColumn(
+        "weight_10k",
+        F.round(F.pow(t / F.col("_t_min"), F.lit(alpha)) * 10000, 0).cast("long"),
+    )
+    w_sum = w.agg(F.sum("weight_10k").alias("_w_sum"))
+    planned = (
+        w.crossJoin(F.broadcast(w_sum))
+        .withColumn(
+            "repeat_10k",
+            F.round(
+                F.least(
+                    F.lit(max_epochs),
+                    (F.lit(target_mult) * F.col("_t_total") * F.col("weight_10k"))
+                    / (F.col("_w_sum") * t),
+                )
+                * 10000,
+                0,
+            ).cast("long"),
+        )
+        .withColumn("repeat_factor", F.col("repeat_10k") / F.lit(10000.0))
+        .withColumn(
+            "effective_tokens",
+            F.floor(F.col("repeat_10k") * F.col(tokens_col) / F.lit(10000.0)).cast(
+                "long"
+            ),
+        )
+    )
+    return planned.drop("_t_min", "_t_total", "_w_sum")

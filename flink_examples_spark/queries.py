@@ -1642,6 +1642,28 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_pq",
+    oracle=None,  # approximate shortlist by construction; recall floor
+                  # + exact-score re-rank asserted in tests/test_similarity.py
+    doc="Product-quantization ANN — per-subspace codebooks (driver-"
+        "trained on a bounded sample), one mapInPandas pass encodes + "
+        "ADC-scores each corpus batch via per-query lookup tables "
+        "(m byte-lookups per vector instead of a dim-wide multiply; at "
+        "100 TB the staged codes table cuts scan IO ~32x), then the "
+        "tiny PQ shortlist is broadcast back for an exact cosine "
+        "re-rank — the corpus never shuffles. Recall >=0.85 measured at "
+        "defaults (tests/test_similarity.py).",
+)
+def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import cosine_topk_pq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, m=16, n_codes=64
+    )
+
+
+@register(
     "evictor_trailing_stats",
     oracle="""
     SELECT event_id,
@@ -3099,6 +3121,57 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sample(
         docs, "lang", "doc_id", alpha=0.7
     ).select("doc_id", "lang")
+
+
+@register(
+    "corpus_repeat_factors",
+    oracle="""
+    WITH c AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> ''))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), m AS (
+        SELECT MIN(tokens) * 1.0 AS t_min, SUM(tokens) * 1.0 AS t_total
+        FROM c
+    ), w AS (
+        SELECT source, tokens,
+               CAST(round(power(tokens / t_min, 0.7) * 10000, 0)
+                    AS BIGINT) AS weight_10k,
+               t_total
+        FROM c, m
+    ), s AS (
+        SELECT SUM(weight_10k) * 1.0 AS w_sum FROM w
+    ), p AS (
+        SELECT source, tokens, weight_10k,
+               CAST(round(LEAST(4.0,
+                    (2.0 * t_total * weight_10k) / (w_sum * tokens))
+                    * 10000, 0) AS BIGINT) AS repeat_10k
+        FROM w, s
+    )
+    SELECT source, tokens, weight_10k, repeat_10k,
+           repeat_10k / 10000.0 AS repeat_factor,
+           CAST(floor(repeat_10k * tokens / 10000.0) AS BIGINT)
+               AS effective_tokens
+    FROM p
+    """,
+    doc="Epoch planner: temperature-flattened (alpha=0.7) mixture "
+        "weights over per-source token counts → per-source repeat "
+        "factors filling a 2x-total-tokens budget, capped at 4 epochs — "
+        "the sampling manifest a mixture-weighted training run plans "
+        "before reading a byte. One map-side-combined token aggregate; "
+        "everything downstream is arithmetic on a broadcast 20-row "
+        "table. Factors quantized to a 1/10k grid for engine parity.",
+)
+def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import token_count
+    from flink_examples_spark.operators.sampling import plan_repeat_factors
+
+    docs = load_table(spark, "documents", sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("tokens")
+    )
+    return plan_repeat_factors(per_source)
 
 
 @register(

@@ -193,3 +193,70 @@ def test_int8_quantization_error_bound_and_zero_vector(spark):
         assert max(abs(x) for x in q) == 127          # max component saturates
         deq = np.array(q) * scale
         assert np.max(np.abs(deq - np.array(v))) <= scale / 2 + 1e-12
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    """PQ codes are m small ints per vector, deterministic across runs
+    (seeded trainer + id-ordered bounded sample)."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(emb, m=8, n_codes=16)
+    assert books.shape[0] == 8 and books.shape[1] == 16
+    a = pq_encode(emb, books).toPandas().sort_values("vec_id").reset_index(drop=True)
+    b = pq_encode(emb, books).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert a["codes"].map(tuple).equals(b["codes"].map(tuple))
+    assert all(len(c) == 8 for c in a["codes"])
+    assert all(0 <= x < 16 for c in a["codes"] for x in c)
+
+
+def test_pq_topk_rerank_recall_floor(spark, sf_dir):
+    """Re-ranked PQ (ADC shortlist -> exact re-rank) holds a >=0.85
+    recall floor vs exact GEMM on the synthetic near-uniform vectors
+    (the hardest case for a quantizer), and a wider shortlist never
+    hurts recall."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import (
+        cosine_topk_gemm,
+        cosine_topk_pq,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_gemm(emb, q, k=5).toPandas()
+    exact_pairs = set(zip(exact["query_id"], exact["neighbor_id"]))
+
+    def recall(mult):
+        pq = cosine_topk_pq(emb, q, k=5, shortlist_mult=mult).toPandas()
+        pq_pairs = set(zip(pq["query_id"], pq["neighbor_id"]))
+        return len(pq_pairs & exact_pairs) / len(exact_pairs)
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.85, f"PQ rerank recall {r4:.3f} under floor at mult=4"
+    assert r8 >= r4, f"wider shortlist reduced recall: {r8:.3f} < {r4:.3f}"
+
+
+def test_pq_rerank_scores_are_exact_cosines(spark, sf_dir):
+    """Whatever neighbors PQ returns, their reported cosine must equal
+    the true cosine (re-rank recomputes exactly — approximation affects
+    WHICH rows surface, never the reported score)."""
+    import numpy as np
+
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import cosine_topk_pq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    pq = cosine_topk_pq(emb, q, k=3).toPandas()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.toPandas().to_dict("records")
+    }
+    for _, row in pq.iterrows():
+        a, b = vecs[row["query_id"]], vecs[row["neighbor_id"]]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(row["cosine"] - round(true_cos, 6)) <= 2e-6
