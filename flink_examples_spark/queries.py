@@ -961,6 +961,85 @@ def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_oov_by_source",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), tc AS (
+        SELECT source, token, COUNT(*) AS n FROM toks GROUP BY 1, 2
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token, SUM(n) AS tot FROM tc GROUP BY 1
+            ORDER BY tot DESC, token LIMIT 16
+        )
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN n ELSE 0 END)
+               AS BIGINT) AS oov_tokens,
+           round(SUM(CASE WHEN v.token IS NULL THEN n ELSE 0 END)
+                 * 1.0 / SUM(n), 6) AS oov_rate
+    FROM tc LEFT JOIN vocab v USING (token)
+    GROUP BY source
+    """,
+    doc="Vocabulary-coverage / OOV-rate census: token occurrences per "
+        "source falling outside the global top-K vocabulary — the "
+        "check a tokenizer-training pipeline runs before freezing its "
+        "vocab (a high-OOV source needs vocab growth or exclusion). "
+        "ONE token-level aggregate feeds both the vocab top-k "
+        "(TakeOrderedAndProject — distributed partial top-k, no "
+        "global sort) and the per-source rollup; the tiny vocab is "
+        "broadcast for the membership probe, so the token table "
+        "shuffles exactly once at any corpus size. Total-order "
+        "tiebreak (count desc, token asc) keeps the vocab boundary "
+        "deterministic cross-engine.",
+)
+def vocab_oov_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    # the token-level aggregate feeds BOTH the vocab top-k and the
+    # per-source rollup; column pruning makes the two subtrees differ,
+    # so ReuseExchange can't dedupe them — a lazy localCheckpoint
+    # shares one materialization instead (computed on first use inside
+    # the single action, blocks freed by the ContextCleaner rather than
+    # pinned like persist(); at 100 TB you'd stage tc to parquet)
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        tc.groupBy("token")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("token"))
+        .limit(16)
+        .select("token")
+    )
+    oov_n = F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0))
+    return (
+        tc.join(
+            F.broadcast(vocab.withColumn("in_vocab", F.lit(1))),
+            "token",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.sum(oov_n).alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("oov_tokens") / F.col("total_tokens"), 6),
+        )
+    )
+
+
+@register(
     "corpus_datacard",
     oracle="""
     WITH q AS (
