@@ -843,3 +843,52 @@ def quantize_embeddings_int8(
         )
     )
     return scaled.select(F.col(id_col), "scale", q.alias("q"))
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Spherical k-means assignment for corpus clustering — the domain-
+    discovery / curriculum-bucketing primitive of a data-curation
+    pipeline (cluster-then-inspect, cluster-balanced sampling,
+    SemDeDup-style per-cluster dedup all start here).
+
+    Reuses the IVF trainer (bounded driver sample, deterministic), then
+    ONE ``mapInPandas`` pass assigns every vector to its argmax-cosine
+    centroid and records that cosine (cohesion) — centroids ship in the
+    closure, the corpus never shuffles. Output:
+    ``<id_col>, cluster (int), cos_to_centroid (double)``.
+    """
+    import numpy as np
+
+    cent = train_ivf_centroids(
+        embeddings, id_col, vec_col, n_clusters=n_clusters, seed=seed
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["_v"].to_numpy())
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = x @ cent.T
+            c = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "cluster": c.astype("int32"),
+                    "cos_to_centroid": np.round(
+                        sims[np.arange(len(c)), c], 6
+                    ),
+                }
+            )
+
+    out = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(assign, "_id long, cluster int, cos_to_centroid double")
+    return out.select(F.col("_id").alias(id_col), "cluster", "cos_to_centroid")

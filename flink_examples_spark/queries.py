@@ -3203,6 +3203,29 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cluster_profile",
+    oracle=None,  # k-means is not SQL-expressible; determinism +
+                  # numpy-parity asserted in tests/test_similarity.py
+    doc="Corpus clustering census: spherical k-means (bounded driver-"
+        "sample trainer shared with IVF) assigns every vector in one "
+        "mapInPandas pass — centroids in the closure, corpus never "
+        "shuffles — then a per-cluster rollup of size and cohesion "
+        "(avg/min cosine to centroid). The domain-discovery / cluster-"
+        "balanced-sampling primitive of a curation pipeline.",
+)
+def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    assign = kmeans_assign(emb, n_clusters=10)
+    return assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cos_to_centroid"), 6).alias("avg_cohesion"),
+        F.round(F.min("cos_to_centroid"), 6).alias("min_cohesion"),
+    )
+
+
+@register(
     "corpus_repeat_factors",
     oracle="""
     WITH c AS (

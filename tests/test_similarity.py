@@ -260,3 +260,46 @@ def test_pq_rerank_scores_are_exact_cosines(spark, sf_dir):
         a, b = vecs[row["query_id"]], vecs[row["neighbor_id"]]
         true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(row["cosine"] - round(true_cos, 6)) <= 2e-6
+
+
+def test_kmeans_assign_matches_numpy_and_is_deterministic(spark, sf_dir):
+    """The distributed assignment (mapInPandas over batches) agrees
+    exactly with a single-process numpy re-implementation using the
+    same trainer — batching must not change any assignment — and
+    repeated runs are identical."""
+    import numpy as np
+
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import (
+        kmeans_assign,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    got = (
+        kmeans_assign(emb, n_clusters=10)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    again = (
+        kmeans_assign(emb, n_clusters=10)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
+
+    cent = train_ivf_centroids(emb, n_clusters=10)
+    ref = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.stack([np.array(v, dtype=np.float64) for v in ref["embedding"]])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = X @ cent.T
+    expect = np.argmax(sims, axis=1)
+    assert (got["cluster"].to_numpy() == expect).all()
+    assert np.allclose(
+        got["cos_to_centroid"].to_numpy(),
+        np.round(sims[np.arange(len(expect)), expect], 6),
+    )
+    assert got["vec_id"].is_unique
+    assert len(got) == emb.count()
