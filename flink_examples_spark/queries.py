@@ -3203,6 +3203,32 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_semdedup_keep",
+    oracle=None,  # cluster-bounded search is approximate by
+                  # construction; precision-1.0 + recall floor vs the
+                  # exact pair set asserted in tests/test_similarity.py
+    doc="SemDeDup-style semantic dedup: spherical k-means clusters "
+        "(bounded driver-sample trainer), exact cosine pairs WITHIN "
+        "clusters only (soft n_probe=3 assignment recovers boundary "
+        "pairs; measured recall 0.99-1.0 at defaults), connected "
+        "components, keep each group's min-id vector. Cost ~n_probe²/"
+        "n_clusters of the all-pairs sweep — with production-scale "
+        "n_clusters the only semantic-dedup shape that survives 100 TB.",
+)
+def embedding_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+    )
+    from flink_examples_spark.operators.similarity import semdedup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = semdedup_pairs(emb, threshold=0.45, n_clusters=8, n_probe=3)
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    return keep_canonical(emb, comp, "vec_id").select("vec_id")
+
+
+@register(
     "embedding_cluster_profile",
     oracle=None,  # k-means is not SQL-expressible; determinism +
                   # numpy-parity asserted in tests/test_similarity.py

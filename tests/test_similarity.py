@@ -303,3 +303,57 @@ def test_kmeans_assign_matches_numpy_and_is_deterministic(spark, sf_dir):
     )
     assert got["vec_id"].is_unique
     assert len(got) == emb.count()
+
+
+def test_semdedup_precision_and_recall_floor(spark, sf_dir):
+    """Every SemDeDup pair is a true pair with the exact cosine
+    (precision 1.0 — in-cluster verification is exact), and the
+    cluster-bounded search recovers >=0.95 of the exact pair set at
+    the documented defaults (soft 3-probe assignment)."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semdedup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    exact = embedding_neardup_pairs(emb, strategy="expr", threshold=0.45).toPandas()
+    exact_set = {
+        (a, b): c
+        for a, b, c in zip(exact["vec_a"], exact["vec_b"], exact["cosine"])
+    }
+    sem = semdedup_pairs(
+        emb, threshold=0.45, n_clusters=8, n_probe=3
+    ).toPandas()
+    sem_set = {
+        (a, b): c for a, b, c in zip(sem["vec_a"], sem["vec_b"], sem["cosine"])
+    }
+    # precision 1.0 with identical cosines
+    for pair, cos in sem_set.items():
+        assert pair in exact_set and abs(cos - exact_set[pair]) < 2e-6
+    recall = len(sem_set) / max(1, len(exact_set))
+    assert recall >= 0.95, f"semdedup recall {recall:.3f} under floor"
+
+
+def test_semdedup_keep_consistency(spark, sf_dir):
+    """Keep-set = corpus minus non-canonical members of each dup
+    group: disjoint from removed ids, and removed ids all appear in
+    some pair."""
+    from flink_examples_spark.queries import registry
+
+    keep = registry()["embedding_semdedup_keep"].spark_fn(
+        spark, sf_dir
+    ).toPandas()
+    assert keep["vec_id"].is_unique
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import semdedup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    pairs = semdedup_pairs(emb, threshold=0.45, n_clusters=8, n_probe=3).toPandas()
+    paired_ids = set(pairs["vec_a"]) | set(pairs["vec_b"])
+    removed = set(range(0)) if n == len(keep) else (
+        set(emb.select("vec_id").toPandas()["vec_id"]) - set(keep["vec_id"])
+    )
+    assert removed <= paired_ids  # only dup-group members are removed
+    assert len(keep) == n - len(removed)
