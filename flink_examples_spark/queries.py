@@ -961,6 +961,42 @@ def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_train_encode_stats",
+    oracle=None,  # iterative merge training is not SQL-expressible;
+                  # hand-example, conservation and monotonicity pinned
+                  # in tests/test_tokenizer.py
+    doc="Tokenizer training + corpus encoding, the full loop: BPE "
+        "merge table trained on the bounded corpus word-frequency "
+        "table (driver cost O(max_words x n_merges), corpus-size-"
+        "independent), then one broadcast-merges mapInPandas encode "
+        "pass with a per-batch distinct-word memo. Per-source "
+        "accounting: pretokens, BPE tokens, chars/token compression — "
+        "the number a sequence-budget planner actually needs.",
+)
+def bpe_train_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.tokenizer import (
+        bpe_encode_stats,
+        train_bpe_merges,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = train_bpe_merges(docs, n_merges=40)
+    enc = bpe_encode_stats(docs, merges, keep_cols=["source"])
+    per_src = enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pretokens").alias("pretokens"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+    )
+    chars = docs.groupBy("source").agg(
+        F.sum(F.length("text")).alias("n_chars")
+    )
+    return per_src.join(chars, "source").withColumn(
+        "chars_per_token",
+        F.round(F.col("n_chars") / F.col("bpe_tokens"), 4),
+    )
+
+
+@register(
     "vocab_oov_by_source",
     oracle="""
     WITH toks AS (

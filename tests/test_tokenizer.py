@@ -1,0 +1,104 @@
+"""BPE trainer/encoder invariants (operators/tokenizer.py)."""
+
+import pytest
+
+from flink_examples_spark.catalog import load_table
+from flink_examples_spark.operators.tokenizer import (
+    _encode_word,
+    bpe_encode_stats,
+    train_bpe_merges,
+)
+
+
+def test_hand_example_merge_order_and_counts(spark):
+    """'ab ab ab' pretokenizes to ['ab', ' ab', ' ab'] (GPT-2-style
+    leading spaces). Pair freqs: (a,b)=3, (' ',a)=2 → merge1=('a','b');
+    then (' ','ab')=2 → merge2. Encoded totals follow."""
+    docs = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    merges = train_bpe_merges(docs, n_merges=2)
+    assert merges == [("a", "b"), (" ", "ab")]
+
+    two = bpe_encode_stats(docs, merges).collect()[0]
+    assert two["n_pretokens"] == 3
+    assert two["n_bpe_tokens"] == 3  # ['ab'], [' ab'], [' ab']
+
+    one = bpe_encode_stats(docs, merges[:1]).collect()[0]
+    assert one["n_bpe_tokens"] == 5  # ['ab'], [' ','ab'] x2
+
+
+def test_encode_conserves_text_and_is_monotonic(spark, sf_dir):
+    """Concatenating a word's BPE tokens reproduces the word exactly
+    (no characters created or lost), and more merges never increase
+    the token count."""
+    docs = load_table(spark, "documents", sf_dir)
+    merges = train_bpe_merges(docs, n_merges=40)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    from pyspark.sql import functions as F
+
+    from flink_examples_spark.functions.text import bpe_tokens
+
+    words = [
+        r["w"]
+        for r in docs.select(F.explode(bpe_tokens(F.col("text"))).alias("w"))
+        .distinct()
+        .collect()
+    ]
+    assert words
+    for w in words:
+        assert "".join(_encode_word(w, ranks)) == w
+
+    tot = lambda m: (
+        bpe_encode_stats(docs, m)
+        .agg(F.sum("n_bpe_tokens").alias("t"))
+        .collect()[0]["t"]
+    )
+    t0, t20, t40 = tot([]), tot(merges[:20]), tot(merges)
+    assert t0 >= t20 >= t40
+    # zero merges degenerate to characters-of-pretokens
+    chars = (
+        docs.select(F.explode(bpe_tokens(F.col("text"))).alias("w"))
+        .agg(F.sum(F.length("w")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert t0 == chars
+
+
+def test_trainer_is_deterministic(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    assert train_bpe_merges(docs, n_merges=25) == train_bpe_merges(
+        docs, n_merges=25
+    )
+
+
+def test_null_and_empty_text_rows_survive(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    merges = train_bpe_merges(docs, n_merges=2)
+    out = {r["doc_id"]: r for r in bpe_encode_stats(docs, merges).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_bpe_tokens"] == 0
+    assert out[3]["n_bpe_tokens"] == 0
+
+
+def test_registered_query_totals_match_pretoken_oracle(spark, sf_dir):
+    """The rows-only registered query's pretokens column must equal the
+    oracle-verified bpe_token_stats pretoken counts — ties the no-oracle
+    query back to an oracle-backed one."""
+    from flink_examples_spark.queries import registry
+
+    got = {
+        r["source"]: r
+        for r in registry()["bpe_train_encode_stats"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    ref = {
+        r["source"]: r["bpe_tokens"]
+        for r in registry()["bpe_token_stats"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ref)
+    for s, row in got.items():
+        assert row["pretokens"] == ref[s]
+        assert row["bpe_tokens"] <= row["n_chars"]  # merges only shrink
