@@ -975,3 +975,43 @@ def semdedup_pairs(
         # shared cluster with identical cosine; distinct() collapses it
         .distinct()
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    target: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 10,
+    salt: str = "cbal",
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity (cluster-balanced) sampling: ~``target`` vectors drawn
+    evenly across k-means clusters — ceil(target/k) per cluster, the
+    whole cluster when smaller. Head-cluster mass is capped, tail
+    clusters survive — the curation counterweight to frequency bias
+    (the reason balanced sampling exists in data-mixing pipelines).
+
+    Per-cluster selection is the smallest salted-hash60 ranks (same
+    deterministic-grid idiom as operators/sampling.py: replayable,
+    retry-idempotent, no rand()), via a window partitioned on the
+    cluster key — parallel across clusters, never a global sort.
+    Output: ``<id_col>, cluster``.
+    """
+    import math
+
+    from flink_examples_spark.functions.text import hash60
+
+    quota = math.ceil(target / n_clusters)
+    assign = kmeans_assign(
+        embeddings, id_col, vec_col, n_clusters=n_clusters, seed=seed
+    )
+    key = hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))
+    )
+    w = Window.partitionBy("cluster").orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        assign.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .select(id_col, "cluster")
+    )

@@ -3288,6 +3288,28 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_cluster_balanced_sample",
+    oracle=None,  # k-means clusters are not SQL-expressible; quota
+                  # exactness + determinism pinned in
+                  # tests/test_similarity.py
+    doc="Diversity sampling: ~200 vectors drawn evenly over 10 k-means "
+        "clusters (ceil(target/k) per cluster, smallest salted-hash60 "
+        "ranks — deterministic, no rand()), capping head-cluster mass "
+        "so tail domains survive. Window partitioned on the cluster "
+        "key: parallel across clusters, no global sort.",
+)
+def embedding_cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cluster_balanced_sample(emb, target=200, n_clusters=10)
+
+
+@register(
     "corpus_repeat_factors",
     oracle="""
     WITH c AS (
@@ -3336,6 +3358,70 @@ def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count("text")).alias("tokens")
     )
     return plan_repeat_factors(per_source)
+
+
+@register(
+    "corpus_token_shards",
+    oracle=f"""
+    WITH t AS (
+        SELECT {_HASH60_SQL.format(
+            expr="CAST(doc_id AS VARCHAR) || '#shard'")} % 8 AS shard,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS toks
+        FROM documents
+    ), c AS (
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS shard_tokens
+        FROM t GROUP BY shard
+    ), m AS (
+        SELECT SUM(shard_tokens) / 8.0 AS avg_tokens FROM c
+    )
+    SELECT shard, n_docs, shard_tokens,
+           CAST(round((shard_tokens - avg_tokens) * 1000 / avg_tokens, 0)
+               AS BIGINT) AS dev_permille
+    FROM c, m
+    """,
+    doc="Data-parallel shard assignment census: docs hashed into 8 "
+        "dataloader shards (salted hash60 — deterministic, "
+        "retry-idempotent, no global sort; a snake-order perfect "
+        "balance would need a single-partition window, the wrong plan "
+        "at 100 TB where the law of large numbers already bounds hash "
+        "imbalance) with per-shard token sums and per-mille deviation "
+        "from the mean — the imbalance number that sets data-parallel "
+        "step-time skew.",
+)
+def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import hash60, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    shard = F.pmod(
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#shard"))),
+        F.lit(8),
+    )
+    census = (
+        docs.select(shard.alias("shard"), token_count("text").alias("toks"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("shard_tokens"),
+        )
+    )
+    avg = census.agg(
+        (F.sum("shard_tokens") / F.lit(8.0)).alias("avg_tokens")
+    )
+    return census.crossJoin(F.broadcast(avg)).select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.round(
+            (F.col("shard_tokens") - F.col("avg_tokens"))
+            * 1000
+            / F.col("avg_tokens"),
+            0,
+        )
+        .cast("long")
+        .alias("dev_permille"),
+    )
 
 
 @register(

@@ -357,3 +357,36 @@ def test_semdedup_keep_consistency(spark, sf_dir):
     )
     assert removed <= paired_ids  # only dup-group members are removed
     assert len(keep) == n - len(removed)
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark, sf_dir):
+    """Each cluster contributes exactly min(ceil(target/k), |cluster|)
+    rows; repeated runs are identical; ids are a subset of the corpus."""
+    import math
+
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import (
+        cluster_balanced_sample,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    target, k = 200, 10
+    s1 = cluster_balanced_sample(emb, target=target, n_clusters=k).toPandas()
+    s2 = cluster_balanced_sample(emb, target=target, n_clusters=k).toPandas()
+    key = ["cluster", "vec_id"]
+    assert s1.sort_values(key).reset_index(drop=True).equals(
+        s2.sort_values(key).reset_index(drop=True)
+    )
+    sizes = (
+        kmeans_assign(emb, n_clusters=k)
+        .groupBy("cluster")
+        .count()
+        .toPandas()
+        .set_index("cluster")["count"]
+    )
+    quota = math.ceil(target / k)
+    got = s1.groupby("cluster").size()
+    for c, n in got.items():
+        assert n == min(quota, sizes[c]), f"cluster {c}: {n}"
+    assert s1["vec_id"].is_unique
