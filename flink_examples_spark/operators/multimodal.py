@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 IMAGE_MAGIC = b"FIMG"
 AUDIO_MAGIC = b"FAUD"
@@ -360,3 +361,126 @@ def decode_audio_real(df: DataFrame, id_col: str = "media_id",
             "container."
         ) from e
     raise NotImplementedError("real-codec path intentionally unimplemented")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (DCT pHash + multi-index Hamming bands)
+# ---------------------------------------------------------------------------
+
+def image_phash(df: DataFrame, id_col: str = "media_id",
+                payload_col: str = "payload") -> DataFrame:
+    """64-bit DCT perceptual hash per FIMG payload.
+
+    Classic pHash: decode → average-pool to 32x32 grayscale → 2D DCT-II
+    (explicit cosine-matrix matmuls; no scipy dependency) → keep the
+    8x8 low-frequency block minus DC → bit i = coeff_i > median. Near-
+    duplicate images (re-encodes, small edits) land within a few bits.
+    One narrow mapInPandas pass; the hash (8 bytes) is the staged
+    artifact — downstream search never touches pixels. Output:
+    ``<id_col>, phash (long)``.
+
+    Swap the FIMG parse for a real decoder (decode_image_real) and
+    nothing else changes — the hash/banding pipeline is codec-agnostic.
+    """
+    import numpy as np
+
+    n, k = 32, 8
+    dct = np.cos(
+        np.pi / n * (np.arange(n)[:, None] + 0.5) * np.arange(n)[None, :]
+    ).T  # (k-th row = frequency k basis)
+
+    def one(payload: bytes) -> int:
+        w, h, c = struct.unpack("<iii", payload[4:16])
+        px = np.frombuffer(payload, dtype=np.uint8, offset=16)
+        img = px.reshape(h, w, c).mean(axis=2).astype(np.float64)
+        # average-pool to 32x32 via integer bucket edges (area resize)
+        ye = (np.arange(n + 1) * h) // n
+        xe = (np.arange(n + 1) * w) // n
+        small = np.empty((n, n))
+        for i in range(n):
+            rows = img[ye[i]:max(ye[i + 1], ye[i] + 1)]
+            for j in range(n):
+                small[i, j] = rows[:, xe[j]:max(xe[j + 1], xe[j] + 1)].mean()
+        coef = dct @ small @ dct.T
+        block = coef[:k, :k].flatten()[1:]  # drop DC
+        bits = block > np.median(block)
+        out = 0
+        for b in bits:
+            out = (out << 1) | int(b)
+        # two's-complement into int64 range
+        return out - (1 << 63) if out >= (1 << 63) else out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(),
+                "phash": [
+                    one(p) if p is not None and p[:4] == IMAGE_MAGIC else None
+                    for p in pdf["_p"]
+                ],
+            })
+
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_p")
+    ).mapInPandas(run, "_id long, phash long")
+    return out.withColumnRenamed("_id", id_col)
+
+
+def image_neardup_pairs(df: DataFrame, id_col: str = "media_id",
+                        payload_col: str = "payload",
+                        max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs: Hamming(phash) <= ``max_hamming``.
+
+    Multi-index hashing with FOUR 16-bit bands: a pair differing in
+    <= 3 bits cannot touch all four bands (pigeonhole), so bucketing on
+    (band_id, band_value) and verifying candidates with an exact
+    JVM-side popcount(XOR) is COMPLETE — recall 1.0 by construction
+    while comparing only in-bucket pairs (the image twin of the MinHash
+    band trick; completeness needs bands > max_hamming). One shuffle on
+    the band key; pixels never shuffle — only the 8-byte hash moves.
+    Output: ``id_a, id_b, hamming``.
+    """
+    if max_hamming >= 4:
+        raise ValueError(
+            "4-band multi-index is only complete for max_hamming <= 3; "
+            "raise the band count to raise the radius"
+        )
+    ph = image_phash(df, id_col, payload_col).filter(
+        F.col("phash").isNotNull()
+    )
+    bands = ph.select(
+        F.col(id_col).alias("vid"),
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("phash"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("vid", "phash", "bk.band", "bk.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # the same pair can collide in several bands; hamming is
+        # identical everywhere so distinct() collapses it
+        .distinct()
+    )

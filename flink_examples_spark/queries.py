@@ -1598,6 +1598,33 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_image_neardup",
+    oracle=None,  # DCT pHash is not SQL-expressible; banded-vs-brute
+                  # completeness (recall 1.0 by pigeonhole) pinned in
+                  # tests/test_multimodal.py
+    doc="Perceptual-hash image dedup: FIMG payloads -> 64-bit DCT "
+        "pHash (one mapInPandas pass; the 8-byte hash is the staged "
+        "artifact) -> four 16-bit multi-index bands -> in-bucket "
+        "popcount(XOR) verify, Hamming <= 3. Complete by pigeonhole "
+        "(a <=3-bit difference can't touch all 4 bands) — recall 1.0 "
+        "with only in-bucket comparisons; pixels never shuffle.",
+)
+def media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.multimodal import (
+        encode_fake_images,
+        image_neardup_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    images = encode_fake_images(
+        docs, "doc_id", "text",
+        width_expr="4 + doc_id % 4",
+        height_expr="4 + n_chars % 4",
+    )
+    return image_neardup_pairs(images, max_hamming=3)
+
+
+@register(
     "media_video_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,

@@ -184,3 +184,77 @@ def test_audio_features_mixed_media_emits_null_row_not_drop(spark, seed_df):
     img_id = [m for m in feats if m > 100][0]
     assert feats[img_id]["sample_rate"] is None
     assert feats[img_id]["mean_amp"] is None
+
+
+def test_image_phash_deterministic_and_null_safe(spark, sf_dir):
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.multimodal import (
+        encode_fake_images,
+        image_phash,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    imgs = encode_fake_images(
+        docs, "doc_id", "text", width_expr="4 + doc_id % 4",
+        height_expr="4 + n_chars % 4",
+    )
+    h1 = {r["media_id"]: r["phash"] for r in image_phash(imgs).collect()}
+    h2 = {r["media_id"]: r["phash"] for r in image_phash(imgs).collect()}
+    assert h1 == h2 and len(h1) == docs.count()
+    assert all(v is not None for v in h1.values())
+
+    # non-FIMG payload -> NULL hash, row survives
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"JUNKpayload"))], "media_id long, payload binary"
+    )
+    assert image_phash(junk).collect()[0]["phash"] is None
+
+
+def test_image_neardup_banded_is_complete_vs_brute_force(spark, sf_dir):
+    """Pigeonhole guarantee: the 4-band bucketed path must return
+    EXACTLY the pairs a brute-force all-pairs Hamming scan finds at
+    radius 3 — identical pair set, identical distances."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.multimodal import (
+        encode_fake_images,
+        image_neardup_pairs,
+        image_phash,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    imgs = encode_fake_images(
+        docs, "doc_id", "text", width_expr="4 + doc_id % 4",
+        height_expr="4 + n_chars % 4",
+    )
+    hashes = {r["media_id"]: r["phash"] for r in image_phash(imgs).collect()}
+    ids = sorted(hashes)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                brute.add((a, b, d))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_neardup_pairs(imgs, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert brute  # fixture actually contains near-dup images
+
+
+def test_image_neardup_finds_identical_payloads(spark):
+    from flink_examples_spark.operators.multimodal import (
+        encode_fake_images,
+        image_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same seed text"), (2, "same seed text"), (3, "другое")],
+        "doc_id long, text string",
+    )
+    imgs = encode_fake_images(
+        docs, "doc_id", "text", width_expr="6", height_expr="6"
+    )
+    pairs = image_neardup_pairs(imgs, max_hamming=3).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 and r["hamming"] == 0
+               for r in pairs)
