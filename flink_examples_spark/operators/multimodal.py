@@ -388,25 +388,35 @@ def image_phash(df: DataFrame, id_col: str = "media_id",
     dct = np.cos(
         np.pi / n * (np.arange(n)[:, None] + 0.5) * np.arange(n)[None, :]
     ).T  # (k-th row = frequency k basis)
+    bit_w = (1 << np.arange(62, -1, -1)).astype(object)  # MSB-first weights
+
+    # per-(h,w) memo of DCT-fused pooling operators: small = P @ img @ Q
+    # with P[i,r] = 1/rows(i) for r in row-bucket i (area mean), so
+    # coef = (dct@P) @ img @ (Q@dct.T) — two small matmuls per image,
+    # no Python inner loops
+    _ops: dict[tuple[int, int], tuple] = {}
+
+    def ops(h: int, w: int):
+        if (h, w) not in _ops:
+            def pool(m):  # (n, m) bucket-mean matrix
+                e = (np.arange(n + 1) * m) // n
+                e_hi = np.maximum(e[1:], e[:-1] + 1)  # empty bucket -> 1 px
+                mat = np.zeros((n, m))
+                for i in range(n):
+                    mat[i, e[i]:e_hi[i]] = 1.0 / (e_hi[i] - e[i])
+                return mat
+            _ops[(h, w)] = (dct @ pool(h), pool(w).T @ dct.T)
+        return _ops[(h, w)]
 
     def one(payload: bytes) -> int:
         w, h, c = struct.unpack("<iii", payload[4:16])
         px = np.frombuffer(payload, dtype=np.uint8, offset=16)
-        img = px.reshape(h, w, c).mean(axis=2).astype(np.float64)
-        # average-pool to 32x32 via integer bucket edges (area resize)
-        ye = (np.arange(n + 1) * h) // n
-        xe = (np.arange(n + 1) * w) // n
-        small = np.empty((n, n))
-        for i in range(n):
-            rows = img[ye[i]:max(ye[i + 1], ye[i] + 1)]
-            for j in range(n):
-                small[i, j] = rows[:, xe[j]:max(xe[j + 1], xe[j] + 1)].mean()
-        coef = dct @ small @ dct.T
+        img = px.reshape(h, w, c).mean(axis=2)
+        left, right = ops(h, w)
+        coef = left @ img @ right
         block = coef[:k, :k].flatten()[1:]  # drop DC
         bits = block > np.median(block)
-        out = 0
-        for b in bits:
-            out = (out << 1) | int(b)
+        out = int(bits @ bit_w)
         # two's-complement into int64 range
         return out - (1 << 63) if out >= (1 << 63) else out
 
@@ -447,8 +457,16 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "media_id",
             "4-band multi-index is only complete for max_hamming <= 3; "
             "raise the band count to raise the radius"
         )
-    ph = image_phash(df, id_col, payload_col).filter(
-        F.col("phash").isNotNull()
+    # the banded self-join consumes ph on BOTH sides; an EAGER
+    # localCheckpoint materializes the (8-byte/row) hash table once —
+    # lazy would let the two join-side stages race to compute the same
+    # partitions, paying the pixel pass twice anyway (measured). Blocks
+    # are freed by the ContextCleaner; at scale the hash table is a
+    # staged file.
+    ph = (
+        image_phash(df, id_col, payload_col)
+        .filter(F.col("phash").isNotNull())
+        .localCheckpoint(eager=True)
     )
     bands = ph.select(
         F.col(id_col).alias("vid"),

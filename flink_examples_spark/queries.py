@@ -1617,7 +1617,7 @@ def media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     images = encode_fake_images(
-        docs, "doc_id", "text",
+        _fan_out(spark, docs), "doc_id", "text",
         width_expr="4 + doc_id % 4",
         height_expr="4 + n_chars % 4",
     )
