@@ -237,3 +237,48 @@ def test_bpe_pretokens_losslessly_partition_any_text(spark):
             "select regexp_extract_all(?, ?)", [s, BPE_SPLIT_REGEX]
         ).fetchone()[0]
         assert got[i] == want, (i, repr(s))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer primitives (operators/tokenizer.py) — pure-Python core
+# ---------------------------------------------------------------------------
+
+@given(
+    word=st.text(alphabet="abc ", min_size=1, max_size=24),
+    pair_idx=st.lists(
+        st.tuples(st.sampled_from("abc "), st.sampled_from("abc ")),
+        max_size=12,
+    ),
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_encode_conserves_any_word_under_any_merge_table(word, pair_idx):
+    """For ANY word and ANY merge sequence (including pairs that merge
+    previously-merged symbols), encoding never creates or destroys
+    characters, and yields at least one token for a non-empty word."""
+    from flink_examples_spark.operators.tokenizer import (
+        _encode_word,
+        _merge_word,
+    )
+
+    # grow a rank table the way training does: later merges may fuse
+    # earlier merge outputs
+    symbols = [a + b for a, b in pair_idx]
+    ranks = {}
+    for i, (a, b) in enumerate(pair_idx):
+        ranks[(a, b)] = len(ranks)
+        for s in symbols[:i]:
+            ranks.setdefault((s, a), len(ranks))
+    parts = _encode_word(word, ranks)
+    assert "".join(parts) == word
+    assert len(parts) >= 1
+    # idempotence: re-merging any learned pair over the result changes
+    # nothing the encoder would have left mergeable
+    again = _encode_word("".join(parts), ranks)
+    assert "".join(again) == word
+    # _merge_word merges every occurrence
+    merged = _merge_word(list(word), ("a", "b"))
+    assert "".join(merged) == word
+    assert all(
+        not (x == "a" and y == "b")
+        for x, y in zip(merged, merged[1:])
+    )

@@ -1304,3 +1304,32 @@ def test_streaming_snapshot_diff_matches_batch(spark, tmp_path):
     combined.update({i: "removed" for i in removed})
     assert combined == batch
     assert set(batch.values()) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_streaming_image_phash_matches_batch(spark, tmp_path):
+    """Streaming twin of the multimodal pHash stage: FIMG payload rows
+    arriving as file-source micro-batches hash to exactly the batch
+    values (image_phash is a stateless narrow mapInPandas, so the same
+    operator object serves both planes untouched)."""
+    from flink_examples_spark.operators.multimodal import (
+        encode_fake_images,
+        image_phash,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    imgs = encode_fake_images(
+        docs, "doc_id", "text",
+        width_expr="4 + doc_id % 4",
+        height_expr="4 + n_chars % 4",
+    )
+    batch = {r.media_id: r.phash for r in image_phash(imgs).collect()}
+
+    pdf = imgs.toPandas()
+    d = write_chunks(pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        image_phash(src), spark, "sphash", "append", str(tmp_path / "ck")
+    )
+    streamed = {r.media_id: r.phash for r in out.collect()}
+    assert streamed == batch
+    assert len(batch) == docs.count()
