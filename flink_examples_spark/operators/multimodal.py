@@ -452,39 +452,54 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "media_id",
     the band key; pixels never shuffle — only the 8-byte hash moves.
     Output: ``id_a, id_b, hamming``.
     """
+    return hamming_neardup_pairs(
+        image_phash(df, id_col, payload_col), id_col, "phash", max_hamming
+    )
+
+
+def hamming_neardup_pairs(hashes: DataFrame, id_col: str,
+                          hash_col: str,
+                          max_hamming: int = 3) -> DataFrame:
+    """All pairs with Hamming(hash) <= ``max_hamming`` over any 64-bit
+    fingerprint column — the shared engine behind image-pHash and
+    audio-fingerprint dedup (and any future modality that reduces to a
+    64-bit perceptual hash). NULL hashes (undecodable payloads) are
+    excluded. Output: ``id_a, id_b, hamming``.
+    """
     if max_hamming >= 4:
         raise ValueError(
             "4-band multi-index is only complete for max_hamming <= 3; "
             "raise the band count to raise the radius"
         )
-    # the banded self-join consumes ph on BOTH sides; an EAGER
-    # localCheckpoint materializes the (8-byte/row) hash table once —
-    # lazy would let the two join-side stages race to compute the same
-    # partitions, paying the pixel pass twice anyway (measured). Blocks
-    # are freed by the ContextCleaner; at scale the hash table is a
-    # staged file.
+    # the banded self-join consumes the hash table on BOTH sides; an
+    # EAGER localCheckpoint materializes it once — lazy would let the
+    # two join-side stages race to compute the same partitions, paying
+    # the decode pass twice anyway (measured). Blocks are freed by the
+    # ContextCleaner; at scale the hash table is a staged file.
     ph = (
-        image_phash(df, id_col, payload_col)
-        .filter(F.col("phash").isNotNull())
+        hashes.select(
+            F.col(id_col).alias("vid"), F.col(hash_col).alias("h")
+        )
+        .filter(F.col("h").isNotNull())
         .localCheckpoint(eager=True)
     )
     bands = ph.select(
-        F.col(id_col).alias("vid"),
-        "phash",
+        "vid",
+        "h",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned(F.col("phash"), 16 * b)
+                    F.shiftrightunsigned(F.col("h"), 16 * b)
                     .bitwiseAND(F.lit(0xFFFF))
                     .alias("val"),
                 )
                 for b in range(4)
             ])
         ).alias("bk"),
-    ).select("vid", "phash", "bk.band", "bk.val")
+    ).select("vid", "h", "bk.band", "bk.val")
     a, b = bands.alias("a"), bands.alias("b")
-    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
     return (
         a.join(
             b,
@@ -501,4 +516,65 @@ def image_neardup_pairs(df: DataFrame, id_col: str = "media_id",
         # the same pair can collide in several bands; hamming is
         # identical everywhere so distinct() collapses it
         .distinct()
+    )
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload",
+                      n_frames: int = 64) -> DataFrame:
+    """64-bit audio fingerprint per FAUD clip: frame the signal into
+    ``n_frames`` equal buckets, take per-frame mean energy, and set
+    bit i to sign(energy[i+1] - energy[i]) — the energy-delta contour,
+    gain-invariant and stable under small edits (the shape acoustic
+    fingerprints like Chromaprint reduce to, minus the codec-grade
+    STFT). One narrow mapInPandas pass; swap in a real decoder and the
+    downstream ``hamming_neardup_pairs`` search is unchanged.
+    Output: ``<id_col>, afp (long)`` (bit 63 is always 0 — 63 deltas).
+    """
+
+    def one(payload: bytes):
+        n_samp = struct.unpack("<i", payload[8:12])[0]
+        s = np.frombuffer(payload, dtype=np.uint8, offset=12)
+        if len(s) == 0 or n_samp <= 0:
+            return None
+        e = (np.arange(n_frames + 1) * len(s)) // n_frames
+        e_hi = np.maximum(e[1:], e[:-1] + 1)
+        energy = np.array([
+            float(s[e[i]:e_hi[i]].astype(np.float64).mean())
+            for i in range(n_frames)
+        ])
+        bits = energy[1:] > energy[:-1]
+        out = 0
+        for b in bits:
+            out = (out << 1) | int(b)
+        return out  # 63 bits: always within int64 range
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(),
+                "afp": pd.array([
+                    one(bytes(p))
+                    if p is not None and bytes(p)[:4] == AUDIO_MAGIC
+                    else None
+                    for p in pdf["_p"]
+                ], dtype="Int64"),
+            })
+
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(payload_col).alias("_p")
+    ).mapInPandas(run, "_id long, afp long")
+    return out.withColumnRenamed("_id", id_col)
+
+
+def audio_neardup_pairs(df: DataFrame, id_col: str = "media_id",
+                        payload_col: str = "payload",
+                        max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate audio pairs: Hamming(fingerprint) <= radius via
+    the shared multi-index band engine (complete at radius 3)."""
+    return hamming_neardup_pairs(
+        audio_fingerprint(df, id_col, payload_col), id_col, "afp",
+        max_hamming,
     )

@@ -1625,6 +1625,32 @@ def media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_neardup",
+    oracle=None,  # energy-contour fingerprint is not SQL-expressible;
+                  # banded-vs-brute completeness pinned in
+                  # tests/test_multimodal.py
+    doc="Acoustic near-dup: FAUD clips -> 64-frame energy-delta "
+        "contour fingerprint (gain-invariant) -> the SAME multi-index "
+        "Hamming band engine as image pHash (hamming_neardup_pairs), "
+        "complete at radius 3. One decode pass; only 8-byte hashes "
+        "shuffle.",
+)
+def media_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        encode_fake_audio,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    clips = encode_fake_audio(
+        _fan_out(spark, docs), "doc_id", "text",
+        sample_rate_expr="8000 + (doc_id % 3) * 4000",
+        n_samples_expr="16 + n_chars % 16",
+    )
+    return audio_neardup_pairs(clips, max_hamming=3)
+
+
+@register(
     "media_video_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,
