@@ -482,6 +482,8 @@ def train_ivf_centroids(
         .limit(n_train)
         .collect()
     )
+    if not rows:
+        return np.zeros((0, 0))
     x = np.array([r[1] for r in rows], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
@@ -612,6 +614,8 @@ def train_pq_codebooks(
         .limit(n_train)
         .collect()
     )
+    if not rows:
+        return np.zeros((0, 0, 0))
     x = np.array([r[1] for r in rows], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     dim = x.shape[1]
@@ -733,10 +737,17 @@ def cosine_topk_pq(
     """
     import numpy as np
 
+    q_rows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    empty = embeddings.sparkSession.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double, rank int"
+    )
+    if not q_rows:
+        return empty
     books = train_pq_codebooks(
         embeddings, id_col, vec_col, m=m, n_codes=n_codes, seed=seed
     )
-    q_rows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    if books.size == 0:
+        return empty
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -868,6 +879,10 @@ def kmeans_assign(
     cent = train_ivf_centroids(
         embeddings, id_col, vec_col, n_clusters=n_clusters, seed=seed
     )
+    if cent.size == 0:  # empty corpus: empty assignment, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, cos_to_centroid double"
+        )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -933,6 +948,10 @@ def semdedup_pairs(
     cent = train_ivf_centroids(
         embeddings, id_col, vec_col, n_clusters=n_clusters, seed=seed
     )
+    if cent.size == 0:  # empty corpus: no pairs, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
     P = min(n_probe, n_clusters)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -317,3 +317,16 @@ def test_audio_fingerprint_gain_invariance_and_degenerate(spark):
     out = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
     assert out[1] == out[2]          # constant shift: same contour
     assert out[3] is None and out[4] is None
+
+
+def test_empty_media_pins(spark):
+    """Empty media tables flow through hash + banded search as empty
+    results, not crashes."""
+    from flink_examples_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        image_neardup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "media_id long, payload binary")
+    assert image_neardup_pairs(empty).count() == 0
+    assert audio_neardup_pairs(empty).count() == 0

@@ -390,3 +390,31 @@ def test_cluster_balanced_sample_quota_and_determinism(spark, sf_dir):
     for c, n in got.items():
         assert n == min(quota, sizes[c]), f"cluster {c}: {n}"
     assert s1["vec_id"].is_unique
+
+
+def test_empty_corpus_pins_for_trained_operators(spark):
+    """An empty embeddings table must yield empty results with the
+    right schemas — not a trainer crash — from every operator that
+    driver-trains on a corpus sample (k-means assign/profile, SemDeDup,
+    PQ, balanced sample)."""
+    from flink_examples_spark.operators.similarity import (
+        cluster_balanced_sample,
+        cosine_topk_pq,
+        kmeans_assign,
+        semdedup_pairs,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    a = kmeans_assign(empty)
+    assert a.count() == 0
+    assert a.columns == ["vec_id", "cluster", "cos_to_centroid"]
+    p = semdedup_pairs(empty)
+    assert p.count() == 0
+    assert p.columns == ["vec_a", "vec_b", "cosine"]
+    k = cosine_topk_pq(empty, empty)
+    assert k.count() == 0
+    assert k.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    s = cluster_balanced_sample(empty, target=10)
+    assert s.count() == 0

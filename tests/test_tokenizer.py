@@ -102,3 +102,10 @@ def test_registered_query_totals_match_pretoken_oracle(spark, sf_dir):
     for s, row in got.items():
         assert row["pretokens"] == ref[s]
         assert row["bpe_tokens"] <= row["n_chars"]  # merges only shrink
+
+
+def test_empty_corpus_trains_empty_merges(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    merges = train_bpe_merges(empty)
+    assert merges == []
+    assert bpe_encode_stats(empty, merges).count() == 0
