@@ -299,6 +299,12 @@ def plan_repeat_factors(
     Output: ``<source_col>, tokens, weight_10k, repeat_10k,
     repeat_factor, effective_tokens``.
     """
+    # four consumers read per_source (totals, weights, weight-sum,
+    # final projection) and each would re-run the upstream token
+    # aggregate — a lazy localCheckpoint materializes the tiny
+    # per-source table once; the totals broadcast job triggers it
+    # before any other consumer runs
+    per_source = per_source.localCheckpoint(eager=False)
     t = F.col(tokens_col).cast("double")
     totals = per_source.agg(
         F.min(tokens_col).cast("double").alias("_t_min"),

@@ -3451,6 +3451,12 @@ def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#shard"))),
         F.lit(8),
     )
+    # both the avg-broadcast and the final projection consume the tiny
+    # 8-row census; a lazy localCheckpoint keeps the corpus token
+    # aggregate single-run. Measured at sf0.1 the two variants tie
+    # (~0.5 s, scan cost negligible); at 100 TB the un-checkpointed
+    # plan is two full corpus passes — scale-honest side taken
+    # (dedup_pipeline cache precedent).
     census = (
         docs.select(shard.alias("shard"), token_count("text").alias("toks"))
         .groupBy("shard")
@@ -3458,6 +3464,7 @@ def corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("toks").alias("shard_tokens"),
         )
+        .localCheckpoint(eager=False)
     )
     avg = census.agg(
         (F.sum("shard_tokens") / F.lit(8.0)).alias("avg_tokens")
