@@ -3414,6 +3414,63 @@ def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curriculum_phases",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, len(toks) AS n,
+               least(1.0, len(toks) / 50.0)
+               * (1 - len(list_filter(toks,
+                     x -> x IN ('the','a','of','to','and','in','is','it')))
+                     * 1.0 / len(toks)) AS q
+        FROM t
+    )
+    SELECT CASE WHEN q >= 0.9 THEN 'phase1_clean'
+                WHEN q >= 0.5 THEN 'phase2_mixed'
+                ELSE 'phase3_hard' END AS phase,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS tokens,
+           round(AVG(q), 6) AS avg_quality
+    FROM s GROUP BY 1
+    """,
+    doc="Curriculum planner census: fixed quality-score cut points "
+        "split the corpus into training phases (clean warm-up -> mixed "
+        "-> hard tail) with per-phase doc/token mass — threshold CASE "
+        "on codegen'd signals, ONE map-side-combined aggregate, no "
+        "global sort (a quantile-based split would need one; fixed "
+        "cuts are the shape that survives 100 TB and stays stable "
+        "across corpus versions).",
+)
+def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = T.quality_score("text")
+    phase = (
+        F.when(q >= 0.9, "phase1_clean")
+        .when(q >= 0.5, "phase2_mixed")
+        .otherwise("phase3_hard")
+    )
+    return (
+        docs.select(
+            phase.alias("phase"),
+            T.token_count("text").alias("n"),
+            q.alias("q"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
+
+
+@register(
     "corpus_token_shards",
     oracle=f"""
     WITH t AS (
