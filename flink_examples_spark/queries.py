@@ -3414,6 +3414,72 @@ def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_substring_overlap",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(substring(text, i.i, 24)), 1, 15))::BIGINT
+                   AS h
+        FROM documents CROSS JOIN generate_series(1, 4096) AS i(i)
+        WHERE i.i <= length(text) - 23
+    ), c AS (
+        SELECT h, COUNT(*) AS nd FROM g GROUP BY h
+    ), per AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM g JOIN c USING (h) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(per.n_shared, 0) AS BIGINT) AS n_shared,
+           round(COALESCE(per.n_shared * 1.0 / per.n_grams, 0.0), 6)
+               AS dup_fraction
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    doc="Exact-substring duplication signal (the suffix-array dedup "
+        "family, Lee et al. 2022, on a fixed gram length): any "
+        "cross-document repeat of >= 24 chars shares a 24-gram hash, "
+        "so per-doc shared-gram fraction measures how much of a doc is "
+        "verbatim-repeated elsewhere — the drop/trim signal for "
+        "exact-substring dedup. Distinct per-doc gram hashes are pure "
+        "codegen (winnow k=24 window=1); ONE shuffle on the gram key "
+        "builds the document-frequency index; docs shorter than the "
+        "gram survive with zero counts.",
+)
+def doc_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    fps = _fan_out(spark, docs).select(
+        "doc_id",
+        F.explode(winnow_fingerprints("text", k=24, window=1)).alias("h"),
+    )
+    c = fps.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    per = (
+        fps.join(c, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        F.round(
+            F.coalesce(
+                F.col("n_shared") / F.col("n_grams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+@register(
     "corpus_curriculum_phases",
     oracle="""
     WITH t AS (
