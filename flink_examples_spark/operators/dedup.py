@@ -614,3 +614,85 @@ def keep_canonical(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def substring_dedup_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the operational form of
+    suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): cut every document
+    into non-overlapping ``k``-token chunks, keep exactly one canonical
+    occurrence of each duplicated chunk corpus-wide (the lexicographic
+    min of ``(doc_id, chunk_idx)``), strip the rest, and reassemble the
+    surviving chunks in document order.
+
+    Complements [[doc_substring_overlap]] (which only *reports* the
+    duplicated-span mass): this operator actually rewrites the corpus,
+    which is what the training pipeline ships.
+
+    Output: ``<id_col>, n_chunks, n_dropped, kept_text`` — integer
+    accounting plus the rewritten text, all deterministic and
+    hash-exact across engines.
+
+    Plan shape (100 TB honest): tokenize + chunk inside the scan
+    (codegen), ONE exchange keyed by the chunk text for the
+    count/canonical window (map-side nothing to combine, but the chunk
+    key space is ~corpus_tokens/k and uniformly hash-distributed — no
+    skew beyond boilerplate, which is exactly what gets deduplicated),
+    then one exchange back on the unique ``doc_id`` to reassemble.
+    No self-join, nothing quadratic, no driver state. At 100 TB the
+    chunk-frequency table is the stageable artifact (write it once,
+    reuse across strip runs).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    # non-overlapping k-token chunks; last chunk may be short. Guard the
+    # empty-token case explicitly: sequence(0, -1) would run descending.
+    chunk_expr = (
+        f"if(size(_t) = 0, array(), "
+        f"transform(sequence(0, cast(floor((size(_t) - 1) / {k}) as int)), "
+        f"i -> concat_ws(' ', slice(_t, i * {k} + 1, {k}))))"
+    )
+    chunks = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .select("doc_id", F.posexplode(F.expr(chunk_expr)).alias("idx", "chunk"))
+    )
+    # composite key: doc_id * 100000 + idx orders (doc_id, idx)
+    # lexicographically as long as idx < 100000 (oracle caps token
+    # expansion far below k * 100000 tokens per doc)
+    ckey = (F.col("doc_id") * 100000 + F.col("idx")).alias("ckey")
+    w = Window.partitionBy("chunk")
+    marked = chunks.select("doc_id", "idx", "chunk", ckey).select(
+        "doc_id",
+        "idx",
+        "chunk",
+        (
+            (F.count(F.lit(1)).over(w) > 1)
+            & (F.col("ckey") != F.min("ckey").over(w))
+        ).alias("drop"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("drop").cast("long")).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("drop"),
+                            F.struct(F.col("idx"), F.col("chunk")),
+                        )
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("kept_text"),
+    ).select(
+        F.col("doc_id").alias(id_col), "n_chunks", "n_dropped", "kept_text"
+    )

@@ -3480,6 +3480,54 @@ def doc_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_substring_strip",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), ch AS (
+        SELECT doc_id, g.i AS idx,
+               array_to_string(toks[g.i * 16 + 1 : g.i * 16 + 16], ' ')
+                   AS chunk
+        FROM t CROSS JOIN generate_series(0, 255) AS g(i)
+        WHERE g.i * 16 < len(toks)
+    ), st AS (
+        SELECT chunk, COUNT(*) AS c,
+               MIN(doc_id * 100000 + idx) AS mk
+        FROM ch GROUP BY 1
+    ), marked AS (
+        SELECT ch.doc_id, ch.idx, ch.chunk,
+               (st.c > 1 AND ch.doc_id * 100000 + ch.idx <> st.mk)
+                   AS is_dup
+        FROM ch JOIN st USING (chunk)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                        FILTER (WHERE NOT is_dup), '') AS kept_text
+    FROM marked GROUP BY 1
+    """,
+    doc="Exact-substring dedup REMOVAL (operational complement of "
+        "doc_substring_overlap's signal): 16-token chunks, one "
+        "canonical occurrence kept per duplicated chunk corpus-wide "
+        "(min (doc_id, idx)), survivors reassembled in order. The "
+        "rewrite a Lee-et-al-style pipeline actually ships. Plan: "
+        "chunking is codegen inside the scan; one exchange on the "
+        "chunk text (window count + canonical min), one exchange back "
+        "on the unique doc_id — no self-join, nothing quadratic.",
+)
+def corpus_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import substring_dedup_strip
+
+    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    return substring_dedup_strip(docs, "doc_id", "text", k=16)
+
+
+@register(
     "corpus_curriculum_phases",
     oracle="""
     WITH t AS (

@@ -327,3 +327,46 @@ def test_operators_handle_empty_inputs(spark):
     )
     cb = minhash_band_keys(corpus, "doc_id", "text")
     assert incremental_lsh_pairs(cb, docs, "doc_id", "text").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# exact-substring strip (operators/dedup.substring_dedup_strip)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_strip_removes_later_copy_keeps_canonical(spark):
+    from flink_examples_spark.operators.dedup import substring_dedup_strip
+
+    shared = " ".join(f"w{i}" for i in range(4))  # one full 4-token chunk
+    rows = [
+        (1, shared + " tail1 tail2 tail3 tail4"),   # chunks: shared, tail
+        (2, shared + " other1 other2 other3 other4"),  # shared is a dup
+        (3, "unique1 unique2 unique3 unique4"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup_strip(
+            _docs(spark, rows), "doc_id", "text", k=4
+        ).collect()
+    }
+    # doc 1 holds the canonical (min (doc_id, idx)) occurrence — intact
+    assert out[1]["n_dropped"] == 0
+    assert out[1]["kept_text"] == rows[0][1]
+    # doc 2 loses the shared chunk but keeps its own tail, in order
+    assert out[2]["n_dropped"] == 1
+    assert out[2]["kept_text"] == "other1 other2 other3 other4"
+    assert out[3]["n_dropped"] == 0
+
+
+def test_substring_strip_within_doc_repeat_and_short_tail(spark):
+    from flink_examples_spark.operators.dedup import substring_dedup_strip
+
+    # same 2-token chunk twice within ONE doc + a short (1-token) tail:
+    # the second occurrence drops, the partial tail chunk survives
+    rows = [(7, "a b a b c")]
+    (r,) = substring_dedup_strip(
+        _docs(spark, rows), "doc_id", "text", k=2
+    ).collect()
+    assert r["n_chunks"] == 3
+    assert r["n_dropped"] == 1
+    assert r["kept_text"] == "a b c"
