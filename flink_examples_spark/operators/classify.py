@@ -1,0 +1,194 @@
+"""Model-based corpus filtering: quality classification and
+distribution-matching importance selection.
+
+Two operators the large-scale curation stacks (CCNet, fastText quality
+filters, DSIR) run as first-class pipeline stages, re-expressed with
+integer-exact arithmetic so decisions are replayable and hash-compare
+across engines (no float-log cross-engine hazards):
+
+  nb_token_evidence       — a self-trained Naive-Bayes-family quality
+      classifier: heuristic labels (Gopher-style repetition rule)
+      produce class-conditional token counts; every document is scored
+      by its class-mass-normalized token evidence. The integer twin of
+      "train fastText on heuristic labels, score everything".
+  dsir_hashed_importance  — DSIR-style (Xie et al. 2023, "Data
+      Selection for Language Models via Importance Resampling")
+      hashed-bigram importance selection: documents whose hashed-n-gram
+      profile looks more like the TARGET slice than the raw corpus are
+      selected. The hash trick bounds the weight table at ``n_buckets``
+      rows — broadcastable at ANY corpus size, which is the whole
+      point of DSIR's hashed features.
+
+Both train in-plan (no driver-side model state): the "model" is a
+token/feature count table produced by one map-side-combined aggregate,
+then broadcast back against the corpus. At 100 TB the count table is
+the stageable artifact — write it once, reuse across scoring runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_examples_spark.functions.text import hash60, tokens
+
+
+def nb_token_evidence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dup_pct_threshold: int = 55,
+) -> DataFrame:
+    """Self-trained token-evidence quality classifier.
+
+    Training labels are heuristic (the CCNet/fastText pattern: cheap
+    rule labels the extremes, the model generalizes): a document is
+    ``'bad'`` when its duplicate-token percentage exceeds
+    ``dup_pct_threshold`` — evaluated as the integer comparison
+    ``100 * (n - n_distinct) > threshold * n`` so the class split is
+    bit-identical in any engine.
+
+    The "model" is the class-conditional token count table
+    ``(token, c_good, c_bad)`` — vocab-sized, Zipf-compact; broadcast
+    here, stageable/shuffle-joinable when a raw whitespace vocab
+    outgrows the broadcast budget. Scoring sums each document's token
+    counts WITH multiplicity and normalizes by class mass via integer
+    cross-multiplication::
+
+        verdict = 'good'  iff  good_sum * B >= bad_sum * G
+
+    (G, B = total token occurrences in each class), i.e. the linear-
+    evidence twin of the NB log-odds decision — no logs, no floats,
+    replayable. Output: ``<id_col>, label, n_tokens, good_sum,
+    bad_sum, verdict``. Empty-token docs carry no evidence and are
+    excluded (documented contract, same on the oracle side).
+
+    Plan: one map-side-combined aggregate builds the model (single
+    exchange on the token), one broadcast join + doc-keyed aggregate
+    scores (single exchange on the unique doc id). The corpus is
+    scanned twice (train + score) — at 100 TB you stage the count
+    table to parquet between the two.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t")
+    ).filter(F.size("_t") > 0)
+    labeled = base.select(
+        "doc_id",
+        "_t",
+        F.when(
+            100 * (F.size("_t") - F.size(F.array_distinct("_t")))
+            > dup_pct_threshold * F.size("_t"),
+            "bad",
+        )
+        .otherwise("good")
+        .alias("label"),
+    )
+    tok = labeled.select(
+        "doc_id", "label", F.explode("_t").alias("tk")
+    )
+    wt = tok.groupBy("tk").agg(
+        F.sum(F.when(F.col("label") == "good", 1).otherwise(0)).alias("cg"),
+        F.sum(F.when(F.col("label") == "bad", 1).otherwise(0)).alias("cb"),
+    )
+    totals = wt.agg(
+        F.sum("cg").alias("_g"), F.sum("cb").alias("_b")
+    )
+    scored = (
+        tok.join(F.broadcast(wt), "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cg").alias("good_sum"),
+            F.sum("cb").alias("bad_sum"),
+        )
+    )
+    return scored.join(F.broadcast(totals)).select(
+        F.col("doc_id").alias(id_col),
+        "label",
+        "n_tokens",
+        "good_sum",
+        "bad_sum",
+        F.when(
+            F.col("good_sum") * F.col("_b") >= F.col("bad_sum") * F.col("_g"),
+            "good",
+        )
+        .otherwise("bad")
+        .alias("verdict"),
+    )
+
+
+def dsir_hashed_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter,
+    n_buckets: int = 10007,
+) -> DataFrame:
+    """DSIR-style hashed-bigram importance selection.
+
+    ``target_filter`` is a boolean Column marking the target slice
+    (e.g. ``F.col('lang') == 'en'``). Features are bigrams hashed into
+    ``n_buckets`` buckets ([[hash60]] md5 parity, so any engine
+    reproduces the bucketing). Per bucket, count occurrences in the
+    target slice (``ct``) and the whole corpus (``cr``); a document is
+    selected when its summed target evidence beats its raw evidence
+    after normalizing by total feature mass, as one integer
+    cross-multiplication::
+
+        selected = 1  iff  target_sum * N_raw > raw_sum * N_target
+
+    — the replayable twin of DSIR's log-importance-weight threshold.
+
+    Output: ``<id_col>, n_feats, target_sum, raw_sum, selected``.
+    Docs with fewer than 2 tokens have no bigram features and are
+    excluded (documented contract, mirrored by the oracle).
+
+    Scale: the hash trick bounds the weight table at ``n_buckets``
+    rows regardless of corpus size — it is ALWAYS broadcastable, so
+    the corpus is never shuffled by feature; the only wide exchanges
+    are the map-side-combined bucket count and the final unique-key
+    doc aggregate.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_filter.alias("_tgt"),
+        tokens(text_col).alias("_t"),
+    ).filter(F.size("_t") >= 2)
+    bigram = F.expr(
+        "transform(sequence(0, size(_t) - 2), i -> _t[i] || ' ' || _t[i+1])"
+    )
+    feats = base.select(
+        "doc_id", "_tgt", F.explode(bigram).alias("bg")
+    ).select(
+        "doc_id",
+        "_tgt",
+        F.pmod(hash60(F.col("bg")), F.lit(n_buckets)).alias("ft"),
+    )
+    wt = feats.groupBy("ft").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = wt.agg(F.sum("ct").alias("_nt"), F.sum("cr").alias("_nr"))
+    scored = (
+        feats.join(F.broadcast(wt), "ft")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("ct").alias("target_sum"),
+            F.sum("cr").alias("raw_sum"),
+        )
+    )
+    return scored.join(F.broadcast(totals)).select(
+        F.col("doc_id").alias(id_col),
+        "n_feats",
+        "target_sum",
+        "raw_sum",
+        F.when(
+            F.col("target_sum") * F.col("_nr")
+            > F.col("raw_sum") * F.col("_nt"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("selected"),
+    )

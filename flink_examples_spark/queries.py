@@ -3528,6 +3528,109 @@ def corpus_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_nb",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), lab AS (
+        SELECT doc_id, toks,
+               CASE WHEN 100 * (len(toks) - len(list_distinct(toks)))
+                         > 55 * len(toks)
+                    THEN 'bad' ELSE 'good' END AS label
+        FROM t WHERE len(toks) > 0
+    ), tok AS (
+        SELECT doc_id, label, unnest(toks) AS tk FROM lab
+    ), wt AS (
+        SELECT tk,
+               SUM(CASE WHEN label = 'good' THEN 1 ELSE 0 END) AS cg,
+               SUM(CASE WHEN label = 'bad' THEN 1 ELSE 0 END) AS cb
+        FROM tok GROUP BY 1
+    ), tot AS (
+        SELECT SUM(cg) AS g, SUM(cb) AS b FROM wt
+    )
+    SELECT tok.doc_id,
+           MIN(tok.label) AS label,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(wt.cg) AS BIGINT) AS good_sum,
+           CAST(SUM(wt.cb) AS BIGINT) AS bad_sum,
+           CASE WHEN SUM(wt.cg) * MIN(tot.b) >= SUM(wt.cb) * MIN(tot.g)
+                THEN 'good' ELSE 'bad' END AS verdict
+    FROM tok JOIN wt USING (tk) CROSS JOIN tot
+    GROUP BY 1
+    """,
+    doc="Self-trained Naive-Bayes-family quality classifier (the "
+        "CCNet/fastText pattern, integer-exact): Gopher-style "
+        "repetition rule labels the corpus, class-conditional token "
+        "counts form the model, every doc is scored by class-mass-"
+        "normalized token evidence via integer cross-multiply — no "
+        "float logs, replayable in any engine. Plan: one token-keyed "
+        "map-side-combined aggregate trains; a broadcast join + "
+        "doc-keyed aggregate scores.",
+)
+def doc_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.classify import nb_token_evidence
+
+    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    return nb_token_evidence(docs, "doc_id", "text", dup_pct_threshold=55)
+
+
+@register(
+    "corpus_dsir_select",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, lang, toks[g.i] || ' ' || toks[g.i+1] AS bigram
+        FROM t CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 1
+    ), f AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(bigram), 1, 15))::BIGINT % 10007 AS ft
+        FROM bg
+    ), wt AS (
+        SELECT ft,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+               COUNT(*) AS cr
+        FROM f GROUP BY 1
+    ), tot AS (
+        SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM wt
+    )
+    SELECT f.doc_id,
+           COUNT(*) AS n_feats,
+           CAST(SUM(wt.ct) AS BIGINT) AS target_sum,
+           CAST(SUM(wt.cr) AS BIGINT) AS raw_sum,
+           CAST(CASE WHEN SUM(wt.ct) * MIN(tot.nr)
+                          > SUM(wt.cr) * MIN(tot.nt)
+                     THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM f JOIN wt USING (ft) CROSS JOIN tot
+    GROUP BY 1
+    """,
+    doc="DSIR-style importance selection (Xie et al. 2023): hashed-"
+        "bigram profile of each doc compared target-slice (lang='en') "
+        "vs raw corpus, selected iff target evidence beats raw after "
+        "total-mass normalization (integer cross-multiply — the "
+        "replayable twin of the log-importance threshold). The hash "
+        "trick caps the weight table at 10007 rows, broadcastable at "
+        "ANY corpus size — the corpus is never shuffled by feature.",
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.classify import (
+        dsir_hashed_importance,
+    )
+
+    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    return dsir_hashed_importance(
+        docs, "doc_id", "text", F.col("lang") == "en", n_buckets=10007
+    )
+
+
+@register(
     "corpus_curriculum_phases",
     oracle="""
     WITH t AS (
