@@ -80,3 +80,96 @@ def repetition_signals(
         .otherwise("ok")
         .alias("verdict"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, Table A1)
+    as ONE codegen expression — per-rule boolean flags plus the overall
+    keep verdict, so a census over any corpus shows which rule rejects
+    what (the operational need: you tune rules by their marginal kill
+    rate, not by the final verdict alone).
+
+    Rules implemented (the non-repetition subset — duplicate-fragment
+    rules live in [[repetition_signals]]):
+
+      word_count    — token count in [min_tokens, max_tokens]
+      mean_word_len — mean word length in [min, max] chars
+      symbol_ratio  — (# of '#' chars + '...' occurrences) / tokens
+                      below max_symbol_ratio
+      stopword_hits — contains >= min_stopword_hits distinct words
+                      from ``stopwords`` (default: Gopher's 8 —
+                      the/be/to/of/and/that/have/with; corpora whose
+                      register lacks them tune the list/threshold, the
+                      knob Gopher itself exposes per-language)
+
+    Output: ``<id_col>, n_tokens, mean_word_len, symbol_ratio,
+    word_count_ok, mean_len_ok, symbol_ok, stopword_ok, keep`` —
+    ratios rounded to 6 dp and flags as 0/1 longs for engine parity
+    (booleans hash differently across engines).
+
+    Pure narrow codegen inside the scan: zero shuffle at any corpus
+    size; the census aggregation downstream is the only exchange.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    chars = F.length(
+        F.replace(
+            F.col(text_col) if isinstance(text_col, str) else text_col,
+            F.lit(" "),
+            F.lit(""),
+        )
+    )
+    txt = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3
+    hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    mean_len = chars / n
+    sym = (n_hash + n_ellipsis) / n
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym, 6).alias("symbol_ratio"),
+        ((n >= min_tokens) & (n <= max_tokens))
+        .cast("long").alias("word_count_ok"),
+        ((mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len))
+        .cast("long").alias("mean_len_ok"),
+        (sym <= max_symbol_ratio).cast("long").alias("symbol_ok"),
+        (hits >= min_stopword_hits).cast("long").alias("stopword_ok"),
+    ).filter(F.col("n_tokens") > 0)
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "word_count_ok",
+        "mean_len_ok",
+        "symbol_ok",
+        "stopword_ok",
+        (
+            F.col("word_count_ok")
+            * F.col("mean_len_ok")
+            * F.col("symbol_ok")
+            * F.col("stopword_ok")
+        ).cast("long").alias("keep"),
+    )

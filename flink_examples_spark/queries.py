@@ -3448,6 +3448,8 @@ def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gram survive with zero counts.",
 )
 def doc_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from flink_examples_spark.functions.text import winnow_fingerprints
 
     docs = load_table(spark, "documents", sf_dir)
@@ -3455,9 +3457,12 @@ def doc_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(winnow_fingerprints("text", k=24, window=1)).alias("h"),
     )
-    c = fps.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    # document frequency as a window over the exploded gram set: ONE
+    # exchange on the gram key, versus the count-then-join-back shape
+    # that re-exchanges the (bigger) gram table for the join
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     per = (
-        fps.join(c, "h")
+        fps.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -3628,6 +3633,59 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_hashed_importance(
         docs, "doc_id", "text", F.col("lang") == "en", n_buckets=10007
     )
+
+
+@register(
+    "doc_gopher_rules",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               length(replace(text, ' ', ''))::DOUBLE / len(toks)
+                   AS mean_len,
+               (length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                   / len(toks) AS sym,
+               len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS hits
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(mean_len, 6) AS mean_word_len,
+           round(sym, 6) AS symbol_ratio,
+           CAST(n_tokens BETWEEN 50 AND 100000 AS BIGINT)
+               AS word_count_ok,
+           CAST(mean_len BETWEEN 3.0 AND 10.0 AS BIGINT) AS mean_len_ok,
+           CAST(sym <= 0.1 AS BIGINT) AS symbol_ok,
+           CAST(hits >= 1 AS BIGINT) AS stopword_ok,
+           CAST((n_tokens BETWEEN 50 AND 100000)
+                AND mean_len BETWEEN 3.0 AND 10.0
+                AND sym <= 0.1 AND hits >= 1 AS BIGINT) AS keep
+    FROM m
+    """,
+    doc="The Gopher document-quality rule set (Rae et al. 2021 Table "
+        "A1, non-repetition subset) as one codegen expression: word-"
+        "count bounds, mean-word-length bounds, symbol-to-word ratio "
+        "('#' + '...'), and the stopword-presence requirement, each "
+        "as a 0/1 flag plus the overall keep verdict — a census tunes "
+        "rules by marginal kill rate, not just the final verdict. "
+        "min_stopword_hits=1 here (the synthetic register contains "
+        "only 'the' of Gopher's 8 — the per-corpus knob Gopher itself "
+        "prescribes); the operator default is the paper's 2-of-8. "
+        "Zero shuffle: pure narrow scan expressions.",
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.quality import gopher_rules
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gopher_rules(docs, "doc_id", "text", min_stopword_hits=1)
 
 
 @register(

@@ -370,3 +370,50 @@ def test_substring_strip_within_doc_repeat_and_short_tail(spark):
     assert r["n_chunks"] == 3
     assert r["n_dropped"] == 1
     assert r["kept_text"] == "a b c"
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule set (operators/quality.gopher_rules)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    from flink_examples_spark.operators.quality import gopher_rules
+
+    ok_doc = " ".join(["the", "and"] + [f"word{i}" for i in range(48)])
+    rows = [
+        (1, ok_doc),                                   # passes all four
+        (2, "the and " + " ".join(f"w{i}" for i in range(10))),  # too short
+        (3, " ".join(["the"] * 25 + ["#### #### ####"] * 25)),   # symbols
+        (4, " ".join(f"word{i}" for i in range(60))),  # no stopwords
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert out[1]["keep"] == 1
+    assert out[2]["word_count_ok"] == 0 and out[2]["keep"] == 0
+    assert out[3]["symbol_ok"] == 0 and out[3]["keep"] == 0
+    assert out[4]["stopword_ok"] == 0 and out[4]["keep"] == 0
+
+
+def test_gopher_rules_ellipsis_counts_and_stopword_override(spark):
+    from flink_examples_spark.operators.quality import gopher_rules
+
+    # 2 ellipses over 4 tokens = 0.5 symbol ratio -> fails default 0.1
+    rows = [(1, "okay... fine... alpha beta")]
+    (r,) = gopher_rules(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        min_tokens=1,
+        stopwords=("alpha",),
+        min_stopword_hits=1,
+    ).collect()
+    assert r["symbol_ok"] == 0
+    assert r["stopword_ok"] == 1
+    assert abs(r["symbol_ratio"] - 0.5) < 1e-9
