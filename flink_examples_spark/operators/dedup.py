@@ -696,3 +696,49 @@ def substring_dedup_strip(
     ).select(
         F.col("doc_id").alias(id_col), "n_chunks", "n_dropped", "kept_text"
     )
+
+
+def verify_levenshtein_on_candidates(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_sim: float = 0.8,
+) -> DataFrame:
+    """Edit-distance verification of candidate pairs — the third verify
+    family next to exact-Jaccard ([[verify_jaccard_on_candidates]]) and
+    cosine: normalized Levenshtein similarity
+    ``1 - dist / max(len_a, len_b)``, which catches character-level
+    near-duplicates (OCR noise, template fills, small in-place edits)
+    that token-set Jaccard over- or under-scores.
+
+    Output: ``doc_a, doc_b, lev_dist, lev_sim`` for pairs clearing
+    ``min_sim`` (sim rounded to 6 dp for engine parity).
+
+    Cost discipline: Levenshtein is O(len_a * len_b) per pair — this
+    must ONLY ever run on a bounded candidate set (LSH bands, band-key
+    buckets), never all-pairs; the joins that attach the two texts are
+    plain equi-joins on the id, and the candidate side is tiny relative
+    to the corpus, so both text attachments semi-prune the scans.
+    """
+    a = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")
+    )
+    b = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    sim = F.round(
+        1 - dist / F.greatest(F.length("_ta"), F.length("_tb")), 6
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("lev_dist"),
+            sim.alias("lev_sim"),
+        )
+        .filter(F.col("lev_sim") >= min_sim)
+    )

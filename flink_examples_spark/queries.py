@@ -1368,6 +1368,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_levenshtein_verify",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    {_MINHASH_BANDS_SQL},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev_dist,
+           round(1 - levenshtein(da.text, db.text) * 1.0
+                     / greatest(length(da.text), length(db.text)), 6)
+               AS lev_sim
+    FROM cand c
+    JOIN documents da ON c.doc_a = da.doc_id
+    JOIN documents db ON c.doc_b = db.doc_id
+    WHERE 1 - levenshtein(da.text, db.text) * 1.0
+              / greatest(length(da.text), length(db.text)) >= 0.8
+    """,
+    doc="Character-level near-dup verification: MinHash+LSH candidates "
+        "confirmed by normalized Levenshtein similarity >= 0.8 — the "
+        "edit-distance verify family (OCR noise, template fills) next "
+        "to exact-Jaccard and cosine. O(len^2) distance runs ONLY on "
+        "the bounded candidate set, never all-pairs.",
+)
+def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        verify_levenshtein_on_candidates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cand = minhash_lsh_pairs(
+        _fan_out(spark, docs), "doc_id", "text", num_hashes=8, band_size=2
+    )
+    return verify_levenshtein_on_candidates(
+        docs, cand, "doc_id", "text", min_sim=0.8
+    )
+
+
+@register(
     "dedup_simhash",
     oracle="""
     WITH tok AS (

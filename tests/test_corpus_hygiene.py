@@ -417,3 +417,26 @@ def test_gopher_rules_ellipsis_counts_and_stopword_override(spark):
     assert r["symbol_ok"] == 0
     assert r["stopword_ok"] == 1
     assert abs(r["symbol_ratio"] - 0.5) < 1e-9
+
+
+def test_levenshtein_verify_keeps_small_edit_drops_rewrite(spark):
+    from flink_examples_spark.operators.dedup import (
+        verify_levenshtein_on_candidates,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # 1 edit
+            (3, "a completely different sentence altogether here"),
+        ],
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = verify_levenshtein_on_candidates(
+        docs, cand, "doc_id", "text", min_sim=0.8
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+    assert out[0]["lev_dist"] == 3  # dog -> cat
