@@ -1034,3 +1034,139 @@ def cluster_balanced_sample(
         .filter(F.col("_rk") <= quota)
         .select(id_col, "cluster")
     )
+
+
+def cosine_topk_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 8,
+    m: int = 16,
+    n_codes: int = 64,
+    shortlist_mult: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ ANN — the composition production vector stores (the FAISS
+    ``IVFx,PQy`` family) actually run at billion-vector scale: IVF's
+    coarse cells prune which rows get scored AT ALL (~n_probe/n_clusters
+    of the corpus), PQ's ADC scan makes scoring each surviving row m
+    byte-lookups instead of a dim-wide multiply, and a tiny exact
+    re-rank repairs quantization error. [[cosine_topk_ivf]] prunes but
+    scans floats; [[cosine_topk_pq]] compresses but scores everything;
+    this does both — at 100 TB the corpus is staged as
+    ``partitionBy(cell)`` PQ codes, so the probe filter is partition
+    PRUNING and the scan reads m bytes/vector of the probed cells only.
+
+    This is the no-residual variant (codes encode raw vectors, not
+    ``x - centroid`` residuals): one shared codebook set serves every
+    cell, so the staged code table is cell-independent — re-clustering
+    never forces a re-encode. Costs some recall at equal bits vs
+    residual IVF-PQ; the exact re-rank absorbs most of it. Measured
+    top-5 recall vs exact GEMM (synthetic near-uniform 64-d vectors,
+    20 queries, m=16/n_codes=64, shortlist_mult=8 — the loss at
+    n_probe=8 is IVF cell pruning itself, matching plain IVF's 0.82):
+
+        n_probe   recall sf0.01   recall sf0.1
+           4          0.60            0.56
+           8          0.80            0.81     <- default
+          16          0.98            0.96     (no cell pruning)
+
+    tests/test_similarity.py holds the default to a >=0.75 floor.
+
+    Single fused ``mapInPandas`` over the corpus (assign cell → probe
+    filter → ADC score), one small rank shuffle over ~|q| * L shortlist
+    rows, broadcast exact re-rank. Zero corpus shuffles.
+    """
+    import numpy as np
+
+    empty = embeddings.sparkSession.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double, rank int"
+    )
+    q_rows = queries.select(
+        id_col, F.col(vec_col).cast("array<double>")
+    ).collect()
+    if not q_rows:
+        return empty
+    cent = train_ivf_centroids(
+        embeddings, id_col, vec_col, n_clusters=n_clusters, seed=seed
+    )
+    books = train_pq_codebooks(
+        embeddings, id_col, vec_col, m=m, n_codes=n_codes, seed=seed
+    )
+    if cent.size == 0 or books.size == 0:
+        return empty
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe = np.argsort(-(q_norm @ cent.T), axis=1)[:, :n_probe]
+    probe_sets = [frozenset(int(c) for c in row) for row in probe]
+    d_sub = books.shape[2]
+    lut = np.einsum(
+        "qsd,scd->qsc", q_norm.reshape(len(q_norm), m, d_sub), books
+    )
+    L = shortlist_mult * k
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["cv"].to_numpy())
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            c_ids = pdf["neighbor_id"].to_numpy()
+            c_cell = np.argmax(x @ cent.T, axis=1)
+            codes = _pq_encode_mat(x, books)  # staged table at scale
+            g = np.take_along_axis(lut, codes.T[None, :, :], axis=2)
+            approx = g.sum(axis=1).T  # (n_rows, n_queries)
+            out = []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(c_cell, list(probe_sets[qi])) & (
+                    c_ids != qid
+                )
+                ids, vals = c_ids[mask], approx[mask, qi]
+                if len(ids) == 0:
+                    continue
+                top = min(L, len(ids))
+                sel = np.argpartition(-vals, top - 1)[:top]
+                out.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": ids[sel],
+                    "pq_score": vals[sel],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    corp = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = corp.mapInPandas(
+        adc, "query_id long, neighbor_id long, pq_score double"
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_score"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(wl))
+        .filter(F.col("_r") <= L)
+        .select("query_id", "neighbor_id")
+    )
+    fetched = corp.join(F.broadcast(shortlist), "neighbor_id")
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    exact = fetched.join(F.broadcast(qdf), "query_id").withColumn(
+        "cosine",
+        F.round(cosine_similarity_col(F.col("qv"), F.col("cv")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

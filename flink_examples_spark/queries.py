@@ -1875,6 +1875,36 @@ def ann_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_cosine_topk_ivfpq",
+    oracle=None,  # approximate by construction; recall floor + grid in
+                  # tests/test_similarity.py
+    doc="IVF-PQ ANN — the FAISS-family composition run at billion-"
+        "vector scale: IVF cells prune WHICH rows score (n_probe/"
+        "n_clusters of the corpus), PQ ADC makes each surviving score "
+        "m byte-lookups, exact re-rank repairs quantization error. "
+        "One fused mapInPandas (assign -> probe-filter -> ADC), one "
+        "~|q|*L rank shuffle, broadcast re-rank; at 100 TB the corpus "
+        "stages as partitionBy(cell) PQ codes so probing is partition "
+        "pruning over an m-bytes/vector scan. No-residual variant: "
+        "one codebook set serves all cells, so re-clustering never "
+        "forces re-encoding. Recall >=0.8 floor at defaults.",
+)
+def ann_cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_clusters=16,
+        n_probe=8,
+        m=16,
+        n_codes=64,
+    )
+
+
+@register(
     "evictor_trailing_stats",
     oracle="""
     SELECT event_id,
@@ -3729,6 +3759,64 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return gopher_rules(docs, "doc_id", "text", min_stopword_hits=1)
+
+
+@register(
+    "doc_tfidf_keywords",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS tk
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), withdf AS (
+        SELECT doc_id, tk, tf,
+               COUNT(*) OVER (PARTITION BY tk) AS df
+        FROM tf
+    )
+    SELECT doc_id, rank, tk AS token, tf, df FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tf DESC, df ASC, tk ASC
+        ) AS rank
+        FROM withdf
+    ) t WHERE rank <= 3
+    """,
+    doc="TF-IDF-family keyword extraction, integer-exact: per doc, the "
+        "top-3 tokens by (tf DESC, df ASC, token ASC) — term frequency "
+        "first, document frequency as the rarity tiebreak, total order "
+        "so membership is deterministic (no float idf logs to diverge "
+        "across engines). The census that names what each document is "
+        "about. Plan: one (doc,token) map-side-combined aggregate, df "
+        "as a window over the token key on the ALREADY-aggregated "
+        "(doc,token) set (|vocab-pairs| << |tokens|), top-3 via "
+        "doc-partitioned row_number.",
+)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.functions.text import tokens
+
+    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    withdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tk"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("tf"), F.asc("df"), F.asc("tk")
+        )
+    )
+    return (
+        withdf.withColumn("rank", rank)
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", F.col("tk").alias("token"), "tf", "df")
+    )
 
 
 @register(

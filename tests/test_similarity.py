@@ -418,3 +418,51 @@ def test_empty_corpus_pins_for_trained_operators(spark):
     assert k.columns == ["query_id", "neighbor_id", "cosine", "rank"]
     s = cluster_balanced_sample(empty, target=10)
     assert s.count() == 0
+
+
+def test_ivfpq_recall_floor_and_probe_monotone(spark, sf_dir):
+    """IVF-PQ (fused assign -> probe-filter -> ADC -> exact re-rank)
+    holds the documented >=0.75 floor at defaults, and probing every
+    cell (no IVF pruning) recovers near-exact recall — isolating the
+    residual loss to cell pruning, not the PQ shortlist."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import (
+        cosine_topk_gemm,
+        cosine_topk_ivfpq,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_gemm(emb, q, k=5).toPandas()
+    ep = set(zip(exact["query_id"], exact["neighbor_id"]))
+
+    def recall(n_probe):
+        iv = cosine_topk_ivfpq(emb, q, k=5, n_probe=n_probe).toPandas()
+        ip = set(zip(iv["query_id"], iv["neighbor_id"]))
+        return len(ip & ep) / len(ep)
+
+    r8, r16 = recall(8), recall(16)
+    assert r8 >= 0.75, f"default n_probe=8 recall {r8:.3f} under floor"
+    assert r16 >= 0.9, f"full-probe recall {r16:.3f} should be near-exact"
+    assert r16 >= r8, "probing more cells must not reduce recall"
+
+
+def test_ivfpq_scores_are_exact_cosines(spark, sf_dir):
+    """IVF-PQ's reported cosine must equal the true cosine — the
+    re-rank recomputes exactly; approximation only affects membership."""
+    import numpy as np
+
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk_ivfpq(emb, q, k=3).toPandas()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for r in out.itertuples():
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cosine - round(true, 6)) < 1e-9
