@@ -3820,6 +3820,153 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pipeline_hygiene_v2",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), gm AS (
+        SELECT doc_id, source, toks,
+               len(toks) AS n,
+               length(replace(text, ' ', ''))::DOUBLE / len(toks) AS ml,
+               (length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                   / len(toks) AS sym,
+               len(list_intersect(list_distinct(toks),
+                   ['the','be','to','of','and','that','have','with']))
+                   AS hits
+        FROM t WHERE len(toks) > 0
+    ), gk AS (
+        SELECT doc_id, source, toks FROM gm
+        WHERE n BETWEEN 50 AND 100000 AND ml BETWEEN 3.0 AND 10.0
+          AND sym <= 0.1 AND hits >= 1
+    ), lab AS (
+        SELECT doc_id,
+               CASE WHEN 100 * (len(toks) - len(list_distinct(toks)))
+                         > 55 * len(toks)
+                    THEN 'bad' ELSE 'good' END AS label
+        FROM gk
+    ), tok AS (
+        SELECT gk.doc_id, lab.label, unnest(gk.toks) AS tk
+        FROM gk JOIN lab USING (doc_id)
+    ), wt AS (
+        SELECT tk,
+               SUM(CASE WHEN label = 'good' THEN 1 ELSE 0 END) AS cg,
+               SUM(CASE WHEN label = 'bad' THEN 1 ELSE 0 END) AS cb
+        FROM tok GROUP BY 1
+    ), tot AS (
+        SELECT SUM(cg) AS g, SUM(cb) AS b FROM wt
+    ), nbv AS (
+        SELECT tok.doc_id
+        FROM tok JOIN wt USING (tk) CROSS JOIN tot
+        GROUP BY tok.doc_id
+        HAVING SUM(wt.cg) * MIN(tot.b) >= SUM(wt.cb) * MIN(tot.g)
+    ), kept AS (
+        SELECT gk.* FROM gk JOIN nbv USING (doc_id)
+    ), ch AS (
+        SELECT doc_id, g.i AS idx,
+               array_to_string(toks[g.i * 16 + 1 : g.i * 16 + 16], ' ')
+                   AS chunk
+        FROM kept CROSS JOIN generate_series(0, 255) AS g(i)
+        WHERE g.i * 16 < len(toks)
+    ), st AS (
+        SELECT chunk, COUNT(*) AS c, MIN(doc_id * 100000 + idx) AS mk
+        FROM ch GROUP BY 1
+    ), stripped AS (
+        SELECT ch.doc_id,
+               COALESCE(string_agg(ch.chunk, ' ' ORDER BY ch.idx)
+                   FILTER (WHERE NOT (st.c > 1
+                           AND ch.doc_id * 100000 + ch.idx <> st.mk)),
+                   '') AS kept_text
+        FROM ch JOIN st USING (chunk)
+        GROUP BY 1
+    ), dd AS (
+        SELECT s.doc_id, k.source,
+               md5(trim(s.kept_text)) AS fp,
+               len(list_filter(string_split(s.kept_text, ' '),
+                               x -> x <> '')) AS n
+        FROM stripped s JOIN kept k USING (doc_id)
+    ), surv AS (
+        SELECT dd.* FROM dd
+        JOIN (SELECT fp, MIN(doc_id) AS mid FROM dd GROUP BY 1) m
+          ON dd.fp = m.fp AND dd.doc_id = m.mid
+        WHERE dd.n > 0
+    ), packed AS (
+        SELECT source, doc_id, n,
+               CAST(COALESCE(SUM(n) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) // 256 AS pack_id
+        FROM surv
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+    doc="The modern (FineWeb/RefinedWeb-shape) hygiene pipeline "
+        "composed end-to-end: Gopher rule gate (codegen flags) -> "
+        "self-trained NB token-evidence classifier keeps only "
+        "model-'good' docs -> exact-substring strip rewrites "
+        "duplicated 16-token chunks away -> exact dedup on the "
+        "REWRITTEN text (strip canonicalizes near-dups into byte-"
+        "equal docs, which exact dedup then collapses — the reason "
+        "the stages compose in this order) -> 256-token packing per "
+        "source. Complements corpus_pipeline_packs (MinHash/Jaccard "
+        "family) with the classifier+rewrite family; every stage is "
+        "the registered scale path of its standalone query.",
+)
+def corpus_pipeline_hygiene_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.functions.text import tokens
+    from flink_examples_spark.operators.classify import nb_token_evidence
+    from flink_examples_spark.operators.dedup import substring_dedup_strip
+    from flink_examples_spark.operators.quality import gopher_rules
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = gopher_rules(docs, "doc_id", "text", min_stopword_hits=1)
+    gk = docs.join(
+        g.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    ).select("doc_id", "source", "text")
+    nb_good = (
+        nb_token_evidence(_fan_out(spark, gk), "doc_id", "text",
+                          dup_pct_threshold=55)
+        .filter(F.col("verdict") == "good")
+        .select("doc_id")
+    )
+    kept = gk.join(nb_good, "doc_id")
+    stripped = substring_dedup_strip(
+        _fan_out(spark, kept), "doc_id", "text", k=16
+    )
+    dd = stripped.join(kept.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        "kept_text",
+        F.md5(F.trim("kept_text")).alias("fp"),
+        F.size(tokens("kept_text")).alias("n"),
+    )
+    wfp = Window.partitionBy("fp")
+    surv = (
+        dd.withColumn("_mid", F.min("doc_id").over(wfp))
+        .filter((F.col("doc_id") == F.col("_mid")) & (F.col("n") > 0))
+        .select("doc_id", "source", "kept_text")
+    )
+    from flink_examples_spark.operators.packing import (
+        pack_stats,
+        sequence_pack,
+    )
+
+    return pack_stats(
+        sequence_pack(surv, "doc_id", "kept_text", target=256,
+                      partition_col="source"),
+        "source",
+    )
+
+
+@register(
     "corpus_curriculum_phases",
     oracle="""
     WITH t AS (
