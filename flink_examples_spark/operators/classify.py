@@ -66,8 +66,25 @@ def nb_token_evidence(
     exchange on the token), one broadcast join + doc-keyed aggregate
     scores (single exchange on the unique doc id). The corpus is
     scanned twice (train + score) — at 100 TB you stage the count
-    table to parquet between the two.
+    table to parquet between the two; [[nb_train_weights]] /
+    [[nb_score]] are exactly that split (and the streaming shape:
+    train offline, score each micro-batch against the static model).
     """
+    return nb_score(
+        df,
+        nb_train_weights(df, id_col, text_col, dup_pct_threshold),
+        id_col,
+        text_col,
+        dup_pct_threshold,
+    )
+
+
+def _nb_labeled_tokens(
+    df: DataFrame, id_col: str, text_col: str, dup_pct_threshold: int
+) -> DataFrame:
+    """(doc_id, label, tk) exploded tokens with the heuristic class
+    label — shared by the trainer and the scorer so the two can never
+    disagree on labeling."""
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("_t")
     ).filter(F.size("_t") > 0)
@@ -82,24 +99,50 @@ def nb_token_evidence(
         .otherwise("good")
         .alias("label"),
     )
-    tok = labeled.select(
-        "doc_id", "label", F.explode("_t").alias("tk")
-    )
-    wt = tok.groupBy("tk").agg(
+    return labeled.select("doc_id", "label", F.explode("_t").alias("tk"))
+
+
+def nb_train_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dup_pct_threshold: int = 55,
+) -> DataFrame:
+    """Train the class-conditional token count model: ``(tk, cg, cb)``.
+    One map-side-combined aggregate; the output is the stageable model
+    artifact (vocab-sized, Zipf-compact)."""
+    tok = _nb_labeled_tokens(df, id_col, text_col, dup_pct_threshold)
+    return tok.groupBy("tk").agg(
         F.sum(F.when(F.col("label") == "good", 1).otherwise(0)).alias("cg"),
         F.sum(F.when(F.col("label") == "bad", 1).otherwise(0)).alias("cb"),
     )
-    totals = wt.agg(
+
+
+def nb_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    dup_pct_threshold: int = 55,
+) -> DataFrame:
+    """Score documents against a trained weight table (see
+    [[nb_token_evidence]] for the decision rule). ``weights`` may be
+    freshly trained or read back from a staged parquet; tokens outside
+    the training vocab contribute zero evidence (left join + coalesce),
+    so the scorer is safe on unseen data — the streaming micro-batch
+    case."""
+    tok = _nb_labeled_tokens(df, id_col, text_col, dup_pct_threshold)
+    totals = weights.agg(
         F.sum("cg").alias("_g"), F.sum("cb").alias("_b")
     )
     scored = (
-        tok.join(F.broadcast(wt), "tk")
+        tok.join(F.broadcast(weights), "tk", "left")
         .groupBy("doc_id")
         .agg(
             F.first("label").alias("label"),
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("cg").alias("good_sum"),
-            F.sum("cb").alias("bad_sum"),
+            F.sum(F.coalesce("cg", F.lit(0))).alias("good_sum"),
+            F.sum(F.coalesce("cb", F.lit(0))).alias("bad_sum"),
         )
     )
     return scored.join(F.broadcast(totals)).select(

@@ -1333,3 +1333,45 @@ def test_streaming_image_phash_matches_batch(spark, tmp_path):
     streamed = {r.media_id: r.phash for r in out.collect()}
     assert streamed == batch
     assert len(batch) == docs.count()
+
+
+def test_streaming_nb_scoring_matches_batch(spark, tmp_path):
+    """Streaming twin of the NB quality classifier in its production
+    shape: the model (class-conditional token counts) trains OFFLINE on
+    the full corpus, then each streaming micro-batch is scored against
+    the static weight table inside foreachBatch — scoring is per-doc
+    and the model is frozen, so streaming verdicts must equal the batch
+    scorer's exactly."""
+    from flink_examples_spark.operators.classify import (
+        nb_score,
+        nb_train_weights,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    weights = nb_train_weights(docs, "doc_id", "text")
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["good_sum"], r["bad_sum"],
+                      r["verdict"])
+        for r in nb_score(docs, weights, "doc_id", "text").collect()
+    }
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    d = write_chunks(pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    collected: dict = {}
+
+    def score_batch(batch_df, batch_id):
+        for r in nb_score(batch_df, weights, "doc_id", "text").collect():
+            collected[r["doc_id"]] = (
+                r["n_tokens"], r["good_sum"], r["bad_sum"], r["verdict"]
+            )
+
+    q = (
+        src.writeStream.foreachBatch(score_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert collected == batch
