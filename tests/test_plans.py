@@ -204,3 +204,50 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_substring_strip_no_python_no_selfjoin(spark, sf_dir):
+    """The substring-strip rewrite must stay JVM-side (chunking is
+    codegen) with a bounded exchange budget — one on the chunk key,
+    one back on doc_id (+ the fan-out rebalance); no self-join and no
+    Python boundary anywhere."""
+    from flink_examples_spark.operators.dedup import substring_dedup_strip
+
+    docs = load_table(spark, "documents", sf_dir)
+    df = substring_dedup_strip(docs, "doc_id", "text", k=16)
+    assert python_eval_nodes(df) == []
+    assert exchange_count(df) <= 2
+    assert "Join" not in formatted_plan(df)
+
+
+def test_classifier_scoring_joins_broadcast(spark, sf_dir):
+    """The NB and DSIR model joins must be broadcasts — the corpus is
+    never shuffled by the token/feature key (the weight table is
+    vocab- or n_buckets-bounded)."""
+    from flink_examples_spark.operators.classify import (
+        dsir_hashed_importance,
+        nb_token_evidence,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    nb = nb_token_evidence(docs, "doc_id", "text")
+    assert has_broadcast_join(nb)
+    assert python_eval_nodes(nb) == []
+    ds = dsir_hashed_importance(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    )
+    assert has_broadcast_join(ds)
+    assert python_eval_nodes(ds) == []
+    plan = formatted_plan(ds)
+    assert "SortMergeJoin" not in plan
+
+
+def test_hygiene_v2_pipeline_stays_jvm_side(spark, sf_dir):
+    """The full FineWeb-shape pipeline (gate -> classifier -> strip ->
+    dedup -> pack) compiles to a single all-JVM plan: no Python
+    boundary, model joins broadcast."""
+    from flink_examples_spark.queries import registry
+
+    df = registry()["corpus_pipeline_hygiene_v2"].spark_fn(spark, sf_dir)
+    assert python_eval_nodes(df) == []
+    assert has_broadcast_join(df)
