@@ -650,18 +650,7 @@ def substring_dedup_strip(
     """
     from pyspark.sql import Window
 
-    toks = tokens(text_col)
-    # non-overlapping k-token chunks; last chunk may be short. Guard the
-    # empty-token case explicitly: sequence(0, -1) would run descending.
-    chunk_expr = (
-        f"if(size(_t) = 0, array(), "
-        f"transform(sequence(0, cast(floor((size(_t) - 1) / {k}) as int)), "
-        f"i -> concat_ws(' ', slice(_t, i * {k} + 1, {k}))))"
-    )
-    chunks = (
-        df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
-        .select("doc_id", F.posexplode(F.expr(chunk_expr)).alias("idx", "chunk"))
-    )
+    chunks = _doc_chunks(df, id_col, text_col, k)
     # composite key: doc_id * 100000 + idx orders (doc_id, idx)
     # lexicographically as long as idx < 100000 (oracle caps token
     # expansion far below k * 100000 tokens per doc)
@@ -676,6 +665,36 @@ def substring_dedup_strip(
             & (F.col("ckey") != F.min("ckey").over(w))
         ).alias("drop"),
     )
+    return _reassemble_chunks(marked).select(
+        F.col("doc_id").alias(id_col), "n_chunks", "n_dropped", "kept_text"
+    )
+
+
+def _doc_chunks(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(doc_id, idx, chunk): non-overlapping ``k``-token chunks per doc
+    (last chunk may be short), codegen inside the scan. Shared by the
+    batch and incremental substring-strip paths."""
+    toks = tokens(text_col)
+    # guard the empty-token case explicitly: sequence(0, -1) would run
+    # DESCENDING rather than producing an empty array
+    chunk_expr = (
+        f"if(size(_t) = 0, array(), "
+        f"transform(sequence(0, cast(floor((size(_t) - 1) / {k}) as int)), "
+        f"i -> concat_ws(' ', slice(_t, i * {k} + 1, {k}))))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+        .select(
+            "doc_id", F.posexplode(F.expr(chunk_expr)).alias("idx", "chunk")
+        )
+    )
+
+
+def _reassemble_chunks(marked: DataFrame) -> DataFrame:
+    """Fold (doc_id, idx, chunk, drop) back into per-doc accounting +
+    the surviving text in chunk order."""
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("drop").cast("long")).alias("n_dropped"),
@@ -693,7 +712,78 @@ def substring_dedup_strip(
                 lambda s: s["chunk"],
             ),
         ).alias("kept_text"),
-    ).select(
+    )
+
+
+def substring_chunk_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16
+) -> DataFrame:
+    """Chunk-frequency index ``(chunk, n_occ)`` over a corpus — the
+    staged artifact [[incremental_substring_strip]] probes (write it
+    once per snapshot; at 100 TB it is the table that makes daily
+    strip runs corpus-scan-free)."""
+    return (
+        _doc_chunks(df, id_col, text_col, k)
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
+def incremental_substring_strip(
+    chunk_index: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """Daily-ingest twin of [[substring_dedup_strip]]: strip a small
+    delta against a STAGED corpus chunk index. A delta chunk is
+    dropped when it already occurs anywhere in the corpus index, or
+    when it is a non-canonical duplicate WITHIN the delta (min
+    (doc_id, idx) kept). Corpus occurrences take precedence
+    unconditionally — the shipped corpus is immutable, so the delta
+    copy always loses even where a full re-strip's (doc_id, idx)
+    tiebreak would have kept it; that asymmetry is the point of an
+    ingest path (never rewrite what already shipped).
+
+    Shuffle discipline (the reason this exists): the corpus index is
+    probed with the BROADCAST delta chunk set and the resulting hit
+    list (≤ |delta chunks|) is broadcast back — the 100 TB index is
+    never reshuffled and never rebuilt; the only exchanges are over
+    delta-sized data.
+
+    Output: ``<id_col>, n_chunks, n_dropped, kept_text`` (same shape
+    as the batch strip).
+    """
+    from pyspark.sql import Window
+
+    d_chunks = _doc_chunks(delta, id_col, text_col, k)
+    hits = (
+        chunk_index.join(
+            F.broadcast(d_chunks.select("chunk").distinct()), "chunk"
+        )
+        .select("chunk")
+        .withColumn("_hit", F.lit(1))
+    )
+    ckey = F.col("doc_id") * 100000 + F.col("idx")
+    w = Window.partitionBy("chunk")
+    marked = (
+        d_chunks.join(F.broadcast(hits), "chunk", "left")
+        .withColumn("ckey", ckey)
+        .select(
+            "doc_id",
+            "idx",
+            "chunk",
+            (
+                F.col("_hit").isNotNull()
+                | (
+                    (F.count(F.lit(1)).over(w) > 1)
+                    & (F.col("ckey") != F.min("ckey").over(w))
+                )
+            ).alias("drop"),
+        )
+    )
+    return _reassemble_chunks(marked).select(
         F.col("doc_id").alias(id_col), "n_chunks", "n_dropped", "kept_text"
     )
 

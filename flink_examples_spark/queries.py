@@ -3967,6 +3967,83 @@ def corpus_pipeline_hygiene_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_substring_strip_incremental",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#incr'),
+                               1, 15))::BIGINT % 10000 AS b
+        FROM documents
+    ), cch AS (
+        SELECT doc_id, g.i AS idx,
+               array_to_string(toks[g.i * 16 + 1 : g.i * 16 + 16], ' ')
+                   AS chunk
+        FROM t CROSS JOIN generate_series(0, 255) AS g(i)
+        WHERE g.i * 16 < len(toks) AND b < 9000
+    ), cidx AS (
+        SELECT chunk FROM cch GROUP BY 1
+    ), dch AS (
+        SELECT doc_id, g.i AS idx,
+               array_to_string(toks[g.i * 16 + 1 : g.i * 16 + 16], ' ')
+                   AS chunk
+        FROM t CROSS JOIN generate_series(0, 255) AS g(i)
+        WHERE g.i * 16 < len(toks) AND b >= 9000
+    ), st AS (
+        SELECT chunk, COUNT(*) AS c, MIN(doc_id * 100000 + idx) AS mk
+        FROM dch GROUP BY 1
+    ), marked AS (
+        SELECT dch.doc_id, dch.idx, dch.chunk,
+               (cidx.chunk IS NOT NULL
+                OR (st.c > 1 AND dch.doc_id * 100000 + dch.idx <> st.mk))
+                   AS is_dup
+        FROM dch
+        JOIN st USING (chunk)
+        LEFT JOIN cidx USING (chunk)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           COALESCE(string_agg(chunk, ' ' ORDER BY idx)
+                        FILTER (WHERE NOT is_dup), '') AS kept_text
+    FROM marked GROUP BY 1
+    """,
+    doc="Daily-ingest substring strip: the 10% newest slice is chunked "
+        "and stripped against the STAGED corpus chunk index — a delta "
+        "chunk drops if it exists anywhere in the corpus or is a "
+        "non-canonical within-delta duplicate. The corpus is never "
+        "re-chunked or reshuffled: its index is probed with the "
+        "broadcast delta chunk set and the hit list broadcasts back; "
+        "all exchanges are delta-sized. The substring-family twin of "
+        "dedup_incremental.",
+)
+def corpus_substring_strip_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        incremental_substring_strip,
+        substring_chunk_index,
+    )
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, "documents", sf_dir), "doc_id",
+        weights=(("corpus", 0.9), ("delta", 0.1)), salt="incr",
+    )
+    idx = substring_chunk_index(
+        _fan_out(spark, docs.filter(F.col("split") == "corpus")),
+        "doc_id", "text", k=16,
+    )
+    return incremental_substring_strip(
+        idx,
+        _fan_out(spark, docs.filter(F.col("split") == "delta")),
+        "doc_id", "text", k=16,
+    )
+
+
+@register(
     "corpus_curriculum_phases",
     oracle="""
     WITH t AS (

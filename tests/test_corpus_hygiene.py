@@ -440,3 +440,34 @@ def test_levenshtein_verify_keeps_small_edit_drops_rewrite(spark):
     ).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
     assert out[0]["lev_dist"] == 3  # dog -> cat
+
+
+def test_incremental_substring_strip_corpus_precedence(spark):
+    from flink_examples_spark.operators.dedup import (
+        incremental_substring_strip,
+        substring_chunk_index,
+    )
+
+    corpus = _docs(spark, [(100, "c1 c2 shared1 shared2")])
+    delta = _docs(
+        spark,
+        [
+            # chunk present in corpus -> drops even though 1 < 100
+            (1, "shared1 shared2 mine1 mine2"),
+            # within-delta duplicate: doc 2 holds the canonical copy
+            (2, "dup1 dup2 own1 own2"),
+            (3, "dup1 dup2 other1 other2"),
+        ],
+    )
+    idx = substring_chunk_index(corpus, "doc_id", "text", k=2)
+    out = {
+        r["doc_id"]: r
+        for r in incremental_substring_strip(
+            idx, delta, "doc_id", "text", k=2
+        ).collect()
+    }
+    assert out[1]["n_dropped"] == 1
+    assert out[1]["kept_text"] == "mine1 mine2"
+    assert out[2]["n_dropped"] == 0
+    assert out[3]["n_dropped"] == 1
+    assert out[3]["kept_text"] == "other1 other2"
