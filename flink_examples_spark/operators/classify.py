@@ -190,35 +190,89 @@ def dsir_hashed_importance(
     rows regardless of corpus size — it is ALWAYS broadcastable, so
     the corpus is never shuffled by feature; the only wide exchanges
     are the map-side-combined bucket count and the final unique-key
-    doc aggregate.
+    doc aggregate. [[dsir_train_weights]] / [[dsir_score]] are the
+    staged split (train the bucket table offline, score any slice or
+    streaming micro-batch against it).
     """
+    return dsir_score(
+        df,
+        dsir_train_weights(df, id_col, text_col, target_filter, n_buckets),
+        id_col,
+        text_col,
+        n_buckets,
+    )
+
+
+def _hashed_bigram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    extra=(),
+) -> DataFrame:
+    """(doc_id, [extra...], ft) hashed-bigram features — shared by the
+    DSIR trainer and scorer so bucketing can never disagree. ``extra``
+    aliased Columns ride along inside the scan (the trainer's target
+    flag — carried narrow, never joined back). Docs with < 2 tokens
+    have no features and drop out here."""
     base = df.select(
-        F.col(id_col).alias("doc_id"),
-        target_filter.alias("_tgt"),
-        tokens(text_col).alias("_t"),
+        F.col(id_col).alias("doc_id"), *extra, tokens(text_col).alias("_t")
     ).filter(F.size("_t") >= 2)
+    names = [c for c in base.columns if c not in ("doc_id", "_t")]
     bigram = F.expr(
         "transform(sequence(0, size(_t) - 2), i -> _t[i] || ' ' || _t[i+1])"
     )
-    feats = base.select(
-        "doc_id", "_tgt", F.explode(bigram).alias("bg")
+    return base.select(
+        "doc_id", *names, F.explode(bigram).alias("bg")
     ).select(
         "doc_id",
-        "_tgt",
+        *names,
         F.pmod(hash60(F.col("bg")), F.lit(n_buckets)).alias("ft"),
     )
-    wt = feats.groupBy("ft").agg(
+
+
+def dsir_train_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter,
+    n_buckets: int = 10007,
+) -> DataFrame:
+    """Train the DSIR bucket table ``(ft, ct, cr)`` — target and raw
+    occurrence counts per hashed-bigram bucket. At most ``n_buckets``
+    rows at ANY corpus size: the stageable, always-broadcastable model
+    artifact. One map-side-combined exchange; the target flag rides
+    inside the scan, never joined back."""
+    feats = _hashed_bigram_features(
+        df, id_col, text_col, n_buckets,
+        extra=(target_filter.alias("_tgt"),),
+    )
+    return feats.groupBy("ft").agg(
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
         F.count(F.lit(1)).alias("cr"),
     )
-    totals = wt.agg(F.sum("ct").alias("_nt"), F.sum("cr").alias("_nr"))
+
+
+def dsir_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 10007,
+) -> DataFrame:
+    """Score documents against a trained DSIR bucket table (see
+    [[dsir_hashed_importance]] for the decision rule). Buckets absent
+    from the table contribute zero evidence (left join + coalesce), so
+    unseen data — the streaming micro-batch case — scores safely."""
+    feats = _hashed_bigram_features(df, id_col, text_col, n_buckets)
+    totals = weights.agg(F.sum("ct").alias("_nt"), F.sum("cr").alias("_nr"))
     scored = (
-        feats.join(F.broadcast(wt), "ft")
+        feats.join(F.broadcast(weights), "ft", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum("ct").alias("target_sum"),
-            F.sum("cr").alias("raw_sum"),
+            F.sum(F.coalesce("ct", F.lit(0))).alias("target_sum"),
+            F.sum(F.coalesce("cr", F.lit(0))).alias("raw_sum"),
         )
     )
     return scored.join(F.broadcast(totals)).select(

@@ -1375,3 +1375,44 @@ def test_streaming_nb_scoring_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert collected == batch
+
+
+def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
+    """Streaming twin of DSIR importance selection: the bucket table
+    trains offline, each micro-batch scores against the frozen static
+    weights in foreachBatch — verdicts must equal the batch scorer's."""
+    from flink_examples_spark.operators.classify import (
+        dsir_score,
+        dsir_train_weights,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    weights = dsir_train_weights(
+        docs, "doc_id", "text", F.col("lang") == "en"
+    )
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["target_sum"], r["raw_sum"],
+                      r["selected"])
+        for r in dsir_score(docs, weights, "doc_id", "text").collect()
+    }
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    d = write_chunks(pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    collected: dict = {}
+
+    def score_batch(batch_df, batch_id):
+        for r in dsir_score(batch_df, weights, "doc_id", "text").collect():
+            collected[r["doc_id"]] = (
+                r["n_feats"], r["target_sum"], r["raw_sum"], r["selected"]
+            )
+
+    q = (
+        src.writeStream.foreachBatch(score_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert collected == batch
