@@ -3819,10 +3819,7 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_pipeline_hygiene_v2",
-    oracle="""
-    WITH t AS (
+_HYGIENE_V2_SQL = """t AS (
         SELECT doc_id, source, text,
                list_filter(string_split(lower(text), ' '), x -> x <> '')
                    AS toks
@@ -3893,7 +3890,15 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN (SELECT fp, MIN(doc_id) AS mid FROM dd GROUP BY 1) m
           ON dd.fp = m.fp AND dd.doc_id = m.mid
         WHERE dd.n > 0
-    ), packed AS (
+    )"""
+# the Gopher-gate -> NB-classifier -> substring-strip -> exact-dedup CTE
+# chain shared by the hygiene-v2 pack oracle and the funnel census
+
+
+@register(
+    "corpus_pipeline_hygiene_v2",
+    oracle=f"""
+    WITH {_HYGIENE_V2_SQL}, packed AS (
         SELECT source, doc_id, n,
                CAST(COALESCE(SUM(n) OVER (
                    PARTITION BY source ORDER BY doc_id
@@ -3919,6 +3924,71 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the registered scale path of its standalone query.",
 )
 def corpus_pipeline_hygiene_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.packing import (
+        pack_stats,
+        sequence_pack,
+    )
+
+    _, _, _, surv = _hygiene_v2_stages(spark, sf_dir)
+    return pack_stats(
+        sequence_pack(surv, "doc_id", "kept_text", target=256,
+                      partition_col="source"),
+        "source",
+    )
+
+
+@register(
+    "corpus_hygiene_funnel",
+    oracle=f"""
+    WITH {_HYGIENE_V2_SQL},
+    raw AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    g1 AS (SELECT source, COUNT(*) AS n FROM gk GROUP BY 1),
+    g2 AS (SELECT source, COUNT(*) AS n FROM kept GROUP BY 1),
+    g3 AS (SELECT source, COUNT(*) AS n FROM surv GROUP BY 1)
+    SELECT raw.source,
+           raw.n AS n_raw,
+           COALESCE(g1.n, 0) AS n_gopher,
+           COALESCE(g2.n, 0) AS n_classifier,
+           COALESCE(g3.n, 0) AS n_final
+    FROM raw
+    LEFT JOIN g1 USING (source)
+    LEFT JOIN g2 USING (source)
+    LEFT JOIN g3 USING (source)
+    """,
+    doc="Per-source survivor funnel through the hygiene-v2 stages "
+        "(raw -> Gopher gate -> NB classifier -> strip+dedup): the "
+        "report a curation team actually watches — which source loses "
+        "how much at which stage. Same stage chain as "
+        "corpus_pipeline_hygiene_v2 (shared helper + shared oracle "
+        "CTEs, so the funnel can never drift from the pipeline); the "
+        "per-stage counts are 20-row aggregates joined on source.",
+)
+def corpus_hygiene_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, gk, kept, surv = _hygiene_v2_stages(spark, sf_dir)
+
+    def cnt(df, name):
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    raw = cnt(docs, "n_raw")
+    out = (
+        raw.join(cnt(gk, "n_gopher"), "source", "left")
+        .join(cnt(kept, "n_classifier"), "source", "left")
+        .join(cnt(surv, "n_final"), "source", "left")
+    )
+    return out.select(
+        "source",
+        "n_raw",
+        F.coalesce("n_gopher", F.lit(0)).alias("n_gopher"),
+        F.coalesce("n_classifier", F.lit(0)).alias("n_classifier"),
+        F.coalesce("n_final", F.lit(0)).alias("n_final"),
+    )
+
+
+def _hygiene_v2_stages(spark: SparkSession, sf_dir: str):
+    """Shared stage chain of the hygiene-v2 pipeline: returns
+    ``(docs, gk, kept, surv)`` — raw corpus, Gopher-kept, NB-kept, and
+    the stripped+deduped survivors (with ``kept_text``). Both the
+    flagship pack query and the funnel census read these."""
     from pyspark.sql import Window
 
     from flink_examples_spark.functions.text import tokens
@@ -3954,16 +4024,7 @@ def corpus_pipeline_hygiene_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") == F.col("_mid")) & (F.col("n") > 0))
         .select("doc_id", "source", "kept_text")
     )
-    from flink_examples_spark.operators.packing import (
-        pack_stats,
-        sequence_pack,
-    )
-
-    return pack_stats(
-        sequence_pack(surv, "doc_id", "kept_text", target=256,
-                      partition_col="source"),
-        "source",
-    )
+    return docs, gk, kept, surv
 
 
 @register(
