@@ -471,3 +471,41 @@ def test_incremental_substring_strip_corpus_precedence(spark):
     assert out[2]["n_dropped"] == 0
     assert out[3]["n_dropped"] == 1
     assert out[3]["kept_text"] == "other1 other2"
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from flink_examples_spark.operators.classify import (
+        dsir_hashed_importance,
+        nb_token_evidence,
+    )
+    from flink_examples_spark.operators.dedup import (
+        incremental_substring_strip,
+        substring_chunk_index,
+        substring_dedup_strip,
+        verify_levenshtein_on_candidates,
+    )
+    from flink_examples_spark.operators.quality import gopher_rules
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    docs_l = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert substring_dedup_strip(docs, "doc_id", "text").count() == 0
+    assert nb_token_evidence(docs, "doc_id", "text").count() == 0
+    assert gopher_rules(docs, "doc_id", "text").count() == 0
+    assert (
+        dsir_hashed_importance(
+            docs_l, "doc_id", "text", F.col("lang") == "en"
+        ).count()
+        == 0
+    )
+    cand = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert (
+        verify_levenshtein_on_candidates(docs, cand, "doc_id", "text").count()
+        == 0
+    )
+    idx = substring_chunk_index(docs, "doc_id", "text")
+    delta = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    # empty corpus index: delta survives untouched
+    (r,) = incremental_substring_strip(idx, delta, "doc_id", "text", k=2).collect()
+    assert r["n_dropped"] == 0 and r["kept_text"] == "a b c d"

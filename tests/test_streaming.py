@@ -1416,3 +1416,54 @@ def test_streaming_dsir_scoring_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert collected == batch
+
+
+def test_streaming_incremental_substring_strip_matches_batch(spark, tmp_path):
+    """Streaming twin of incremental substring strip: the corpus chunk
+    index is static (staged), delta docs arrive as a stream and are
+    stripped per micro-batch. Within-delta canonical selection only
+    sees its own micro-batch here, so the test streams the delta as a
+    single chunk — cross-batch within-delta dedup is the corpus-index
+    update's job between ingests (documented contract)."""
+    from flink_examples_spark.operators.dedup import (
+        incremental_substring_strip,
+        substring_chunk_index,
+    )
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, "documents", SF), "doc_id",
+        weights=(("corpus", 0.9), ("delta", 0.1)), salt="incr",
+    )
+    corpus = docs.filter(F.col("split") == "corpus")
+    delta = docs.filter(F.col("split") == "delta").select("doc_id", "text")
+    idx = substring_chunk_index(corpus, "doc_id", "text", k=16)
+    batch = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["kept_text"])
+        for r in incremental_substring_strip(
+            idx, delta, "doc_id", "text", k=16
+        ).collect()
+    }
+
+    pdf = delta.toPandas()
+    d = write_chunks(pdf, str(tmp_path / "in"), 1)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    collected: dict = {}
+
+    def strip_batch(batch_df, batch_id):
+        for r in incremental_substring_strip(
+            idx, batch_df, "doc_id", "text", k=16
+        ).collect():
+            collected[r["doc_id"]] = (
+                r["n_chunks"], r["n_dropped"], r["kept_text"]
+            )
+
+    q = (
+        src.writeStream.foreachBatch(strip_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert collected == batch
