@@ -25,12 +25,14 @@ This is a measurement tool, not a test — box noise makes hard
 assertions flaky; the invariant worth pinning (candidates ≪ n²) is
 asserted at the end.
 
-Measured on local[32] at sf0.1 (2026-08-13):
+Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
 
     op                     1x      2x      4x     t-exp  rows-exp
     minhash_lsh_pairs      1.4s    1.4s    1.7s   0.16   1.06
     ngram_jaccard_pairs    2.2s    2.3s    3.0s   0.14   1.00
     embedding_neardup_lsh  1.0s    1.1s    1.2s   0.16   2.09*
+    substring_dedup_strip  0.4s    0.5s    0.5s   0.16   1.00
+    nb_token_evidence      0.5s    0.5s    0.6s   0.13   1.00
 
 Time exponents ~0.15 mean the fixed per-job overhead still dominates at
 this size — the marginal cost per doubled corpus is far below linear,
@@ -62,9 +64,11 @@ def main() -> None:
     spark = get_spark("scale_canary")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from flink_examples_spark.operators.classify import nb_token_evidence
     from flink_examples_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        substring_dedup_strip,
     )
     from flink_examples_spark.operators.similarity import (
         embedding_neardup_lsh,
@@ -127,6 +131,14 @@ def main() -> None:
             lambda d: embedding_neardup_lsh(
                 d, "vec_id", "embedding", n_tables=8
             ),
+        ),
+        "substring_dedup_strip": (
+            docs1, "doc_id",
+            lambda d: substring_dedup_strip(d, "doc_id", "text", k=16),
+        ),
+        "nb_token_evidence": (
+            docs1, "doc_id",
+            lambda d: nb_token_evidence(d, "doc_id", "text"),
         ),
     }
 
