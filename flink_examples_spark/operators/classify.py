@@ -145,6 +145,11 @@ def nb_score(
             F.sum(F.coalesce("cb", F.lit(0))).alias("bad_sum"),
         )
     )
+    # decimal(38,0) operands: evidence sums and class masses both reach
+    # ~1e13-1e15 at web scale, so a long*long product would silently
+    # wrap (non-ANSI) or throw (ANSI); 38-digit decimals hold the
+    # product exactly at any realistic corpus size
+    dec = "decimal(38,0)"
     return scored.join(F.broadcast(totals)).select(
         F.col("doc_id").alias(id_col),
         "label",
@@ -152,7 +157,8 @@ def nb_score(
         "good_sum",
         "bad_sum",
         F.when(
-            F.col("good_sum") * F.col("_b") >= F.col("bad_sum") * F.col("_g"),
+            F.col("good_sum").cast(dec) * F.col("_b").cast(dec)
+            >= F.col("bad_sum").cast(dec) * F.col("_g").cast(dec),
             "good",
         )
         .otherwise("bad")
@@ -275,14 +281,17 @@ def dsir_score(
             F.sum(F.coalesce("cr", F.lit(0))).alias("raw_sum"),
         )
     )
+    # decimal(38,0) products: see nb_score — long*long would overflow
+    # at web-scale evidence/mass magnitudes
+    dec = "decimal(38,0)"
     return scored.join(F.broadcast(totals)).select(
         F.col("doc_id").alias(id_col),
         "n_feats",
         "target_sum",
         "raw_sum",
         F.when(
-            F.col("target_sum") * F.col("_nr")
-            > F.col("raw_sum") * F.col("_nt"),
+            F.col("target_sum").cast(dec) * F.col("_nr").cast(dec)
+            > F.col("raw_sum").cast(dec) * F.col("_nt").cast(dec),
             F.lit(1),
         )
         .otherwise(F.lit(0))

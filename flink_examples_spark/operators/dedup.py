@@ -20,6 +20,7 @@ create quadratic join blowup on boilerplate text.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import IntegerType, LongType, ShortType
 
 from flink_examples_spark.functions.text import fingerprint_md5, hash60, tokens
 
@@ -461,10 +462,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     sum is positive. Token multiplicity weights votes (no distinct).
     Near-dups then reduce to small-Hamming-distance pairs — compare via
     ``bit_count(xor(a, b))`` which stays integer and engine-portable.
+
+    The per-token hash draws ``ceil(bits/4)`` hex chars of md5, so every
+    signature bit has a real vote source at any ``bits`` up to 60 (the
+    engine-portable hash width) — beyond that, raise rather than emit
+    silently-constant high bits.
     """
+    if bits > 60:
+        raise ValueError(
+            f"simhash: bits={bits} exceeds the 60-bit engine-portable "
+            "md5-prefix hash width"
+        )
+    hex_chars = (bits + 3) // 4
     tok = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
-        .withColumn("tv", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int"))
+        .withColumn(
+            "tv",
+            F.conv(F.substring(F.md5("tok"), 1, hex_chars), 16, 10)
+            .cast("long"),
+        )
     )
     j = F.explode(F.array(*[F.lit(i) for i in range(bits)])).alias("j")
     votes = (
@@ -518,17 +534,32 @@ def connected_components(
     ``node, cluster_id`` (min member id) for every node appearing in a
     pair.
     """
+    # Numeric-id contract: labels are compared with min/least, and the
+    # driver tier unions Python ints — a silent cast-to-NULL on string
+    # ids would corrupt every component, so fail loudly instead.
+    for c in (a_col, b_col):
+        if not isinstance(
+            pairs.schema[c].dataType, (LongType, IntegerType, ShortType)
+        ):
+            raise TypeError(
+                f"connected_components needs integer node ids; column "
+                f"{c!r} is {pairs.schema[c].dataType.simpleString()} — "
+                "map string ids to longs (e.g. hash60) before clustering"
+            )
     # Materialize the pair base once: everything downstream (the doubled
     # edge set, the driver collect or every propagation round) would
     # otherwise re-execute the expensive upstream pair pipeline —
-    # MinHash, LSH, embedding scoring — per consumer.
+    # MinHash, LSH, embedding scoring — per consumer. The doubled edge
+    # set is pinned BEFORE the tier-gate count so the union+distinct
+    # shuffle runs once, not once for the count and again for the
+    # chosen tier's consumption.
     base = pairs.select(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
     ).localCheckpoint(eager=True)
     edges = base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     if edges.count() <= driver_threshold:
         parent: dict[int, int] = {}
 
@@ -549,8 +580,6 @@ def connected_components(
             rows, "node long, cluster_id long"
         )
 
-    # loop path: pin the doubled edge set too (joined every round)
-    edges = edges.localCheckpoint(eager=True)
     labels = edges.select("src").distinct().withColumn("cluster_id", F.col("src"))
     for _ in range(max_iter):
         neigh = (
@@ -651,10 +680,12 @@ def substring_dedup_strip(
     from pyspark.sql import Window
 
     chunks = _doc_chunks(df, id_col, text_col, k)
-    # composite key: doc_id * 100000 + idx orders (doc_id, idx)
-    # lexicographically as long as idx < 100000 (oracle caps token
-    # expansion far below k * 100000 tokens per doc)
-    ckey = (F.col("doc_id") * 100000 + F.col("idx")).alias("ckey")
+    # canonical occurrence = struct-ordered min of (doc_id, idx) — a
+    # struct min, not an arithmetic doc_id*K+idx key, so arbitrary id
+    # magnitudes and chunk counts can't overflow or mis-order (the SQL
+    # oracle's doc_id*100000+idx twin is equivalent under its
+    # documented 4096-token cap)
+    ckey = F.struct(F.col("doc_id"), F.col("idx")).alias("ckey")
     w = Window.partitionBy("chunk")
     marked = chunks.select("doc_id", "idx", "chunk", ckey).select(
         "doc_id",
@@ -765,7 +796,8 @@ def incremental_substring_strip(
         .select("chunk")
         .withColumn("_hit", F.lit(1))
     )
-    ckey = F.col("doc_id") * 100000 + F.col("idx")
+    # struct-ordered canonical key — see substring_dedup_strip
+    ckey = F.struct(F.col("doc_id"), F.col("idx"))
     w = Window.partitionBy("chunk")
     marked = (
         d_chunks.join(F.broadcast(hits), "chunk", "left")

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from flink_examples_spark.functions.text import tokens
+from flink_examples_spark.functions.text import char_count_no_spaces, tokens
 
 
 def dup_token_fraction(tokens_col: Column) -> Column:
@@ -44,7 +44,10 @@ def repetition_signals(
     ``verdict`` is ``'repetitive'`` when either signal exceeds its
     threshold, else ``'ok'``. Fractions are rounded to 6 dp (exact for
     the small-integer ratios involved) so results hash-compare across
-    engines.
+    engines. Documents with fewer than 2 tokens have no bigrams and are
+    excluded from the report (documented contract, mirrored by the
+    registry oracle) — join back to the corpus to distinguish
+    "evaluated ok" from "too short to evaluate".
 
     Plan shape: one explode of bigrams, a (doc_id, bigram) hash
     aggregate, then a doc_id hash aggregate — two shuffles total, both
@@ -118,20 +121,17 @@ def gopher_rules(
     Output: ``<id_col>, n_tokens, mean_word_len, symbol_ratio,
     word_count_ok, mean_len_ok, symbol_ok, stopword_ok, keep`` —
     ratios rounded to 6 dp and flags as 0/1 longs for engine parity
-    (booleans hash differently across engines).
+    (booleans hash differently across engines). Zero-token documents
+    have no ratio denominators and are excluded from the output
+    (documented contract, mirrored by the oracle) — they'd fail the
+    word-count rule anyway.
 
     Pure narrow codegen inside the scan: zero shuffle at any corpus
     size; the census aggregation downstream is the only exchange.
     """
     toks = tokens(text_col)
     n = F.size(toks)
-    chars = F.length(
-        F.replace(
-            F.col(text_col) if isinstance(text_col, str) else text_col,
-            F.lit(" "),
-            F.lit(""),
-        )
-    )
+    chars = char_count_no_spaces(text_col)
     txt = F.col(text_col) if isinstance(text_col, str) else text_col
     n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
     n_ellipsis = (

@@ -93,6 +93,10 @@ def cosine_topk_gemm(
     import numpy as np
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -171,6 +175,12 @@ def embedding_neardup_pairs(
     ``hyperplane_lsh_buckets`` (see ``embedding_neardup_lsh``) so the
     matmul runs per bucket, not per corpus.
     """
+    if strategy not in ("blocked", "gemm", "expr"):
+        raise ValueError(
+            f"embedding_neardup_pairs: unknown strategy {strategy!r} "
+            "(expected 'blocked', 'gemm', or 'expr') — refusing to fall "
+            "through to the driver-collect path on a typo"
+        )
     if strategy == "blocked":
         return embedding_neardup_blocked(
             embeddings, id_col, vec_col, threshold, n_blocks=n_blocks
@@ -197,6 +207,10 @@ def embedding_neardup_pairs(
     import numpy as np
 
     rows = e.collect()
+    if not rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
     all_ids = np.array([r["vid"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -539,6 +553,10 @@ def cosine_topk_ivf(
         embeddings, id_col, vec_col, n_clusters=n_clusters, seed=seed
     )
     q_rows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    if not q_rows or cent.size == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

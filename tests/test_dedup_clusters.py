@@ -220,3 +220,34 @@ def test_incremental_lsh_pairs_families(spark):
     )
     over = incremental_lsh_pairs(cb, delta_overlap, "doc_id", "text").collect()
     assert all(r["doc_a"] != r["doc_b"] for r in over)
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """Review regression: string node ids would silently cast to NULL
+    and corrupt every component — the operator must refuse them."""
+    import pytest
+
+    from flink_examples_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("doc-1", "doc-2")], "doc_a string, doc_b string"
+    )
+    with pytest.raises(TypeError, match="integer node ids"):
+        connected_components(pairs, "doc_a", "doc_b")
+
+
+def test_simhash_wide_signatures_use_high_bits(spark):
+    """Review regression: bits > 16 must draw enough hash hex chars
+    that high signature bits actually vary (they were constant zero)."""
+    from flink_examples_spark.operators.dedup import simhash
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = [r["simhash"] for r in simhash(docs, "doc_id", "text", bits=32).collect()]
+    assert any(s >= (1 << 16) for s in sigs), "high 16 bits never set"
+    with pytest.raises(ValueError, match="60-bit"):
+        simhash(docs, "doc_id", "text", bits=64)

@@ -466,3 +466,28 @@ def test_ivfpq_scores_are_exact_cosines(spark, sf_dir):
         a, b = vecs[r.query_id], vecs[r.neighbor_id]
         true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r.cosine - round(true, 6)) < 1e-9
+
+
+def test_ann_empty_queries_and_strategy_typo_guards(spark, sf_dir):
+    """Review regressions: every ANN entry point returns an empty frame
+    (not a numpy crash) on an empty query set, and a strategy typo
+    raises instead of silently falling through to the driver-collect
+    path."""
+    import pytest
+
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import (
+        cosine_topk_gemm,
+        cosine_topk_ivf,
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    none = emb.filter(F.col("vec_id") < 0)
+    assert cosine_topk_gemm(emb, none, k=3).count() == 0
+    assert cosine_topk_ivf(emb, none, k=3).count() == 0
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_topk_ivf(empty, empty, k=3).count() == 0
+    assert embedding_neardup_pairs(empty, strategy="gemm").count() == 0
+    with pytest.raises(ValueError, match="unknown strategy"):
+        embedding_neardup_pairs(emb, strategy="lsh")
