@@ -48,8 +48,11 @@ def bpe_tokens(text: Column | str) -> Column:
 
 def bpe_token_count(text: Column | str) -> Column:
     """Sequence-length estimate a training pipeline budgets with: the
-    BPE pretoken count upper-bounds (and tracks) the real subword count
-    far better than whitespace words on punctuation/number-heavy text."""
+    BPE pretoken count LOWER-bounds the real subword count (every
+    pretoken encodes to >= 1 subword) and tracks it far better than
+    whitespace words on punctuation/number-heavy text; budget with a
+    safety factor, or use ``tokenizer.bpe_encode_stats`` for the exact
+    trained-merge count."""
     return F.size(bpe_tokens(text))
 
 
@@ -61,7 +64,12 @@ def char_count_no_spaces(text: Column | str) -> Column:
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     toks = tokens(text)
     stops = F.filter(toks, lambda t: t.isin(*stopwords))
-    return F.size(stops) / F.size(toks)
+    # zero-token docs: ratio 0.0, not NULL — a NULL ratio satisfies
+    # NEITHER side of a quality predicate, so empty docs would silently
+    # escape both keep- and drop-filters built on this
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(stops) / F.size(toks)
+    )
 
 
 def avg_token_length(text: Column | str) -> Column:

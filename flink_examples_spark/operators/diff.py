@@ -29,23 +29,40 @@ def snapshot_diff(
     'changed', 'unchanged'} — added = only in ``new``, removed = only
     in ``old``, changed = present in both with different content
     fingerprints.
+
+    Presence is tracked with explicit markers, NOT fingerprint
+    nullness: a NULL-text document has a NULL fingerprint but IS
+    present in its snapshot, and must diff as changed/unchanged (via
+    null-safe fingerprint equality), never as added/removed. NULL-text
+    on both sides is 'unchanged'.
     """
     o = old.select(
         F.col(id_col).alias("doc_id"),
         fingerprint_md5(text_col).alias("_fp_old"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         F.col(id_col).alias("doc_id"),
         fingerprint_md5(text_col).alias("_fp_new"),
+        F.lit(True).alias("_in_new"),
     )
+    # Plain equi-join on the id: a null-safe (<=>) join would let
+    # NULL-id rows match themselves but defeats bucket pruning — the
+    # exchange-free bucketed-diff plan (test_bucketing.py) is the
+    # 100 TB property and wins. Contract: ids must be non-NULL (a
+    # NULL-id row diffs as an added+removed pair, SQL equi-join
+    # semantics); corpora that can carry NULL ids assign a sentinel
+    # upstream, the operators/sampling.py `_null_safe` pattern.
     return (
         o.join(n, "doc_id", "full_outer")
         .select(
             F.col("doc_id").alias(id_col),
-            F.when(F.col("_fp_old").isNull(), "added")
-            .when(F.col("_fp_new").isNull(), "removed")
-            .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
-            .otherwise("unchanged")
+            F.when(F.col("_in_old").isNull(), "added")
+            .when(F.col("_in_new").isNull(), "removed")
+            .when(
+                F.col("_fp_old").eqNullSafe(F.col("_fp_new")), "unchanged"
+            )
+            .otherwise("changed")
             .alias("verdict"),
         )
     )

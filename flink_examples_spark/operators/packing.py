@@ -49,11 +49,15 @@ def sequence_pack(
     """Assign every document a pack id within its partition key(s).
 
     Output: one row per document — ``<partition cols>, <id_col>,
-    n_tokens, pack_id`` where ``pack_id = floor(exclusive-prefix-sum of
-    n_tokens / target)`` in ``id_col`` order. Integer-only arithmetic:
-    hash-exact across engines. ``partition_col`` may be a single column
-    or a list (the sharded source×bucket shape at scale).
+    n_tokens, pack_id`` where ``pack_id = exclusive-prefix-sum of
+    n_tokens div target`` in ``id_col`` order. Genuinely integer-only
+    arithmetic (``div``, never a double divide + floor): hash-exact
+    across engines at ANY prefix magnitude, including past 2^53 where
+    a double quotient would round. ``partition_col`` may be a single
+    column or a list (the sharded source×bucket shape at scale).
     """
+    if target < 1:
+        raise ValueError(f"sequence_pack: target must be >= 1, got {target}")
     parts = _cols(partition_col)
     w = (
         Window.partitionBy(*parts)
@@ -66,9 +70,11 @@ def sequence_pack(
         F.col(id_col),
         n.alias("n_tokens"),
     ).withColumn(
-        "pack_id",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / target),
-    )
+        "_prefix",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    ).withColumn(
+        "pack_id", F.expr(f"_prefix div {int(target)}")
+    ).drop("_prefix")
 
 
 def sequence_pack_sharded(
@@ -97,8 +103,17 @@ def sequence_pack_sharded(
     Output: ``<partition_col>, pack_shard, <id_col>, n_tokens,
     pack_id``.
     """
+    # NULL-safe id key (the sampling._null_safe sentinel): bare concat
+    # null-propagates, collapsing every NULL-id doc into one NULL-shard
+    # straggler window with nondeterministic intra-NULL order
     shard = F.pmod(
-        hash60(F.concat(F.col(id_col).cast("string"), F.lit("#" + salt))),
+        hash60(
+            F.concat(
+                F.coalesce(F.col(id_col).cast("string"),
+                           F.lit("\x00null\x00")),
+                F.lit("#" + salt),
+            )
+        ),
         F.lit(n_shards),
     )
     return sequence_pack(
@@ -136,6 +151,10 @@ def chunk_documents(
     shuffle-free plan.
     """
     c = int(chunk_tokens)
+    if c < 1:
+        raise ValueError(
+            f"chunk_documents: chunk_tokens must be >= 1, got {chunk_tokens}"
+        )
     chunks = F.expr(
         f"transform(sequence(0, cast((size(t) + {c} - 1) / {c} as int) - 1),"
         f" j -> slice(t, j * {c} + 1, {c}))"

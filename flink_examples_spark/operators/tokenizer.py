@@ -116,6 +116,14 @@ def bpe_encode_stats(
     per-batch memo on distinct pretokens (Zipf: a batch of docs shares
     almost all its words), so per-batch cost is ~distinct-words, not
     total words. No shuffle at any corpus size.
+
+    The output schema carries the INPUT types through: the id and every
+    keep_col keep their ``docs`` schema type (string ids, numeric
+    metadata — not hard-coded). NULL-text docs survive with ZERO counts
+    (the row is visible, pinned by tests) — note this deliberately
+    differs from ``token_count``'s NULL-propagating column semantics:
+    an accounting pass that must treat NULL as "uncounted" rather than
+    "zero-length" should filter on ``text IS NOT NULL`` first.
     """
     keep_cols = keep_cols or []
     ranks = {p: i for i, p in enumerate(merges)}
@@ -145,13 +153,15 @@ def bpe_encode_stats(
                 }
             )
 
-    keep_schema = "".join(f", {c} string" for c in keep_cols)
+    fields = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    keep_schema = "".join(f", {c} {fields[c]}" for c in keep_cols)
     out = docs.select(
         F.col(id_col).alias("_id"),
         *keep_cols,
         bpe_tokens(F.col(text_col)).alias("_pre"),
     ).mapInPandas(
         enc,
-        f"_id long{keep_schema}, n_pretokens long, n_bpe_tokens long",
+        f"_id {fields[id_col]}{keep_schema}, "
+        "n_pretokens long, n_bpe_tokens long",
     )
     return out.withColumnRenamed("_id", id_col)

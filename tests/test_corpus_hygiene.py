@@ -509,3 +509,18 @@ def test_new_operators_handle_empty_inputs(spark):
     # empty corpus index: delta survives untouched
     (r,) = incremental_substring_strip(idx, delta, "doc_id", "text", k=2).collect()
     assert r["n_dropped"] == 0 and r["kept_text"] == "a b c d"
+
+
+def test_snapshot_diff_null_text_is_presence_not_absence(spark):
+    """Review regression: a NULL-text doc IS present in its snapshot —
+    it must diff changed/unchanged, never added/removed (fingerprint
+    nullness used to be conflated with side-absence)."""
+    from flink_examples_spark.operators.diff import snapshot_diff
+
+    old = _docs(spark, [(1, None), (2, "hi"), (3, None)])
+    new = _docs(spark, [(1, "hi"), (2, None), (3, None)])
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in snapshot_diff(old, new, "doc_id", "text").collect()
+    }
+    assert out == {1: "changed", 2: "changed", 3: "unchanged"}

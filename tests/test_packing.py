@@ -118,3 +118,29 @@ def test_chunk_hashes_distinguish_content(spark):
     h = {(r["doc_id"], r["chunk_idx"]): r["chunk_hash"] for r in rows}
     assert h[(1, 0)] == h[(1, 1)] == h[(2, 0)]  # identical token windows
     assert h[(2, 1)] != h[(2, 0)]
+
+
+def test_pack_target_and_chunk_guards_and_null_id_shard(spark):
+    """Review regressions: non-positive target/chunk_tokens raise
+    instead of silently NULLing/emptying output; NULL-id docs hash to a
+    real shard (sentinel), not a collapsed NULL straggler window."""
+    import pytest
+
+    from flink_examples_spark.operators.packing import (
+        chunk_documents,
+        sequence_pack,
+        sequence_pack_sharded,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s"), (None, "d e f", "s")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="target"):
+        sequence_pack(docs, "doc_id", "text", target=0, partition_col="source")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=0)
+    out = sequence_pack_sharded(
+        docs, "doc_id", "text", target=4, partition_col="source"
+    ).collect()
+    assert all(r["pack_shard"] is not None for r in out)

@@ -109,3 +109,19 @@ def test_empty_corpus_trains_empty_merges(spark):
     merges = train_bpe_merges(empty)
     assert merges == []
     assert bpe_encode_stats(empty, merges).count() == 0
+
+
+def test_encode_stats_carries_input_id_and_keep_col_types(spark):
+    """Review regression: output schema derives from the input schema —
+    string ids and numeric keep_cols must round-trip (they were
+    hard-coded as long/string)."""
+    docs = spark.createDataFrame(
+        [("u-1", "ab ab", 5), ("u-2", "cd", 2)],
+        "doc_id string, text string, n_chars long",
+    )
+    merges = train_bpe_merges(docs, n_merges=1)
+    out = bpe_encode_stats(docs, merges, keep_cols=["n_chars"])
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert dict(out.dtypes)["n_chars"] == "bigint"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["u-1"]["n_chars"] == 5 and rows["u-1"]["n_pretokens"] == 2
