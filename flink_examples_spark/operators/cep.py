@@ -122,10 +122,13 @@ def _find_matches(
                 continue
             consumed.append((elem.name, idx))
             if elem.quantifier == "plus":
-                # greedy: try to extend the repetition first, then move on
+                # greedy: recurse on the same element with in_plus=True;
+                # that frame FIRST tries to extend the repetition and,
+                # when extension is exhausted, its in_plus tail (below)
+                # moves on to the next element — adding an explicit
+                # move-on branch here would emit every complete match
+                # twice in all_matches mode (the tail already covers it)
                 if dfs(elem_i, idx + 1, consumed, in_plus=True):
-                    return True
-                if dfs(elem_i + 1, idx + 1, consumed, in_plus=False):
                     return True
             else:
                 if dfs(elem_i + 1, idx + 1, consumed, in_plus=False):
@@ -176,6 +179,23 @@ def _greedy_partial(
             break
         consumed.append((elem.name, hit))
         next_row = hit + 1
+        if elem.quantifier == "plus":
+            # greedy repetition: keep consuming adjacent rows while the
+            # predicate holds (mirrors dfs's in_plus strict adjacency) —
+            # stopping after one row would underreport the plus variable
+            # in timed-out partials
+            while next_row < n:
+                if within_check is not None and consumed and not (
+                    within_check(consumed[0][1], next_row)
+                ):
+                    break
+                ctx = MatchCtx(consumed, records)
+                if elem.where is not None and not bool(
+                    elem.where(records[next_row], ctx)
+                ):
+                    break
+                consumed.append((elem.name, next_row))
+                next_row += 1
     return consumed
 
 

@@ -211,10 +211,17 @@ def image_features(df: DataFrame, id_col: str = "media_id",
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(raw)
-                if raw[:4] != IMAGE_MAGIC:
+                # non-image / truncated-header / header-only payloads:
+                # null-stats row (no silent drops, no task-killing
+                # struct.error / zero-size-reduction ValueError)
+                if raw[:4] != IMAGE_MAGIC or len(raw) < 16:
+                    rows.append((mid, None, None, None, None, None))
                     continue
                 w, h, c = struct.unpack("<iii", raw[4:16])
                 px = np.frombuffer(raw, dtype=np.uint8, offset=16)
+                if px.size == 0:
+                    rows.append((mid, w, h, None, None, None))
+                    continue
                 rows.append((mid, w, h,
                              round(float(px.mean()), 6),
                              int(px.min()), int(px.max())))
@@ -283,13 +290,26 @@ def image_resize(df: DataFrame, out_w: int, out_h: int,
             ids, payloads = [], []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(raw)
-                if raw[:4] != IMAGE_MAGIC:
+                # non-image / degenerate payloads: null-payload row so
+                # mixed-media inputs are visible downstream, not dropped
+                if raw[:4] != IMAGE_MAGIC or len(raw) < 16:
+                    ids.append(mid)
+                    payloads.append(None)
                     continue
                 w, h, c = struct.unpack("<iii", raw[4:16])
-                px = np.frombuffer(raw, dtype=np.uint8, offset=16).reshape(h, w * c)
+                if w <= 0 or h <= 0 or c <= 0 or len(raw) < 16 + w * h * c:
+                    ids.append(mid)
+                    payloads.append(None)
+                    continue
+                # reshape to (h, w, c) so the x index gathers whole
+                # PIXELS: indexing the interleaved (h, w*c) layout
+                # linearly would mix channel bytes of different pixels
+                px = np.frombuffer(
+                    raw, dtype=np.uint8, offset=16, count=w * h * c
+                ).reshape(h, w, c)
                 yi = (np.arange(out_h) * h) // out_h
-                xi = (np.arange(out_w * c) * (w * c)) // (out_w * c)
-                out = px[yi][:, xi]
+                xi = (np.arange(out_w) * w) // out_w
+                out = px[yi][:, xi, :]
                 ids.append(mid)
                 payloads.append(
                     IMAGE_MAGIC + struct.pack("<iii", out_w, out_h, c)
@@ -312,7 +332,10 @@ def video_frame_sample(df: DataFrame, every: int = 2,
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(raw)
-                if raw[:4] != VIDEO_MAGIC:
+                # non-video / truncated payloads: one null-frame row
+                # marks the id as seen-but-undecodable (no silent drops)
+                if raw[:4] != VIDEO_MAGIC or len(raw) < 16:
+                    rows.append((mid, None, None))
                     continue
                 w, h, nf = struct.unpack("<iii", raw[4:16])
                 fsz = w * h
@@ -533,6 +556,11 @@ def audio_fingerprint(df: DataFrame, id_col: str = "media_id",
     """
 
     def one(payload: bytes):
+        if len(payload) < 12:
+            # truncated header (magic ok, length short): null fingerprint,
+            # not a batch-killing struct.error — media_metadata guards
+            # the identical case
+            return None
         n_samp = struct.unpack("<i", payload[8:12])[0]
         s = np.frombuffer(payload, dtype=np.uint8, offset=12)
         if len(s) == 0 or n_samp <= 0:

@@ -180,7 +180,16 @@ def streaming_double_stream_match(
                     # same side twice: keep the first (reference stores one)
             if pending is not None:
                 state.update(pending)
-                state.setTimeoutTimestamp(pending[1] + timeout_ms)
+                # clamp to just past the current watermark: Spark
+                # REJECTS (IllegalArgumentException, query dies) a
+                # timeout at-or-behind the watermark, which a late
+                # first-arrival with ts + timeout <= wm would produce;
+                # clamped, the timer fires at the next trigger and the
+                # row times out immediately — the correct semantics for
+                # an arrival whose deadline already passed
+                deadline = pending[1] + timeout_ms
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(deadline, wm + 1))
             elif state.exists:
                 state.remove()
         if out:
@@ -267,7 +276,11 @@ def streaming_dedup_ttl(
         if ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    schema = ", ".join(f"{k} string" for k in keys)
+    # carry the INPUT key types through (long/int/string keys all
+    # round-trip); hardcoding string would crash Arrow conversion on
+    # the first emitted row of any non-string key
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(f"{k} {fields[k]}" for k in keys)
     return df.groupBy(*keys).applyInPandasWithState(
         fn, schema, "dropped long, last_ms long", "append", timeout
     )
@@ -351,6 +364,23 @@ def streaming_cep(
     import json
 
     from flink_examples_spark.operators.cep import _find_matches, _greedy_partial
+
+    # The pending buffer is JSON-encoded in GroupState; only ts_col is
+    # converted (timestamp -> epoch ms). Any OTHER non-JSON-able column
+    # (a second timestamp, binary, decimal) would crash json.dumps only
+    # when a partial first spans a trigger boundary — fail loudly at
+    # build time instead of dying mid-stream.
+    _json_bad = ("timestamp", "binary", "decimal", "date")
+    for f_ in events.schema.fields:
+        if f_.name != ts_col and any(
+            b in f_.dataType.simpleString() for b in _json_bad
+        ):
+            raise TypeError(
+                f"streaming_cep: column {f_.name!r} "
+                f"({f_.dataType.simpleString()}) cannot round-trip the "
+                f"JSON state buffer — cast it (e.g. to epoch ms / hex) "
+                "before the operator, or drop it from the input"
+            )
 
     ocols = list(order_cols or [ts_col])
     out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
@@ -475,7 +505,18 @@ def streaming_sequence_pack(
         out = []
         for pdf in pdfs:
             for _, row in pdf.sort_values(id_col).iterrows():
-                toks = [t for t in str(row[text_col]).lower().split(" ") if t]
+                txt = row[text_col]
+                if txt is None or (
+                    isinstance(txt, float) and pd.isna(txt)
+                ):
+                    # batch parity: token_count(NULL) is NULL — the row
+                    # appears with NULL n_tokens and does NOT advance
+                    # the prefix (str(None) would count 'none' as 1)
+                    out.append(
+                        (*key_t, row[id_col], None, prefix // target)
+                    )
+                    continue
+                toks = [t for t in str(txt).lower().split(" ") if t]
                 out.append(
                     (*key_t, row[id_col], len(toks), prefix // target)
                 )

@@ -238,3 +238,28 @@ def test_match_recognize_sql_float_and_string_literals(spark):
     ).toPandas()
     assert sorted(out["hi_seq"]) == [2, 4]
     assert set(out["tag"]) == {"UP AND AWAY"}
+
+
+def test_all_matches_plus_no_duplicate_and_partial_keeps_repetition():
+    """Review regressions: (a) a PLUS element must not emit the same
+    complete match twice in all_matches mode (the in_plus tail already
+    covers the stop-extending branch); (b) timed-out greedy partials
+    must include every greedily-consumed PLUS repetition row."""
+    from flink_examples_spark.operators.cep import (
+        Pat,
+        _find_matches,
+        _greedy_partial,
+    )
+
+    records = [{"t": "A"}, {"t": "B"}, {"t": "B"}, {"t": "C"}]
+    pat = [
+        Pat("A", lambda r, c: r["t"] == "A", "one", "strict"),
+        Pat("B", lambda r, c: r["t"] == "B", "plus", "strict"),
+        Pat("C", lambda r, c: r["t"] == "C", "one", "strict"),
+    ]
+    out: list = []
+    _find_matches(records, pat, 0, None, True, out)
+    assert out == [[("A", 0), ("B", 1), ("B", 2), ("C", 3)]]
+    assert _greedy_partial(records[:3], pat, 0, None) == [
+        ("A", 0), ("B", 1), ("B", 2),
+    ]

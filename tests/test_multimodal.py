@@ -330,3 +330,56 @@ def test_empty_media_pins(spark):
     empty = spark.createDataFrame([], "media_id long, payload binary")
     assert image_neardup_pairs(empty).count() == 0
     assert audio_neardup_pairs(empty).count() == 0
+
+
+def test_image_resize_preserves_channels_per_pixel(spark):
+    """Review regression (execution-confirmed bug): multi-channel
+    nearest-neighbor resize must gather whole pixels — the old
+    interleaved-linear index grid mixed R/G/B bytes across pixels."""
+    import struct
+
+    from flink_examples_spark.operators.multimodal import (
+        IMAGE_MAGIC,
+        image_resize,
+    )
+
+    # 2x1 RGB image: pixel0=(10,20,30), pixel1=(110,120,130)
+    payload = IMAGE_MAGIC + struct.pack("<iii", 2, 1, 3) + bytes(
+        [10, 20, 30, 110, 120, 130]
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "media_id long, payload binary")
+    (r,) = image_resize(df, out_w=1, out_h=1).collect()
+    out = bytes(r["payload"])
+    w, h, c = struct.unpack("<iii", out[4:16])
+    assert (w, h, c) == (1, 1, 3)
+    assert list(out[16:]) == [10, 20, 30]  # pixel 0 intact, not R0,B0,G1
+
+
+def test_media_ops_emit_null_rows_for_undecodable_payloads(spark):
+    """Review regression: mixed-media / truncated payloads produce
+    visible null rows (or null fingerprints), never silent drops or
+    batch-killing struct errors."""
+    from flink_examples_spark.operators.multimodal import (
+        AUDIO_MAGIC,
+        audio_fingerprint,
+        image_features,
+        image_resize,
+        video_frame_sample,
+    )
+
+    rows = [
+        (1, bytearray(b"FIMG")),        # truncated image header
+        (2, bytearray(b"FAUD\x01\x02")),  # truncated audio header
+        (3, bytearray(b"JUNKJUNKJUNKJUNK")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = {r["media_id"]: r for r in image_features(df).collect()}
+    assert set(feats) == {1, 2, 3}
+    assert all(feats[i]["mean_px"] is None for i in feats)
+    rs = {r["media_id"]: r["payload"] for r in image_resize(df, 2, 2).collect()}
+    assert set(rs) == {1, 2, 3} and all(v is None for v in rs.values())
+    vf = video_frame_sample(df)
+    assert vf.count() == 3  # one null-frame row per undecodable id
+    fp = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert fp[2] is None  # truncated FAUD: null fingerprint, no crash

@@ -1467,3 +1467,19 @@ def test_streaming_incremental_substring_strip_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert collected == batch
+
+
+def test_streaming_dedup_ttl_long_keys(spark, tmp_path):
+    """Review regression: dedup key columns keep their input types (a
+    long key used to be declared string in the state schema and crash
+    Arrow conversion on first emit)."""
+    from flink_examples_spark.streaming.stateful import streaming_dedup_ttl
+
+    pdf = pd.DataFrame({"uid": [7, 7, 9, 9, 9]})
+    d = write_chunks(pdf, str(tmp_path / "in"), 1)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_dedup_ttl(src, ["uid"]), spark, "ddlk", "append",
+        str(tmp_path / "ck"),
+    )
+    assert sorted(r.uid for r in out.collect()) == [7, 9]
