@@ -87,3 +87,104 @@ def ngram_decontaminate(
             .alias("verdict"),
         )
     )
+
+
+def ngram_decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Memory-bounded decontamination: the eval shingle set compressed
+    into a Bloom filter whose size is FIXED (``n_bits``) regardless of
+    how large the eval suite grows — the shape for decontaminating
+    against an eval corpus too big to broadcast exactly (aggregated
+    benchmark unions, held-out corpora).
+
+    Guarantees, both load-bearing:
+      - NO false negatives: every truly contaminated document is
+        flagged (Bloom filters never miss inserted members), so the
+        hygiene property of [[ngram_decontaminate]] is preserved;
+      - bounded false positives: a clean doc may flag at the filter's
+        FP rate (~``(1 - e^(-kn/m))^k``); flagged docs are candidates
+        for the exact check, not automatic drops. Approximate by
+        construction — no SQL oracle; the subset/superset invariants
+        and a measured FP bound live in tests/test_corpus_hygiene.py.
+
+    Distributed-build discipline (why driver memory is bounded by
+    ``n_bits/8`` and NOT by the eval size): eval shingles hash to
+    ``n_hashes`` bit positions JVM-side (double hashing off the md5
+    [[hash60]], engine-portable), the DISTINCT bit positions — at most
+    ``n_bits`` values — are collected, and the packed bit array
+    broadcasts to a vectorized Arrow-batched membership probe over the
+    train shingle hashes. The train side is never shuffled by shingle
+    (same contract as the exact operator); eval is aggregated once.
+
+    Output: ``doc_id, n_grams, n_flagged, verdict`` with verdict
+    'flagged' / 'clean'.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_examples_spark.functions.text import hash60
+
+    # positions_i(h) = (h + i * (1 + h mod PRIME)) mod n_bits — double
+    # hashing; the step offset is derived from h so the k probes are
+    # pairwise-independent enough for the standard FP bound
+    step = f"(1 + pmod(_h, 999983))"
+    pos_cols = [
+        F.expr(f"pmod(_h + {i} * {step}, {n_bits})").alias(f"_p{i}")
+        for i in range(n_hashes)
+    ]
+    ev_pos = (
+        shingles(eval_df, id_col, text_col, n)
+        .select(hash60(F.col("shingle")).alias("_h"))
+        .select(pos_cols)
+        .select(F.explode(F.array(*[f"_p{i}" for i in range(n_hashes)]))
+                .alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(n_bits, dtype=bool)
+    if ev_pos:
+        bits[np.array([r["p"] for r in ev_pos], dtype=np.int64)] = True
+
+    sh_train = shingles(train, id_col, text_col, n).select(
+        "doc_id", hash60(F.col("shingle")).alias("_h")
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h = pdf["_h"].to_numpy(dtype=np.int64)
+            stepv = 1 + (h % 999983)
+            hit = np.ones(len(h), dtype=bool)
+            for i in range(n_hashes):
+                hit &= bits[(h + i * stepv) % n_bits]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "flagged": hit.astype(np.int64),
+            })
+
+    marked = sh_train.mapInPandas(probe, "doc_id long, flagged long")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("flagged").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_flagged",
+            F.when(F.col("n_flagged") > 0, "flagged")
+            .otherwise("clean")
+            .alias("verdict"),
+        )
+    )

@@ -2605,6 +2605,40 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_ngram_bloom",
+    oracle=None,  # approximate by construction (bounded false
+                  # positives); the no-false-negative superset invariant
+                  # and measured FP rate live in test_corpus_hygiene.py
+    doc="Memory-bounded decontamination: eval shingles compressed into "
+        "a fixed-size Bloom filter (2^20 bits, 4 hashes — driver/"
+        "broadcast memory independent of eval size), train shingle "
+        "hashes probed in one vectorized Arrow pass. No false "
+        "negatives (every truly contaminated doc flags); flagged docs "
+        "are candidates for the exact check. The decontam shape when "
+        "the eval union outgrows an exact broadcast.",
+)
+def decontam_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.decontam import (
+        ngram_decontaminate_bloom,
+    )
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, "documents", sf_dir),
+        "doc_id",
+        weights=(("eval", 0.1), ("train", 0.9)),
+        salt="decontam",
+    )
+    return ngram_decontaminate_bloom(
+        _fan_out(spark, docs.filter(F.col("split") == "train")),
+        docs.filter(F.col("split") == "eval"),
+        "doc_id",
+        "text",
+        n=4,
+    )
+
+
+@register(
     "doc_repetition_quality",
     oracle="""
     WITH t AS (

@@ -524,3 +524,59 @@ def test_snapshot_diff_null_text_is_presence_not_absence(spark):
         for r in snapshot_diff(old, new, "doc_id", "text").collect()
     }
     assert out == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_bloom_decontam_superset_of_exact_and_fp_bounded(spark, sf_dir):
+    """Bloom decontamination never misses a truly contaminated doc
+    (no false negatives — Bloom filters cannot miss members) and its
+    false-positive flags stay near the filter's theoretical rate (2^20
+    bits / 4 hashes over a few thousand shingles -> essentially 0)."""
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.decontam import (
+        ngram_decontaminate,
+        ngram_decontaminate_bloom,
+    )
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = hash_split(
+        load_table(spark, "documents", sf_dir), "doc_id",
+        weights=(("eval", 0.1), ("train", 0.9)), salt="decontam",
+    )
+    train = docs.filter(F.col("split") == "train")
+    ev = docs.filter(F.col("split") == "eval")
+    exact = {
+        r["doc_id"]
+        for r in ngram_decontaminate(train, ev, "doc_id", "text", n=4)
+        .filter(F.col("verdict") == "contaminated").collect()
+    }
+    out = ngram_decontaminate_bloom(train, ev, "doc_id", "text", n=4)
+    flagged = {
+        r["doc_id"]
+        for r in out.filter(F.col("verdict") == "flagged").collect()
+    }
+    assert exact <= flagged, "bloom missed a truly contaminated doc"
+    n_train = out.count()
+    fp = len(flagged - exact)
+    assert fp <= max(2, n_train // 100), f"{fp} false positives of {n_train}"
+
+
+def test_bloom_decontam_tiny_filter_shows_false_positives_only(spark):
+    """Shrinking the filter raises FP (clean docs flag) but can never
+    create a false negative — the asymmetry that makes bloom decontam
+    safe as a candidate generator."""
+    from flink_examples_spark.operators.decontam import (
+        ngram_decontaminate_bloom,
+    )
+
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta"),         # contaminated (copied)
+        (2, "uno dos tres cuatro"),             # clean
+    ])
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    out = {
+        r["doc_id"]: r["verdict"]
+        for r in ngram_decontaminate_bloom(
+            train, ev, "doc_id", "text", n=4, n_bits=8, n_hashes=2
+        ).collect()
+    }
+    assert out[1] == "flagged"  # the true positive survives any n_bits
