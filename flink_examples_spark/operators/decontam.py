@@ -114,17 +114,19 @@ def ngram_decontaminate_bloom(
         construction — no SQL oracle; the subset/superset invariants
         and a measured FP bound live in tests/test_corpus_hygiene.py.
 
-    Distributed-build discipline (why driver memory is bounded by
-    ``n_bits/8`` and NOT by the eval size): eval shingles hash to
-    ``n_hashes`` bit positions JVM-side (double hashing off the md5
-    [[hash60]], engine-portable), the DISTINCT bit positions — at most
-    ``n_bits`` values — are collected, and the packed bit array
-    broadcasts to a vectorized Arrow-batched membership probe over the
-    train shingle hashes. The train side is never shuffled by shingle
-    (same contract as the exact operator); eval is aggregated once.
+    Distributed-build discipline (why memory is bounded by the FILTER
+    size and not the eval size): eval shingles hash to ``n_hashes``
+    bit positions JVM-side (double hashing off the md5 [[hash60]],
+    engine-portable), the DISTINCT bit positions — at most ``n_bits``
+    values — come back through Arrow, and the ``np.packbits``-packed
+    array (``n_bits/8`` bytes) ships via ``sparkContext.broadcast`` to
+    a vectorized Arrow-batched membership probe over the train shingle
+    hashes. The train side is never shuffled by shingle (same contract
+    as the exact operator); eval is aggregated once.
 
     Output: ``doc_id, n_grams, n_flagged, verdict`` with verdict
-    'flagged' / 'clean'.
+    'flagged' / 'clean' — the id is aliased to ``doc_id`` (the exact
+    twin's convention) but keeps its INPUT type (string ids work).
     """
     from collections.abc import Iterator
 
@@ -136,11 +138,13 @@ def ngram_decontaminate_bloom(
     # positions_i(h) = (h + i * (1 + h mod PRIME)) mod n_bits — double
     # hashing; the step offset is derived from h so the k probes are
     # pairwise-independent enough for the standard FP bound
-    step = f"(1 + pmod(_h, 999983))"
+    step = "(1 + pmod(_h, 999983))"
     pos_cols = [
         F.expr(f"pmod(_h + {i} * {step}, {n_bits})").alias(f"_p{i}")
         for i in range(n_hashes)
     ]
+    # Arrow transfer (toPandas), not row collect: up to n_bits int64s
+    # as one numpy column, never a Python Row per position
     ev_pos = (
         shingles(eval_df, id_col, text_col, n)
         .select(hash60(F.col("shingle")).alias("_h"))
@@ -148,17 +152,23 @@ def ngram_decontaminate_bloom(
         .select(F.explode(F.array(*[f"_p{i}" for i in range(n_hashes)]))
                 .alias("p"))
         .distinct()
-        .collect()
+        .toPandas()["p"]
+        .to_numpy(dtype=np.int64)
     )
     bits = np.zeros(n_bits, dtype=bool)
-    if ev_pos:
-        bits[np.array([r["p"] for r in ev_pos], dtype=np.int64)] = True
+    if len(ev_pos):
+        bits[ev_pos] = True
+    # ship packed (n_bits/8 bytes) via broadcast, not an 8x bool array
+    # pickled into every task's closure
+    bc = train.sparkSession.sparkContext.broadcast(np.packbits(bits))
 
     sh_train = shingles(train, id_col, text_col, n).select(
         "doc_id", hash60(F.col("shingle")).alias("_h")
     )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        packed = np.unpackbits(bc.value).astype(bool)
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -166,13 +176,16 @@ def ngram_decontaminate_bloom(
             stepv = 1 + (h % 999983)
             hit = np.ones(len(h), dtype=bool)
             for i in range(n_hashes):
-                hit &= bits[(h + i * stepv) % n_bits]
+                hit &= packed[(h + i * stepv) % n_bits]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "flagged": hit.astype(np.int64),
             })
 
-    marked = sh_train.mapInPandas(probe, "doc_id long, flagged long")
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in train.schema.fields
+    )[id_col]
+    marked = sh_train.mapInPandas(probe, f"doc_id {id_type}, flagged long")
     return (
         marked.groupBy("doc_id")
         .agg(

@@ -2585,6 +2585,17 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.decontam import ngram_decontaminate
+
+    train, eval_df = _decontam_split(spark, sf_dir)
+    return ngram_decontaminate(train, eval_df, "doc_id", "text", n=4)
+
+
+def _decontam_split(spark: SparkSession, sf_dir: str):
+    """The ONE eval-holdout definition shared by every decontamination
+    query (exact, bloom, and the oracle's mirrored md5-bucket CTE):
+    10% salted-hash holdout, train side fanned out for the CPU-bound
+    shingling. A second copy of these knobs could silently diverge on
+    what 'eval' means between the exact and approximate paths."""
     from flink_examples_spark.operators.sampling import hash_split
 
     docs = hash_split(
@@ -2593,14 +2604,9 @@ def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights=(("eval", 0.1), ("train", 0.9)),
         salt="decontam",
     )
-    # fan out the CPU-bound train-side shingling here (single small
-    # file at test scale); the operator itself never shuffles train
-    return ngram_decontaminate(
+    return (
         _fan_out(spark, docs.filter(F.col("split") == "train")),
         docs.filter(F.col("split") == "eval"),
-        "doc_id",
-        "text",
-        n=4,
     )
 
 
@@ -2621,21 +2627,9 @@ def decontam_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.decontam import (
         ngram_decontaminate_bloom,
     )
-    from flink_examples_spark.operators.sampling import hash_split
 
-    docs = hash_split(
-        load_table(spark, "documents", sf_dir),
-        "doc_id",
-        weights=(("eval", 0.1), ("train", 0.9)),
-        salt="decontam",
-    )
-    return ngram_decontaminate_bloom(
-        _fan_out(spark, docs.filter(F.col("split") == "train")),
-        docs.filter(F.col("split") == "eval"),
-        "doc_id",
-        "text",
-        n=4,
-    )
+    train, eval_df = _decontam_split(spark, sf_dir)
+    return ngram_decontaminate_bloom(train, eval_df, "doc_id", "text", n=4)
 
 
 @register(

@@ -576,7 +576,10 @@ def test_bloom_decontam_tiny_filter_shows_false_positives_only(spark):
     out = {
         r["doc_id"]: r["verdict"]
         for r in ngram_decontaminate_bloom(
-            train, ev, "doc_id", "text", n=4, n_bits=8, n_hashes=2
+            train, ev, "doc_id", "text", n=4, n_bits=1, n_hashes=2
         ).collect()
     }
     assert out[1] == "flagged"  # the true positive survives any n_bits
+    # a 1-bit filter saturates: the clean doc MUST false-positive,
+    # proving the asymmetry (FP possible, FN impossible) actually bites
+    assert out[2] == "flagged"
