@@ -31,6 +31,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from flink_examples_spark.operators.util import schema_col_names
+
 
 @dataclass(frozen=True)
 class Pat:
@@ -240,7 +242,7 @@ def match_recognize(
     pcols = list(partition_by)
     ocols = list(order_by)
     delta = pd.Timedelta(within) if within is not None else None
-    out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
+    out_cols = schema_col_names(output_schema)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ocols, kind="mergesort").reset_index(drop=True)

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_examples_spark.operators.util import schema_col_names
+
 
 def async_enrich(
     df: DataFrame,
@@ -60,7 +62,7 @@ def async_enrich(
     Output columns: input columns + keys of the dict ``enrich_fn``
     returns, in ``output_schema`` order.
     """
-    out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
+    out_cols = schema_col_names(output_schema)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         with ThreadPoolExecutor(max_workers=capacity) as pool:

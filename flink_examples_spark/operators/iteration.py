@@ -77,6 +77,8 @@ def fib_steps_driver_loop(pairs: DataFrame, x_col: str, y_col: str,
         F.col(y_col).alias("y"),
         F.lit(0).alias("n_steps"),
     )
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     done_parts: list[DataFrame] = []
     for _ in range(max_iter):
         work = work.localCheckpoint(eager=True)  # truncate lineage per round
@@ -91,6 +93,10 @@ def fib_steps_driver_loop(pairs: DataFrame, x_col: str, y_col: str,
             (F.col("x") + F.col("y")).alias("y"),
             (F.col("n_steps") + 1).alias("n_steps"),
         )
+    # rows still below limit after max_iter rounds retire with the
+    # iteration cap as their step count — fib_steps' contract; dropping
+    # them would silently shrink the output
+    done_parts.append(work)
     result = done_parts[0]
     for part in done_parts[1:]:
         result = result.unionByName(part)

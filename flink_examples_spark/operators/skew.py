@@ -71,9 +71,25 @@ def salted_replicate_join(
     """Skew-safe equi-join: build side replicated ×n_salts, probe side
     salted, join on (key, salt). Row-identical to ``probe.join(build,
     key, how)`` for inner/left joins (each probe row meets exactly one
-    replica of each matching build row)."""
+    replica of each matching build row). Right/full joins are REFUSED:
+    an unmatched build row exists as n_salts replicas and would emit
+    n_salts null-padded duplicates."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_replicate_join: how={how!r} would duplicate "
+            "unmatched build rows x n_salts; only inner/left joins are "
+            "row-identical to the unsalted join"
+        )
     if probe_salt_source is None:
-        probe_salt_source = [c for c in probe.columns if c != key] or [key]
+        probe_salt_source = [c for c in probe.columns if c != key]
+        if not probe_salt_source:
+            raise ValueError(
+                "salted_replicate_join: probe has no non-key columns to "
+                "salt on — salting on the key alone gives every row of "
+                "a hot key the SAME salt (one reducer still takes the "
+                "whole key while paying full build replication); pass "
+                "probe_salt_source explicitly"
+            )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))
     ).alias("__salt")

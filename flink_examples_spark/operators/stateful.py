@@ -109,10 +109,11 @@ def dfa_alerts(
             {"key": [pkey[0]], "n_events": [len(pdf)], "n_alerts": [alerts]}
         )
 
+    key_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[key]
     return (
         keyed_python_partitions(df, [key])
         .groupBy(key)
-        .applyInPandas(run, f"key long, n_events long, n_alerts long")
+        .applyInPandas(run, f"key {key_t}, n_events long, n_alerts long")
         .withColumnRenamed("key", key)
     )
 
@@ -139,7 +140,10 @@ def delta_trigger(
 
     def run(pkey, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ocols, kind="mergesort")
-        cum = pdf[delta_col].cumsum()
+        # NULL deltas advance nothing (SQL SUM-skips-NULL semantics);
+        # without fillna a single NULL poisons the cumsum into NaN and
+        # astype('int64') raises on non-finite values
+        cum = pdf[delta_col].fillna(0).cumsum()
         bucket = (cum // threshold).astype("int64")
         fired = bucket > bucket.shift(1, fill_value=0)
         out = pdf.loc[fired, [id_col]].copy()
@@ -147,9 +151,12 @@ def delta_trigger(
         out["key"] = pkey[0]
         return out[["key", id_col, "bucket"]]
 
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     return (
         keyed_python_partitions(df, [key])
         .groupBy(key)
-        .applyInPandas(run, f"key long, {id_col} long, bucket long")
+        .applyInPandas(
+            run, f"key {types[key]}, {id_col} {types[id_col]}, bucket long"
+        )
         .withColumnRenamed("key", key)
     )

@@ -29,3 +29,26 @@ def keyed_python_partitions(
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(num_partitions, *keys)
+
+
+def schema_col_names(ddl: str) -> list[str]:
+    """Column names from a DDL schema string, splitting on TOP-LEVEL
+    commas only — a naive ``split(",")`` mangles parametrized types
+    (``decimal(18,2)``, ``map<string,long>``, ``struct<...>``) into
+    phantom columns."""
+    names: list[str] = []
+    depth, cur = 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(cur).strip().split()[0])
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        names.append(tail.split()[0])
+    return names

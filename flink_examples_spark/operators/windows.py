@@ -22,6 +22,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _unpack_window(out: DataFrame, start_name: str, end_name: str) -> DataFrame:
+    """Flatten the ``w`` window struct into first-class start/end
+    columns — the one place the unpack select lives (it used to be
+    copy-pasted per window flavor)."""
+    return out.select(
+        F.col("w.start").alias(start_name),
+        F.col("w.end").alias(end_name),
+        *[c for c in out.columns if c != "w"],
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,
@@ -37,11 +48,7 @@ def tumbling_window_agg(
     HotItems.java:149-159; in Spark it's just a struct column).
     """
     out = df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys).agg(*aggs)
-    return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *[c for c in out.columns if c != "w"],
-    )
+    return _unpack_window(out, "window_start", "window_end")
 
 
 def sliding_window_agg(
@@ -61,11 +68,7 @@ def sliding_window_agg(
     out = df.groupBy(
         F.window(F.col(ts_col), duration, slide).alias("w"), *keys
     ).agg(*aggs)
-    return out.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        *[c for c in out.columns if c != "w"],
-    )
+    return _unpack_window(out, "window_start", "window_end")
 
 
 def session_window_agg(
@@ -83,11 +86,7 @@ def session_window_agg(
     out = df.groupBy(
         F.session_window(F.col(ts_col), gap).alias("w"), *keys
     ).agg(*aggs)
-    return out.select(
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
-        *[c for c in out.columns if c != "w"],
-    )
+    return _unpack_window(out, "session_start", "session_end")
 
 
 def count_window_agg(

@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from flink_examples_spark.operators.util import schema_col_names
+
 
 def streaming_fraud_detector(
     events: DataFrame,
@@ -383,7 +385,7 @@ def streaming_cep(
             )
 
     ocols = list(order_cols or [ts_col])
-    out_cols = [f.strip().split()[0] for f in output_schema.split(",")]
+    out_cols = schema_col_names(output_schema)
 
     def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:

@@ -76,3 +76,40 @@ def test_async_enrich_per_call_timeout_nulls_only_slow_call(spark):
     assert by_id[3] is None or by_id[3] != by_id[3]  # null/NaN
     for i in (0, 1, 2, 4, 5):
         assert by_id[i] == i * 10
+
+
+def test_async_enrich_parametrized_type_schema(spark):
+    """Review regression: the output-schema parser must split on
+    top-level commas only — decimal(10,2)/map types used to produce
+    phantom columns and a schema-mismatch crash."""
+    from flink_examples_spark.operators.enrich import async_enrich
+
+    from decimal import Decimal
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = async_enrich(
+        df,
+        lambda rec: {"price": Decimal(f"{rec['id']}.50"),
+                     "tags": {"k": rec["id"]}},
+        "id long, price decimal(10,2), tags map<string,long>",
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert str(rows[1]["price"]) == "1.50"
+    assert rows[2]["tags"] == {"k": 2}
+
+
+def test_fib_driver_loop_emits_unfinished_rows_at_cap(spark):
+    """Review regression: rows not reaching the limit within max_iter
+    must retire with n_steps == max_iter (fib_steps' contract), not
+    vanish from the output."""
+    from flink_examples_spark.operators.iteration import (
+        fib_steps,
+        fib_steps_driver_loop,
+    )
+
+    pairs = spark.createDataFrame([(1, 1)], "x long, y long")
+    loop = fib_steps_driver_loop(pairs, "x", "y", limit=10**15, max_iter=5)
+    rows = loop.collect()
+    assert len(rows) == 1 and rows[0]["n_steps"] == 5
+    udf = fib_steps(pairs, "x", "y", limit=10**15, max_iter=5).collect()
+    assert rows[0]["n_steps"] == udf[0]["n_steps"]

@@ -74,3 +74,21 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_salted_join_refuses_right_and_keyless_probe(spark):
+    """Review regressions: right/full joins would emit n_salts
+    null-padded duplicates per unmatched build row; a probe with no
+    non-key columns would give every hot-key row the same salt —
+    both must raise, not silently corrupt/defeat the mitigation."""
+    import pytest
+
+    from flink_examples_spark.operators.skew import salted_replicate_join
+
+    probe = spark.createDataFrame([(1, "x")], "k long, v string")
+    build = spark.createDataFrame([(1, "b")], "k long, b string")
+    with pytest.raises(ValueError, match="duplicate unmatched"):
+        salted_replicate_join(probe, build, "k", how="right")
+    keyless = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="non-key columns"):
+        salted_replicate_join(keyless, build, "k")
