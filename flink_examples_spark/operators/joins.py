@@ -178,3 +178,75 @@ def broadcast_pattern_match(
         )
         .select(F.col(key), F.col(first_col), F.col(second_col))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    right_order: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: each left row picks up the payload
+    of the LATEST right row with the same key and ``right_ts <=
+    left_ts`` (unbounded lookback). Left rows with no prior right row
+    keep NULL payloads — nothing is dropped.
+
+    This is the sorted-union formulation, not a range join: both sides
+    are unioned, shuffled ONCE on the key, sorted per partition by
+    ``(ts, side, order)``, and a running ``last(payload, ignorenulls)``
+    window carries the most recent right payload forward into each left
+    row. Cost is one exchange + one per-partition sort — linear in
+    |left|+|right|, versus the interval-join formulation whose
+    candidate set is |left| x |right rows in range| and which cannot
+    express an unbounded lookback at all. At 100 TB this is THE as-of
+    shape: no quadratic blowup on hot keys, no range residual, and the
+    window state is a single payload struct per partition, regardless
+    of how far back the previous right row is.
+
+    Ties: a right row AT the left row's timestamp is visible (side
+    orders right before left at equal ts — backward-inclusive). Among
+    right rows at the same ts the max ``right_order`` wins
+    (deterministic total order; defaults to ``right_ts``, pass a unique
+    id column when right timestamps can collide).
+
+    ``payload_cols`` are carried from the right side into the output
+    under their own names (caller guarantees no collision with left's
+    columns).
+    """
+    right_order = right_order or right_ts
+    pay_t = right.select(
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_p")
+    ).schema["_p"].dataType
+    ord_t = right.schema[right_order].dataType
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(right_order).alias("_ord"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_pay"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns],
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(ord_t).alias("_ord"),
+        F.lit(None).cast(pay_t).alias("_pay"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc_nulls_last("_ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l).withColumn(
+        "_last", F.last("_pay", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col("_last")[c].alias(c) for c in payload_cols],
+    )

@@ -4360,3 +4360,156 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return snapshot_diff(v1, v2, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# User-journey analytics: as-of join, ordered funnel, retention cohorts
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, 0 AS side, event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, 1, CAST(NULL AS BIGINT), event_id
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT *,
+            last_value(CASE WHEN side = 0 THEN click_id END IGNORE NULLS)
+                OVER w AS last_click_id,
+            last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                OVER w AS last_click_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, side, click_id NULLS LAST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT purchase_id, user_id, last_click_id AS click_id,
+           CAST(floor(epoch(ts)) - floor(epoch(last_click_ts)) AS BIGINT)
+               AS lag_s
+    FROM m WHERE side = 1
+    """,
+    doc="True as-of join (backward-inclusive, UNBOUNDED lookback): each "
+        "purchase picks up the latest prior-or-equal click by the same "
+        "user via the sorted-union formulation — one exchange on the "
+        "key, a running last(ignorenulls) window, no range join and no "
+        "per-key quadratic candidate set; unmatched purchases keep NULL "
+        "click columns. The shape interval_join cannot express (its "
+        "lookback is bounded) and the 100 TB-safe one (operators/"
+        "joins.py asof_join).",
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.joins import asof_join
+
+    events = load_table(spark, "events", sf_dir)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        p, c, "user_id", "ts", "cts", ["click_id", "cts"],
+        right_order="click_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("cts")).alias("lag_s"),
+    )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                           THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                           THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ), pu AS (
+        SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        FROM w3 GROUP BY user_id
+    )
+    SELECT step_idx, step, n_users FROM (
+        SELECT 1 AS step_idx, 'view' AS step,
+               count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n_users
+        FROM pu
+        UNION ALL
+        SELECT 2, 'click',
+               count(CASE WHEN t2 IS NOT NULL THEN 1 END) FROM pu
+        UNION ALL
+        SELECT 3, 'purchase',
+               count(CASE WHEN t3 IS NOT NULL THEN 1 END) FROM pu
+    ) t
+    """,
+    doc="Ordered funnel census view -> click -> purchase: step k counts "
+        "a user only when it happens strictly after their first "
+        "completion of step k-1. Cascaded conditional min() windows "
+        "over the user key — ONE exchange for the whole funnel "
+        "regardless of step count (no events-join-events per step, "
+        "which would shuffle the stream once per step and skew on hot "
+        "users). operators/journey.py funnel_stage_counts.",
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.journey import funnel_stage_counts
+
+    events = load_table(spark, "events", sf_dir)
+    return funnel_stage_counts(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH stamped AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                   AS cohort_day
+        FROM events
+    ), act AS (
+        SELECT DISTINCT user_id, cohort_day,
+               CAST(day - cohort_day AS INTEGER) AS offset_days
+        FROM stamped
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+           offset_days, count(*) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+    doc="Day-grain retention matrix: users cohorted by first-seen "
+        "calendar day; (user, active-day) pairs roll up into "
+        "(cohort_day, offset_days) cells. Partition-only window for "
+        "the cohort stamp (no sort), then map-side-combinable "
+        "aggregates — shuffle volume is distinct (user, day), never "
+        "raw event count. operators/journey.py retention_cohorts.",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.journey import retention_cohorts
+
+    events = load_table(spark, "events", sf_dir)
+    out = retention_cohorts(events, "user_id", "ts")
+    # day-grain dates travel as timestamps for engine parity (the
+    # count_distinct_daily convention — DuckDB DATE round-trips to
+    # pandas as midnight Timestamp, Spark DateType as string)
+    return out.select(
+        F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+        "offset_days",
+        "n_users",
+    )

@@ -11,6 +11,9 @@ state and timeouts:
   streaming_double_stream_match— DoubleStreamMatch.java:131-231 (J4;
                                  first-arrival state + event-time timeout
                                  → matched pairs / unmatched side output)
+  streaming_asof_enrich        — latest-right-row ValueState per key: the
+                                 unbounded-lookback as-of join as a stream
+                                 (twin of operators.joins.asof_join)
   streaming_dedup_ttl          — keyed first-occurrence dedup with state
                                  TTL (ST6, StateTtl.java:15-22)
   streaming_dfa_alerts         — StateMachineExample.java:133-166 (ST7)
@@ -203,6 +206,70 @@ def streaming_double_stream_match(
         "side string, ts_ms long",
         "append",
         GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_asof_enrich(
+    tagged: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    side_col: str = "side",
+    left_id_col: str = "left_id",
+    payload_col: str = "payload",
+    order_col: str = "ord",
+) -> DataFrame:
+    """Streaming twin of ``operators.joins.asof_join`` (backward-
+    inclusive, unbounded lookback): per-key ValueState holds the
+    LATEST right-side row seen so far; each left row emits enriched
+    with that payload (NULL until the first right row).
+
+    Input: the two streams union'd with ``side`` (0 = right/reference,
+    1 = left/probe), a shared ``ts``, the left's id, the right's
+    payload and a right tiebreak ``ord`` (max wins at equal ts, same
+    as the batch operator). Rows are processed in (ts, side, ord)
+    order within a trigger; across triggers the state carries the
+    best-so-far (ts, ord, payload), so a right row arriving in a later
+    batch than a left row it precedes in event time does NOT rewrite
+    history — exactly the co-process semantics the reference's keyed
+    two-stream jobs have, and the tests feed per-key ordered input for
+    exact batch parity (the file-source contract documented above).
+
+    State is one flat (ts_ms, ord, payload) tuple per key — constant
+    bytes per key at any scale.
+    """
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        best = state.get if state.exists else None  # (ts_ms, ord, payload)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                [ts_col, side_col, order_col], kind="mergesort",
+                na_position="last",
+            )
+            for row in pdf.itertuples(index=False):
+                if getattr(row, side_col) == 0:
+                    ts_ms = int(getattr(row, ts_col).value // 1_000_000)
+                    o = int(getattr(row, order_col))
+                    if best is None or (ts_ms, o) >= (best[0], best[1]):
+                        best = (ts_ms, o, int(getattr(row, payload_col)))
+                else:
+                    out.append(
+                        (
+                            int(getattr(row, left_id_col)),
+                            best[2] if best is not None else None,
+                        )
+                    )
+        if best is not None:
+            state.update(best)
+        if out:
+            yield pd.DataFrame(out, columns=[left_id_col, payload_col])
+
+    return tagged.groupBy(key).applyInPandasWithState(
+        fn,
+        f"{left_id_col} long, {payload_col} long",
+        "ts_ms long, ord long, payload long",
+        "append",
+        GroupStateTimeout.NoTimeout,
     )
 
 

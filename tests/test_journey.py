@@ -1,0 +1,188 @@
+"""As-of join + user-journey analytics (funnel, retention).
+
+Semantics pins on hand-built micro-fixtures (tie-breaking, unmatched
+rows, out-of-order steps) plus plan-shape assertions: the whole point
+of the sorted-union as-of and window-cascade funnel is the single
+key exchange — if Catalyst ever plans more, these operators lost
+their 100 TB story.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_examples_spark.operators.joins import asof_join
+from flink_examples_spark.operators.journey import (
+    funnel_first_times,
+    funnel_stage_counts,
+    retention_cohorts,
+)
+from flink_examples_spark.plans.inspect import exchange_count
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100, 1.0),
+            (1, _ts("2024-01-01 10:00:05"), 101, 2.0),
+            # two quotes at the SAME ts: max right_order (qid) must win
+            (1, _ts("2024-01-01 10:00:10"), 102, 3.0),
+            (1, _ts("2024-01-01 10:00:10"), 103, 4.0),
+            (2, _ts("2024-01-01 10:00:07"), 200, 9.0),
+        ],
+        "k int, qts timestamp, qid int, px double",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:59:59"), 11),  # before any quote
+            (1, _ts("2024-01-01 10:00:05"), 12),  # ties a quote ts
+            (1, _ts("2024-01-01 10:00:12"), 13),  # after the dup-ts pair
+            (2, _ts("2024-01-01 10:00:06"), 21),  # before key-2's quote
+            (3, _ts("2024-01-01 10:00:00"), 31),  # key with no quotes
+        ],
+        "k int, tts timestamp, tid int",
+    )
+    return quotes, trades
+
+
+def test_asof_semantics(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, "k", "tts", "qts", ["qid", "px"], right_order="qid"
+    )
+    got = {r["tid"]: (r["qid"], r["px"]) for r in out.collect()}
+    assert got[11] == (None, None)          # nothing at-or-before
+    assert got[12] == (101, 2.0)            # equal-ts quote IS visible
+    assert got[13] == (103, 4.0)            # same-ts pair: max qid wins
+    assert got[21] == (None, None)          # right row is in the future
+    assert got[31] == (None, None)          # key never quoted
+    assert out.count() == trades.count()    # nothing dropped
+
+
+def test_asof_single_exchange(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, "k", "tts", "qts", ["qid"])
+    assert exchange_count(out) == 1, "sorted-union as-of must shuffle once"
+
+
+def test_asof_matches_interval_formulation_when_bounded(spark, sf_dir):
+    """On real data, the as-of result restricted to matches within 2h
+    equals the interval-join + rank-1 formulation — two independent
+    code paths, same semantics."""
+    from flink_examples_spark.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    asof = (
+        asof_join(p, c, "user_id", "ts", "cts", ["click_id", "cts"],
+                  right_order="click_id")
+        .filter(F.col("cts") >= F.col("ts") - F.expr("INTERVAL '2' HOUR"))
+        .select("purchase_id", "click_id")
+    )
+    from pyspark.sql import Window
+
+    cand = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (c["cts"] <= p["ts"])
+        & (c["cts"] >= p["ts"] - F.expr("INTERVAL '2' HOUR")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("cts"), F.desc("click_id")
+    )
+    ranked = (
+        cand.select("purchase_id", "click_id", "cts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "click_id")
+    )
+    a = {tuple(r) for r in asof.collect()}
+    b = {tuple(r) for r in ranked.collect()}
+    assert a == b
+
+
+def test_funnel_ordered_semantics(spark):
+    events = spark.createDataFrame(
+        [
+            # u1: full ordered journey
+            (1, _ts("2024-01-01 10:00:00"), "view"),
+            (1, _ts("2024-01-01 10:01:00"), "click"),
+            (1, _ts("2024-01-01 10:02:00"), "purchase"),
+            # u2: purchase BEFORE first click -> reaches click (10:01 is
+            # after the view) but the 10:00:30 purchase can't convert
+            (2, _ts("2024-01-01 10:00:00"), "view"),
+            (2, _ts("2024-01-01 10:00:30"), "purchase"),
+            (2, _ts("2024-01-01 10:01:00"), "click"),
+            # u3: click with no prior view -> reaches nothing
+            (3, _ts("2024-01-01 10:00:00"), "click"),
+            # u4: same-ts view+click: strict > means click doesn't count
+            (4, _ts("2024-01-01 10:00:00"), "view"),
+            (4, _ts("2024-01-01 10:00:00"), "click"),
+        ],
+        "user_id int, ts timestamp, event_type string",
+    )
+    steps = ["view", "click", "purchase"]
+    counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_stage_counts(
+            events, "user_id", "ts", "event_type", steps
+        ).collect()
+    }
+    assert counts == {"view": 3, "click": 2, "purchase": 1}
+    ft = {
+        r["user_key"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in funnel_first_times(
+            events, "user_id", "ts", "event_type", steps
+        ).collect()
+    }
+    assert ft[2][1] is not None and ft[2][2] is None  # click after, no purch
+    assert ft[3] == (None, None, None)
+    assert ft[4][1] is None  # strict ordering at equal ts
+
+
+def test_funnel_single_key_exchange(spark, sf_dir):
+    """The cascade reuses ONE user-key exchange; only the final scalar
+    rollup adds a single-partition exchange."""
+    from flink_examples_spark.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    out = funnel_stage_counts(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    assert exchange_count(out) <= 2
+
+
+def test_retention_offset_zero_is_cohort_size(spark, sf_dir):
+    """Every user is active on their first day, so the offset-0 column
+    sums to the number of distinct users."""
+    from flink_examples_spark.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    ret = retention_cohorts(events, "user_id", "ts")
+    day0 = (
+        ret.filter(F.col("offset_days") == 0)
+        .agg(F.sum("n_users").alias("s"))
+        .first()["s"]
+    )
+    n_users = events.select("user_id").distinct().count()
+    assert day0 == n_users
+    assert ret.filter(F.col("offset_days") < 0).count() == 0
+
+
+def test_retention_max_offset_truncates(spark, sf_dir):
+    from flink_examples_spark.catalog import load_table
+
+    events = load_table(spark, "events", sf_dir)
+    ret = retention_cohorts(events, "user_id", "ts", max_offset_days=7)
+    assert ret.agg(F.max("offset_days")).first()[0] <= 7

@@ -1483,3 +1483,59 @@ def test_streaming_dedup_ttl_long_keys(spark, tmp_path):
         str(tmp_path / "ck"),
     )
     assert sorted(r.uid for r in out.collect()) == [7, 9]
+
+
+def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming as-of (latest prior click enriches each purchase via
+    per-key ValueState) == batch sorted-union asof_join when the input
+    replays in event-time order."""
+    from flink_examples_spark.operators.joins import asof_join
+    from flink_examples_spark.streaming.stateful import streaming_asof_enrich
+
+    events = load_table(spark, "events", SF)
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("left_id"),
+        F.col("event_id").alias("payload"),
+        F.col("event_id").alias("ord"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("left_id"),
+        F.lit(None).cast("long").alias("payload"),
+        F.lit(None).cast("long").alias("ord"),
+    )
+    tagged_pdf = (
+        c.unionByName(p)
+        .orderBy("ts", "side", F.asc_nulls_last("ord"))
+        .toPandas()
+    )
+    d = write_chunks(tagged_pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_asof_enrich(src, "user_id"),
+        spark,
+        "asof_stream",
+        "append",
+        str(tmp_path / "ck"),
+    )
+    got = {r["left_id"]: r["payload"] for r in out.collect()}
+
+    pb = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    cb = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    want = {
+        r["purchase_id"]: r["click_id"]
+        for r in asof_join(
+            pb, cb, "user_id", "ts", "cts", ["click_id"],
+            right_order="click_id",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
