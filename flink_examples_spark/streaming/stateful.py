@@ -14,6 +14,10 @@ state and timeouts:
   streaming_asof_enrich        — latest-right-row ValueState per key: the
                                  unbounded-lookback as-of join as a stream
                                  (twin of operators.joins.asof_join)
+  streaming_funnel_first_times — ordered-funnel state machine: one
+                                 epoch-us slot per step per user, emits a
+                                 row the moment a step first completes
+                                 (twin of journey.funnel_first_times)
   streaming_dedup_ttl          — keyed first-occurrence dedup with state
                                  TTL (ST6, StateTtl.java:15-22)
   streaming_dfa_alerts         — StateMachineExample.java:133-166 (ST7)
@@ -529,6 +533,73 @@ def streaming_cep(
         fn,
         output_schema,
         "buf array<string>, max_ts long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_funnel_first_times(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Streaming twin of ``operators.journey.funnel_first_times``: the
+    ordered funnel as a per-user state machine. GroupState holds one
+    nullable epoch-micros slot per step (FULL timestamp precision —
+    truncating to millis would erase sub-ms orderings the batch
+    cascade's strict comparison sees); an event sets step k's slot only
+    when the slot is empty AND step k-1's slot is set with a strictly
+    earlier time — exactly the batch cascade's semantics.
+
+    Emits one append-mode row ``(user, step_idx, step, first_ts_us)``
+    the moment a step first completes, so downstream sees funnel
+    progress live instead of at job end. Rows are processed in (ts,
+    type) order within a trigger; across triggers the slots make the
+    machine insensitive to re-delivery of later events (a slot never
+    regresses), the same monotone-state property the count/dedup twins
+    rely on.
+
+    State is ``len(steps)`` longs per user — constant bytes per key.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    idx = {s: i for i, s in enumerate(steps)}
+    state_ddl = ", ".join(f"t{i} long" for i in range(len(steps)))
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        slots = list(state.get) if state.exists else [None] * len(steps)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, type_col], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                tp = getattr(row, type_col)
+                i = idx.get(tp)
+                if i is None or slots[i] is not None:
+                    continue
+                ts_us = int(getattr(row, ts_col).value // 1_000)
+                if i > 0 and (slots[i - 1] is None or ts_us <= slots[i - 1]):
+                    continue
+                slots[i] = ts_us
+                out.append((key_t[0], i + 1, steps[i], ts_us))
+        state.update(tuple(slots))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_key", "step_idx", "step", "first_ts_us"],
+            )
+
+    typed = events.select(
+        F.col(user_col).alias("user_key"),
+        F.col(ts_col).alias(ts_col),
+        F.col(type_col).alias(type_col),
+    )
+    return typed.groupBy("user_key").applyInPandasWithState(
+        fn,
+        "user_key long, step_idx int, step string, first_ts_us long",
+        state_ddl,
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -1539,3 +1539,49 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Streaming ordered-funnel state machine == batch cascaded-window
+    funnel: same per-user first-completion times for every step, at
+    full microsecond precision."""
+    from flink_examples_spark.operators.journey import funnel_first_times
+    from flink_examples_spark.streaming.stateful import (
+        streaming_funnel_first_times,
+    )
+
+    steps = ["view", "click", "purchase"]
+    events = load_table(spark, "events", SF)
+    pdf = (
+        events.select("user_id", "ts", "event_type")
+        .orderBy("ts", "event_type")
+        .toPandas()
+    )
+    d = write_chunks(pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_funnel_first_times(src, "user_id", "ts", "event_type", steps),
+        spark,
+        "funnel_stream",
+        "append",
+        str(tmp_path / "ck"),
+    )
+    got = {
+        (r["user_key"], r["step"]): r["first_ts_us"] for r in out.collect()
+    }
+
+    batch = funnel_first_times(events, "user_id", "ts", "event_type", steps)
+    want = {}
+    for r in batch.collect():
+        for s in steps:
+            t = r[f"t_{s}"]
+            if t is not None:
+                want[(r["user_key"], s)] = int(
+                    pd.Timestamp(t).value // 1_000
+                )
+    assert got == want and len(got) > 0
+    # a step's first time never precedes the prior step's
+    for (u, s), t in got.items():
+        i = steps.index(s)
+        if i:
+            assert t > got[(u, steps[i - 1])]
