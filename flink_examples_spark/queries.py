@@ -4513,3 +4513,224 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset_days",
         "n_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational pattern pack: the classic analytic join/subquery shapes
+# (EXISTS semi-join, conditional aggregation, scalar subquery,
+# self-aggregation join, window-over-aggregate) — TPC-H-derived forms
+# on the synthetic tables, each a distinct Catalyst plan shape.
+# ---------------------------------------------------------------------------
+
+@register(
+    "late_order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (EXISTS -> left-semi join): orders with any "
+        "line shipped >30 days after order date, counted by priority. "
+        "The semi-join stops probing an order at its first late line — "
+        "no fact-side row multiplication, one shuffle per side on the "
+        "order key, map-side-combined count.",
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    late = li.select("l_orderkey", "l_shipdate")
+    cond = (orders["o_orderkey"] == late["l_orderkey"]) & (
+        late["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        orders.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "promo_revenue_monthly",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q14 shape (conditional aggregation over a dim join): "
+        "promo vs total revenue per ship month. The part dim rides a "
+        "BroadcastExchange — the fact table never shuffles for the "
+        "join, only once for the month rollup; DECIMAL(18,2) sums for "
+        "order-independent exactness (pricing_summary convention).",
+)
+def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                F.lit(0).cast("decimal(18,2)"))).cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers_by_segment",
+    oracle="""
+    WITH cutoff AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_bal
+    FROM customer, cutoff
+    WHERE c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape (scalar subquery + anti-join): "
+        "above-average-balance customers who never ordered, by "
+        "segment. The scalar average is a 1-row broadcast (no "
+        "re-scan per row), the NOT EXISTS is a left-anti join — "
+        "the two subquery forms Catalyst must decorrelate, planned "
+        "explicitly here.",
+)
+def idle_rich_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double")
+              / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders.select(F.col("o_custkey").alias("c_custkey")),
+              "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM lineitem JOIN pa ON l_partkey = pa.pk
+    WHERE CAST(l_quantity AS DOUBLE) < 0.5 * pa.avg_qty
+    """,
+    doc="TPC-H Q17 shape (self-aggregation join): lines whose quantity "
+        "is under half their part's average. The per-part average is "
+        "an aggregate of the SAME fact table joined back on the part "
+        "key — both sides shuffle on l_partkey once and Catalyst "
+        "reuses the exchange for the join; no correlated re-scan per "
+        "row, which is what the subquery form would naively do.",
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.sum(_dec("l_quantity")).cast("double")
+              / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        li.join(pa, li["l_partkey"] == pa["pk"])
+        .filter(F.col("l_quantity").cast("double") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_dec("l_extendedprice")).cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+    WITH nr AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n ON c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, region,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+               / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+               AS region_share
+    FROM nr
+    """,
+    doc="Window-over-aggregate shape: each nation's share of its "
+        "region's revenue. The share window runs over the 25-row "
+        "AGGREGATED result, not the fact table (the partition-by "
+        "re-shuffle moves kilobytes); nation/region dims broadcast; "
+        "the decimal sum stays exact until the final double division "
+        "so shares hash-match bit-for-bit.",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    nr = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation),
+              cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region),
+              nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("r_name").alias("region"))
+        .agg(F.sum(rev).alias("rev"))
+    )
+    w = Window.partitionBy("region")
+    return nr.select(
+        "nation",
+        "region",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double")
+         / F.sum("rev").over(w).cast("double")).alias("region_share"),
+    )

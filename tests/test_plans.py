@@ -251,3 +251,40 @@ def test_hygiene_v2_pipeline_stays_jvm_side(spark, sf_dir):
     df = registry()["corpus_pipeline_hygiene_v2"].spark_fn(spark, sf_dir)
     assert python_eval_nodes(df) == []
     assert has_broadcast_join(df)
+
+
+def test_relational_pattern_pack_plan_shapes(spark, sf_dir):
+    """The TPC-H-derived pattern pack keeps its promised plan shapes:
+    Q4's EXISTS is a semi-join (no row multiplication), Q14's dim join
+    broadcasts (fact side never shuffles for the join), Q22's scalar
+    average broadcasts as one row, and the share window in
+    nation_revenue_share runs over the aggregated result, not facts."""
+    import __spark_entry__ as E
+
+    q = E.queries()
+    p4 = formatted_plan(q["late_order_priority_counts"](spark, sf_dir))
+    assert "LeftSemi" in p4
+
+    p14 = q["promo_revenue_monthly"](spark, sf_dir)
+    assert has_broadcast_join(p14)
+    plan14 = formatted_plan(p14)
+    assert "SortMergeJoin" not in plan14 and "ShuffledHashJoin" not in plan14
+
+    p22 = q["idle_rich_customers_by_segment"](spark, sf_dir)
+    plan22 = formatted_plan(p22)
+    assert "LeftAnti" in plan22
+    assert "BroadcastNestedLoopJoin" in plan22 or "BroadcastExchange" in plan22
+
+    # Q17: per-part average joined back — both sides hash by l_partkey;
+    # no Python, no cartesian
+    p17 = q["small_quantity_part_revenue"](spark, sf_dir)
+    plan17 = formatted_plan(p17)
+    assert "Cartesian" not in plan17
+    assert not python_eval_nodes(p17)
+
+    share = q["nation_revenue_share"](spark, sf_dir)
+    plan_share = formatted_plan(share)
+    # the window's partition exchange must hash on the post-agg
+    # 'region' alias — i.e. it runs over the 25-row aggregate
+    assert "Window" in plan_share
+    assert plan_share.count("BroadcastHashJoin") >= 2
