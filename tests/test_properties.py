@@ -282,3 +282,94 @@ def test_bpe_encode_conserves_any_word_under_any_merge_table(word, pair_idx):
         not (x == "a" and y == "b")
         for x, y in zip(merged, merged[1:])
     )
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 20)),
+             min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 20)),
+             min_size=0, max_size=15),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join invariants over random keyed streams: exactly one
+    output row per left row, and each picks the max-(ts, ord) right row
+    with right_ts <= left_ts on its key — verified against a plain
+    Python scan."""
+    from flink_examples_spark.operators.joins import asof_join
+
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    rrows = [(k, t, 100 + i) for i, (k, t) in enumerate(rights)]
+    ldf = spark.createDataFrame(
+        lrows, "k int, lt long, lid int"
+    ).withColumn("lts", F.timestamp_seconds("lt"))
+    rdf = spark.createDataFrame(
+        rrows or [(0, -1, -1)], "k int, rt long, rid int"
+    ).withColumn("rts", F.timestamp_seconds("rt"))
+    out = asof_join(ldf, rdf, "k", "lts", "rts", ["rid"],
+                    right_order="rid").collect()
+    got = {r["lid"]: r["rid"] for r in out}
+    want = {}
+    for k, t, lid in lrows:
+        elig = [(rt, rid) for rk, rt, rid in (rrows or [(0, -1, -1)])
+                if rk == k and rt <= t]
+        want[lid] = max(elig)[1] if elig else None
+    assert got == want
+    assert len(out) == len(lrows)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 30),
+                  st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=25,
+    )
+)
+def test_funnel_matches_bruteforce(spark, events):
+    """Ordered-funnel invariants over random event streams: per-user
+    first-times equal the sequential-min definition (t_k = min ts of a
+    step-k event strictly after t_{k-1}), and stage counts are
+    monotonically non-increasing."""
+    from flink_examples_spark.operators.journey import (
+        funnel_first_times,
+        funnel_stage_counts,
+    )
+
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        events, "user_id int, t long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    ft = funnel_first_times(df, "user_id", "ts", "event_type", steps)
+    got = {
+        r["user_key"]: [
+            None if r[f"t_{s}"] is None
+            else int(r[f"t_{s}"].timestamp())
+            for s in steps
+        ]
+        for r in ft.collect()
+    }
+    want = {}
+    for u in {e[0] for e in events}:
+        ue = [(t, tp) for uu, t, tp in events if uu == u]
+        prev = None
+        slots = []
+        for i, s in enumerate(steps):
+            cand = [
+                t for t, tp in ue
+                if tp == s and (i == 0 or (prev is not None and t > prev))
+            ]
+            cur = min(cand) if cand else None
+            slots.append(cur)
+            prev = cur
+        want[u] = slots
+    assert got == want
+    counts = [
+        r["n_users"]
+        for r in funnel_stage_counts(df, "user_id", "ts", "event_type", steps)
+        .orderBy("step_idx")
+        .collect()
+    ]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
