@@ -33,6 +33,13 @@ Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
     embedding_neardup_lsh  1.0s    1.1s    1.2s   0.16   2.09*
     substring_dedup_strip  0.4s    0.5s    0.5s   0.16   1.00
     nb_token_evidence      0.5s    0.5s    0.6s   0.13   1.00
+    asof_join              0.3s    0.3s    0.3s  -0.03   1.00
+    funnel_stage_counts    0.3s    0.4s    0.3s   0.05   n/a (3 rows)
+
+The events-based ops (as-of join, funnel) double with DISJOINT user
+populations per copy (user_id offset), so per-key structure — and the
+true per-key work — is constant per unit of data; their flat curves
+confirm the single-exchange formulations add no superlinear term.
 
 Time exponents ~0.15 mean the fixed per-job overhead still dominates at
 this size — the marginal cost per doubled corpus is far below linear,
@@ -59,6 +66,22 @@ from flink_examples_spark.catalog import load_table  # noqa: E402
 from flink_examples_spark.session import get_spark  # noqa: E402
 
 
+def _asof_last_click(events):
+    """Purchases as-of-enriched with their latest prior click — the
+    sorted-union shape whose cost must stay linear in |events|."""
+    from flink_examples_spark.operators.joins import asof_join
+
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join(p, c, "user_id", "ts", "cts", ["click_id"],
+                     right_order="click_id")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_canary")
@@ -78,15 +101,27 @@ def main() -> None:
     emb1 = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding"
     )
+    events1 = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
 
-    def doubled(df, id_col, k):
+    def doubled(df, id_col, k, also_offset=()):
         out = df
-        n = df.agg(F.max(id_col)).first()[0] + 1
+        offs = {
+            c: df.agg(F.max(c)).first()[0] + 1
+            for c in (id_col, *also_offset)
+        }
+        n = offs[id_col]
         for i in range(1, k):
             copy = df.select(
                 (F.col(id_col) + i * n).alias(id_col),
                 *[c for c in df.columns if c != id_col],
             )
+            for c in also_offset:
+                # disjoint key populations per copy (e.g. user_id): the
+                # per-key structure — and thus the TRUE per-key work —
+                # stays constant per unit of data
+                copy = copy.withColumn(c, F.col(c) + i * offs[c])
             if "text" in df.columns:
                 # prefix every token with the copy index: same length
                 # distribution, zero shingle overlap with other copies
@@ -140,13 +175,31 @@ def main() -> None:
             docs1, "doc_id",
             lambda d: nb_token_evidence(d, "doc_id", "text"),
         ),
+        "asof_join": (
+            events1, "event_id",
+            lambda d: _asof_last_click(d),
+            ("user_id",),
+        ),
+        "funnel_stage_counts": (
+            events1, "event_id",
+            lambda d: __import__(
+                "flink_examples_spark.operators.journey",
+                fromlist=["funnel_stage_counts"],
+            ).funnel_stage_counts(
+                d, "user_id", "ts", "event_type",
+                ["view", "click", "purchase"],
+            ),
+            ("user_id",),
+        ),
     }
 
     summary = {}
-    for name, (base, id_col, fn) in ops.items():
+    for name, entry in ops.items():
+        base, id_col, fn = entry[0], entry[1], entry[2]
+        also = entry[3] if len(entry) > 3 else ()
         times, rows, sizes = [], [], []
         for k in (1, 2, 4):
-            d = doubled(base, id_col, k)
+            d = doubled(base, id_col, k, also)
             n_in = d.count()
             fn(d).count()  # warm codegen/plan for this shape
             t0 = time.perf_counter()
