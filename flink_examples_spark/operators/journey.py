@@ -86,7 +86,12 @@ def funnel_stage_counts(
     ft = funnel_first_times(events, user_col, ts_col, type_col, steps)
     counts = ft.agg(
         *[
-            F.sum(F.col(f"t_{s}").isNotNull().cast("long")).alias(f"n_{i}")
+            # coalesce: sum over an EMPTY stream is NULL, but a funnel
+            # census must report 0 reached — the SQL count(CASE...)
+            # semantics the oracle uses
+            F.coalesce(
+                F.sum(F.col(f"t_{s}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"n_{i}")
             for i, s in enumerate(steps)
         ]
     )

@@ -186,3 +186,38 @@ def test_retention_max_offset_truncates(spark, sf_dir):
     events = load_table(spark, "events", sf_dir)
     ret = retention_cohorts(events, "user_id", "ts", max_offset_days=7)
     assert ret.agg(F.max("offset_days")).first()[0] <= 7
+
+
+def test_journey_ops_handle_empty_inputs(spark):
+    """Empty streams are routine (a quiet hour, a filtered-out
+    partition): every journey/as-of op must return an empty or
+    all-zero result, not crash."""
+    import datetime as _dt
+
+    from flink_examples_spark.operators.journey import retention_cohorts
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id int, ts timestamp, event_type string"
+    )
+    steps = ["view", "click", "purchase"]
+    counts = funnel_stage_counts(
+        empty_ev, "user_id", "ts", "event_type", steps
+    ).collect()
+    assert [r["n_users"] for r in counts] == [0, 0, 0]
+    assert funnel_first_times(
+        empty_ev, "user_id", "ts", "event_type", steps
+    ).count() == 0
+    assert retention_cohorts(empty_ev, "user_id", "ts").count() == 0
+
+    empty_l = spark.createDataFrame([], "k int, lts timestamp, lid int")
+    empty_r = spark.createDataFrame([], "k int, rts timestamp, rid int")
+    # empty left: nothing to enrich
+    assert asof_join(
+        empty_l, empty_r, "k", "lts", "rts", ["rid"]
+    ).count() == 0
+    # empty RIGHT, non-empty left: every left row survives with NULLs
+    one_l = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 1), 7)], "k int, lts timestamp, lid int"
+    )
+    rows = asof_join(one_l, empty_r, "k", "lts", "rts", ["rid"]).collect()
+    assert len(rows) == 1 and rows[0]["rid"] is None
