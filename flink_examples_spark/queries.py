@@ -4734,3 +4734,77 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev").cast("double")
          / F.sum("rev").over(w).cast("double")).alias("region_share"),
     )
+
+
+@register(
+    "session_path_transitions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT *,
+               SUM(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ), trans AS (
+        SELECT user_id, session_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY ts, event_id
+               ) AS from_type
+        FROM sess
+    )
+    SELECT from_type, event_type AS to_type, COUNT(*) AS n
+    FROM trans WHERE from_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Path analysis: sessionize each user's stream on a 30-min "
+        "inactivity gap (running sum over a lag flag — the windowed "
+        "form of the session-window assigner), then count consecutive "
+        "event-type transitions within sessions. The whole cascade — "
+        "gap flag, session id, in-session lag — clusters on the user "
+        "key, so Catalyst plans ONE fact exchange; the transition "
+        "matrix rollup aggregates |types|² rows. Complements "
+        "event_funnel_conversion (fixed ordered steps) with the "
+        "open-vocabulary transition census.",
+)
+def session_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        # unix_micros, not cast('long'): the cast truncates to whole
+        # seconds, so a 1800.5 s gap would compare 1800 > 1800 = false
+        # here while the oracle's full-precision interval comparison
+        # opens a new session — sub-second drift on the gap boundary
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+               > 1800 * 1_000_000),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    trans = sess.select(
+        F.lag("event_type").over(w2).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    return (
+        trans.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
