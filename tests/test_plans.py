@@ -288,3 +288,14 @@ def test_relational_pattern_pack_plan_shapes(spark, sf_dir):
     # 'region' alias — i.e. it runs over the 25-row aggregate
     assert "Window" in plan_share
     assert plan_share.count("BroadcastHashJoin") >= 2
+
+
+def test_session_path_transitions_single_fact_exchange(spark, sf_dir):
+    """The sessionize→lag→count cascade must cluster on the user key:
+    one fact exchange for all three window passes, plus only the
+    |types|²-row rollup exchange — and zero Python nodes."""
+    import __spark_entry__ as E
+
+    df = E.queries()["session_path_transitions"](spark, sf_dir)
+    assert exchange_count(df) == 2
+    assert not python_eval_nodes(df)
