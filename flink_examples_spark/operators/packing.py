@@ -136,6 +136,61 @@ def pack_stats(
     )
 
 
+def chunk_documents_strided(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    stride: int,
+) -> DataFrame:
+    """Overlapping sliding-window chunks — the RAG/retrieval shape
+    [[doc_chunks]]'s non-overlapping partitioner can't express: windows
+    start every ``stride`` tokens and span up to ``chunk_tokens``, so
+    consecutive windows share ``chunk_tokens - stride`` tokens and no
+    retrieval boundary can split an answer span wider than the overlap.
+
+    Window count per doc is the smallest n with
+    ``(n-1)*stride + chunk_tokens >= len`` (every token covered, the
+    last window possibly short, no degenerate tail windows that a
+    naive ceil(len/stride) start grid would emit).
+
+    Output: ``<id_col>, chunk_idx, start_tok, n_chunk_tokens,
+    chunk_hash`` — one row per window, entirely inside the scan's
+    codegen (zero exchanges), same as the fixed chunker.
+    """
+    c, s = int(chunk_tokens), int(stride)
+    if c < 1 or s < 1:
+        raise ValueError(
+            f"chunk_documents_strided: chunk_tokens={chunk_tokens} and "
+            f"stride={stride} must be >= 1"
+        )
+    if s > c:
+        raise ValueError(
+            f"chunk_documents_strided: stride={stride} > "
+            f"chunk_tokens={chunk_tokens} would leave token gaps "
+            "between windows"
+        )
+    n_win = (
+        f"if(size(t) <= {c}, 1, "
+        f"1 + cast(floor((size(t) - {c} + {s} - 1) / {s}) as int))"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, {n_win} - 1), j -> slice(t, j * {s} + 1, {c}))"
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("t"))
+        .filter(F.size("t") > 0)
+        .select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * s).alias("start_tok"),
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -4808,3 +4808,44 @@ def session_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "doc_chunks_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), n AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 32 THEN 1
+                    ELSE 1 + (len(toks) - 32 + 23) // 24 END AS nw
+        FROM t WHERE len(toks) > 0
+    ), c AS (
+        SELECT doc_id, g.j AS chunk_idx, g.j * 24 AS start_tok,
+               toks[g.j * 24 + 1 : g.j * 24 + 32] AS chunk
+        FROM n CROSS JOIN generate_series(0, 255) AS g(j)
+        WHERE g.j < nw
+    )
+    SELECT doc_id, chunk_idx, start_tok,
+           len(chunk) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM c
+    """,
+    doc="RAG-shape strided chunking: 32-token windows every 24 tokens "
+        "(8-token overlap), so no retrieval boundary can split a span "
+        "narrower than the overlap; window count is the minimal cover "
+        "(no degenerate tail windows). Pure codegen + posexplode — "
+        "zero exchanges at any scale, same plan class as doc_chunks.",
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.packing import (
+        chunk_documents_strided,
+    )
+
+    return chunk_documents_strided(
+        load_table(spark, "documents", sf_dir), "doc_id", "text",
+        chunk_tokens=32, stride=24,
+    )

@@ -373,3 +373,34 @@ def test_funnel_matches_bruteforce(spark, events):
         .collect()
     ]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(1, 120), st.integers(1, 16), st.integers(1, 16))
+def test_strided_chunking_covers_minimally(spark, n_tokens, c, s):
+    """chunk_documents_strided invariants for any (len, chunk, stride<=
+    chunk): windows start every stride tokens, every token falls in at
+    least one window, interior windows are full-size, and the cover is
+    MINIMAL — dropping the last window would leave the tail uncovered."""
+    from flink_examples_spark.operators.packing import (
+        chunk_documents_strided,
+    )
+
+    s = min(s, c)
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(n_tokens)))],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents_strided(df, "doc_id", "text", c, s).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["start_tok"] for r in rows] == [i * s for i in range(len(rows))]
+    covered = set()
+    for r in rows:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
+    assert covered == set(range(n_tokens))                 # full cover
+    assert all(r["n_chunk_tokens"] == c for r in rows[:-1])  # interior full
+    if len(rows) > 1:  # minimal: second-to-last window misses the tail
+        assert rows[-2]["start_tok"] + c < n_tokens
