@@ -73,3 +73,26 @@ def test_twitter_canned_tweets_golden(spark, tmp_path):
     assert {(r.word, r.n) for r in counts.collect()} == {
         ("apache", 3), ("flink", 3)
     }
+
+
+def test_query_index_doc_is_current():
+    """docs/QUERY_INDEX.md must be regenerated whenever the registry
+    changes (tools/gen_query_index.py) — a stale index misstates the
+    engine's surface."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_query_index", os.path.join(root, "tools", "gen_query_index.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from flink_examples_spark.queries import registry
+
+    qs = registry()
+    text = open(os.path.join(root, "docs", "QUERY_INDEX.md")).read()
+    assert f"{len(qs)} registered queries" in text
+    missing = [n for n in qs if f"`{n}`" not in text]
+    assert not missing, f"stale QUERY_INDEX.md, missing: {missing}"
