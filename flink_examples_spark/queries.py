@@ -4849,3 +4849,73 @@ def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir), "doc_id", "text",
         chunk_tokens=32, stride=24,
     )
+
+
+@register(
+    "funnel_step_lag_stats",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                           THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM w1
+    ), w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                           THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM w2
+    ), pu AS (
+        SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+        FROM w3 GROUP BY user_id
+    ), lags AS (
+        SELECT 'view->click' AS step_pair,
+               CAST(floor(epoch_us(t2) - epoch_us(t1)) AS BIGINT) AS lag_us
+        FROM pu WHERE t2 IS NOT NULL
+        UNION ALL
+        SELECT 'click->purchase',
+               CAST(floor(epoch_us(t3) - epoch_us(t2)) AS BIGINT)
+        FROM pu WHERE t3 IS NOT NULL
+    )
+    SELECT step_pair,
+           COUNT(*) AS n_users,
+           CAST(SUM(lag_us) AS BIGINT) AS total_lag_us,
+           CAST(SUM(lag_us) AS DOUBLE) / COUNT(*) / 1000000.0
+               AS avg_lag_s
+    FROM lags GROUP BY step_pair
+    """,
+    doc="Time-to-convert per funnel edge: for users who completed a "
+        "step in order, the microsecond-exact lag between consecutive "
+        "first-completion times, aggregated to count/total/average per "
+        "edge. Rides the funnel's single user-key exchange; lag sums "
+        "stay integer until the final double division so averages "
+        "hash-match bit-for-bit.",
+)
+def funnel_step_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.journey import funnel_first_times
+
+    events = load_table(spark, "events", sf_dir)
+    ft = funnel_first_times(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    pairs = [
+        ("view->click", "t_view", "t_click"),
+        ("click->purchase", "t_click", "t_purchase"),
+    ]
+    lags = None
+    for name, a, b in pairs:
+        leg = ft.filter(F.col(b).isNotNull()).select(
+            F.lit(name).alias("step_pair"),
+            (F.unix_micros(b) - F.unix_micros(a)).alias("lag_us"),
+        )
+        lags = leg if lags is None else lags.unionByName(leg)
+    return lags.groupBy("step_pair").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("lag_us").alias("total_lag_us"),
+        (F.sum("lag_us").cast("double") / F.count(F.lit(1))
+         / F.lit(1000000.0)).alias("avg_lag_s"),
+    )

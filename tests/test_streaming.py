@@ -1585,3 +1585,79 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         i = steps.index(s)
         if i:
             assert t > got[(u, steps[i - 1])]
+
+
+def test_streaming_asof_state_survives_restart(spark, tmp_path):
+    """The as-of ValueState must survive a query restart (ST8 x as-of):
+    feed the first half of the tagged stream, stop, feed the second
+    half on the SAME checkpoint — the union of outputs must equal the
+    single-run batch asof_join, including matches whose click arrived
+    before the restart and purchase after it."""
+    from flink_examples_spark.operators.joins import asof_join
+    from flink_examples_spark.streaming.stateful import streaming_asof_enrich
+
+    events = load_table(spark, "events", SF)
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("left_id"),
+        F.col("event_id").alias("payload"),
+        F.col("event_id").alias("ord"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.col("event_id").alias("left_id"),
+        F.lit(None).cast("long").alias("payload"),
+        F.lit(None).cast("long").alias("ord"),
+    )
+    tagged = (
+        c.unionByName(p)
+        .orderBy("ts", "side", F.asc_nulls_last("ord"))
+        .toPandas()
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    half = len(tagged) // 2
+    tagged.iloc[:half].to_parquet(os.path.join(d, "000.parquet"), index=False)
+    os.utime(os.path.join(d, "000.parquet"), (now, now))
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        # foreachBatch, not the memory sink: memory-sink queries refuse
+        # checkpoint recovery, and recovery is the point of this test
+        rows: list = []
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        q = (
+            streaming_asof_enrich(src, "user_id")
+            .writeStream.foreachBatch(
+                lambda bdf, bid: rows.extend(bdf.collect())
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    out1 = run_once()
+
+    tagged.iloc[half:].to_parquet(os.path.join(d, "001.parquet"), index=False)
+    os.utime(os.path.join(d, "001.parquet"), (now + 3, now + 3))
+    out2 = run_once()
+
+    got = {r["left_id"]: r["payload"] for r in [*out1, *out2]}
+
+    pb = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    cb = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    want = {
+        r["purchase_id"]: r["click_id"]
+        for r in asof_join(pb, cb, "user_id", "ts", "cts", ["click_id"],
+                           right_order="click_id").collect()
+    }
+    assert got == want
+    # the restart must not re-emit first-run rows
+    assert len(out1) + len(out2) == len(want)
