@@ -173,3 +173,64 @@ def gopher_rules(
             * F.col("stopword_ok")
         ).cast("long").alias("keep"),
     )
+
+
+# Placeholder spam/adult marker list (the C4 "bad words" stage shape):
+# production corpora swap in their full blocklist — the operator and
+# oracle both read THIS tuple, so the census and its verification can
+# never disagree on the list.
+BLOCKLIST_DEFAULT: tuple[str, ...] = (
+    "viagra", "casino", "jackpot", "lottery", "porn", "xxx",
+    "betting", "escort",
+)
+
+
+def blocklist_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...] = BLOCKLIST_DEFAULT,
+    max_ratio: float = 0.01,
+) -> DataFrame:
+    """Blocklist safety census (the C4-style "bad words" filter stage):
+    per document, how many token OCCURRENCES match the blocklist
+    (multiplicity counts — one slur repeated 500 times must scare the
+    ratio, which distinct-intersect counting would hide), the flagged
+    ratio, and the keep verdict ``is_clean`` (ratio <= ``max_ratio``;
+    spam pages are dense in markers, a single incidental hit on a long
+    document shouldn't kill it).
+
+    Output: ``<id_col>, n_tokens, n_flagged, flag_ratio, is_clean`` —
+    ratio rounded to 6 dp, flags as 0/1 longs (gopher_rules parity
+    conventions). Zero-token documents are excluded (no denominator),
+    same documented contract as gopher_rules.
+
+    Pure narrow codegen inside the scan — zero shuffle at any corpus
+    size. Terms are matched as whole lowercase tokens; substring or
+    obfuscation matching is a different (regex) stage.
+    """
+    if not terms:
+        raise ValueError("blocklist_flags: empty blocklist")
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = tokens(text_col)
+    n = F.size(toks)
+    flagged = F.size(
+        F.expr(f"filter(__toks, x -> array_contains(array({lits}), x))")
+    )
+    ratio = F.col("n_flagged") / F.col("n_tokens")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            "doc_id",
+            F.size("__toks").alias("n_tokens"),
+            flagged.alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_flagged",
+            F.round(ratio, 6).alias("flag_ratio"),
+            (ratio <= max_ratio).cast("long").alias("is_clean"),
+        )
+    )

@@ -4919,3 +4919,45 @@ def funnel_step_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("lag_us").cast("double") / F.count(F.lit(1))
          / F.lit(1000000.0)).alias("avg_lag_s"),
     )
+
+
+def _blocklist_oracle() -> str:
+    from flink_examples_spark.operators.quality import BLOCKLIST_DEFAULT
+
+    lits = ", ".join("'" + t + "'" for t in BLOCKLIST_DEFAULT)
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               len(list_filter(toks, x -> list_contains([{lits}], x)))
+                   AS n_flagged
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_tokens, n_flagged,
+           round(n_flagged * 1.0 / n_tokens, 6) AS flag_ratio,
+           CAST(CASE WHEN n_flagged * 1.0 / n_tokens <= 0.01
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_clean
+    FROM c
+    """
+
+
+@register(
+    "doc_blocklist_safety",
+    oracle=_blocklist_oracle(),
+    doc="Blocklist safety census (the C4 'bad words' stage): per-doc "
+        "flagged token OCCURRENCES (multiplicity counts — repetition "
+        "must scare the ratio), flagged ratio, and the ratio-threshold "
+        "keep verdict. The operator and oracle read the same "
+        "BLOCKLIST_DEFAULT tuple, so census and verification can never "
+        "disagree on the list; pure codegen in the scan, zero shuffle.",
+)
+def doc_blocklist_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.quality import blocklist_flags
+
+    return blocklist_flags(
+        load_table(spark, "documents", sf_dir), "doc_id", "text"
+    )

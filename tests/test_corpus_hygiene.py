@@ -583,3 +583,36 @@ def test_bloom_decontam_tiny_filter_shows_false_positives_only(spark):
     # a 1-bit filter saturates: the clean doc MUST false-positive,
     # proving the asymmetry (FP possible, FN impossible) actually bites
     assert out[2] == "flagged"
+
+
+# ---------------------------------------------------------------------------
+# Blocklist safety census (operators/quality.blocklist_flags)
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_flags_semantics(spark):
+    """The fixtures contain no blocklist terms (the oracle row for
+    doc_blocklist_safety only proves the all-clean path), so pin the
+    flagged path synthetically: multiplicity counting, the ratio
+    threshold boundary, and zero-token exclusion."""
+    from flink_examples_spark.operators.quality import blocklist_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "casino casino casino win"),          # dense spam: 3/4
+            (2, " ".join(["word"] * 99 + ["casino"])),  # 1/100 = at threshold
+            (3, " ".join(["word"] * 199 + ["casino"])),  # 1/200 < threshold
+            (4, "plain clean text here"),             # clean
+            (5, ""),                                  # zero tokens: excluded
+            (6, "CASINO"),                            # lowercased tokenizer
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           blocklist_flags(docs, "doc_id", "text", max_ratio=0.01).collect()}
+    assert 5 not in out
+    assert out[1]["n_flagged"] == 3 and out[1]["is_clean"] == 0
+    assert out[2]["n_flagged"] == 1 and out[2]["is_clean"] == 1  # == thr
+    assert out[3]["is_clean"] == 1
+    assert out[4]["n_flagged"] == 0 and out[4]["is_clean"] == 1
+    assert out[6]["n_flagged"] == 1                   # case-insensitive
