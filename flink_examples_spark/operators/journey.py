@@ -45,6 +45,10 @@ def funnel_first_times(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        # a duplicate step name would silently overwrite its t_<step>
+        # column and emit ambiguous duplicate output columns
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
     w = Window.partitionBy("user_key")
     df = events.select(
         F.col(user_col).alias("user_key"),

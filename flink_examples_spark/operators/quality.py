@@ -213,21 +213,20 @@ def blocklist_flags(
         raise ValueError("blocklist_flags: empty blocklist")
     lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     toks = tokens(text_col)
-    n = F.size(toks)
     flagged = F.size(
         F.expr(f"filter(__toks, x -> array_contains(array({lits}), x))")
     )
     ratio = F.col("n_flagged") / F.col("n_tokens")
     return (
-        df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
         .filter(F.size("__toks") > 0)
         .select(
-            "doc_id",
+            "__id",
             F.size("__toks").alias("n_tokens"),
             flagged.alias("n_flagged"),
         )
         .select(
-            "doc_id",
+            F.col("__id").alias(id_col),
             "n_tokens",
             "n_flagged",
             F.round(ratio, 6).alias("flag_ratio"),

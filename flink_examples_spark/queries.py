@@ -4824,9 +4824,12 @@ def session_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 1 + (len(toks) - 32 + 23) // 24 END AS nw
         FROM t WHERE len(toks) > 0
     ), c AS (
+        -- 0..340 windows cover docs to 32 + 340*24 = 8192 tokens, the
+        -- same ceiling as the doc_chunks oracle's grid; the fixture
+        -- guard test pins max doc tokens <= 2048, well under it
         SELECT doc_id, g.j AS chunk_idx, g.j * 24 AS start_tok,
                toks[g.j * 24 + 1 : g.j * 24 + 32] AS chunk
-        FROM n CROSS JOIN generate_series(0, 255) AS g(j)
+        FROM n CROSS JOIN generate_series(0, 340) AS g(j)
         WHERE g.j < nw
     )
     SELECT doc_id, chunk_idx, start_tok,
@@ -4924,7 +4927,9 @@ def funnel_step_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _blocklist_oracle() -> str:
     from flink_examples_spark.operators.quality import BLOCKLIST_DEFAULT
 
-    lits = ", ".join("'" + t + "'" for t in BLOCKLIST_DEFAULT)
+    # same quote-escaping as the operator's expression builder — the
+    # shared-tuple never-disagree guarantee includes apostrophed terms
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in BLOCKLIST_DEFAULT)
     return f"""
     WITH t AS (
         SELECT doc_id,

@@ -238,12 +238,16 @@ def streaming_asof_enrich(
     two-stream jobs have, and the tests feed per-key ordered input for
     exact batch parity (the file-source contract documented above).
 
-    State is one flat (ts_ms, ord, payload) tuple per key — constant
-    bytes per key at any scale.
+    State is one flat (ts_us, ord, payload) tuple per key — constant
+    bytes per key at any scale. Timestamps are kept at FULL epoch-
+    microsecond precision (the streaming_funnel_first_times rule):
+    millisecond truncation would bucket two sub-ms-apart right rows
+    together and let the ord tiebreak override true event-time order,
+    diverging from the batch join's full-timestamp ordering.
     """
 
     def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        best = state.get if state.exists else None  # (ts_ms, ord, payload)
+        best = state.get if state.exists else None  # (ts_us, ord, payload)
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(
@@ -252,10 +256,10 @@ def streaming_asof_enrich(
             )
             for row in pdf.itertuples(index=False):
                 if getattr(row, side_col) == 0:
-                    ts_ms = int(getattr(row, ts_col).value // 1_000_000)
+                    ts_us = int(getattr(row, ts_col).value // 1_000)
                     o = int(getattr(row, order_col))
-                    if best is None or (ts_ms, o) >= (best[0], best[1]):
-                        best = (ts_ms, o, int(getattr(row, payload_col)))
+                    if best is None or (ts_us, o) >= (best[0], best[1]):
+                        best = (ts_us, o, int(getattr(row, payload_col)))
                 else:
                     out.append(
                         (
@@ -271,7 +275,7 @@ def streaming_asof_enrich(
     return tagged.groupBy(key).applyInPandasWithState(
         fn,
         f"{left_id_col} long, {payload_col} long",
-        "ts_ms long, ord long, payload long",
+        "ts_us long, ord long, payload long",
         "append",
         GroupStateTimeout.NoTimeout,
     )

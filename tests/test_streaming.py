@@ -1661,3 +1661,37 @@ def test_streaming_asof_state_survives_restart(spark, tmp_path):
     assert got == want
     # the restart must not re-emit first-run rows
     assert len(out1) + len(out2) == len(want)
+
+
+def test_streaming_asof_submillisecond_ordering(spark, tmp_path):
+    """Two right rows 800 µs apart with DESCENDING ord: the later
+    timestamp must win (full-microsecond state), not the higher ord —
+    millisecond truncation would bucket them together and let the ord
+    tiebreak override true event-time order."""
+    from flink_examples_spark.streaming.stateful import streaming_asof_enrich
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00.000100",
+                    "2024-01-01 10:00:00.000900",
+                    "2024-01-01 10:00:01.000000",
+                ]
+            ),
+            "side": [0, 0, 1],
+            "left_id": [None, None, 7],
+            "payload": [500, 400, None],
+            "ord": [500, 400, None],  # later ts has LOWER ord
+        }
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows.to_parquet(os.path.join(d, "000.parquet"), index=False)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_asof_enrich(src, "user_id"), spark, "asof_subms",
+        "append", str(tmp_path / "ck"),
+    )
+    assert [(r["left_id"], r["payload"]) for r in out.collect()] == [(7, 400)]

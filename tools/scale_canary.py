@@ -93,6 +93,7 @@ def main() -> None:
         ngram_jaccard_pairs,
         substring_dedup_strip,
     )
+    from flink_examples_spark.operators.journey import funnel_stage_counts
     from flink_examples_spark.operators.similarity import (
         embedding_neardup_lsh,
     )
@@ -107,10 +108,9 @@ def main() -> None:
 
     def doubled(df, id_col, k, also_offset=()):
         out = df
-        offs = {
-            c: df.agg(F.max(c)).first()[0] + 1
-            for c in (id_col, *also_offset)
-        }
+        cols = (id_col, *also_offset)
+        maxima = df.agg(*[F.max(c) for c in cols]).first()  # one job
+        offs = {c: maxima[i] + 1 for i, c in enumerate(cols)}
         n = offs[id_col]
         for i in range(1, k):
             copy = df.select(
@@ -182,10 +182,7 @@ def main() -> None:
         ),
         "funnel_stage_counts": (
             events1, "event_id",
-            lambda d: __import__(
-                "flink_examples_spark.operators.journey",
-                fromlist=["funnel_stage_counts"],
-            ).funnel_stage_counts(
+            lambda d: funnel_stage_counts(
                 d, "user_id", "ts", "event_type",
                 ["view", "click", "purchase"],
             ),
