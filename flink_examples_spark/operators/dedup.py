@@ -850,8 +850,12 @@ def verify_levenshtein_on_candidates(
         F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")
     )
     dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
-    sim = F.round(
-        1 - dist / F.greatest(F.length("_ta"), F.length("_tb")), 6
+    # total under ANSI (the shingle_arrays convention): two empty texts
+    # are a PERFECT duplicate (dist 0, sim 1.0), not a 0/0 NULL that the
+    # threshold filter would silently drop
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"))
+    sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
+        F.round(1 - dist / max_len, 6)
     )
     return (
         candidates.join(a, "doc_a")

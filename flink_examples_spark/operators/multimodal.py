@@ -431,9 +431,18 @@ def image_phash(df: DataFrame, id_col: str = "media_id",
             _ops[(h, w)] = (dct @ pool(h), pool(w).T @ dct.T)
         return _ops[(h, w)]
 
-    def one(payload: bytes) -> int:
+    def one(payload: bytes):
+        # harden like every sibling decoder: truncated headers,
+        # non-positive dims, or a body/dim mismatch yield a NULL hash
+        # row (hamming_neardup_pairs excludes NULLs), never a
+        # task-killing struct.error/reshape ValueError
+        if len(payload) < 16:
+            return None
         w, h, c = struct.unpack("<iii", payload[4:16])
-        px = np.frombuffer(payload, dtype=np.uint8, offset=16)
+        if w <= 0 or h <= 0 or c <= 0 or len(payload) < 16 + w * h * c:
+            return None
+        px = np.frombuffer(payload, dtype=np.uint8, offset=16,
+                           count=w * h * c)
         img = px.reshape(h, w, c).mean(axis=2)
         left, right = ops(h, w)
         coef = left @ img @ right

@@ -4026,16 +4026,21 @@ def _hygiene_v2_stages(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, "documents", sf_dir)
     g = gopher_rules(docs, "doc_id", "text", min_stopword_hits=1)
+    # lazy localCheckpoints on the shared stages (the vocab_oov/
+    # token_shards pattern): the funnel builds four independent count
+    # subtrees and the pack query re-reads surv's full lineage — without
+    # pinning, the raw scan runs 4x, the Gopher gate 3x, and the NB
+    # train+score chain (two corpus passes) runs twice per action
     gk = docs.join(
         g.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
-    ).select("doc_id", "source", "text")
+    ).select("doc_id", "source", "text").localCheckpoint(eager=False)
     nb_good = (
         nb_token_evidence(_fan_out(spark, gk), "doc_id", "text",
                           dup_pct_threshold=55)
         .filter(F.col("verdict") == "good")
         .select("doc_id")
     )
-    kept = gk.join(nb_good, "doc_id")
+    kept = gk.join(nb_good, "doc_id").localCheckpoint(eager=False)
     stripped = substring_dedup_strip(
         _fan_out(spark, kept), "doc_id", "text", k=16
     )

@@ -647,8 +647,19 @@ def streaming_sequence_pack(
     ) -> Iterator[pd.DataFrame]:
         (prefix,) = state.get if state.exists else (0,)
         out = []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values(id_col).iterrows():
+        # concatenate ALL Arrow chunks before the single sort: a key
+        # whose micro-batch exceeds arrow.maxRecordsPerBatch arrives as
+        # several chunks in arbitrary order, and per-chunk sorting
+        # would advance the prefix for a high-id row in an early chunk
+        # before low-id rows in a later one — diverging from the batch
+        # window's global ORDER BY id
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1 else (chunks[0] if chunks else None)
+        )
+        if whole is not None:
+            for _, row in whole.sort_values(id_col).iterrows():
                 txt = row[text_col]
                 if txt is None or (
                     isinstance(txt, float) and pd.isna(txt)
@@ -673,7 +684,7 @@ def streaming_sequence_pack(
 
     return docs.groupBy(*parts).applyInPandasWithState(
         fn,
-        f"{key_ddl}, {id_col} long, n_tokens int, pack_id long",
+        f"{key_ddl}, {id_col} {types[id_col]}, n_tokens int, pack_id long",
         "prefix long",
         "append",
         GroupStateTimeout.NoTimeout,

@@ -251,3 +251,24 @@ def test_simhash_wide_signatures_use_high_bits(spark):
     assert any(s >= (1 << 16) for s in sigs), "high 16 bits never set"
     with pytest.raises(ValueError, match="60-bit"):
         simhash(docs, "doc_id", "text", bits=64)
+
+
+def test_levenshtein_verify_empty_texts_are_perfect_dups(spark):
+    """Two empty-text docs in a candidate pair: lev_dist 0, sim 1.0 —
+    not a 0/0 NULL silently dropped by the threshold filter."""
+    from flink_examples_spark.operators.dedup import (
+        verify_levenshtein_on_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "some text")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = {(r["doc_a"], r["doc_b"]): (r["lev_dist"], r["lev_sim"])
+           for r in verify_levenshtein_on_candidates(
+               docs, cands, "doc_id", "text", min_sim=0.8).collect()}
+    assert out[(1, 2)] == (0, 1.0)
+    assert (1, 3) not in out

@@ -383,3 +383,39 @@ def test_media_ops_emit_null_rows_for_undecodable_payloads(spark):
     assert vf.count() == 3  # one null-frame row per undecodable id
     fp = {r["media_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
     assert fp[2] is None  # truncated FAUD: null fingerprint, no crash
+
+
+def test_image_phash_corrupt_payloads_yield_null_not_crash(spark):
+    """A truncated FIMG header, non-positive dims, or a body shorter
+    than w*h*c must produce a NULL hash row (excluded downstream by
+    hamming_neardup_pairs), never a task-killing struct/reshape error."""
+    import struct as _struct
+
+    from flink_examples_spark.operators.multimodal import (
+        IMAGE_MAGIC,
+        encode_fake_images,
+        image_phash,
+    )
+
+    good = (
+        encode_fake_images(
+            spark.createDataFrame([(1, "hello world")],
+                                  "doc_id long, text string"),
+            "doc_id", "text", "8", "8",
+        )
+        .select("payload")
+        .first()["payload"]
+    )
+    rows = [
+        (1, bytes(good)),                      # valid
+        (2, IMAGE_MAGIC + b"\x01"),            # truncated header
+        (3, IMAGE_MAGIC + _struct.pack("<iii", -4, 4, 1) + b"x" * 64),
+        (4, IMAGE_MAGIC + _struct.pack("<iii", 100, 100, 3) + b"x" * 8),
+        (5, b"JUNKJUNKJUNK"),                  # wrong magic
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r["phash"] for r in image_phash(df).collect()}
+    assert out[1] is not None
+    assert out[2] is None and out[3] is None and out[4] is None
+    assert out[5] is None
+    assert len(out) == 5

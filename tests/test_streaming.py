@@ -1695,3 +1695,48 @@ def test_streaming_asof_submillisecond_ordering(spark, tmp_path):
         "append", str(tmp_path / "ck"),
     )
     assert [(r["left_id"], r["payload"]) for r in out.collect()] == [(7, 400)]
+
+
+def test_streaming_sequence_pack_multi_chunk_group(spark, tmp_path):
+    """A key whose micro-batch exceeds arrow.maxRecordsPerBatch arrives
+    as MULTIPLE Arrow chunks (order not guaranteed): the packer must
+    concatenate before its single sort, or the running prefix diverges
+    from the batch window's global ORDER BY id. Forced here with a
+    3-row Arrow batch size over one 20-row key."""
+    from flink_examples_spark.operators.packing import sequence_pack
+    from flink_examples_spark.streaming.stateful import (
+        streaming_sequence_pack,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "source": ["s"] * 20,
+            "text": [" ".join(["w"] * (3 + i % 5)) for i in range(20)],
+        }
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    rows.to_parquet(os.path.join(d, "000.parquet"), index=False)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        out = run_to_memory(
+            streaming_sequence_pack(src, "doc_id", "text", 16, "source"),
+            spark,
+            "pack_chunks",
+            "append",
+            str(tmp_path / "ck"),
+        )
+        got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    batch = spark.createDataFrame(rows)
+    want = {
+        r["doc_id"]: r["pack_id"]
+        for r in sequence_pack(batch, "doc_id", "text", 16, "source").collect()
+    }
+    assert got == want and len(got) == 20
