@@ -4012,11 +4012,17 @@ def corpus_hygiene_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hygiene_v2_stages(spark: SparkSession, sf_dir: str):
+def _hygiene_v2_stages(spark: SparkSession, sf_dir: str,
+                       checkpoint: bool = True):
     """Shared stage chain of the hygiene-v2 pipeline: returns
     ``(docs, gk, kept, surv)`` — raw corpus, Gopher-kept, NB-kept, and
     the stripped+deduped survivors (with ``kept_text``). Both the
-    flagship pack query and the funnel census read these."""
+    flagship pack query and the funnel census read these.
+
+    ``checkpoint=False`` skips the stage pins and returns the fully
+    fused lineage — ONLY for plan inspection (tests/test_plans.py
+    audits the broadcast/JVM properties that the checkpoint boundary
+    makes opaque in the registered queries' plans)."""
     from pyspark.sql import Window
 
     from flink_examples_spark.functions.text import tokens
@@ -4033,14 +4039,18 @@ def _hygiene_v2_stages(spark: SparkSession, sf_dir: str):
     # train+score chain (two corpus passes) runs twice per action
     gk = docs.join(
         g.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
-    ).select("doc_id", "source", "text").localCheckpoint(eager=False)
+    ).select("doc_id", "source", "text")
+    if checkpoint:
+        gk = gk.localCheckpoint(eager=False)
     nb_good = (
         nb_token_evidence(_fan_out(spark, gk), "doc_id", "text",
                           dup_pct_threshold=55)
         .filter(F.col("verdict") == "good")
         .select("doc_id")
     )
-    kept = gk.join(nb_good, "doc_id").localCheckpoint(eager=False)
+    kept = gk.join(nb_good, "doc_id")
+    if checkpoint:
+        kept = kept.localCheckpoint(eager=False)
     stripped = substring_dedup_strip(
         _fan_out(spark, kept), "doc_id", "text", k=16
     )

@@ -244,13 +244,24 @@ def test_classifier_scoring_joins_broadcast(spark, sf_dir):
 
 def test_hygiene_v2_pipeline_stays_jvm_side(spark, sf_dir):
     """The full FineWeb-shape pipeline (gate -> classifier -> strip ->
-    dedup -> pack) compiles to a single all-JVM plan: no Python
-    boundary, model joins broadcast."""
-    from flink_examples_spark.queries import registry
+    dedup -> pack) compiles to an all-JVM plan: no Python boundary,
+    model joins broadcast. Inspected on the UN-checkpointed fused
+    lineage (checkpoint=False) — the registered queries pin shared
+    stages with localCheckpoint, whose ExistingRDD boundary hides the
+    upstream operators from the final plan; the registered query is
+    separately asserted Python-free."""
+    from flink_examples_spark.queries import _hygiene_v2_stages, registry
+
+    from flink_examples_spark.operators.packing import sequence_pack
+
+    _, _, _, surv = _hygiene_v2_stages(spark, sf_dir, checkpoint=False)
+    fused = sequence_pack(surv, "doc_id", "kept_text", target=256,
+                          partition_col="source")
+    assert python_eval_nodes(fused) == []
+    assert has_broadcast_join(fused)
 
     df = registry()["corpus_pipeline_hygiene_v2"].spark_fn(spark, sf_dir)
     assert python_eval_nodes(df) == []
-    assert has_broadcast_join(df)
 
 
 def test_relational_pattern_pack_plan_shapes(spark, sf_dir):
