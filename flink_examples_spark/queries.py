@@ -4981,3 +4981,98 @@ def doc_blocklist_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_flags(
         load_table(spark, "documents", sf_dir), "doc_id", "text"
     )
+
+
+@register(
+    "lang_confusion_census",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN len(list_filter(toks,
+                        x -> x IN ('the','a','of','to','and','in','is','it')))
+                        * 1.0 / len(toks) > 0.03
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM t
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="Classifier-eval census: confusion matrix of the stopword-"
+        "density language-ID heuristic against the corpus's lang "
+        "label — the artifact you read before trusting a filter stage "
+        "with corpus-destructive decisions. Same codegen expression as "
+        "lang_id, one map-side-combined aggregate.",
+)
+def lang_confusion_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("lang", T.lang_id_en("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "corpus_integrity_census",
+    oracle="""
+    SELECT 'docs_without_embedding' AS check_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM documents d
+    LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e
+      ON d.doc_id = e.vec_id
+    UNION ALL
+    SELECT 'embeddings_without_doc', COUNT(*),
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM embeddings e
+    LEFT JOIN (SELECT DISTINCT doc_id FROM documents) d
+      ON e.vec_id = d.doc_id
+    UNION ALL
+    SELECT 'orders_without_customer', COUNT(*),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_without_order', COUNT(*),
+           CAST(SUM(CASE WHEN o2.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o2
+      ON l.l_orderkey = o2.o_orderkey
+    """,
+    doc="Referential-integrity census across the star schema and the "
+        "multimodal alignment (documents <-> embeddings): per check, "
+        "total rows and orphan count in ONE pass each (left join + "
+        "null-flag sum — no separate count jobs). The report a data "
+        "platform runs after every ingest; orphan paths are pinned "
+        "synthetically in tests since healthy fixtures have none.",
+)
+def corpus_integrity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.integrity import orphan_census
+
+    checks = [
+        ("docs_without_embedding",
+         load_table(spark, "documents", sf_dir), "doc_id",
+         load_table(spark, "embeddings", sf_dir), "vec_id"),
+        ("embeddings_without_doc",
+         load_table(spark, "embeddings", sf_dir), "vec_id",
+         load_table(spark, "documents", sf_dir), "doc_id"),
+        ("orders_without_customer",
+         load_table(spark, "orders", sf_dir), "o_custkey",
+         load_table(spark, "customer", sf_dir), "c_custkey"),
+        ("lineitem_without_order",
+         load_table(spark, "lineitem", sf_dir), "l_orderkey",
+         load_table(spark, "orders", sf_dir), "o_orderkey"),
+    ]
+    return orphan_census(checks)

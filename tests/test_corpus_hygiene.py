@@ -616,3 +616,22 @@ def test_blocklist_flags_semantics(spark):
     assert out[3]["is_clean"] == 1
     assert out[4]["n_flagged"] == 0 and out[4]["is_clean"] == 1
     assert out[6]["n_flagged"] == 1                   # case-insensitive
+
+
+def test_orphan_census_counts_orphans_and_null_keys(spark):
+    """Healthy fixtures have zero orphans (the oracle row only proves
+    the clean path) — pin the orphan path synthetically: missing
+    partners and NULL left keys both count, duplicate right keys don't
+    multiply rows."""
+    from flink_examples_spark.operators.integrity import orphan_census
+
+    left = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "k int"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (2,)], "k int"  # dup key 1 must not multiply
+    )
+    out = orphan_census([("c", left, "k", right, "k")]).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 4
+    assert out[0]["n_orphans"] == 2  # id 3 + the NULL key
