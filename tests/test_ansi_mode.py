@@ -1,0 +1,39 @@
+"""ANSI-mode totality gate.
+
+Production Spark clusters increasingly run ``spark.sql.ansi.enabled=
+true`` (the Spark 4 default), where a non-total expression — an array
+index past the end, a division whose guard Catalyst reorders away, a
+cast that overflows — fails the QUERY instead of returning NULL. The
+repo's expression-totality convention (see shingle_arrays) exists for
+exactly this; this gate runs EVERY registered query under ANSI at
+sf0.001 so a partial expression introduced anywhere in the registry
+fails CI, not a customer's 100 TB job.
+
+Costs ~2-3 min (one count per query on the smallest fixture) — the
+single most expensive test in the suite, and the only one that proves
+the whole surface survives the strict dialect.
+"""
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ansi(spark):
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_every_registered_query_is_ansi_total(ansi):
+    fails = []
+    for name, fn in sorted(E.queries().items()):
+        try:
+            fn(ansi, SF).count()
+        except Exception as e:  # noqa: BLE001 - collecting per-query
+            fails.append((name, str(e).splitlines()[0][:160]))
+    assert not fails, f"non-ANSI-total queries: {fails}"
