@@ -1,0 +1,87 @@
+"""Small-file compaction (sources.readers.compact_partitioned_table).
+
+The invariants a maintenance rewrite must hold: content identical
+(hash), partition directory scheme preserved (pruning still works),
+file count collapsed to the minimum the row bound allows, and no file
+over the bound.
+"""
+
+import os
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from flink_examples_spark.catalog import load_table
+from flink_examples_spark.plans.inspect import formatted_plan
+from flink_examples_spark.sources.readers import compact_partitioned_table
+
+
+def _files_by_partition(root):
+    out = Counter()
+    for dirpath, _, files in os.walk(root):
+        part = os.path.relpath(dirpath, root)
+        for f in files:
+            if f.endswith(".parquet"):
+                out[part] += 1
+    return out
+
+
+def test_compaction_preserves_content_and_collapses_files(spark, sf_dir, tmp_path):
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    frag = str(tmp_path / "frag")
+    # fragment: many tiny files per source partition (the post-ingest
+    # pathology compaction exists to repair)
+    (
+        docs.repartition(40)
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(frag)
+    )
+    before = _files_by_partition(frag)
+    assert max(before.values()) > 5, "fixture failed to fragment"
+
+    out_path = str(tmp_path / "compact")
+    compacted = compact_partitioned_table(
+        spark, frag, out_path, ["source"], max_records_per_file=1000
+    )
+
+    # content identical: same rows, same values (order-free compare)
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(
+        map(tuple, compacted.select("doc_id", "source", "n_chars").collect())
+    )
+    assert a == b
+
+    # layout: same partition dirs, minimal files, bound respected
+    after = _files_by_partition(out_path)
+    assert set(after) == set(before)
+    rows_per_part = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for part, n_files in after.items():
+        src = part.split("=", 1)[1]
+        need = -(-rows_per_part[src] // 1000)  # ceil
+        assert n_files == need, (part, n_files, need)
+
+    # pruning: a source predicate on the compacted table still prunes
+    # at the partition level
+    pruned = compacted.filter(F.col("source") == "src_0")
+    assert "PartitionFilters: [" in formatted_plan(pruned)
+
+
+def test_compaction_bound_splits_oversized_partition(spark, tmp_path):
+    df = spark.range(2500).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    frag = str(tmp_path / "frag")
+    df.repartition(10).write.mode("overwrite").partitionBy("source").parquet(frag)
+    out = compact_partitioned_table(
+        spark, frag, str(tmp_path / "out"), ["source"],
+        max_records_per_file=1000,
+    )
+    files = _files_by_partition(str(tmp_path / "out"))
+    assert files["source=s"] == 3  # ceil(2500/1000)
+    assert out.count() == 2500
