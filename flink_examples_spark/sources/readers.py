@@ -111,6 +111,7 @@ def write_partitioned_table(
     sort_cols: Sequence[str] | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    options: dict[str, str] | None = None,
 ) -> None:
     """Persist a table hive-partitioned by low-cardinality columns
     (date/source/shard) — the layout that turns time/source predicates
@@ -138,7 +139,12 @@ def write_partitioned_table(
         # required ordering and survives into the files
         df = df.repartition(*[F.col(c) for c in partition_cols]) \
                .sortWithinPartitions(*partition_cols, *sort_cols)
-    df.write.mode(mode).format(fmt).partitionBy(*partition_cols).save(path)
+    w = df.write.mode(mode).format(fmt)
+    if options:
+        # writer-level format options (e.g. parquet.block.size to size
+        # row groups); conf-level Hadoop keys don't reach the writer
+        w = w.options(**options)
+    w.partitionBy(*partition_cols).save(path)
 
 
 def compact_partitioned_table(

@@ -85,3 +85,49 @@ def test_compaction_bound_splits_oversized_partition(spark, tmp_path):
     files = _files_by_partition(str(tmp_path / "out"))
     assert files["source=s"] == 3  # ceil(2500/1000)
     assert out.count() == 2500
+
+
+def test_sorted_write_produces_prunable_row_group_statistics(spark, tmp_path):
+    """write_partitioned_table's sort_cols claim — 'min/max row-group
+    statistics prune within the partition' — verified at the parquet
+    footer level: with the sort, row-group [min,max] intervals on the
+    sort column tile the domain (sum of widths ~ domain width); without
+    it, every row group spans nearly the whole domain and nothing can
+    prune."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_examples_spark.sources.readers import write_partitioned_table
+
+    n = 200_000
+    df = spark.range(n).select(
+        ((F.col("id") * 48271) % n).alias("v"),  # shuffled domain [0, n)
+        F.lit("a").alias("p"),
+    )
+    small_groups = {"parquet.block.size": str(64 * 1024)}
+
+    def interval_sum(root):
+        widths, groups = 0, 0
+        for f in glob.glob(os.path.join(root, "**", "*.parquet"),
+                           recursive=True):
+            md = pq.ParquetFile(f).metadata
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(0).statistics
+                widths += st.max - st.min
+                groups += 1
+        return widths, groups
+
+    write_partitioned_table(
+        df, str(tmp_path / "sorted"), ["p"], sort_cols=["v"],
+        options=small_groups,
+    )
+    write_partitioned_table(
+        df, str(tmp_path / "unsorted"), ["p"], options=small_groups
+    )
+
+    w_sorted, g_sorted = interval_sum(str(tmp_path / "sorted"))
+    w_unsorted, g_unsorted = interval_sum(str(tmp_path / "unsorted"))
+    assert g_sorted > 3 and g_unsorted > 3, "need multiple row groups"
+    assert w_sorted <= 1.2 * n          # intervals tile the domain
+    assert w_unsorted >= 3.0 * n        # intervals all span the domain
