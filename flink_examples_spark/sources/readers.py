@@ -192,3 +192,40 @@ def compact_partitioned_table(
         .save(out_path)
     )
     return spark.read.format(fmt).load(out_path)
+
+
+def zorder_key(cols: Sequence[str], bits: int = 16):
+    """Z-order (Morton) interleave of 2-3 non-negative integer columns,
+    as ONE codegen expression — the multi-dimensional layout key
+    single-column sorting can't provide: sorting a table by
+    ``zorder_key(["x", "y"])`` makes each parquet row group cover a
+    compact rectangle in (x, y) space, so min/max statistics prune
+    scans filtered on EITHER dimension (tests/test_compaction.py
+    proves both dimensions' row-group intervals shrink vs a
+    single-column sort).
+
+    Inputs must already be quantized to ``[0, 2**bits)`` — rank, hash
+    bucket, epoch-day, or (value - min) >> shift; quantization is the
+    caller's statement of which value ranges should cluster.
+    ``bits * len(cols)`` must fit a signed 64-bit key (<= 62).
+
+    Bit k of column j lands at position ``k * n_cols + j``; disjoint
+    positions mean the terms combine with ``+`` inside whole-stage
+    codegen — no UDF, no shuffle, just an expression column to sort by
+    (compose with write_partitioned_table's ``sort_cols``).
+    """
+    ncols = len(cols)
+    if not 2 <= ncols <= 3:
+        raise ValueError(f"zorder_key interleaves 2-3 columns, got {ncols}")
+    if bits * ncols > 62:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {ncols} cols exceeds a signed "
+            "64-bit key; lower bits"
+        )
+    terms = [
+        f"shiftleft(shiftright(cast(`{c}` as bigint), {k}) & 1, "
+        f"{k * ncols + j})"
+        for k in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return F.expr(" + ".join(terms))

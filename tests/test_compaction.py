@@ -131,3 +131,91 @@ def test_sorted_write_produces_prunable_row_group_statistics(spark, tmp_path):
     assert g_sorted > 3 and g_unsorted > 3, "need multiple row groups"
     assert w_sorted <= 1.2 * n          # intervals tile the domain
     assert w_unsorted >= 3.0 * n        # intervals all span the domain
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """Bit-level correctness of the codegen Morton key against a plain
+    Python reference, 2 and 3 columns, including domain edges."""
+    import random
+
+    from flink_examples_spark.sources.readers import zorder_key
+
+    def ref(vals, bits):
+        out = 0
+        for k in range(bits):
+            for j, v in enumerate(vals):
+                out += ((v >> k) & 1) << (k * len(vals) + j)
+        return out
+
+    rng = random.Random(7)
+    bits = 10
+    rows2 = [(rng.randrange(1 << bits), rng.randrange(1 << bits))
+             for _ in range(50)] + [(0, 0), ((1 << bits) - 1, (1 << bits) - 1)]
+    df2 = spark.createDataFrame(rows2, "x long, y long").withColumn(
+        "z", zorder_key(["x", "y"], bits=bits)
+    )
+    for r in df2.collect():
+        assert r["z"] == ref((r["x"], r["y"]), bits)
+
+    rows3 = [(rng.randrange(64), rng.randrange(64), rng.randrange(64))
+             for _ in range(30)]
+    df3 = spark.createDataFrame(rows3, "x long, y long, w long").withColumn(
+        "z", zorder_key(["x", "y", "w"], bits=6)
+    )
+    for r in df3.collect():
+        assert r["z"] == ref((r["x"], r["y"], r["w"]), 6)
+
+
+def test_zorder_sort_bounds_row_groups_in_both_dimensions(spark, tmp_path):
+    """The point of z-order: sorted by the Morton key, each row group
+    covers a compact rectangle, so min/max intervals shrink on BOTH
+    dimensions — a single-column sort only bounds its own column while
+    the other dimension's intervals span the whole domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_examples_spark.sources.readers import (
+        write_partitioned_table,
+        zorder_key,
+    )
+
+    side = 512  # 512x512 grid, both dims uniform
+    grid = (
+        spark.range(side * side)
+        .select(
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("long").alias("y"),
+            F.lit("a").alias("p"),
+        )
+        .withColumn("z", zorder_key(["x", "y"], bits=9))
+    )
+    opts = {"parquet.block.size": str(64 * 1024)}
+
+    def interval_sums(root, col_idx):
+        widths, groups = 0, 0
+        for f in glob.glob(os.path.join(root, "**", "*.parquet"),
+                           recursive=True):
+            md = pq.ParquetFile(f).metadata
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(col_idx).statistics
+                widths += st.max - st.min
+                groups += 1
+        return widths, groups
+
+    write_partitioned_table(grid, str(tmp_path / "zsort"), ["p"],
+                            sort_cols=["z"], options=opts)
+    write_partitioned_table(grid, str(tmp_path / "xsort"), ["p"],
+                            sort_cols=["x"], options=opts)
+
+    # column order in the files: x=0, y=1, z=2
+    zy, gz = interval_sums(str(tmp_path / "zsort"), 1)
+    xy, gx = interval_sums(str(tmp_path / "xsort"), 1)
+    assert gz > 3 and gx > 3
+    # x-sorted: y spans the domain in every group; z-sorted: rectangles
+    assert xy >= 0.9 * side * gx
+    assert zy <= 0.6 * xy
+    # and z-sort still bounds x far below the x-interval of a y-major
+    # layout (each rectangle is ~sqrt(rows/group) wide)
+    zx, _ = interval_sums(str(tmp_path / "zsort"), 0)
+    assert zx <= 0.6 * side * gz
