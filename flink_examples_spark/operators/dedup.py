@@ -852,9 +852,14 @@ def verify_levenshtein_on_candidates(
     dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
     # total under ANSI (the shingle_arrays convention): two empty texts
     # are a PERFECT duplicate (dist 0, sim 1.0), not a 0/0 NULL that the
-    # threshold filter would silently drop
+    # threshold filter would silently drop. BOTH texts must be non-NULL
+    # for that branch — greatest() skips NULLs, so (NULL, '') would
+    # otherwise score a contradictory (lev_dist NULL, sim 1.0) "perfect
+    # dup" and dedup could delete a doc against a NULL-text partner;
+    # NULL-text pairs keep NULL sim and fall out of the filter.
+    both = F.col("_ta").isNotNull() & F.col("_tb").isNotNull()
     max_len = F.greatest(F.length("_ta"), F.length("_tb"))
-    sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
+    sim = F.when(both & (max_len == 0), F.lit(1.0)).otherwise(
         F.round(1 - dist / max_len, 6)
     )
     return (

@@ -211,11 +211,13 @@ def blocklist_flags(
     """
     if not terms:
         raise ValueError("blocklist_flags: empty blocklist")
-    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     toks = tokens(text_col)
-    flagged = F.size(
-        F.expr(f"filter(__toks, x -> array_contains(array({lits}), x))")
-    )
+    # Column.isin over literals, NOT a spliced SQL string: Spark SQL
+    # literals interpret backslash escapes, so a term like 'a\tb' in a
+    # spliced expr silently never matches (and diverges from DuckDB's
+    # literal semantics) — the stopword_ratio pattern avoids hand-rolled
+    # escaping entirely
+    flagged = F.size(F.filter(F.col("__toks"), lambda t: t.isin(*terms)))
     ratio = F.col("n_flagged") / F.col("n_tokens")
     return (
         df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))

@@ -182,15 +182,26 @@ def compact_partitioned_table(
     partition-compacted — same guidance as write_partitioned_table's
     cardinality note.
     """
-    df = spark.read.format(fmt).load(in_path)
-    (
-        df.repartition(*[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
-        .format(fmt)
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy(*partition_cols)
-        .save(out_path)
-    )
+    # partition VALUES must round-trip as the literal directory strings:
+    # with type inference on, string partitions like shard=01 re-read as
+    # int 1 and the rewrite renames directories (shard=01 -> shard=1),
+    # silently destroying leading zeros and retyping the schema — the
+    # opposite of a maintenance rewrite's identity contract
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.format(fmt).load(in_path)
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .format(fmt)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*partition_cols)
+            .save(out_path)
+        )
+    finally:
+        spark.conf.set(infer_key, prev)
     return spark.read.format(fmt).load(out_path)
 
 

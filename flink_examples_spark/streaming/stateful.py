@@ -244,6 +244,13 @@ def streaming_asof_enrich(
     millisecond truncation would bucket two sub-ms-apart right rows
     together and let the ord tiebreak override true event-time order,
     diverging from the batch join's full-timestamp ordering.
+
+    State versioning: the unit change from an earlier epoch-millis
+    state is checkpoint-INCOMPATIBLE — mixing would compare ms against
+    us values and let any right row overwrite older state. The renamed
+    field (``ts_us``) makes Spark's state-schema check reject a
+    restart from a pre-change checkpoint loudly; start a fresh
+    checkpoint on upgrade (the module's ST11 positional-state rule).
     """
 
     def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):

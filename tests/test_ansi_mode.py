@@ -35,5 +35,6 @@ def test_every_registered_query_is_ansi_total(ansi):
         try:
             fn(ansi, SF).count()
         except Exception as e:  # noqa: BLE001 - collecting per-query
-            fails.append((name, str(e).splitlines()[0][:160]))
+            msg = (str(e).splitlines() or ["<no message>"])[0]
+            fails.append((name, msg[:160]))
     assert not fails, f"non-ANSI-total queries: {fails}"

@@ -219,3 +219,23 @@ def test_zorder_sort_bounds_row_groups_in_both_dimensions(spark, tmp_path):
     # layout (each rectangle is ~sqrt(rows/group) wide)
     zx, _ = interval_sums(str(tmp_path / "zsort"), 0)
     assert zx <= 0.6 * side * gz
+
+
+def test_compaction_preserves_string_partition_values(spark, tmp_path):
+    """Numeric-looking STRING partition values (shard=01) must survive
+    compaction byte-identical — partition type inference would re-read
+    them as ints and rename the directories (shard=01 -> shard=1),
+    destroying leading zeros and retyping the schema."""
+    df = spark.createDataFrame(
+        [(i, f"{i % 3:02d}") for i in range(30)], "id long, shard string"
+    )
+    frag = str(tmp_path / "frag")
+    df.repartition(5).write.mode("overwrite").partitionBy("shard").parquet(frag)
+    out = compact_partitioned_table(
+        spark, frag, str(tmp_path / "out"), ["shard"],
+        max_records_per_file=100,
+    )
+    dirs = {d for d in os.listdir(str(tmp_path / "out"))
+            if d.startswith("shard=")}
+    assert dirs == {"shard=00", "shard=01", "shard=02"}
+    assert out.count() == 30

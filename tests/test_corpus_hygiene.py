@@ -635,3 +635,18 @@ def test_orphan_census_counts_orphans_and_null_keys(spark):
     assert len(out) == 1
     assert out[0]["n_rows"] == 4
     assert out[0]["n_orphans"] == 2  # id 3 + the NULL key
+
+
+def test_blocklist_terms_with_backslashes_match_literally(spark):
+    """A blocklist term containing a backslash must match the literal
+    token — a spliced SQL literal would interpret it as an escape
+    sequence and silently flag nothing."""
+    from flink_examples_spark.operators.quality import blocklist_flags
+
+    docs = spark.createDataFrame(
+        [(1, r"a\tb a\tb clean")], "doc_id long, text string"
+    )
+    out = blocklist_flags(
+        docs, "doc_id", "text", terms=(r"a\tb",), max_ratio=0.01
+    ).collect()
+    assert out[0]["n_flagged"] == 2

@@ -272,3 +272,25 @@ def test_levenshtein_verify_empty_texts_are_perfect_dups(spark):
                docs, cands, "doc_id", "text", min_sim=0.8).collect()}
     assert out[(1, 2)] == (0, 1.0)
     assert (1, 3) not in out
+
+
+def test_levenshtein_verify_null_text_pairs_are_not_dups(spark):
+    """(NULL text, empty text) must NOT score as a perfect duplicate —
+    greatest() skips NULLs, so without the non-NULL guard the pair got
+    a contradictory (lev_dist NULL, sim 1.0) row and dedup could
+    delete a doc against a NULL-text partner."""
+    from flink_examples_spark.operators.dedup import (
+        verify_levenshtein_on_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = verify_levenshtein_on_candidates(
+        docs, cands, "doc_id", "text", min_sim=0.0
+    ).collect()
+    assert out == []
