@@ -23,7 +23,12 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def ansi(spark):
-    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # No fallback arg: conf.get(key, default) returns the literal default
+    # whenever the key was never explicitly SET, even though Spark 4's
+    # effective session default is "true" — restoring that literal would
+    # force-disable ANSI for every later test in the suite (observed as
+    # size(NULL) flipping NULL -> -1 in the hygiene robustness test).
+    prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     yield spark
     spark.conf.set("spark.sql.ansi.enabled", prev)
