@@ -15,9 +15,14 @@ test_snapshot_diff_on_bucketed_snapshots_is_exchange_free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
 
 from flink_examples_spark.functions.text import fingerprint_md5
+
+_UPSERT = ("added", "changed")
+_RETIRE = ("removed", "changed")
 
 
 def snapshot_diff(
@@ -66,3 +71,113 @@ def snapshot_diff(
             .alias("verdict"),
         )
     )
+
+
+def merge_apply(
+    old: DataFrame,
+    new: DataFrame,
+    diff: DataFrame,
+    id_col: str,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` verdict to corpus ``old``,
+    producing the merged corpus (algebraically ``new`` restricted to
+    the diff's coverage) — the daily MERGE of a versioned corpus.
+
+    Rows kept from ``old``: everything not 'removed'/'changed'. Rows
+    taken from ``new``: the 'added'/'changed' ids. ``old`` and ``new``
+    must share a schema; the merge is by ``unionByName``.
+
+    100 TB shape: the corpus side streams through a broadcast anti-join
+    — the unchanged bodies (the overwhelming majority of a daily merge)
+    are NEVER shuffled; only the delta-sized id sets move. With
+    ``broadcast_delta=False`` both joins fall back to shuffled
+    hash joins for the rare full-rewrite delta that outgrows the
+    broadcast threshold. Composed with a partitioned layout
+    (sources.write_partitioned_table), only partitions containing a
+    delta id need rewriting — the Delta-Lake/Iceberg MERGE shape,
+    expressed as plain declarative joins.
+    """
+    verdict = F.col("verdict")
+    retire = diff.filter(verdict.isin(*_RETIRE)).select(id_col)
+    upsert = diff.filter(verdict.isin(*_UPSERT)).select(id_col)
+    if broadcast_delta:
+        retire, upsert = F.broadcast(retire), F.broadcast(upsert)
+    kept = old.join(retire, id_col, "left_anti")
+    fresh = new.join(upsert, id_col, "left_semi")
+    return kept.unionByName(fresh)
+
+
+def merge_apply_partitioned(
+    spark,
+    table_path: str,
+    new: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    partition_col: str,
+    fmt: str = "parquet",
+) -> list:
+    """Partition-scoped MERGE into a hive-partitioned corpus table:
+    apply ``delta`` (columns ``<id_col>, <partition_col>, verdict`` —
+    a :func:`snapshot_diff` joined with each id's partition value) by
+    rewriting ONLY the partitions that contain a non-'unchanged' id.
+    Returns the affected partition values.
+
+    The 100 TB contract this demonstrates: a daily merge touching 1% of
+    partitions reads and rewrites 1% of the table — the scan of the
+    stored corpus carries a partition ISIN filter (directory pruning,
+    PartitionFilters in the plan), the merge itself is the broadcast
+    anti/semi shape of :func:`merge_apply`, and the write uses DYNAMIC
+    partition overwrite so untouched partition directories are never
+    listed, read, or replaced.
+
+    Two driver-side bounds, both partition-cardinality-sized (never
+    row-sized): the affected-value collect, and an eager
+    localCheckpoint of the merged rows to break lineage before
+    overwriting a path being read (delta-partition-footprint, not
+    corpus). Production tables with transactional formats (Delta/
+    Iceberg) replace the checkpoint+overwrite tail with a commit; the
+    read-prune + broadcast-merge head is identical.
+    """
+    affected = [
+        r[0]
+        for r in delta.filter(F.col("verdict") != "unchanged")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return []
+    old = (
+        spark.read.format(fmt)
+        .load(table_path)
+        .filter(F.col(partition_col).isin(affected))
+    )
+    merged = merge_apply(
+        old,
+        new.filter(F.col(partition_col).isin(affected)),
+        delta.filter(F.col(partition_col).isin(affected)),
+        id_col,
+    ).localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .format(fmt)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .save(table_path)
+    )
+    # Dynamic overwrite replaces only partitions it writes rows into —
+    # a partition whose documents were ALL removed writes nothing and
+    # its stale directory would survive. Drop those explicitly (local
+    # filesystem here; a transactional table format commits the delete).
+    present = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
+    for value in affected:
+        if value not in present:
+            import shutil
+
+            d = os.path.join(table_path, f"{partition_col}={value}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    return affected

@@ -225,3 +225,57 @@ def chunk_documents(
             F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
         )
     )
+
+
+DEFAULT_LENGTH_CAPS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def length_bucket_cap(token_col, caps: Sequence[int] = DEFAULT_LENGTH_CAPS):
+    """Smallest bucket cap >= the token count, from a fixed geometric
+    ladder (a CASE chain — engine-portable, no float log2 whose
+    boundary rounding differs across engines). Degenerate documents
+    (NULL/zero tokens) map to a NULL cap so they stay visible as their
+    own census row rather than silently joining the smallest bucket.
+    Counts above the top cap clamp to it (the top cap doubles as the
+    model's context limit; longer docs are chunked first)."""
+    c = F.col(token_col) if isinstance(token_col, str) else token_col
+    expr = F.when(c.isNull() | (c <= 0), F.lit(None).cast("long"))
+    for cap in sorted(caps)[:-1]:
+        expr = expr.when(c <= cap, F.lit(cap).cast("long"))
+    return expr.otherwise(F.lit(max(caps)).cast("long"))
+
+
+def length_bucket_census(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    caps: Sequence[int] = DEFAULT_LENGTH_CAPS,
+) -> DataFrame:
+    """Padding-waste census for length-bucketed batching (the "sorted
+    batching" every inference/training batcher runs): per (group,
+    bucket cap), how many documents, how many real tokens, and how many
+    pad tokens a cap-padded batch would carry.
+
+    One narrow projection + one map-side-combined aggregation — no
+    joins, no windows; the 100 TB cost is a single shuffle of
+    (group, cap) partials. Output: ``<group_col>, cap, n_docs,
+    sum_tokens, pad_tokens`` where pad = cap*n_docs - sum_tokens
+    (NULL for the degenerate NULL-cap bucket).
+    """
+    t = token_count(text_col)
+    return (
+        df.select(
+            F.col(group_col),
+            length_bucket_cap(t, caps).alias("cap"),
+            t.alias("_t"),
+        )
+        .groupBy(group_col, "cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("_t"), F.lit(0)).alias("sum_tokens"),
+        )
+        .withColumn(
+            "pad_tokens",
+            F.col("cap") * F.col("n_docs") - F.col("sum_tokens"),
+        )
+    )

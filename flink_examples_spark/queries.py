@@ -2797,6 +2797,47 @@ def seq_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seq_length_bucket_waste",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS tk
+        FROM documents
+    ), b AS (
+        SELECT source, tk,
+               CASE WHEN tk IS NULL OR tk <= 0 THEN NULL
+                    WHEN tk <= 16 THEN 16 WHEN tk <= 32 THEN 32
+                    WHEN tk <= 64 THEN 64 WHEN tk <= 128 THEN 128
+                    WHEN tk <= 256 THEN 256 WHEN tk <= 512 THEN 512
+                    WHEN tk <= 1024 THEN 1024 ELSE 2048
+               END AS cap
+        FROM t
+    )
+    SELECT source, CAST(cap AS BIGINT) AS cap,
+           COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(tk), 0) AS BIGINT) AS sum_tokens,
+           CAST(cap * COUNT(*) - COALESCE(SUM(tk), 0) AS BIGINT)
+               AS pad_tokens
+    FROM b GROUP BY source, cap
+    """,
+    doc="Padding-waste census for length-bucketed (sorted) batching: "
+        "per (source, power-of-two bucket cap), document count, real "
+        "tokens, and the pad tokens a cap-padded batch would carry. "
+        "Fixed CASE ladder (no float log2 — engine-portable "
+        "boundaries); degenerate NULL/empty docs surface as a NULL-cap "
+        "row, never silently joining a bucket. One narrow projection + "
+        "one map-side-combined aggregation — the 100 TB cost is a "
+        "single shuffle of (source, cap) partials.",
+)
+def seq_length_bucket_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.packing import length_bucket_census
+
+    docs = load_table(spark, "documents", sf_dir)
+    return length_bucket_census(docs, "text", "source")
+
+
+@register(
     "seq_pack_bins_sharded",
     oracle="""
     WITH t AS (
@@ -4330,6 +4371,25 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_pair(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic v1/v2 snapshot pair over the documents fixture:
+    v1 = hash buckets <9500, v2 = buckets >=500 with every 7th doc
+    edited — so the pair exhibits all four diff verdicts. Shared by
+    the diff, merge-apply, and incremental-ingest queries so their
+    oracles describe the same two corpora."""
+    from flink_examples_spark.operators.sampling import _bucket
+
+    b = _bucket("doc_id", "snap")
+    v1 = docs.filter(b < 9500)
+    v2 = docs.filter(b >= 500).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return v1, v2
+
+
 @register(
     "corpus_snapshot_diff",
     oracle="""
@@ -4363,18 +4423,42 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.diff import snapshot_diff
-    from flink_examples_spark.operators.sampling import _bucket
 
-    docs = load_table(spark, "documents", sf_dir)
-    b = _bucket("doc_id", "snap")
-    v1 = docs.filter(b < 9500)
-    v2 = docs.filter(b >= 500).withColumn(
-        "text",
-        F.when(F.col("doc_id") % 7 == 0,
-               F.concat(F.col("text"), F.lit(" v2")))
-        .otherwise(F.col("text")),
-    )
+    v1, v2 = _snapshot_pair(load_table(spark, "documents", sf_dir))
     return snapshot_diff(v1, v2, "doc_id", "text")
+
+
+@register(
+    "corpus_merge_apply",
+    oracle="""
+    -- merge(v1, diff(v1, v2), v2-delta) == v2 is the operator's
+    -- contract; the oracle derives the expected corpus DIRECTLY from
+    -- the v2 definition, a different derivation than the engine's
+    -- anti/semi-join merge, so a merge bug cannot hide in a shared
+    -- formulation.
+    SELECT doc_id,
+           md5(trim(lower(CASE WHEN doc_id % 7 = 0
+                               THEN text || ' v2'
+                               ELSE text END))) AS fp
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#snap'),
+                          1, 15))::BIGINT % 10000 >= 500
+    """,
+    doc="Versioned-corpus MERGE: apply the snapshot diff's verdicts to "
+        "corpus v1 (drop removed/changed, take added/changed bodies "
+        "from v2) and return the merged corpus's (id, fingerprint). "
+        "The corpus side streams through BROADCAST anti/semi joins — "
+        "unchanged bodies never shuffle, only delta-sized id sets "
+        "move; the Delta-Lake/Iceberg MERGE shape as plain joins.",
+)
+def corpus_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import fingerprint_md5
+    from flink_examples_spark.operators.diff import merge_apply, snapshot_diff
+
+    v1, v2 = _snapshot_pair(load_table(spark, "documents", sf_dir))
+    diff = snapshot_diff(v1, v2, "doc_id", "text")
+    merged = merge_apply(v1, v2, diff, "doc_id")
+    return merged.select("doc_id", fingerprint_md5("text").alias("fp"))
 
 
 # ---------------------------------------------------------------------------

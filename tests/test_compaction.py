@@ -239,3 +239,65 @@ def test_compaction_preserves_string_partition_values(spark, tmp_path):
             if d.startswith("shard=")}
     assert dirs == {"shard=00", "shard=01", "shard=02"}
     assert out.count() == 30
+
+
+def test_merge_apply_partitioned_rewrites_only_affected_partitions(
+    spark, tmp_path
+):
+    """Partition-scoped MERGE: untouched partition directories keep
+    byte-identical files (same names, sizes, mtimes — never listed or
+    rewritten), affected partitions are replaced, an all-removed
+    partition's directory disappears, and the final table equals the
+    expected merged corpus."""
+    import os
+
+    from flink_examples_spark.operators.diff import (
+        merge_apply_partitioned,
+        snapshot_diff,
+    )
+
+    path = str(tmp_path / "corpus")
+    old = spark.createDataFrame(
+        [(i, f"doc {i}", f"s{i % 4}") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    old.write.partitionBy("source").parquet(path)
+
+    # delta: s1 gets one edit + one add; s2 loses ALL its docs; s0/s3
+    # untouched.
+    new = spark.createDataFrame(
+        [(1, "doc 1 EDITED", "s1"), (101, "brand new", "s1")]
+        + [(i, f"doc {i}", f"s{i % 4}") for i in range(40)
+           if i % 4 in (0, 1, 3) and i != 1],
+        "doc_id long, text string, source string",
+    )
+    diff = snapshot_diff(old, new, "doc_id", "text")
+    part_of = (
+        old.select("doc_id", "source")
+        .unionByName(new.select("doc_id", "source")).distinct()
+    )
+    delta = diff.join(part_of, "doc_id")
+
+    def listing(sub):
+        d = os.path.join(path, f"source={sub}")
+        if not os.path.isdir(d):
+            return None
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before = {s: listing(s) for s in ("s0", "s1", "s2", "s3")}
+    affected = merge_apply_partitioned(
+        spark, path, new, delta, "doc_id", "source"
+    )
+    after = {s: listing(s) for s in ("s0", "s1", "s2", "s3")}
+
+    assert sorted(affected) == ["s1", "s2"]
+    assert after["s0"] == before["s0"] and after["s3"] == before["s3"]
+    assert after["s1"] != before["s1"]
+    assert after["s2"] is None                    # all-removed: dir gone
+    got = {(r.doc_id, r.text, r.source)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(r.doc_id, r.text, r.source) for r in new.collect()}

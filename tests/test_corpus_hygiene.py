@@ -160,6 +160,58 @@ def test_snapshot_diff_verdicts(spark):
                    4: "unchanged", 5: "added"}
 
 
+def test_merge_apply_reconstructs_new_and_keeps_old_unchanged_bodies(spark):
+    """merge(v1, diff(v1,v2), v2) covers the same ids/fingerprints as
+    v2, and for 'unchanged' ids the merged row carries the OLD raw
+    body — unchanged documents are never rewritten (the no-op rewrite
+    is the cost a 100 TB MERGE must avoid), even when the new snapshot
+    holds a different case/whitespace variant of the same fingerprint."""
+    from flink_examples_spark.operators.diff import merge_apply, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish"),
+         (4, "Same  TEXT"), (6, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (5, "brand new"),
+         (4, "same  text"), (6, None)],
+        "doc_id long, text string",
+    )
+    diff = snapshot_diff(old, new, "doc_id", "text")
+    merged = {r["doc_id"]: r["text"]
+              for r in merge_apply(old, new, diff, "doc_id").collect()}
+    assert merged == {1: "same text", 2: "has changed", 5: "brand new",
+                      4: "Same  TEXT",  # old body kept for unchanged
+                      6: None}          # NULL text merges as unchanged
+
+
+def test_merge_apply_delta_joins_are_broadcast(spark):
+    """The 100 TB contract: the corpus side of the merge streams through
+    BroadcastHashJoin on both the anti (retire) and semi (upsert) legs —
+    no shuffle of corpus bodies appears in the physical plan."""
+    from flink_examples_spark.operators.diff import merge_apply, snapshot_diff
+
+    old = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('doc ', id) AS text")
+    new = spark.range(50, 150).selectExpr(
+        "id AS doc_id",
+        "concat('doc ', id, CASE WHEN id % 10 = 0 THEN ' v2' "
+        "ELSE '' END) AS text")
+    diff = snapshot_diff(old, new, "doc_id", "text")
+    plan = merge_apply(
+        old, new, diff, "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # both corpus-facing joins are broadcast; the only shuffle joins
+    # allowed are the diff's own full-outer on (id, 16-byte hash),
+    # which never carries bodies.
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert not re.search(r"SortMergeJoin .*Left(Anti|Semi)", plan)
+
+
 # ---------------------------------------------------------------------------
 # BPE pretokenization (functions/text.py BPE_SPLIT_REGEX)
 # ---------------------------------------------------------------------------

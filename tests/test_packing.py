@@ -144,3 +144,27 @@ def test_pack_target_and_chunk_guards_and_null_id_shard(spark):
         docs, "doc_id", "text", target=4, partition_col="source"
     ).collect()
     assert all(r["pack_shard"] is not None for r in out)
+
+
+def test_length_bucket_cap_boundaries_and_degenerates(spark):
+    """Bucket caps are inclusive upper bounds from the fixed ladder,
+    degenerate docs (NULL/empty/whitespace) get a NULL cap, and counts
+    above the top cap clamp to it."""
+    from flink_examples_spark.operators.packing import length_bucket_census
+
+    rows = [
+        (1, "one", "s"),                       # 1 token  -> cap 16
+        (2, " ".join(["w"] * 16), "s"),        # 16       -> cap 16 (inclusive)
+        (3, " ".join(["w"] * 17), "s"),        # 17       -> cap 32
+        (4, " ".join(["w"] * 3000), "s"),      # 3000     -> clamps to 2048
+        (5, None, "s"),                        # NULL     -> NULL cap
+        (6, "   ", "s"),                       # 0 tokens -> NULL cap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["cap"]: (r["n_docs"], r["sum_tokens"], r["pad_tokens"])
+           for r in length_bucket_census(df, "text", "source").collect()}
+    assert got[16] == (2, 17, 15)          # 1 + 16 tokens, pad 32-17
+    assert got[32] == (1, 17, 15)
+    assert got[2048] == (1, 3000, -952)    # clamped: pad goes negative,
+    #                                        the signal "chunk these first"
+    assert got[None] == (2, 0, None)       # degenerate rows stay visible
