@@ -98,13 +98,32 @@ def merge_apply(
     delta id need rewriting — the Delta-Lake/Iceberg MERGE shape,
     expressed as plain declarative joins.
     """
-    verdict = F.col("verdict")
-    retire = diff.filter(verdict.isin(*_RETIRE)).select(id_col)
-    upsert = diff.filter(verdict.isin(*_UPSERT)).select(id_col)
+    # One shared delta subtree with the verdict predicate in the JOIN
+    # CONDITION rather than pre-filtered into two different children.
+    # Catalyst still pushes the per-leg verdict predicate into each
+    # broadcast build, but the subtrees now agree up to the diff's
+    # fingerprint shuffles, and exchange reuse kicks in there
+    # (ReusedExchange on both hashpartitioning exchanges, verified on
+    # the final AQE plan): each snapshot is scanned and shuffled ONCE
+    # for both legs — the dominant cost at corpus scale — and only the
+    # delta-sized merge-join + broadcast build runs per leg.
+    delta = diff.filter(F.col("verdict") != "unchanged").select(
+        F.col(id_col).alias("_m_id"), F.col("verdict").alias("_m_verdict")
+    )
     if broadcast_delta:
-        retire, upsert = F.broadcast(retire), F.broadcast(upsert)
-    kept = old.join(retire, id_col, "left_anti")
-    fresh = new.join(upsert, id_col, "left_semi")
+        delta = F.broadcast(delta)
+    kept = old.join(
+        delta,
+        (F.col(id_col) == F.col("_m_id"))
+        & F.col("_m_verdict").isin(*_RETIRE),
+        "left_anti",
+    )
+    fresh = new.join(
+        delta,
+        (F.col(id_col) == F.col("_m_id"))
+        & F.col("_m_verdict").isin(*_UPSERT),
+        "left_semi",
+    )
     return kept.unionByName(fresh)
 
 

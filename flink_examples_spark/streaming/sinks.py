@@ -352,3 +352,69 @@ def transactional_foreach_batch(
         os.replace(tmp, marker)
 
     return write
+
+
+def cdc_merge_foreach_batch(
+    table_path: str,
+    id_col: str,
+    partition_col: str,
+    seq_col: str,
+    op_col: str = "op",
+    fmt: str = "parquet",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` CDC apply: merge a stream of change events
+    (``op`` ∈ {'upsert', 'delete'}) into a hive-partitioned corpus
+    table via :func:`operators.diff.merge_apply_partitioned` — each
+    micro-batch rewrites ONLY the partitions its delta touches (the
+    streaming face of the versioned-corpus MERGE; the batch face is
+    ``corpus_merge_apply``).
+
+    Within a batch, multiple events per id resolve last-write-wins by
+    ``seq_col`` (ties broken toward delete, the conservative side).
+    Replayed batches re-apply the same latest-op set onto the already-
+    merged table — upserts overwrite themselves, deletes of absent ids
+    are no-ops — so the sink is idempotent and checkpoint + replay
+    yields exactly-once observable table state. The non-atomic window
+    of dynamic partition overwrite is per-partition (a crash can leave
+    an affected partition mid-rewrite until the replay repairs it);
+    transactional formats close that window with a commit, same merge
+    head.
+
+    The target table must exist (bootstrap with an initial batch write)
+    and the event schema must be the table schema plus ``seq_col`` and
+    ``op_col``; the delete leg needs ``partition_col`` populated so the
+    tombstone can find its partition.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        from flink_examples_spark.operators.diff import (
+            merge_apply_partitioned,
+        )
+
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(id_col).orderBy(
+            F.col(seq_col).desc(),
+            F.when(F.col(op_col) == "delete", 0).otherwise(1),
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        delta = latest.select(
+            id_col,
+            partition_col,
+            F.when(F.col(op_col) == "delete", "removed")
+            .otherwise("changed")
+            .alias("verdict"),
+        )
+        new = latest.filter(F.col(op_col) != "delete").drop(
+            op_col, seq_col
+        )
+        merge_apply_partitioned(
+            spark, table_path, new, delta, id_col, partition_col, fmt
+        )
+
+    return apply

@@ -212,6 +212,27 @@ def test_merge_apply_delta_joins_are_broadcast(spark):
     assert not re.search(r"SortMergeJoin .*Left(Anti|Semi)", plan)
 
 
+def test_merge_apply_scans_each_snapshot_once(spark):
+    """The retire and upsert legs both consume the diff — without
+    exchange reuse each snapshot's fingerprint scan+shuffle would run
+    twice. Pin the reuse: the final AQE plan shows both hashpartitioning
+    exchanges of the diff's full-outer join as ReusedExchange on the
+    second leg."""
+    from flink_examples_spark.operators.diff import merge_apply, snapshot_diff
+
+    old = spark.range(500).selectExpr(
+        "id AS doc_id", "concat('doc ', id) AS text")
+    new = spark.range(250, 750).selectExpr(
+        "id AS doc_id",
+        "concat('doc ', id, CASE WHEN id % 10 = 0 THEN ' v2' "
+        "ELSE '' END) AS text")
+    diff = snapshot_diff(old, new, "doc_id", "text")
+    df = merge_apply(old, new, diff, "doc_id")
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 2, final[:800]
+
+
 # ---------------------------------------------------------------------------
 # BPE pretokenization (functions/text.py BPE_SPLIT_REGEX)
 # ---------------------------------------------------------------------------

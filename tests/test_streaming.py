@@ -1740,3 +1740,78 @@ def test_streaming_sequence_pack_multi_chunk_group(spark, tmp_path):
         for r in sequence_pack(batch, "doc_id", "text", 16, "source").collect()
     }
     assert got == want and len(got) == 20
+
+
+def test_streaming_cdc_merge_is_partition_scoped_and_lww(spark, tmp_path):
+    """Streaming face of the versioned-corpus MERGE: CDC events
+    (upsert/delete + seq) stream through cdc_merge_foreach_batch into a
+    hive-partitioned corpus table. Pins: last-write-wins per id within
+    a batch with ties broken toward delete; later batches overwrite
+    earlier ones; an all-deleted partition's directory disappears; and
+    a partition no event ever touches keeps byte-identical files across
+    all three micro-batches."""
+    import pandas as pd
+
+    from flink_examples_spark.streaming.sinks import cdc_merge_foreach_batch
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"doc {i}", f"s{i % 4}") for i in range(40)],
+        "doc_id long, text string, source string",
+    ).write.partitionBy("source").parquet(path)
+
+    s3_ids = [i for i in range(40) if i % 4 == 3]
+    chunks = [
+        # batch 0: edit+add in s1, one s3 delete, and a same-seq
+        # upsert/delete tie on doc 5 (delete must win)
+        [(1, "doc 1 EDITED", "s1", 1, "upsert"),
+         (101, "brand new", "s1", 1, "upsert"),
+         (s3_ids[0], None, "s3", 1, "delete"),
+         (5, "doc 5 EDITED", "s1", 1, "upsert"),
+         (5, None, "s1", 1, "delete")],
+        # batch 1: delete the rest of s3; resurrect doc 5
+        [(i, None, "s3", 2, "delete") for i in s3_ids[1:]]
+        + [(5, "doc 5 BACK", "s1", 2, "upsert")],
+        # batch 2: edit one s2 doc
+        [(2, "doc 2 EDITED", "s2", 3, "upsert")],
+    ]
+    d = str(tmp_path / "cdc")
+    os.makedirs(d)
+    now = time.time() - 10
+    for i, rows in enumerate(chunks):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "source", "seq", "op"]
+        )
+        f = os.path.join(d, f"{i:03d}.parquet")
+        pdf.to_parquet(f, index=False)
+        os.utime(f, (now + i, now + i))
+
+    def s0_listing():
+        p = os.path.join(path, "source=s0")
+        return sorted(
+            (f, os.path.getsize(os.path.join(p, f)),
+             os.path.getmtime(os.path.join(p, f)))
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    before_s0 = s0_listing()
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    q = (
+        src.writeStream.foreachBatch(
+            cdc_merge_foreach_batch(path, "doc_id", "source", "seq")
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r.doc_id: (r.text, r.source)
+           for r in spark.read.parquet(path).collect()}
+    expected = {i: (f"doc {i}", f"s{i % 4}")
+                for i in range(40) if i % 4 != 3 and i not in (1, 2, 5)}
+    expected.update({1: ("doc 1 EDITED", "s1"), 101: ("brand new", "s1"),
+                     5: ("doc 5 BACK", "s1"), 2: ("doc 2 EDITED", "s2")})
+    assert got == expected
+    assert not os.path.isdir(os.path.join(path, "source=s3"))
+    assert s0_listing() == before_s0
