@@ -157,6 +157,13 @@ def merge_apply_partitioned(
     corpus). Production tables with transactional formats (Delta/
     Iceberg) replace the checkpoint+overwrite tail with a commit; the
     read-prune + broadcast-merge head is identical.
+
+    ``delta``'s partition values must match the hive-read's INFERRED
+    partition-column type (string partition values stay strings;
+    all-numeric values infer numeric unless
+    ``spark.sql.sources.partitionColumnTypeInference.enabled`` is
+    false) — a type mismatch would fail the unionByName loudly, never
+    merge wrong.
     """
     affected = [
         r[0]

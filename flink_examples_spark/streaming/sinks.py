@@ -384,6 +384,15 @@ def cdc_merge_foreach_batch(
     and the event schema must be the table schema plus ``seq_col`` and
     ``op_col``; the delete leg needs ``partition_col`` populated so the
     tombstone can find its partition.
+
+    Contract: ``partition_col`` is immutable per id (corpus tables
+    partition by source/ingest-date, which never changes for a doc id).
+    An event stream that MOVES an id across partitions must encode the
+    move as delete-in-old-partition + upsert-in-new-partition — a bare
+    upsert carries only the new partition, so the merge would never
+    visit the old one and the stale row would survive there. Ties on
+    (id, seq) between two upserts are resolved arbitrarily; real CDC
+    feeds carry a unique seq per id.
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
