@@ -16,6 +16,8 @@ test_snapshot_diff_on_bucketed_snapshots_is_exchange_free.
 from __future__ import annotations
 
 import os
+import shutil
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -158,12 +160,17 @@ def merge_apply_partitioned(
     Iceberg) replace the checkpoint+overwrite tail with a commit; the
     read-prune + broadcast-merge head is identical.
 
-    ``delta``'s partition values must match the hive-read's INFERRED
-    partition-column type (string partition values stay strings;
-    all-numeric values infer numeric unless
-    ``spark.sql.sources.partitionColumnTypeInference.enabled`` is
-    false) — a type mismatch would fail the unionByName loudly, never
-    merge wrong.
+    Contracts enforced loudly, never merged wrong: the partition column
+    must be STRING-typed in ``new``/``delta`` (the hive read runs with
+    partitionColumnTypeInference off — the compact_partitioned_table
+    identity pattern — so stored values round-trip as the literal
+    directory strings; shard=01 stays '01', never re-types to int 1 and
+    silently forks a shard=1 directory), and partition values must be
+    non-NULL (``isin`` would silently match nothing for NULL — reject
+    it; assign a sentinel upstream, the operators/sampling.py
+    ``_null_safe`` pattern). A table whose every partition was removed
+    by a previous merge (then crashed before the checkpoint committed)
+    reads back as empty rather than failing the replay.
     """
     affected = [
         r[0]
@@ -172,38 +179,64 @@ def merge_apply_partitioned(
         .distinct()
         .collect()
     ]
+    if any(v is None for v in affected):
+        raise ValueError(
+            f"merge_apply_partitioned: NULL {partition_col!r} value in "
+            "delta — partition values must be non-NULL (assign a "
+            "sentinel upstream)"
+        )
     if not affected:
         return []
-    old = (
-        spark.read.format(fmt)
-        .load(table_path)
-        .filter(F.col(partition_col).isin(affected))
-    )
-    merged = merge_apply(
-        old,
-        new.filter(F.col(partition_col).isin(affected)),
-        delta.filter(F.col(partition_col).isin(affected)),
-        id_col,
-    ).localCheckpoint()
-    (
-        merged.write.mode("overwrite")
-        .format(fmt)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .save(table_path)
-    )
+    # Partition values must round-trip as literal directory strings
+    # (see docstring); scope the conf change and restore it.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        try:
+            old = (
+                spark.read.format(fmt)
+                .load(table_path)
+                .filter(F.col(partition_col).isin(affected))
+            )
+        except Exception as e:  # empty table: every partition removed
+            if "infer schema" not in str(e).lower():
+                raise
+            old = spark.createDataFrame([], new.schema)
+        merged = merge_apply(
+            old,
+            new.filter(F.col(partition_col).isin(affected)),
+            delta.filter(F.col(partition_col).isin(affected)),
+            id_col,
+        ).localCheckpoint()
+        (
+            merged.write.mode("overwrite")
+            .format(fmt)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .save(table_path)
+        )
+    finally:
+        spark.conf.set(infer_key, prev)
     # Dynamic overwrite replaces only partitions it writes rows into —
     # a partition whose documents were ALL removed writes nothing and
     # its stale directory would survive. Drop those explicitly (local
     # filesystem here; a transactional table format commits the delete).
+    # Spark hive-escapes special characters in directory names
+    # (source=a:b -> source=a%3Ab), so compare by UNESCAPING the listed
+    # directory names instead of constructing escaped paths by hand.
     present = {
         r[0] for r in merged.select(partition_col).distinct().collect()
     }
-    for value in affected:
-        if value not in present:
-            import shutil
-
-            d = os.path.join(table_path, f"{partition_col}={value}")
-            if os.path.isdir(d):
+    emptied = {str(v) for v in set(affected) - present}
+    if emptied:
+        prefix = f"{partition_col}="
+        for name in os.listdir(table_path):
+            d = os.path.join(table_path, name)
+            if (
+                name.startswith(prefix)
+                and os.path.isdir(d)
+                and unquote(name[len(prefix):]) in emptied
+            ):
                 shutil.rmtree(d)
     return affected

@@ -361,6 +361,7 @@ def cdc_merge_foreach_batch(
     seq_col: str,
     op_col: str = "op",
     fmt: str = "parquet",
+    guard_seq: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` CDC apply: merge a stream of change events
     (``op`` ∈ {'upsert', 'delete'}) into a hive-partitioned corpus
@@ -390,9 +391,22 @@ def cdc_merge_foreach_batch(
     An event stream that MOVES an id across partitions must encode the
     move as delete-in-old-partition + upsert-in-new-partition — a bare
     upsert carries only the new partition, so the merge would never
-    visit the old one and the stale row would survive there. Ties on
-    (id, seq) between two upserts are resolved arbitrarily; real CDC
-    feeds carry a unique seq per id.
+    visit the old one and the stale row would survive there. LWW
+    resolution runs per (id, partition) so both legs of such a move
+    survive within one batch. Ties on (id, partition, seq) between two
+    upserts are resolved arbitrarily; real CDC feeds carry a unique seq
+    per id.
+
+    Ordering across batches: by default LWW holds only WITHIN a
+    micro-batch — seq is dropped at write, so a later batch delivering
+    a late lower-seq event would regress newer data. With
+    ``guard_seq=True`` the table carries ``seq_col`` and each batch
+    drops events whose seq is below the stored row's (the
+    ``source.seq >= target.seq`` MERGE guard): out-of-order delivery
+    across batches becomes a no-op, and replays (same seq) still pass.
+    The guard reads only the batch's partitions and anchors the stored
+    side with a broadcast semi-join on the event ids — delta-sized,
+    never a corpus shuffle.
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -403,7 +417,7 @@ def cdc_merge_foreach_batch(
         )
 
         spark = batch_df.sparkSession
-        w = Window.partitionBy(id_col).orderBy(
+        w = Window.partitionBy(id_col, partition_col).orderBy(
             F.col(seq_col).desc(),
             F.when(F.col(op_col) == "delete", 0).otherwise(1),
         )
@@ -411,7 +425,15 @@ def cdc_merge_foreach_batch(
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            # consumed by the affected-partition collect, both merge
+            # legs, and the guard join — materialize the window once
+            .localCheckpoint()
         )
+        if guard_seq:
+            latest = _drop_stale_events(
+                spark, latest, table_path, id_col, partition_col,
+                seq_col, fmt,
+            )
         delta = latest.select(
             id_col,
             partition_col,
@@ -419,11 +441,64 @@ def cdc_merge_foreach_batch(
             .otherwise("changed")
             .alias("verdict"),
         )
-        new = latest.filter(F.col(op_col) != "delete").drop(
-            op_col, seq_col
-        )
+        dropped = (op_col,) if guard_seq else (op_col, seq_col)
+        new = latest.filter(F.col(op_col) != "delete").drop(*dropped)
         merge_apply_partitioned(
             spark, table_path, new, delta, id_col, partition_col, fmt
         )
 
     return apply
+
+
+def _drop_stale_events(
+    spark,
+    latest: DataFrame,
+    table_path: str,
+    id_col: str,
+    partition_col: str,
+    seq_col: str,
+    fmt: str,
+) -> DataFrame:
+    """Filter a deduplicated CDC event set down to events at least as
+    new as the stored row (``event.seq >= stored.seq``; absent rows
+    always pass, so inserts and replays survive). Scale shape: the
+    stored read is partition-pruned to the batch's partitions and
+    anchored by a BROADCAST semi-join on the event keys before the
+    (also broadcast) seq lookup — both joins build from the delta."""
+    parts = [
+        r[0] for r in latest.select(partition_col).distinct().collect()
+    ]
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        stored = (
+            spark.read.format(fmt)
+            .load(table_path)
+            .filter(F.col(partition_col).isin(parts))
+            .select(
+                id_col, partition_col,
+                F.col(seq_col).alias("_stored_seq"),
+            )
+        )
+        anchored = stored.join(
+            F.broadcast(latest.select(id_col, partition_col)),
+            [id_col, partition_col],
+            "left_semi",
+        )
+        return (
+            latest.join(
+                F.broadcast(anchored), [id_col, partition_col], "left"
+            )
+            .filter(
+                F.col("_stored_seq").isNull()
+                | (F.col(seq_col) >= F.col("_stored_seq"))
+            )
+            .drop("_stored_seq")
+        )
+    except Exception as e:  # all partitions removed earlier: no guard
+        if "infer schema" not in str(e).lower():
+            raise
+        return latest
+    finally:
+        spark.conf.set(infer_key, prev)

@@ -301,3 +301,64 @@ def test_merge_apply_partitioned_rewrites_only_affected_partitions(
     got = {(r.doc_id, r.text, r.source)
            for r in spark.read.parquet(path).collect()}
     assert got == {(r.doc_id, r.text, r.source) for r in new.collect()}
+
+
+def test_merge_apply_partitioned_rejects_null_and_unescapes_dirs(
+    spark, tmp_path
+):
+    """NULL partition values fail loudly (isin would silently match
+    nothing); an all-removed partition whose value needs hive escaping
+    ('a:b' -> 'a%3Ab') is still found and dropped; a table whose every
+    partition was removed reads back as empty on the next merge call
+    instead of failing the replay."""
+    import os
+
+    import pytest
+
+    from flink_examples_spark.operators.diff import merge_apply_partitioned
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "x", "a:b"), (2, "y", "ok")],
+        "doc_id long, text string, source string",
+    ).write.partitionBy("source").parquet(path)
+    empty_new = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+
+    with pytest.raises(ValueError, match="NULL"):
+        merge_apply_partitioned(
+            spark, path,
+            empty_new,
+            spark.createDataFrame([(1, None, "removed")],
+                                  "doc_id long, source string, verdict string"),
+            "doc_id", "source",
+        )
+
+    # remove ALL docs in the escaped partition, then all docs anywhere
+    merge_apply_partitioned(
+        spark, path, empty_new,
+        spark.createDataFrame([(1, "a:b", "removed")],
+                              "doc_id long, source string, verdict string"),
+        "doc_id", "source",
+    )
+    assert not any("a" in d for d in os.listdir(path) if "=" in d)
+    merge_apply_partitioned(
+        spark, path, empty_new,
+        spark.createDataFrame([(2, "ok", "removed")],
+                              "doc_id long, source string, verdict string"),
+        "doc_id", "source",
+    )
+    # table now has zero partitions; a replayed merge must not crash
+    # and an upsert must rebuild the table
+    affected = merge_apply_partitioned(
+        spark, path,
+        spark.createDataFrame([(3, "z", "ok")],
+                              "doc_id long, text string, source string"),
+        spark.createDataFrame([(3, "ok", "changed")],
+                              "doc_id long, source string, verdict string"),
+        "doc_id", "source",
+    )
+    assert affected == ["ok"]
+    assert [(r.doc_id, r.text, r.source)
+            for r in spark.read.parquet(path).collect()] == [(3, "z", "ok")]

@@ -1815,3 +1815,67 @@ def test_streaming_cdc_merge_is_partition_scoped_and_lww(spark, tmp_path):
     assert got == expected
     assert not os.path.isdir(os.path.join(path, "source=s3"))
     assert s0_listing() == before_s0
+
+
+def test_streaming_cdc_merge_cross_partition_move_and_seq_guard(
+    spark, tmp_path
+):
+    """Two contracts beyond the basic CDC test: (1) a cross-partition
+    move encoded as delete-in-old + upsert-in-new survives LWW when
+    both legs share one micro-batch (resolution is per (id, partition),
+    not per id); (2) with guard_seq=True the table carries seq and a
+    later batch's LOWER-seq events (late upsert, late delete) are
+    no-ops while a higher-seq delete still applies."""
+    import pandas as pd
+
+    from flink_examples_spark.streaming.sinks import cdc_merge_foreach_batch
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "one", "s0", 5), (2, "two", "s0", 5), (3, "three", "s0", 5),
+         (7, "seven", "s1", 5)],
+        "doc_id long, text string, source string, seq long",
+    ).write.partitionBy("source").parquet(path)
+
+    chunks = [
+        # batch 0: move doc 7 from s1 to s2 (delete + upsert, one batch)
+        # and a fresh upsert of doc 1
+        [(7, None, "s1", 10, "delete"),
+         (7, "seven moved", "s2", 11, "upsert"),
+         (1, "one v10", "s0", 10, "upsert")],
+        # batch 1: all LATE (below stored seq) except the doc-3 delete
+        [(1, "one STALE", "s0", 9, "upsert"),   # stale upsert: no-op
+         (2, None, "s0", 4, "delete"),          # stale delete: no-op
+         (3, None, "s0", 99, "delete")],        # fresh delete: applies
+    ]
+    d = str(tmp_path / "cdc")
+    os.makedirs(d)
+    now = time.time() - 10
+    for i, rows in enumerate(chunks):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "source", "seq", "op"]
+        )
+        f = os.path.join(d, f"{i:03d}.parquet")
+        pdf.to_parquet(f, index=False)
+        os.utime(f, (now + i, now + i))
+
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    q = (
+        src.writeStream.foreachBatch(
+            cdc_merge_foreach_batch(path, "doc_id", "source", "seq",
+                                    guard_seq=True)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r.doc_id: (r.text, r.source, r.seq)
+           for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("one v10", "s0", 10),       # batch-1 stale upsert ignored
+        2: ("two", "s0", 5),            # stale delete ignored
+        7: ("seven moved", "s2", 11),   # move: s1 leg deleted, s2 added
+    }
+    assert not os.path.isdir(os.path.join(path, "source=s1"))
