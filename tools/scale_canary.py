@@ -35,6 +35,13 @@ Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
     nb_token_evidence      0.5s    0.5s    0.6s   0.13   1.00
     asof_join              0.3s    0.3s    0.3s  -0.03   1.00
     funnel_stage_counts    0.3s    0.4s    0.3s   0.05   n/a (3 rows)
+    merge_apply_partnd     1.2s    0.9s    1.0s  -0.11   n/a (delta 313)
+
+The merge row is the partition-scoped MERGE (2026-08-14): the staged
+corpus quadruples (shard count grows, constant rows per shard) while
+the delta stays fixed at one shard — directory-pruned read + dynamic
+overwrite keep the merge cost delta-proportional, so the curve is
+flat.
 
 The events-based ops (as-of join, funnel) double with DISJOINT user
 populations per copy (user_id offset), so per-key structure — and the
@@ -220,6 +227,67 @@ def main() -> None:
         # the invariant that must hold: candidates stay FAR below n²
         # (all-pairs at 4x would be ~2e8 for docs / 3.2e7 for vectors)
         assert rows[2] < sizes[2] ** 2 / 1000, (name, rows[2], sizes[2])
+
+    # --- partition-scoped merge: cost must track the DELTA, not the
+    # corpus. Stage the doubled corpus as a hive-partitioned table
+    # whose shard COUNT grows with scale (constant rows per shard —
+    # how a date/source-partitioned corpus actually grows), apply a
+    # fixed one-shard delta, and time merge_apply_partitioned: the
+    # read is directory-pruned to the affected shard and the write is
+    # dynamic-overwrite of that shard only, so the curve stays flat
+    # while the corpus quadruples.
+    import shutil
+    import tempfile
+
+    from flink_examples_spark.operators.diff import merge_apply_partitioned
+
+    staging = tempfile.mkdtemp(prefix="merge_canary_")
+    times, sizes = [], []
+    try:
+        for k in (1, 2, 4):
+            d = doubled(docs1, "doc_id", k)
+            n_shards = 16 * k
+            path = os.path.join(staging, f"corpus_{k}")
+            d.withColumn(
+                "shard", F.pmod(F.col("doc_id"), n_shards).cast("string")
+            ).write.partitionBy("shard").parquet(path)
+            zero = (
+                spark.read.parquet(path)
+                .filter(F.col("shard") == "0")
+                .select("doc_id", "text", "shard")
+                .localCheckpoint()
+            )
+            new = zero.filter(F.col("doc_id") % 2 == 0).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" v2"))
+            )
+            delta = zero.select(
+                "doc_id", "shard",
+                F.when(F.col("doc_id") % 2 == 0, "changed")
+                .otherwise("removed").alias("verdict"),
+            ).localCheckpoint()
+            n_in = d.count()
+            t0 = time.perf_counter()
+            merge_apply_partitioned(
+                spark, path, new, delta, "doc_id", "shard"
+            )
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            sizes.append(n_in)
+            print(json.dumps({
+                "op": "merge_apply_partitioned", "scale": k,
+                "input_rows": n_in, "delta_rows": delta.count(),
+                "sec": round(dt, 2),
+            }))
+        import math
+
+        summary["merge_apply_partitioned"] = {
+            "time_growth_exponent": round(
+                math.log2(times[2] / times[0]) / 2, 2
+            ),
+            "rows_growth_exponent": None,
+        }
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
     print(json.dumps({"summary": summary}))
     spark.stop()
