@@ -921,6 +921,48 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RX_SQL}')))
+               AS BIGINT) AS bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RX_SQL}')))
+               * 1000000 // NULLIF(CAST(SUM(length(text)) AS BIGINT), 0)
+               AS BIGINT) AS fertility_ppm
+    FROM documents GROUP BY lang
+    """,
+    doc="Tokenizer fertility census per LANGUAGE: BPE pretokens per "
+        "character in parts-per-million (integer floor-division — "
+        "engine-exact, no float ratio) alongside the raw char/token "
+        "sums. The tokenizer-equity signal a multilingual pipeline "
+        "checks before fixing a vocabulary: languages whose fertility "
+        "is far above the corpus norm pay more sequence budget per "
+        "character. Pure codegen + one map-side-combined aggregation.",
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(token_count("text")).alias("ws_tokens"),
+        F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+    )
+    return agg.withColumn(
+        "fertility_ppm",
+        F.expr("(bpe_tokens * 1000000) div nullif(n_chars, 0)"),
+    )
+
+
+@register(
     "vocab_top100",
     oracle="""
     WITH toks AS (
