@@ -14,12 +14,22 @@ go" on a box with ±20% noise), `spread` reports (max-min)/min per query
 so noisy queries are visible, and `movers` flags queries whose min moved
 >1.3x in either direction against the committed BENCH_r*.json with the
 highest round number — regressions self-report round-over-round.
+
+Output survives the round driver's tail capture (last ~2000 chars of
+stdout): the FULL result line puts `queries` last so a front-truncated
+tail still ends with per-query timings, and a final COMPACT line
+({"metric","value","unit","sf","reps","movers","shape":"compact"})
+always fits inside the tail so the driver's `parsed` field is never
+null. The full result is also written to BENCH_local_r{N}.json in the
+repo (committed per round) so the next round's movers compare against
+complete data even if the driver artifact is truncated.
 """
 
 from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import re
 import sys
@@ -27,44 +37,131 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from flink_examples_spark.queries import registry
-from flink_examples_spark.session import get_spark
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def _previous_round_timings() -> dict[str, float]:
-    """Per-query seconds from the highest-numbered committed BENCH_r*.json.
-
-    Two shapes exist: this script's own JSON line (has a top-level
-    `queries` dict) and the round driver's wrapper, which embeds the
-    stdout tail — possibly truncated at the FRONT — as a `tail` string.
-    For the wrapper, recover the `"queries": {...}` object from the
-    tail text; a tail cut mid-object yields no timings rather than bad
-    ones."""
-    here = os.path.dirname(os.path.abspath(__file__))
+def _latest_round(pattern: str) -> tuple[int, str | None]:
+    """Highest round number + path among files matching ``pattern``
+    (a glob with a BENCH_*r(\\d+).json shape)."""
     best, best_n = None, -1
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
+    for path in glob.glob(os.path.join(_HERE, pattern)):
+        m = re.search(r"r(\d+)\.json$", path)
         if m and int(m.group(1)) > best_n:
             best, best_n = path, int(m.group(1))
-    if best is None:
-        return {}
+    return best_n, best
+
+
+def _timings_from_tail(tail: str) -> dict[str, float]:
+    """Recover per-query seconds from a FRONT-truncated stdout tail.
+
+    Three recoverable shapes:
+    - the `"queries": {...}` anchor survived the cut → parse pairs after
+      it (values are timings by construction);
+    - new format (compact last line carries `"shape": "compact"`, full
+      line puts `queries` LAST) → a tail cut mid-dict is mid-QUERIES, so
+      anchor-free simple pairs on the first line are timings;
+    - any format → the `movers` dict's `"now"` values are timings for
+      the handful of flagged queries.
+
+    Old-format tails cut mid-`spread` (ratios, not seconds) yield only
+    the movers subset — never misread spread ratios as timings.
+    """
+    out: dict[str, float] = {}
+    # movers "now" values are always safe to take
+    for m in re.finditer(
+        r'"([A-Za-z0-9_]+)"\s*:\s*\{\s*"prev"\s*:\s*[0-9.]+\s*,'
+        r'\s*"now"\s*:\s*([0-9.]+)', tail
+    ):
+        out[m.group(1)] = float(m.group(2))
+    anchor = tail.find('"queries"')
+    if anchor >= 0:
+        seg = tail[anchor:]
+        seg = seg[: seg.find("}") + 1 if "}" in seg else len(seg)]
+        for m in re.finditer(r'"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)', seg):
+            if m.group(1) != "queries":
+                out[m.group(1)] = float(m.group(2))
+    elif '"shape": "compact"' in tail:
+        # new format: first line's surviving fragment is mid-queries
+        first = tail.split("\n", 1)[0]
+        stop = first.find('"spread"')
+        if stop < 0:
+            stop = first.find('"movers"')
+        seg = first[: stop if stop >= 0 else len(first)]
+        # drop a leading half-cut pair (its name may be truncated)
+        comma = seg.find(",")
+        if comma >= 0 and not seg.lstrip().startswith('"'):
+            seg = seg[comma + 1:]
+        for m in re.finditer(r'"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)(?=\s*[,}])', seg):
+            out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def _same_sf(doc: dict, sf: str | None) -> bool:
+    """True when the artifact's scale factor matches this run's (or no
+    sf to compare) — cross-sf movers are meaningless."""
+    if sf is None or "sf" not in doc:
+        return True
     try:
-        with open(best) as f:
+        return abs(float(doc["sf"]) - float(sf)) < 1e-9
+    except (TypeError, ValueError):
+        return True
+
+
+def _previous_round_timings(sf: str | None = None) -> dict[str, float]:
+    """Per-query seconds from the previous round's committed artifacts.
+
+    Prefers this script's own full BENCH_local_r{N}.json (complete, never
+    truncated) at the round of the newest driver BENCH_r{N}.json; falls
+    back to the driver file itself — its `parsed` dict when non-null,
+    else whatever the truncated `tail` yields. Artifacts from a different
+    scale factor are skipped (movers must compare like with like).
+    """
+    driver_n, driver_path = _latest_round("BENCH_r*.json")
+    if driver_path is None:
+        return {}
+    local_path = os.path.join(_HERE, f"BENCH_local_r{driver_n:02d}.json")
+    if os.path.exists(local_path):
+        try:
+            with open(local_path) as f:
+                doc = json.load(f)
+            if _same_sf(doc, sf) and isinstance(doc.get("queries"), dict):
+                return {k: float(v) for k, v in doc["queries"].items()}
+        except (OSError, json.JSONDecodeError, TypeError, ValueError):
+            pass
+    try:
+        with open(driver_path) as f:
             doc = json.load(f)
-        if isinstance(doc.get("queries"), dict):
-            return dict(doc["queries"])
-        tail = doc.get("tail", "")
-        m = re.search(r'"queries"\s*:\s*(\{[^{}]*\})', tail)
-        if m:
-            return dict(json.loads(m.group(1)))
-    except (OSError, json.JSONDecodeError, AttributeError):
-        pass
-    return {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if not _same_sf(doc, sf):
+        return {}
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return {k: float(v) for k, v in parsed["queries"].items()}
+    if isinstance(doc.get("queries"), dict):  # bare self-shaped artifact
+        return {k: float(v) for k, v in doc["queries"].items()}
+    return _timings_from_tail(doc.get("tail", "") or "")
+
+
+def _compute_movers(
+    timings: dict[str, float], prev: dict[str, float]
+) -> dict[str, dict[str, float]]:
+    return {
+        name: {"prev": prev[name], "now": t,
+               "ratio": round(t / prev[name], 3)}
+        for name, t in timings.items()
+        if name in prev and prev[name] > 0
+        and (t / prev[name] > 1.3 or t / prev[name] < 1 / 1.3)
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from flink_examples_spark.queries import registry
+    from flink_examples_spark.session import get_spark
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -94,44 +191,79 @@ def main() -> None:
     # few queries, so a single rep can't distinguish a real regression
     # from jitter; the min is the stable "how fast can this plan go".
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    names = sorted(registry().keys())
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in wanted]
+    reg = registry()
     runs: dict[str, list[float]] = {}
     for _ in range(reps):
-        for name, q in sorted(registry().items()):
+        for name in names:
+            q = reg[name]
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             # force full materialization (not just count pushdown)
             n = df.collect()
-            runs.setdefault(name, []).append(
-                round(time.perf_counter() - t0, 4)
-            )
+            runs.setdefault(name, []).append(time.perf_counter() - t0)
             del n
 
-    timings = {name: min(ts) for name, ts in runs.items()}
+    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
     spread = {
         name: round((max(ts) - min(ts)) / min(ts), 3) if min(ts) > 0 else 0.0
         for name, ts in runs.items()
     }
-    prev = _previous_round_timings()
-    movers = {
-        name: {"prev": prev[name], "now": t,
-               "ratio": round(t / prev[name], 3)}
-        for name, t in timings.items()
-        if name in prev and prev[name] > 0
-        and (t / prev[name] > 1.3 or t / prev[name] < 1 / 1.3)
-    }
+    prev = _previous_round_timings(sf)
+    movers = _compute_movers(timings, prev)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "prev_queries_recovered": len(prev),
+        "spread": spread,
+        "movers": movers,
+        # queries LAST: a front-truncated tail still ends with timings
+        "queries": timings,
+    }
+    print(json.dumps(full))
+
+    # persist the full result so next round's movers never depend on the
+    # driver's truncated tail (skip for filtered sub-benchmark runs)
+    if not only:
+        driver_n, _ = _latest_round("BENCH_r*.json")
+        this_round = max(driver_n + 1, 1)
+        local = os.path.join(_HERE, f"BENCH_local_r{this_round:02d}.json")
+        try:
+            with open(local, "w") as f:
+                json.dump(full, f)
+                f.write("\n")
+        except OSError:
+            pass
+
+    # compact FINAL line: always inside the driver's 2000-char tail so
+    # `parsed` is never null; movers capped so the line stays short
+    top_movers = dict(
+        sorted(
+            movers.items(),
+            key=lambda kv: abs(math.log(kv[1]["ratio"])) if kv[1]["ratio"] > 0 else 0,
+            reverse=True,
+        )[:12]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "movers": movers,
                 "sf": sf,
                 "reps": reps,
+                "n_queries": len(timings),
+                "movers": top_movers,
+                "shape": "compact",
             }
         )
     )
