@@ -19,9 +19,28 @@ import os
 import shutil
 from urllib.parse import unquote
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
 
 from flink_examples_spark.functions.text import fingerprint_md5
+
+
+def is_unable_to_infer_schema(e: Exception) -> bool:
+    """True when ``e`` is Spark's UNABLE_TO_INFER_SCHEMA analysis error
+    (the 'empty table directory' signal). Matched by errorClass, not
+    message text — messages vary across Spark versions/formats/locales
+    (ADVICE r3)."""
+    if not isinstance(e, AnalysisException):
+        return False
+    for attr in ("getCondition", "getErrorClass"):
+        getter = getattr(e, attr, None)
+        if getter is not None:
+            try:
+                return getter() == "UNABLE_TO_INFER_SCHEMA"
+            except Exception:
+                continue
+    return False
 
 _UPSERT = ("added", "changed")
 _RETIRE = ("removed", "changed")
@@ -150,7 +169,10 @@ def merge_apply_partitioned(
     PartitionFilters in the plan), the merge itself is the broadcast
     anti/semi shape of :func:`merge_apply`, and the write uses DYNAMIC
     partition overwrite so untouched partition directories are never
-    listed, read, or replaced.
+    read or rewritten. (Partition DISCOVERY still lists every directory
+    once on the driver before the isin filter prunes — O(total
+    partitions) metadata, O(affected) data; a transactional format's
+    manifest removes the listing too.)
 
     Two driver-side bounds, both partition-cardinality-sized (never
     row-sized): the affected-value collect, and an eager
@@ -172,6 +194,16 @@ def merge_apply_partitioned(
     by a previous merge (then crashed before the checkpoint committed)
     reads back as empty rather than failing the replay.
     """
+    for side, df in (("new", new), ("delta", delta)):
+        dt = df.schema[partition_col].dataType
+        if not isinstance(dt, StringType):
+            raise TypeError(
+                f"merge_apply_partitioned: {side}.{partition_col} is "
+                f"{dt.simpleString()}, must be string — non-string "
+                "partition values re-type through the hive directory "
+                "round-trip (shard=01 forks a shard=1 directory); cast "
+                "to string upstream"
+            )
     affected = [
         r[0]
         for r in delta.filter(F.col("verdict") != "unchanged")
@@ -199,8 +231,8 @@ def merge_apply_partitioned(
                 .load(table_path)
                 .filter(F.col(partition_col).isin(affected))
             )
-        except Exception as e:  # empty table: every partition removed
-            if "infer schema" not in str(e).lower():
+        except AnalysisException as e:  # empty table: all partitions removed
+            if not is_unable_to_infer_schema(e):
                 raise
             old = spark.createDataFrame([], new.schema)
         merged = merge_apply(

@@ -407,6 +407,24 @@ def cdc_merge_foreach_batch(
     The guard reads only the batch's partitions and anchors the stored
     side with a broadcast semi-join on the event ids — delta-sized,
     never a corpus shuffle.
+
+    Deletes are guarded by TOMBSTONES: removing a row also removes its
+    stored seq, so without a tombstone a later batch's lower-seq upsert
+    would find no stored row and resurrect the deleted doc with stale
+    data. Applied deletes are therefore retained in a
+    ``<table>/_tombstones`` sidecar log (underscore-prefixed, invisible
+    to table reads; hive-partitioned by ``partition_col`` and batch id
+    so replays overwrite their own subdir idempotently), and the guard
+    additionally drops any event whose seq does not EXCEED the id's max
+    tombstone seq — a tie goes to the delete, the same conservative
+    rule as in-batch LWW. A later genuinely-newer upsert (seq above the
+    tombstone) still passes and legitimately re-creates the doc.
+    Tombstones are written AFTER the merge: a crash between the two
+    replays the delete (idempotent), never skips it. Scale shape: the
+    log is delete-history-sized, read partition-pruned and
+    broadcast-anchored on the batch's ids; periodic compaction (keep
+    max seq per id) bounds it, and a transactional format's MERGE
+    guard subsumes it entirely.
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -432,8 +450,8 @@ def cdc_merge_foreach_batch(
         if guard_seq:
             latest = _drop_stale_events(
                 spark, latest, table_path, id_col, partition_col,
-                seq_col, fmt,
-            )
+                seq_col, op_col, fmt,
+            ).localCheckpoint()
         delta = latest.select(
             id_col,
             partition_col,
@@ -446,8 +464,30 @@ def cdc_merge_foreach_batch(
         merge_apply_partitioned(
             spark, table_path, new, delta, id_col, partition_col, fmt
         )
+        if guard_seq:
+            # retain applied deletes so later lower-seq upserts can't
+            # resurrect them; written AFTER the merge so a crash between
+            # replays the delete instead of skipping it
+            tombs = latest.filter(F.col(op_col) == "delete").select(
+                id_col, partition_col, seq_col,
+                F.lit(str(batch_id)).alias("batch"),
+            )
+            if not tombs.isEmpty():
+                (
+                    tombs.write.mode("overwrite")
+                    .format(fmt)
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(partition_col, "batch")
+                    .save(_tombstone_root(table_path))
+                )
 
     return apply
+
+
+def _tombstone_root(table_path: str) -> str:
+    # underscore prefix: Spark's file listing treats the directory as
+    # hidden, so plain table reads never see tombstone rows
+    return os.path.join(table_path, "_tombstones")
 
 
 def _drop_stale_events(
@@ -457,48 +497,77 @@ def _drop_stale_events(
     id_col: str,
     partition_col: str,
     seq_col: str,
+    op_col: str,
     fmt: str,
 ) -> DataFrame:
     """Filter a deduplicated CDC event set down to events at least as
     new as the stored row (``event.seq >= stored.seq``; absent rows
-    always pass, so inserts and replays survive). Scale shape: the
-    stored read is partition-pruned to the batch's partitions and
-    anchored by a BROADCAST semi-join on the event keys before the
-    (also broadcast) seq lookup — both joins build from the delta."""
+    always pass, so inserts and replays survive) AND strictly newer
+    than the id's max tombstone seq (delete wins ties — see
+    :func:`cdc_merge_foreach_batch` on resurrection). Scale shape: the
+    stored and tombstone reads are partition-pruned to the batch's
+    partitions and anchored by BROADCAST semi-joins on the event keys
+    before the (also broadcast) seq lookups — every join builds from
+    the delta."""
+    from flink_examples_spark.operators.diff import (
+        is_unable_to_infer_schema,
+    )
+
     parts = [
         r[0] for r in latest.select(partition_col).distinct().collect()
     ]
+    keys = latest.select(id_col, partition_col)
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev = spark.conf.get(infer_key)
     spark.conf.set(infer_key, "false")
     try:
-        stored = (
-            spark.read.format(fmt)
-            .load(table_path)
-            .filter(F.col(partition_col).isin(parts))
-            .select(
-                id_col, partition_col,
-                F.col(seq_col).alias("_stored_seq"),
+        try:
+            stored = (
+                spark.read.format(fmt)
+                .load(table_path)
+                .filter(F.col(partition_col).isin(parts))
+                .select(
+                    id_col, partition_col,
+                    F.col(seq_col).alias("_stored_seq"),
+                )
             )
-        )
-        anchored = stored.join(
-            F.broadcast(latest.select(id_col, partition_col)),
-            [id_col, partition_col],
-            "left_semi",
-        )
-        return (
-            latest.join(
-                F.broadcast(anchored), [id_col, partition_col], "left"
+            anchored = stored.join(
+                F.broadcast(keys), [id_col, partition_col], "left_semi"
             )
-            .filter(
-                F.col("_stored_seq").isNull()
-                | (F.col(seq_col) >= F.col("_stored_seq"))
+            latest = (
+                latest.join(
+                    F.broadcast(anchored), [id_col, partition_col], "left"
+                )
+                .filter(
+                    F.col("_stored_seq").isNull()
+                    | (F.col(seq_col) >= F.col("_stored_seq"))
+                )
+                .drop("_stored_seq")
             )
-            .drop("_stored_seq")
-        )
-    except Exception as e:  # all partitions removed earlier: no guard
-        if "infer schema" not in str(e).lower():
-            raise
+        except Exception as e:  # all partitions removed: no stored rows
+            if not is_unable_to_infer_schema(e):
+                raise
+        tomb_root = _tombstone_root(table_path)
+        if os.path.isdir(tomb_root):
+            tombs = (
+                spark.read.format(fmt)
+                .load(tomb_root)
+                .filter(F.col(partition_col).isin(parts))
+                .join(F.broadcast(keys), [id_col, partition_col],
+                      "left_semi")
+                .groupBy(id_col, partition_col)
+                .agg(F.max(seq_col).alias("_tomb_seq"))
+            )
+            latest = (
+                latest.join(
+                    F.broadcast(tombs), [id_col, partition_col], "left"
+                )
+                .filter(
+                    F.col("_tomb_seq").isNull()
+                    | (F.col(seq_col) > F.col("_tomb_seq"))
+                )
+                .drop("_tomb_seq")
+            )
         return latest
     finally:
         spark.conf.set(infer_key, prev)

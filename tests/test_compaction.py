@@ -362,3 +362,45 @@ def test_merge_apply_partitioned_rejects_null_and_unescapes_dirs(
     assert affected == ["ok"]
     assert [(r.doc_id, r.text, r.source)
             for r in spark.read.parquet(path).collect()] == [(3, "z", "ok")]
+
+
+def test_merge_apply_partitioned_rejects_nonstring_partition_col(
+    spark, tmp_path
+):
+    """ADVICE r3: an int-typed partition column used to proceed
+    silently and fork directories (stored shard=01 vs merged shard=1).
+    The documented STRING contract is now enforced loudly on BOTH
+    inputs before anything is merged."""
+    import pytest
+
+    from flink_examples_spark.operators.diff import merge_apply_partitioned
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "one", "01")], "doc_id long, text string, shard string"
+    ).write.partitionBy("shard").parquet(path)
+
+    new_int = spark.createDataFrame(
+        [(1, "one EDITED", 1)], "doc_id long, text string, shard int"
+    )
+    delta_str = spark.createDataFrame(
+        [(1, "01", "changed")], "doc_id long, shard string, verdict string"
+    )
+    with pytest.raises(TypeError, match="must be string"):
+        merge_apply_partitioned(
+            spark, path, new_int, delta_str, "doc_id", "shard"
+        )
+
+    new_str = new_int.withColumn("shard", F.lit("01"))
+    delta_int = delta_str.withColumn("shard", F.lit(1))
+    with pytest.raises(TypeError, match="must be string"):
+        merge_apply_partitioned(
+            spark, path, new_str, delta_int, "doc_id", "shard"
+        )
+
+    # nothing merged, nothing forked: the table is untouched
+    import os as _os
+    assert sorted(
+        n for n in _os.listdir(path) if n.startswith("shard=")
+    ) == ["shard=01"]
+    assert spark.read.parquet(path).collect()[0].text == "one"

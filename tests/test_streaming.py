@@ -1879,3 +1879,128 @@ def test_streaming_cdc_merge_cross_partition_move_and_seq_guard(
         7: ("seven moved", "s2", 11),   # move: s1 leg deleted, s2 added
     }
     assert not os.path.isdir(os.path.join(path, "source=s1"))
+
+
+def test_cdc_seq_guard_tombstone_blocks_resurrection(spark, tmp_path):
+    """ADVICE r3 repro, pinned: delete (seq 10) then a LATER batch's
+    lower-seq upsert (seq 7) must stay deleted — the delete's tombstone
+    carries the seq the removed row can no longer hold. A genuinely
+    newer upsert (seq 11) still re-creates the doc, and table reads
+    never see the _tombstones sidecar as rows."""
+    from flink_examples_spark.streaming.sinks import cdc_merge_foreach_batch
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "one", "s0", 5)],
+        "doc_id long, text string, source string, seq long",
+    ).write.partitionBy("source").parquet(path)
+    apply = cdc_merge_foreach_batch(
+        path, "doc_id", "source", "seq", guard_seq=True
+    )
+    ev = "doc_id long, text string, source string, seq long, op string"
+    tbl = "doc_id long, text string, seq long, source string"
+
+    def count():  # schema-pinned read: the table can be empty
+        return spark.read.schema(tbl).parquet(path).count()
+
+    apply(spark.createDataFrame([(1, None, "s0", 10, "delete")], ev), 0)
+    assert count() == 0
+
+    # the hole: stale upsert after delete used to resurrect 'one STALE'
+    apply(spark.createDataFrame([(1, "one STALE", "s0", 7, "upsert")], ev), 1)
+    assert count() == 0
+
+    # tie goes to the delete (same rule as in-batch LWW)
+    apply(spark.createDataFrame([(1, "one TIE", "s0", 10, "upsert")], ev), 2)
+    assert count() == 0
+
+    # genuinely newer upsert legitimately re-creates the doc
+    apply(spark.createDataFrame([(1, "one v11", "s0", 11, "upsert")], ev), 3)
+    got = spark.read.schema(tbl).parquet(path).collect()
+    assert [(r.doc_id, r.text, r.seq) for r in got] == [(1, "one v11", 11)]
+
+
+def test_cdc_chaos_replay_matches_batch_merge(spark, tmp_path):
+    """Chaos drill (VERDICT r3 next-round #7): guard_seq=True under an
+    out-of-order, cross-batch, REPLAYED feed including a partition move
+    encoded as delete+upsert. The final table must equal the batch
+    merge_apply_partitioned of the same event set resolved globally
+    (per (id, partition) max-seq winner, delete wins ties) — streaming
+    apply order and replays must not be observable."""
+    from pyspark.sql import Window
+
+    from flink_examples_spark.operators.diff import merge_apply_partitioned
+    from flink_examples_spark.streaming.sinks import cdc_merge_foreach_batch
+
+    initial = [(i, f"doc {i}", f"s{i % 2}", 5) for i in range(1, 7)]
+    schema = "doc_id long, text string, source string, seq long"
+    cdc_path = str(tmp_path / "cdc_table")
+    spark.createDataFrame(initial, schema).write.partitionBy(
+        "source"
+    ).parquet(cdc_path)
+
+    ev = "doc_id long, text string, source string, seq long, op string"
+    batches = [
+        # batch 0: delete doc1; edit doc2; move doc3 s1->s0
+        [(1, None, "s1", 10, "delete"),
+         (2, "two v10", "s0", 10, "upsert"),
+         (3, None, "s1", 10, "delete"),
+         (3, "three moved", "s0", 11, "upsert")],
+        # batch 1 (late): stale resurrection attempt on doc1, stale
+        # edit on doc2, stale re-insert of doc3's old partition, and
+        # one genuinely fresh delete of doc4
+        [(1, "one STALE", "s1", 7, "upsert"),
+         (2, "two STALE", "s0", 8, "upsert"),
+         (3, "three STALE", "s1", 9, "upsert"),
+         (4, None, "s0", 9, "delete")],
+        # batch 2: legit resurrection of doc1 above its tombstone
+        [(1, "one REBORN", "s1", 12, "upsert")],
+    ]
+    apply = cdc_merge_foreach_batch(
+        cdc_path, "doc_id", "source", "seq", guard_seq=True
+    )
+    dfs = [spark.createDataFrame(rows, ev) for rows in batches]
+    apply(dfs[0], 0)
+    apply(dfs[0], 0)  # same-batch replay (checkpoint recovery)
+    apply(dfs[1], 1)
+    apply(dfs[2], 2)
+    apply(dfs[1], 1)  # out-of-order replay AFTER newer data landed
+
+    # batch twin: resolve the full event set globally, then one
+    # partition-scoped MERGE onto a fresh copy of the initial table
+    batch_path = str(tmp_path / "batch_table")
+    spark.createDataFrame(initial, schema).write.partitionBy(
+        "source"
+    ).parquet(batch_path)
+    events = spark.createDataFrame(
+        [r for rows in batches for r in rows], ev
+    )
+    w = Window.partitionBy("doc_id", "source").orderBy(
+        F.col("seq").desc(),
+        F.when(F.col("op") == "delete", 0).otherwise(1),
+    )
+    winners = (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    delta = winners.select(
+        "doc_id", "source",
+        F.when(F.col("op") == "delete", "removed")
+        .otherwise("changed").alias("verdict"),
+    )
+    new = winners.filter(F.col("op") != "delete").drop("op")
+    merge_apply_partitioned(
+        spark, batch_path, new, delta, "doc_id", "source"
+    )
+
+    def snap(p):
+        return {
+            (r.doc_id, r.text, r.source, r.seq)
+            for r in spark.read.parquet(p).collect()
+        }
+
+    want = snap(batch_path)
+    assert snap(cdc_path) == want
+    assert (1, "one REBORN", "s1", 12) in want
+    assert not any(d == 4 for d, _, _, _ in want)

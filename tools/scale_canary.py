@@ -251,10 +251,16 @@ def main() -> None:
             d.withColumn(
                 "shard", F.pmod(F.col("doc_id"), n_shards).cast("string")
             ).write.partitionBy("shard").parquet(path)
+            # hive type inference (session default ON) re-types shard
+            # to int on read; cast back so the canary honors the
+            # STRING-partition contract merge_apply_partitioned enforces
             zero = (
                 spark.read.parquet(path)
                 .filter(F.col("shard") == "0")
-                .select("doc_id", "text", "shard")
+                .select(
+                    "doc_id", "text",
+                    F.col("shard").cast("string").alias("shard"),
+                )
                 .localCheckpoint()
             )
             new = zero.filter(F.col("doc_id") % 2 == 0).withColumn(
