@@ -2533,6 +2533,111 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_real_image_decode",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'pnm' END AS fmt,
+               CAST(3 + doc_id % 4 AS INT) AS width,
+               CAST(3 + n_chars % 4 AS INT) AS height
+        FROM documents
+    )
+    SELECT doc_id AS media_id, fmt, width, height,
+           round(list_aggregate(
+               list_transform(
+                   string_split_regex(
+                       substring(repeat(text,
+                           CAST(ceil((width*height*3)*1.0/length(text)) AS INT)),
+                           1, width*height*3), ''),
+                   x -> ord(x)), 'avg'), 6) AS mean_px
+    FROM t
+    """,
+    doc="REAL container codecs end-to-end (VERDICT r3 next-round #3): "
+        "documents -> genuine 24-bit BMP (even ids) / binary P6 PPM "
+        "(odd ids) payloads -> pure-numpy parse (struct header walk, "
+        "row-padding/bottom-up handling, BGR->RGB) -> pixel stats. The "
+        "oracle recomputes the cycled-byte stats closed-form — valid "
+        "because both containers round-trip pixels exactly "
+        "(tests/test_multimodal.py pins parse(encode(px)) == px).",
+)
+def media_real_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.multimodal import (
+        decode_image_real,
+        encode_real_images,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    images = encode_real_images(
+        docs, "doc_id", "text",
+        width_expr="3 + doc_id % 4",
+        height_expr="3 + n_chars % 4",
+        fmt_expr="case when doc_id % 2 = 0 then 'bmp' else 'pnm' end",
+    )
+    return decode_image_real(images).select(
+        "media_id", "fmt", "width", "height", "mean_px"
+    )
+
+
+@register(
+    "media_real_audio_decode",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+               CAST(16 + n_chars % 16 AS INT) AS n_samples
+        FROM documents
+    ), s AS (
+        SELECT doc_id, sample_rate, n_samples,
+               list_transform(
+                   string_split_regex(
+                       substring(repeat(text,
+                           CAST(ceil(n_samples * 1.0 / length(text)) AS INT)),
+                           1, n_samples), ''),
+                   x -> ord(x)) AS samples
+        FROM t
+    )
+    SELECT doc_id AS media_id, 'wav' AS fmt, sample_rate, n_samples,
+           round(n_samples * 1000.0 / sample_rate, 6) AS duration_ms,
+           CAST(list_aggregate(samples, 'sum') AS BIGINT) AS sum_bytes,
+           CAST(list_aggregate(samples, 'max') AS INT) AS max_byte
+    FROM s
+    """,
+    doc="REAL RIFF PCM WAV end-to-end: documents -> genuine 8-bit WAV "
+        "containers (data bytes = cycled text bytes) -> pure-numpy "
+        "chunk-walk parse -> normalized sample stats, de-normalized "
+        "back to the byte domain. The mean comes back as the exact "
+        "INTEGER byte sum: mean_amp is rounded to 6dp inside the "
+        "operator, but with n_samples <= 31 the de-normalization error "
+        "(<= 5e-7*128*31 ~ 0.002) stays far below 0.5, so one integer "
+        "round recovers the true sum bit-exactly — float-rounding-"
+        "convention-proof across engines. max de-normalizes exactly "
+        "((b-128)/128 * 128 + 128 is exact fp for u8).",
+)
+def media_real_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.multimodal import (
+        decode_audio_real,
+        encode_real_audio,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    clips = encode_real_audio(
+        docs, "doc_id", "text",
+        sample_rate_expr="8000 + (doc_id % 3) * 4000",
+        n_samples_expr="16 + n_chars % 16",
+    )
+    return decode_audio_real(clips).select(
+        "media_id", "fmt", "sample_rate", "n_samples",
+        F.round(F.col("n_samples") * 1000.0 / F.col("sample_rate"), 6)
+         .alias("duration_ms"),
+        F.round(
+            (F.col("mean_amp") * 128.0 + 128.0) * F.col("n_samples")
+        ).cast("long").alias("sum_bytes"),
+        F.round(F.col("max_amp") * 128.0 + 128.0).cast("int")
+         .alias("max_byte"),
+    )
+
+
+@register(
     "doc_winnow_fingerprints",
     oracle="""
     WITH g AS (
