@@ -38,7 +38,12 @@ from flink_examples_spark.operators.util import schema_col_names
 class Pat:
     """One pattern variable.
 
-    quantifier: 'one' | 'plus' (B+ — one or more, greedy).
+    quantifier: 'one' | 'plus' (B+ — one or more, greedy). For the
+    general quantifiers (``B*``, ``B?``, ``B{n}``, ``B{n,m}``,
+    ``B{n,}``) set ``min_times``/``max_times`` explicitly
+    (``max_times=None`` = unbounded); they override ``quantifier``.
+    Repetition is greedy and strictly adjacent after the first
+    consumed row, matching the PLUS semantics.
     contiguity (vs the previous consumed row):
       'strict'     — ``next``: must match the immediately following row
       'relaxed'    — ``followedBy``: skip non-matching rows, take first hit
@@ -49,6 +54,15 @@ class Pat:
     where: Callable[[pd.Series, "MatchCtx"], bool] | None = None
     quantifier: str = "one"
     contiguity: str = "strict"
+    min_times: int | None = None
+    max_times: int | None = None
+
+
+def _bounds(p: Pat) -> tuple[int, int | None]:
+    """(min, max) repetition bounds; max None = unbounded."""
+    if p.min_times is not None:
+        return p.min_times, p.max_times
+    return (1, None) if p.quantifier == "plus" else (1, 1)
 
 
 @dataclass
@@ -101,13 +115,21 @@ def _find_matches(
         ctx = MatchCtx(consumed, records)
         return bool(elem.where(records[idx], ctx))
 
-    def dfs(elem_i: int, next_row: int, consumed: list[tuple[str, int]], in_plus: bool) -> bool:
+    def dfs(elem_i: int, next_row: int, consumed: list[tuple[str, int]], reps: int) -> bool:
+        """``reps`` = rows the CURRENT element has consumed so far.
+        Greedy: each frame first tries to consume one more row for the
+        current element (if below its max), then — once the element has
+        met its min — moves on. One (consume|move-on) decision per
+        frame, so every distinct variable assignment is emitted exactly
+        once in all_matches mode."""
         if elem_i == len(pattern):
             out.append(list(consumed))
             return not all_matches
         elem = pattern[elem_i]
-        # candidate rows where this element could consume next
-        if elem.contiguity == "strict" or in_plus:
+        lo, hi = _bounds(elem)
+        # candidate rows where this element could consume next; after
+        # the first repetition, extension is strictly adjacent
+        if elem.contiguity == "strict" or reps > 0:
             candidates = [next_row] if next_row < n else []
             scan_until_hit = False
         elif elem.contiguity == "relaxed":
@@ -117,33 +139,25 @@ def _find_matches(
             candidates = range(next_row, n)
             scan_until_hit = False
 
-        for idx in candidates:
-            if not pred_ok(elem, idx, consumed):
-                if elem.contiguity == "strict" or in_plus:
-                    break
-                continue
-            consumed.append((elem.name, idx))
-            if elem.quantifier == "plus":
-                # greedy: recurse on the same element with in_plus=True;
-                # that frame FIRST tries to extend the repetition and,
-                # when extension is exhausted, its in_plus tail (below)
-                # moves on to the next element — adding an explicit
-                # move-on branch here would emit every complete match
-                # twice in all_matches mode (the tail already covers it)
-                if dfs(elem_i, idx + 1, consumed, in_plus=True):
+        if hi is None or reps < hi:
+            for idx in candidates:
+                if not pred_ok(elem, idx, consumed):
+                    if elem.contiguity == "strict" or reps > 0:
+                        break
+                    continue
+                consumed.append((elem.name, idx))
+                if dfs(elem_i, idx + 1, consumed, reps + 1):
                     return True
-            else:
-                if dfs(elem_i + 1, idx + 1, consumed, in_plus=False):
-                    return True
-            consumed.pop()
-            if scan_until_hit:
-                break  # relaxed: only the FIRST later hit continues
-        # a greedy PLUS that already consumed >=1 row may stop extending
-        if in_plus:
-            return dfs(elem_i + 1, next_row, consumed, in_plus=False)
+                consumed.pop()
+                if scan_until_hit:
+                    break  # relaxed: only the FIRST later hit continues
+        # move on once the element has met its minimum (covers B* / B?
+        # consuming nothing at all when lo == 0)
+        if reps >= lo:
+            return dfs(elem_i + 1, next_row, consumed, 0)
         return False
 
-    dfs(0, start, [], False)
+    dfs(0, start, [], 0)
 
 
 def _greedy_partial(
@@ -161,6 +175,7 @@ def _greedy_partial(
     n = len(records)
     next_row = start
     for elem in pattern:
+        lo, hi = _bounds(elem)
         hit = None
         if elem.contiguity == "strict":
             cands = [next_row] if next_row < n else []
@@ -178,26 +193,29 @@ def _greedy_partial(
             if elem.contiguity == "strict":
                 break
         if hit is None:
+            if lo == 0:
+                continue  # optional element: skip, keep scanning
             break
         consumed.append((elem.name, hit))
         next_row = hit + 1
-        if elem.quantifier == "plus":
-            # greedy repetition: keep consuming adjacent rows while the
-            # predicate holds (mirrors dfs's in_plus strict adjacency) —
-            # stopping after one row would underreport the plus variable
-            # in timed-out partials
-            while next_row < n:
-                if within_check is not None and consumed and not (
-                    within_check(consumed[0][1], next_row)
-                ):
-                    break
-                ctx = MatchCtx(consumed, records)
-                if elem.where is not None and not bool(
-                    elem.where(records[next_row], ctx)
-                ):
-                    break
-                consumed.append((elem.name, next_row))
-                next_row += 1
+        reps = 1
+        # greedy repetition: keep consuming adjacent rows while the
+        # predicate holds and the max allows (mirrors dfs's strict
+        # adjacency after the first repetition) — stopping after one
+        # row would underreport the variable in timed-out partials
+        while next_row < n and (hi is None or reps < hi):
+            if within_check is not None and consumed and not (
+                within_check(consumed[0][1], next_row)
+            ):
+                break
+            ctx = MatchCtx(consumed, records)
+            if elem.where is not None and not bool(
+                elem.where(records[next_row], ctx)
+            ):
+                break
+            consumed.append((elem.name, next_row))
+            next_row += 1
+            reps += 1
     return consumed
 
 
@@ -370,21 +388,75 @@ def _compile_expr(expr: str, measure_mode: bool):
     return run
 
 
+_QUANT_RE = __import__("re").compile(
+    r"^(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?P<q>\+|\*|\?|\{\d+(,\d*)?\}|\{,\d+\})?"
+    r"(?P<reluctant>\?)?$"
+)
+
+
 def _parse_pattern(pattern_str: str, define: dict) -> list[Pat]:
     """``PATTERN (A B+ C)`` body -> Pat list. MATCH_RECOGNIZE is a regex
-    over the ordered row sequence, so contiguity is strict throughout;
-    ``+`` maps to the greedy PLUS quantifier. Variables without a DEFINE
-    entry get the implicit TRUE condition (CEP.md START_ROW)."""
+    over the ordered row sequence, so contiguity is strict throughout.
+    Greedy quantifiers per the CEP.md grammar: ``+`` (1+), ``*`` (0+),
+    ``?`` (0 or 1), ``{n}``, ``{n,}``, ``{n,m}``, ``{,m}``. Variables
+    without a DEFINE entry get the implicit TRUE condition (CEP.md
+    START_ROW). Flink-parity guardrails raise loudly: reluctant
+    quantifiers (``+?``/``*?``) are unsupported, and a pattern every
+    element of which can match empty (e.g. ``A* B?``) is rejected the
+    way Flink rejects empty-matchable patterns, instead of silently
+    emitting zero-width matches."""
+    import re as _re
+
+    # normalize whitespace inside {n, m} so token splitting is safe
+    body = _re.sub(
+        r"\{\s*(\d*)\s*(,?)\s*(\d*)\s*\}", r"{\1\2\3}",
+        pattern_str.replace("(", " ").replace(")", " "),
+    )
     pats = []
-    for tok in pattern_str.replace("(", " ").replace(")", " ").split():
-        quant = "one"
-        if tok.endswith("+"):
-            quant, tok = "plus", tok[:-1]
+    for tok in body.split():
+        m = _QUANT_RE.match(tok)
+        if m is None:
+            raise ValueError(f"unparseable pattern element {tok!r}")
+        if m.group("reluctant"):
+            raise NotImplementedError(
+                f"reluctant quantifier in {tok!r}: only greedy "
+                "quantifiers are supported (Flink parity)"
+            )
+        name, q = m.group("name"), m.group("q")
+        if q is None:
+            lo, hi = 1, 1
+        elif q == "+":
+            lo, hi = 1, None
+        elif q == "*":
+            lo, hi = 0, None
+        elif q == "?":
+            lo, hi = 0, 1
+        else:  # {n} / {n,} / {n,m} / {,m}
+            inner = q[1:-1]
+            if "," in inner:
+                a, b = inner.split(",", 1)
+                lo = int(a) if a else 0
+                hi = int(b) if b else None
+            else:
+                lo = hi = int(inner)
+        if hi is not None and hi < max(lo, 1):
+            raise ValueError(f"degenerate quantifier bounds in {tok!r}")
         where = None
-        if tok in define:
-            compiled = _compile_expr(define[tok], measure_mode=False)
-            where = _make_define_predicate(tok, compiled)
-        pats.append(Pat(tok, where=where, quantifier=quant, contiguity="strict"))
+        if name in define:
+            compiled = _compile_expr(define[name], measure_mode=False)
+            where = _make_define_predicate(name, compiled)
+        pats.append(
+            Pat(name, where=where,
+                quantifier="plus" if (lo, hi) == (1, None) else "one",
+                contiguity="strict", min_times=lo, max_times=hi)
+        )
+    if pats and all(_bounds(p)[0] == 0 for p in pats):
+        raise ValueError(
+            f"pattern {pattern_str!r} can produce empty matches (every "
+            "element is optional) — not supported, same as Flink's "
+            "MATCH_RECOGNIZE"
+        )
     return pats
 
 

@@ -263,3 +263,106 @@ def test_all_matches_plus_no_duplicate_and_partial_keeps_repetition():
     assert _greedy_partial(records[:3], pat, 0, None) == [
         ("A", 0), ("B", 1), ("B", 2),
     ]
+
+
+def _kinds_df(spark, kinds):
+    return spark.createDataFrame(
+        [("k", i, kind) for i, kind in enumerate(kinds)],
+        "pk string, ts long, kind string",
+    )
+
+
+def _run_quant(spark, kinds, pattern):
+    out = match_recognize_sql_import()(
+        _kinds_df(spark, kinds),
+        partition_by=["pk"],
+        order_by=["ts"],
+        measures={
+            "a_ts": "FIRST(A.ts)",
+            "b_first": "FIRST(B.ts)",
+            "b_last": "LAST(B.ts)",
+            "c_ts": "LAST(C.ts)",
+        },
+        pattern=pattern,
+        define={
+            "A": "A.kind = 'a'",
+            "B": "B.kind = 'b'",
+            "C": "C.kind = 'c'",
+        },
+        output_schema="pk string, a_ts long, b_first long, b_last long, "
+                      "c_ts long",
+        after_match="SKIP PAST LAST ROW",
+    ).collect()
+    return sorted((r.a_ts, r.b_first, r.b_last, r.c_ts) for r in out)
+
+
+def match_recognize_sql_import():
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    return match_recognize_sql
+
+
+def test_match_recognize_star_quantifier_golden(spark):
+    """PATTERN (A B* C): greedy zero-or-more. Segment abbc matches with
+    two Bs; segment ac matches with ZERO Bs (b_first/b_last NULL); the
+    trailing abbb never completes (no C) and emits nothing."""
+    got = _run_quant(
+        spark, ["a", "b", "b", "c", "a", "c", "a", "b", "b", "b"],
+        "(A B* C)",
+    )
+    assert got == [(0, 1, 2, 3), (4, None, None, 5)]
+
+
+def test_match_recognize_bounded_quantifier_golden(spark):
+    """PATTERN (A B{2,3} C): greedy up to 3, min 2 enforced, and the
+    engine BACKTRACKS from the greedy maximum when C needs a row the
+    repetition would swallow."""
+    kinds = ["a", "b", "b", "b", "c",   # 3 Bs: greedy max
+             "a", "b", "c",             # 1 B: below min -> no match
+             "a", "b", "b", "c"]        # 2 Bs: backtrack-free min fit
+    got = _run_quant(spark, kinds, "(A B{2,3} C)")
+    assert got == [(0, 1, 3, 4), (8, 9, 10, 11)]
+    # {2}: exact — the 3-B segment must now backtrack... and FAIL
+    # (strict adjacency leaves a stray B between repetition and C),
+    # while the 2-B segment still matches
+    got = _run_quant(spark, kinds, "(A B{2} C)")
+    assert got == [(8, 9, 10, 11)]
+
+
+def test_match_recognize_question_quantifier_golden(spark):
+    """PATTERN (A B? C): at most one B — abc and ac match, abbc can't
+    (the second b separates the optional B from C)."""
+    got = _run_quant(
+        spark, ["a", "b", "c", "a", "c", "a", "b", "b", "c"], "(A B? C)"
+    )
+    assert got == [(0, 1, 1, 2), (3, None, None, 4)]
+
+
+def test_match_recognize_open_upper_bound_golden(spark):
+    """PATTERN (A B{2,} C): unbounded greedy above an enforced min."""
+    got = _run_quant(
+        spark, ["a", "b", "b", "b", "b", "c", "a", "b", "c"], "(A B{2,} C)"
+    )
+    assert got == [(0, 1, 4, 5)]
+
+
+def test_match_recognize_quantifier_guardrails(spark):
+    """Reluctant quantifiers and empty-matchable patterns raise loudly
+    (Flink MATCH_RECOGNIZE parity), as do degenerate bounds."""
+    import pytest as _pytest
+
+    from flink_examples_spark.operators.cep import _parse_pattern
+
+    with _pytest.raises(NotImplementedError, match="reluctant"):
+        _parse_pattern("A B+? C", {})
+    with _pytest.raises(NotImplementedError, match="reluctant"):
+        _parse_pattern("A B*? C", {})
+    with _pytest.raises(ValueError, match="empty matches"):
+        _parse_pattern("A* B?", {})
+    with _pytest.raises(ValueError, match="degenerate"):
+        _parse_pattern("A B{3,2} C", {})
+    with _pytest.raises(ValueError, match="unparseable"):
+        _parse_pattern("A B{x} C", {})
+    # whitespace inside braces parses fine
+    pats = _parse_pattern("A B{2, 4} C", {})
+    assert (pats[1].min_times, pats[1].max_times) == (2, 4)
