@@ -641,6 +641,73 @@ def cep_ascending_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cep_quantified_click_burst",
+    oracle="""
+    SELECT user_id, view_ts, first_click_ts,
+           CASE WHEN greedy3 THEN t3 ELSE t2 END AS last_click_ts,
+           CASE WHEN greedy3 THEN e4 ELSE e3 END AS purchase_id
+    FROM (
+        SELECT *,
+               (k1 = 'click' AND k2 = 'click' AND k3 = 'click'
+                AND k4 = 'purchase') AS greedy3
+        FROM (
+            SELECT user_id, event_type, ts AS view_ts,
+                   lead(ts, 1) OVER w AS first_click_ts,
+                   lead(ts, 2) OVER w AS t2,
+                   lead(ts, 3) OVER w AS t3,
+                   lead(event_type, 1) OVER w AS k1,
+                   lead(event_type, 2) OVER w AS k2,
+                   lead(event_type, 3) OVER w AS k3,
+                   lead(event_type, 4) OVER w AS k4,
+                   lead(event_id, 3) OVER w AS e3,
+                   lead(event_id, 4) OVER w AS e4
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) t
+    ) g
+    WHERE event_type = 'view'
+      AND (greedy3 OR (k1 = 'click' AND k2 = 'click' AND k3 = 'purchase'))
+    """,
+    doc="C6 + quantifiers: SQL-surface MATCH_RECOGNIZE PATTERN "
+        "(V C{2,3} P) — greedy bounded repetition with strict "
+        "adjacency, AFTER MATCH SKIP PAST LAST ROW. The oracle is "
+        "closed-form lead-window SQL, valid because candidate starts "
+        "are 'view' rows and consumed tails are click/purchase only, "
+        "so matches can never overlap a later start and skip-past-last "
+        "equals the per-view-row match set; greedy preference for 3 "
+        "clicks is the k4='purchase' CASE. Exercises the r4 quantifier "
+        "grammar in a driver-checked path.",
+)
+def cep_quantified_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return match_recognize_sql(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures={
+            "view_ts": "FIRST(V.ts)",
+            "first_click_ts": "FIRST(C.ts)",
+            "last_click_ts": "LAST(C.ts)",
+            "purchase_id": "LAST(P.event_id)",
+        },
+        pattern="(V C{2,3} P)",
+        define={
+            "V": "V.event_type = 'view'",
+            "C": "C.event_type = 'click'",
+            "P": "P.event_type = 'purchase'",
+        },
+        output_schema="user_id long, view_ts timestamp, "
+                      "first_click_ts timestamp, last_click_ts timestamp, "
+                      "purchase_id long",
+        after_match="SKIP PAST LAST ROW",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful per-key operators (ST1-ST7, W5) — batch formulations
 # ---------------------------------------------------------------------------
