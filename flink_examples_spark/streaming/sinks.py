@@ -21,6 +21,7 @@ The reference's sink matrix collapses onto three Spark mechanisms:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
@@ -488,6 +489,55 @@ def _tombstone_root(table_path: str) -> str:
     # underscore prefix: Spark's file listing treats the directory as
     # hidden, so plain table reads never see tombstone rows
     return os.path.join(table_path, "_tombstones")
+
+
+def compact_tombstones(
+    spark,
+    table_path: str,
+    id_col: str,
+    partition_col: str,
+    seq_col: str,
+    fmt: str = "parquet",
+) -> int:
+    """Periodic maintenance for the CDC tombstone log: rewrite it to
+    one max-seq row per (id, partition), batch-tagged ``compacted``.
+    Returns rows kept. The guard only ever consults MAX(seq) per id, so
+    dropping superseded tombstones never changes guard decisions — but
+    it bounds the log at distinct-deleted-ids instead of total delete
+    history.
+
+    Run BETWEEN batches (same single-writer discipline as the merge
+    itself): the rewrite replaces all batch subdirs with one, and a
+    crash mid-compaction is repaired by re-running it — the source rows
+    were already folded into the max. A transactional format would make
+    this a single commit; see cdc_merge_foreach_batch's scale notes."""
+    root = _tombstone_root(table_path)
+    if not os.path.isdir(root):
+        return 0
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        folded = (
+            spark.read.format(fmt)
+            .load(root)
+            .groupBy(id_col, partition_col)
+            .agg(F.max(seq_col).alias(seq_col))
+            .select(id_col, partition_col, seq_col,
+                    F.lit("compacted").alias("batch"))
+            .localCheckpoint()  # break lineage before overwriting source
+        )
+        kept = folded.count()
+        shutil.rmtree(root)
+        (
+            folded.write.mode("overwrite")
+            .format(fmt)
+            .partitionBy(partition_col, "batch")
+            .save(root)
+        )
+        return kept
+    finally:
+        spark.conf.set(infer_key, prev)
 
 
 def _drop_stale_events(

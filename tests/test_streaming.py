@@ -2004,3 +2004,123 @@ def test_cdc_chaos_replay_matches_batch_merge(spark, tmp_path):
     assert snap(cdc_path) == want
     assert (1, "one REBORN", "s1", 12) in want
     assert not any(d == 4 for d, _, _, _ in want)
+
+
+def test_cdc_tombstone_compaction_preserves_guard(spark, tmp_path):
+    """compact_tombstones folds the delete history to one max-seq row
+    per (id, partition) without changing any guard decision: stale
+    upserts stay blocked, newer ones still pass, and the log shrinks
+    from per-batch history to distinct-deleted-ids."""
+    from flink_examples_spark.streaming.sinks import (
+        cdc_merge_foreach_batch,
+        compact_tombstones,
+    )
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "one", "s0", 1), (2, "two", "s0", 1), (3, "three", "s1", 1)],
+        "doc_id long, text string, source string, seq long",
+    ).write.partitionBy("source").parquet(path)
+    apply = cdc_merge_foreach_batch(
+        path, "doc_id", "source", "seq", guard_seq=True
+    )
+    ev = "doc_id long, text string, source string, seq long, op string"
+    tbl = "doc_id long, text string, seq long, source string"
+
+    # delete doc 1 twice across batches (seq 5 then 9) and doc 2 once
+    apply(spark.createDataFrame([(1, None, "s0", 5, "delete")], ev), 0)
+    apply(spark.createDataFrame(
+        [(1, "one v7", "s0", 7, "upsert"),   # passes seq-5 tombstone...
+         (2, None, "s0", 6, "delete")], ev), 1)
+    apply(spark.createDataFrame([(1, None, "s0", 9, "delete")], ev), 2)
+
+    kept = compact_tombstones(spark, path, "doc_id", "source", "seq")
+    assert kept == 2  # (1,s0) max 9 and (2,s0) max 6 — history folded
+
+    # guard still enforces the folded maxima
+    apply(spark.createDataFrame(
+        [(1, "one STALE", "s0", 8, "upsert"),   # below folded max: no-op
+         (2, "two STALE", "s0", 6, "upsert")],  # tie: delete wins
+        ev), 3)
+    assert spark.read.schema(tbl).parquet(path).where(
+        "doc_id in (1, 2)"
+    ).count() == 0
+    apply(spark.createDataFrame(
+        [(1, "one BACK", "s0", 10, "upsert")], ev), 4)
+    rows = {(r.doc_id, r.text) for r in
+            spark.read.schema(tbl).parquet(path).collect()}
+    assert rows == {(1, "one BACK"), (3, "three")}
+
+
+def test_streaming_cep_quantified_matches_batch(spark, tmp_path, events_pdf):
+    """r4 quantifiers in the STREAMING NFA: PATTERN (V C{2,3} P) over
+    chunked replay equals the batch NFA (settled-horizon caveat as in
+    the A<B<C parity test). Kind-disjoint defines make the greedy
+    choice data-determined, so eager emission can't diverge from batch
+    greediness even though the repetition is variable-length."""
+    from flink_examples_spark.operators.cep import Pat, match_recognize
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    def kind(k):
+        def where(row, ctx):
+            return row["event_type"] == k
+
+        return where
+
+    pattern = [
+        Pat("V", where=kind("view")),
+        Pat("C", where=kind("click"), min_times=2, max_times=3),
+        Pat("P", where=kind("purchase")),
+    ]
+    within_ms = 12 * 3600 * 1000
+
+    def s_measures(vars_map, pdf):
+        return {"v_id": int(vars_map["V"].iloc[0]["event_id"]),
+                "v_ts": int(vars_map["V"].iloc[0]["ts"]),
+                "n_clicks": int(len(vars_map["C"])),
+                "p_id": int(vars_map["P"].iloc[-1]["event_id"])}
+
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet")).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = run_to_memory(
+        streaming_cep(
+            src, key="user_id", ts_col="ts", pattern=pattern,
+            measures=s_measures,
+            output_schema="user_id long, v_id long, v_ts long, "
+                          "n_clicks long, p_id long",
+            within_ms=within_ms, order_cols=["ts", "event_id"],
+        ),
+        spark, "cep_quant_stream", "append", str(tmp_path / "ck"),
+    )
+    stream_matches = {(r.user_id, r.v_id, r.n_clicks, r.p_id)
+                      for r in out.collect()}
+
+    def b_measures(vars_map, pdf):
+        return {"v_id": int(vars_map["V"].iloc[0]["event_id"]),
+                "v_ts": int(vars_map["V"].iloc[0]["ts"].value // 1_000_000),
+                "n_clicks": int(len(vars_map["C"])),
+                "p_id": int(vars_map["P"].iloc[-1]["event_id"])}
+
+    ev = load_table(spark, "events", SF).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    batch = match_recognize(
+        ev, partition_by=["user_id"], order_by=["ts", "event_id"],
+        pattern=pattern, measures=b_measures,
+        output_schema="user_id long, v_id long, v_ts long, "
+                      "n_clicks long, p_id long",
+        within=f"{within_ms} ms", ts_col="ts",
+    ).collect()
+    max_ts_ms = int(events_pdf["ts"].max().value // 1_000_000)
+    batch_all = {(r.user_id, r.v_id, r.n_clicks, r.p_id) for r in batch}
+    batch_settled = {
+        (r.user_id, r.v_id, r.n_clicks, r.p_id)
+        for r in batch
+        if r.v_ts + within_ms < max_ts_ms
+    }
+    assert batch_settled <= stream_matches <= batch_all
+    assert any(n == 2 for _, _, n, _ in batch_all) or any(
+        n == 3 for _, _, n, _ in batch_all
+    )  # quantifier actually exercised
