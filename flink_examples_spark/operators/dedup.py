@@ -746,6 +746,90 @@ def _reassemble_chunks(marked: DataFrame) -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup, keep-first (the C4/FineWeb
+    line-level dedup: repeated boilerplate paragraphs — headers,
+    footers, license blocks — are kept only at their first corpus
+    occurrence and stripped everywhere else).
+
+    Split each document on the LITERAL ``sep``, keep exactly one
+    occurrence of every distinct paragraph corpus-wide (the minimum
+    ``(doc_id, position)``, a total order), drop the rest, and rejoin
+    the survivors in document order. Paragraphs shorter than
+    ``min_chars`` are exempt (never deduped): zero-length fragments
+    from leading/trailing separators aren't meaningful duplicates.
+
+    Output: ``<id_col>, text, n_paragraphs, n_removed`` — every input
+    doc appears exactly once; a doc whose every paragraph was stripped
+    keeps an empty text; NULL text passes through as NULL with NULL
+    counts (repo convention: no silent drops).
+
+    100 TB shape (the substring-strip precedent two cells up): two
+    exchanges and no self-join — paragraphs shuffle once on a 16-byte
+    md5 of their text for the keep-first window (full text rides along
+    so reassembly needs no second lookup), then once on doc_id for the
+    rebuild. The window per fingerprint is duplicate-group-sized, never
+    corpus-sized. Ref intent: flink-examples has no corpus operator
+    like this; it extends SURVEY.md §2's dedup family per the
+    training-pipeline mandate.
+    """
+    from pyspark.sql import Window
+
+    # \Q...\E: literal-quote the separator for Java regex split
+    parts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "part"),
+    )
+    w = Window.partitionBy(F.md5("part")).orderBy("doc_id", "pos")
+    marked = parts.withColumn(
+        "drop",
+        (F.row_number().over(w) > 1) & (F.length("part") >= min_chars),
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.col("drop").cast("long")).alias("n_removed"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("drop"),
+                            F.struct(F.col("pos"), F.col("part")),
+                        )
+                    )
+                ),
+                lambda s: s["part"],
+            ),
+        ).alias("text"),
+    )
+    spine = df.select(F.col(id_col).alias("doc_id"),
+                      F.col(text_col).isNull().alias("_null_text"))
+    return (
+        spine.join(rebuilt, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.when(F.col("_null_text"), F.lit(None)).otherwise(
+                F.coalesce(F.col("text"), F.lit(""))
+            ).alias("text"),
+            F.when(F.col("_null_text"), F.lit(None)).otherwise(
+                F.coalesce(F.col("n_paragraphs"), F.lit(0))
+            ).alias("n_paragraphs"),
+            F.when(F.col("_null_text"), F.lit(None)).otherwise(
+                F.coalesce(F.col("n_removed"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
 def substring_chunk_index(
     df: DataFrame, id_col: str, text_col: str, k: int = 16
 ) -> DataFrame:

@@ -3907,6 +3907,67 @@ def corpus_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_paragraph_dedup",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               concat_ws(chr(10) || chr(10), text,
+                   lead(text, 1) OVER (ORDER BY doc_id),
+                   lead(text, 2) OVER (ORDER BY doc_id)) AS text
+        FROM documents
+    ), p AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10) || chr(10))) AS part,
+               unnest(range(len(string_split(text, chr(10) || chr(10)))))
+                   AS pos
+        FROM synth
+    ), m AS (
+        SELECT doc_id, pos, part,
+               (row_number() OVER (PARTITION BY part ORDER BY doc_id, pos)
+                    > 1
+                AND length(part) >= 1) AS dropped
+        FROM p
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT dropped THEN part END,
+                               chr(10) || chr(10) ORDER BY pos),
+                    '') AS text,
+           count(*) AS n_paragraphs,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+    FROM m GROUP BY doc_id
+    """,
+    doc="C4/FineWeb-style corpus-wide paragraph dedup, keep-first: the "
+        "fixture has no paragraph breaks, so the corpus is synthesized "
+        "first — each doc becomes the \\n\\n-join of itself and its two "
+        "doc_id successors (a lead window; every original text then "
+        "recurs as a paragraph in three synthetic docs). "
+        "paragraph_dedup keeps each distinct paragraph only at its "
+        "minimum (doc_id, pos) and rejoins survivors in order. Plan: "
+        "paragraphs exchange once on their md5 for the keep-first "
+        "window (duplicate-group-sized partitions), once on doc_id for "
+        "the rebuild — no self-join. The synthesis window is a "
+        "single-partition sort over the FIXTURE only, not part of the "
+        "operator.",
+)
+def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n", "text",
+            F.lead("text", 1).over(w), F.lead("text", 2).over(w),
+        ).alias("text"),
+    )
+    return paragraph_dedup(synth, "doc_id", "text")
+
+
+@register(
     "doc_quality_nb",
     oracle="""
     WITH t AS (

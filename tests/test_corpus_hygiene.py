@@ -723,3 +723,42 @@ def test_blocklist_terms_with_backslashes_match_literally(spark):
         docs, "doc_id", "text", terms=(r"a\tb",), max_ratio=0.01
     ).collect()
     assert out[0]["n_flagged"] == 2
+
+
+def test_paragraph_dedup_keep_first_and_guards(spark):
+    """C4/FineWeb-style paragraph dedup: a boilerplate paragraph
+    repeated across docs survives only at its minimum (doc_id, pos);
+    short fragments are exempt; all-stripped docs keep an empty text;
+    NULL text passes through as NULL."""
+    from flink_examples_spark.operators.dedup import paragraph_dedup
+
+    sep = "\n\n"
+    docs = spark.createDataFrame(
+        [
+            (1, sep.join(["intro one", "LICENSE BLOCK", "body one"])),
+            (2, sep.join(["LICENSE BLOCK", "body two"])),
+            (3, sep.join(["LICENSE BLOCK", "body one"])),  # both dups
+            (4, "LICENSE BLOCK"),                          # fully stripped
+            (5, ""),                                       # empty, len 0: exempt
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_paragraphs, r.n_removed)
+           for r in paragraph_dedup(docs, "doc_id", "text").collect()}
+    assert got[1] == (sep.join(["intro one", "LICENSE BLOCK", "body one"]), 3, 0)
+    assert got[2] == ("body two", 2, 1)
+    assert got[3] == ("", 2, 2)          # license AND body one both seen
+    assert got[4] == ("", 1, 1)
+    assert got[5] == ("", 1, 0)          # zero-length fragment exempt
+    assert got[6] == (None, None, None)
+
+    # min_chars exemption: short connective paragraphs never dedup
+    docs2 = spark.createDataFrame(
+        [(1, sep.join(["aa", "unique one"])), (2, sep.join(["aa", "x two"]))],
+        "doc_id long, text string",
+    )
+    got2 = {r.doc_id: r.n_removed for r in paragraph_dedup(
+        docs2, "doc_id", "text", min_chars=3
+    ).collect()}
+    assert got2 == {1: 0, 2: 0}

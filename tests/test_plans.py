@@ -337,3 +337,16 @@ def test_fan_out_skips_wide_scans(spark, sf_dir, tmp_path):
     fanned = _fan_out(spark, narrow)
     assert exchange_count(fanned) == 1  # still spreads local scans
     assert fanned.rdd.getNumPartitions() == par
+
+
+def test_paragraph_dedup_two_exchanges_no_python(spark, sf_dir):
+    """Paragraph dedup must stay JVM-side: split/explode in codegen,
+    one exchange on the paragraph md5 (keep-first window), one back on
+    doc_id (rebuild + spine join — the spine rides the same doc_id
+    partitioning, and its join must not inflate the budget)."""
+    from flink_examples_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    df = paragraph_dedup(docs, "doc_id", "text")
+    assert python_eval_nodes(df) == []
+    assert exchange_count(df) <= 3
