@@ -781,18 +781,35 @@ def paragraph_dedup(
     """
     from pyspark.sql import Window
 
-    # \Q...\E: literal-quote the separator for Java regex split
-    parts = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.split(F.col(text_col), "\\Q" + sep + "\\E")
-        ).alias("pos", "part"),
-    )
+    parts = _doc_paragraphs(df, id_col, text_col, sep)
     w = Window.partitionBy(F.md5("part")).orderBy("doc_id", "pos")
     marked = parts.withColumn(
         "drop",
         (F.row_number().over(w) > 1) & (F.length("part") >= min_chars),
     )
+    return _rebuild_paragraphs(df, marked, id_col, text_col, sep)
+
+
+def _doc_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """(doc_id, pos, part): literal-separator paragraph explode, codegen
+    inside the scan (\\Q...\\E quotes the separator for Java regex
+    split). Shared by the batch and incremental paragraph-dedup paths."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + sep + "\\E")
+        ).alias("pos", "part"),
+    )
+
+
+def _rebuild_paragraphs(
+    df: DataFrame, marked: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """Fold (doc_id, pos, part, drop) back to one row per INPUT doc:
+    survivors rejoined in order, per-doc accounting, empty text for
+    fully-stripped docs, NULL passthrough for NULL text."""
     rebuilt = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_paragraphs"),
         F.sum(F.col("drop").cast("long")).alias("n_removed"),
@@ -828,6 +845,78 @@ def paragraph_dedup(
             ).alias("n_removed"),
         )
     )
+
+
+def paragraph_fp_index(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """Distinct paragraph-fingerprint index ``(pfp)`` over a corpus —
+    the staged artifact [[incremental_paragraph_dedup]] probes (write
+    it once per snapshot, 16 bytes per distinct paragraph; at 100 TB
+    it's what makes daily paragraph-dedup runs corpus-scan-free)."""
+    return (
+        _doc_paragraphs(df, id_col, text_col, sep)
+        .select(F.md5("part").alias("pfp"))
+        .distinct()
+    )
+
+
+def incremental_paragraph_dedup(
+    fp_index: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Daily-ingest twin of [[paragraph_dedup]]: strip a small delta
+    against a STAGED corpus paragraph-fingerprint index. A delta
+    paragraph drops when its fingerprint already exists anywhere in the
+    corpus index, or when it is a non-canonical duplicate WITHIN the
+    delta (min (doc_id, pos) kept). Corpus occurrences win
+    unconditionally — shipped docs are immutable, so the delta copy
+    always loses (the [[incremental_substring_strip]] asymmetry).
+
+    Shuffle discipline: the corpus index is probed with the BROADCAST
+    delta fingerprint set and the hit list (≤ |delta paragraphs|)
+    broadcasts back — the 100 TB index is never reshuffled; the only
+    exchanges are over delta-sized data (one on the paragraph md5 for
+    the within-delta canonical window, one on doc_id for the rebuild).
+
+    Output shape matches the batch op: ``<id_col>, text, n_paragraphs,
+    n_removed``.
+    """
+    from pyspark.sql import Window
+
+    parts = _doc_paragraphs(delta, id_col, text_col, sep).withColumn(
+        "pfp", F.md5("part")
+    )
+    hits = (
+        fp_index.join(
+            F.broadcast(parts.select("pfp").distinct()), "pfp"
+        )
+        .withColumn("_hit", F.lit(1))
+    )
+    ckey = F.struct(F.col("doc_id"), F.col("pos"))
+    w = Window.partitionBy("pfp")
+    marked = (
+        parts.join(F.broadcast(hits), "pfp", "left")
+        .withColumn("ckey", ckey)
+        .select(
+            "doc_id", "pos", "part",
+            (
+                (F.length("part") >= min_chars)
+                & (
+                    F.col("_hit").isNotNull()
+                    | (
+                        (F.count(F.lit(1)).over(w) > 1)
+                        & (F.col("ckey") != F.min("ckey").over(w))
+                    )
+                )
+            ).alias("drop"),
+        )
+    )
+    return _rebuild_paragraphs(delta, marked, id_col, text_col, sep)
 
 
 def substring_chunk_index(

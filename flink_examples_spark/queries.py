@@ -4482,6 +4482,100 @@ def corpus_substring_strip_incremental(
 
 
 @register(
+    "corpus_paragraph_dedup_incremental",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               concat_ws(chr(10) || chr(10), text,
+                   lead(text, 1) OVER (ORDER BY doc_id),
+                   lead(text, 2) OVER (ORDER BY doc_id)) AS text
+        FROM documents
+    ), s AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pincr'),
+                               1, 15))::BIGINT % 10000 AS b
+        FROM synth
+    ), cidx AS (
+        SELECT DISTINCT unnest(string_split(text, chr(10) || chr(10)))
+                   AS part
+        FROM s WHERE b < 9000
+    ), dp AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10) || chr(10))) AS part,
+               unnest(range(len(string_split(text, chr(10) || chr(10)))))
+                   AS pos
+        FROM s WHERE b >= 9000
+    ), st AS (
+        SELECT part, COUNT(*) AS c, MIN(doc_id * 100000 + pos) AS mk
+        FROM dp GROUP BY 1
+    ), marked AS (
+        SELECT dp.doc_id, dp.pos, dp.part,
+               (length(dp.part) >= 1
+                AND (cidx.part IS NOT NULL
+                     OR (st.c > 1
+                         AND dp.doc_id * 100000 + dp.pos <> st.mk)))
+                   AS dropped
+        FROM dp
+        JOIN st USING (part)
+        LEFT JOIN cidx USING (part)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT dropped THEN part END,
+                               chr(10) || chr(10) ORDER BY pos),
+                    '') AS text,
+           count(*) AS n_paragraphs,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+    doc="Daily-ingest paragraph dedup: the 10% newest slice of the "
+        "synthesized paragraph corpus (same 3-doc sliding-window "
+        "synthesis as corpus_paragraph_dedup) is stripped against the "
+        "STAGED corpus paragraph-fingerprint index — a delta paragraph "
+        "drops if its md5 exists anywhere in the corpus or it is a "
+        "non-canonical within-delta duplicate; corpus occurrences win "
+        "unconditionally (shipped docs are immutable). The corpus is "
+        "never re-exploded or reshuffled: its 16-byte-per-paragraph "
+        "index is probed with the broadcast delta fingerprint set and "
+        "the hit list broadcasts back. The paragraph-family twin of "
+        "corpus_substring_strip_incremental.",
+)
+def corpus_paragraph_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.operators.dedup import (
+        incremental_paragraph_dedup,
+        paragraph_fp_index,
+    )
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n", "text",
+            F.lead("text", 1).over(w), F.lead("text", 2).over(w),
+        ).alias("text"),
+    )
+    split = hash_split(
+        synth, "doc_id",
+        weights=(("corpus", 0.9), ("delta", 0.1)), salt="pincr",
+    )
+    idx = paragraph_fp_index(
+        _fan_out(spark, split.filter(F.col("split") == "corpus")),
+        "doc_id", "text",
+    )
+    return incremental_paragraph_dedup(
+        idx,
+        split.filter(F.col("split") == "delta"),
+        "doc_id", "text",
+    )
+
+
+@register(
     "corpus_curriculum_phases",
     oracle="""
     WITH t AS (

@@ -762,3 +762,36 @@ def test_paragraph_dedup_keep_first_and_guards(spark):
         docs2, "doc_id", "text", min_chars=3
     ).collect()}
     assert got2 == {1: 0, 2: 0}
+
+
+def test_incremental_paragraph_dedup_corpus_wins(spark):
+    """Ingest asymmetry: a delta paragraph already in the corpus index
+    drops even where a full re-dedup's (doc_id, pos) tiebreak would
+    keep it; within-delta duplicates keep their min (doc_id, pos);
+    unseen paragraphs pass."""
+    from flink_examples_spark.operators.dedup import (
+        incremental_paragraph_dedup,
+        paragraph_fp_index,
+    )
+
+    sep = "\n\n"
+    corpus = spark.createDataFrame(
+        [(100, sep.join(["shared para", "old body"]))],
+        "doc_id long, text string",
+    )
+    idx = paragraph_fp_index(corpus, "doc_id", "text")
+    delta = spark.createDataFrame(
+        [
+            # doc 1 < 100, but the corpus copy still wins
+            (1, sep.join(["shared para", "fresh one"])),
+            (2, sep.join(["fresh two", "fresh two", "fresh one"])),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_paragraphs, r.n_removed)
+           for r in incremental_paragraph_dedup(
+               idx, delta, "doc_id", "text").collect()}
+    assert got[1] == ("fresh one", 2, 1)          # corpus wins at any id
+    # doc 2: first 'fresh two' kept, its twin dropped; 'fresh one' was
+    # kept in doc 1 (lower id) so doc 2's copy drops
+    assert got[2] == ("fresh two", 3, 2)
