@@ -491,6 +491,80 @@ def _tombstone_root(table_path: str) -> str:
     return os.path.join(table_path, "_tombstones")
 
 
+def paragraph_dedup_ingest_foreach_batch(
+    index_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    fmt: str = "parquet",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` ingest face of corpus paragraph dedup: each
+    micro-batch of documents is stripped against the ACCUMULATED
+    paragraph-fingerprint index (operators.dedup
+    ``incremental_paragraph_dedup`` — corpus always wins, within-batch
+    min (doc_id, pos) canonical), the deduped docs land under
+    ``out_path/batch=<id>``, and the batch's surviving paragraph
+    fingerprints are appended to the index under
+    ``index_path/batch=<id>``. Batch-keyed subdirs make replays
+    overwrite themselves, so checkpoint recovery is idempotent; the
+    index write follows the output write, so a crash between the two
+    replays the batch rather than poisoning the index with paragraphs
+    whose documents never shipped.
+
+    Cross-batch semantics: an earlier batch's paragraph beats a later
+    batch's copy regardless of doc_id — arrival order IS the canonical
+    order, the ingest contract (a single-batch run of the incremental
+    operator would use (doc_id, pos) instead; equal when docs arrive in
+    id order, which the parity test pins).
+
+    Scale shape: the index read is a narrow scan of 16-byte rows; the
+    probe broadcasts only the batch's fingerprints (delta-sized, see
+    the batch operator's docstring). Compaction = rewrite the batch
+    subdirs into one distinct set, same recipe as compact_tombstones.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from flink_examples_spark.operators.dedup import (
+            incremental_paragraph_dedup,
+            paragraph_fp_index,
+        )
+
+        spark = batch_df.sparkSession
+        # exclude THIS batch's own subdir: on replay the index already
+        # holds the batch's survivors, and reading them back would
+        # strip the batch against itself (self-poisoning replay)
+        prior = (
+            [
+                os.path.join(index_path, n)
+                for n in os.listdir(index_path)
+                if not n.startswith((".", "_"))
+                and n != f"batch={batch_id}"
+            ]
+            if os.path.isdir(index_path)
+            else []
+        )
+        if prior:
+            idx = spark.read.format(fmt).load(prior).select("pfp")
+        else:
+            idx = spark.createDataFrame([], "pfp string")
+        out = incremental_paragraph_dedup(
+            idx, batch_df, id_col, text_col, sep=sep, min_chars=min_chars
+        ).localCheckpoint()
+        out.write.mode("overwrite").format(fmt).save(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+        fps = paragraph_fp_index(
+            out.filter(F.col("text").isNotNull()), id_col, "text", sep
+        )
+        fps.write.mode("overwrite").format(fmt).save(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
+
+    return apply
+
+
 def compact_tombstones(
     spark,
     table_path: str,

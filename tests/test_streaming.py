@@ -2124,3 +2124,66 @@ def test_streaming_cep_quantified_matches_batch(spark, tmp_path, events_pdf):
     assert any(n == 2 for _, _, n, _ in batch_all) or any(
         n == 3 for _, _, n, _ in batch_all
     )  # quantifier actually exercised
+
+
+def test_streaming_paragraph_dedup_ingest_matches_batch(spark, tmp_path):
+    """Paragraph dedup as an ingest STREAM: micro-batches of documents
+    strip against the accumulated fingerprint index via foreachBatch,
+    growing it with each batch's survivors. Under id-ordered arrival
+    the union of batch outputs equals one incremental run over the
+    whole delta; a replayed batch overwrites itself (idempotent)."""
+    import pandas as pd
+
+    from flink_examples_spark.operators.dedup import (
+        incremental_paragraph_dedup,
+        paragraph_fp_index,
+    )
+    from flink_examples_spark.streaming.sinks import (
+        paragraph_dedup_ingest_foreach_batch,
+    )
+
+    sep = "\n\n"
+    corpus = spark.createDataFrame(
+        [(100 + i, sep.join([f"corpus para {i}", "LICENSE BLOCK"]))
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "idx")
+    paragraph_fp_index(corpus, "doc_id", "text").write.parquet(
+        os.path.join(idx_path, "batch=-1")
+    )
+
+    delta_rows = [
+        (1, sep.join(["LICENSE BLOCK", "delta one"])),   # corpus dup
+        (2, sep.join(["delta shared", "delta two"])),
+        (3, sep.join(["delta shared", "delta three"])),  # cross-batch dup
+        (4, sep.join(["delta shared", "corpus para 0"])),
+        (5, "delta five"),
+        (6, sep.join(["delta five", "delta six"])),
+    ]
+    schema = "doc_id long, text string"
+    out_path = str(tmp_path / "out")
+    apply = paragraph_dedup_ingest_foreach_batch(
+        idx_path, out_path, "doc_id", "text", sep=sep
+    )
+    # 3 id-ordered micro-batches + a replay of the middle one
+    dfs = [spark.createDataFrame(delta_rows[i:i + 2], schema)
+           for i in (0, 2, 4)]
+    apply(dfs[0], 0)
+    apply(dfs[1], 1)
+    apply(dfs[1], 1)  # replay: must overwrite, not duplicate
+    apply(dfs[2], 2)
+
+    got = {r.doc_id: (r.text, r.n_removed)
+           for r in spark.read.parquet(out_path).collect()}
+
+    # one-shot incremental over the full delta (same corpus index)
+    want = {r.doc_id: (r.text, r.n_removed)
+            for r in incremental_paragraph_dedup(
+                paragraph_fp_index(corpus, "doc_id", "text"),
+                spark.createDataFrame(delta_rows, schema),
+                "doc_id", "text").collect()}
+    assert got == want
+    assert got[1] == ("delta one", 1)            # corpus wins
+    assert got[3][0] == "delta three"            # cross-batch dup dropped
+    assert got[6] == ("delta six", 1)            # cross-batch via index
