@@ -85,6 +85,46 @@ def repetition_signals(
     )
 
 
+def collapse_token_runs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Elongation cleanup REWRITE: collapse runs of consecutive
+    identical tokens to a single copy ("the the the end" -> "the end")
+    — the fix for stutter/boilerplate elongation that
+    :func:`repetition_signals` only measures. Case-normalized tokens
+    (the tokens() contract), survivors rejoined with single spaces.
+
+    Output: ``<id_col>, text, n_tokens, n_collapsed``. NULL text passes
+    through as NULL (no silent drops).
+
+    Engine notes: regex backreferences (``(\\w+)( \\1)+``) are the
+    textbook spelling but RE2 — DuckDB's engine, and the repo's
+    lowest-common-denominator regex contract (functions/pii.py) — has
+    none; the indexed higher-order filter (keep token i when i=0 or it
+    differs from token i-1) is pure whole-stage codegen on both
+    engines and shuffles nothing.
+    """
+    from flink_examples_spark.functions.text import tokens
+
+    t = df.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("_null_text"),
+        tokens(text_col).alias("_t"),
+    ).withColumn(
+        "_kept", F.expr("filter(_t, (x, i) -> i = 0 OR x != _t[i - 1])")
+    )
+    return t.select(
+        id_col,
+        F.when(F.col("_null_text"), F.lit(None))
+        .otherwise(F.array_join("_kept", " ")).alias("text"),
+        F.when(F.col("_null_text"), F.lit(None))
+        .otherwise(F.size("_t")).alias("n_tokens"),
+        F.when(F.col("_null_text"), F.lit(None))
+        .otherwise((F.size("_t") - F.size("_kept")).cast("long"))
+        .alias("n_collapsed"),
+    )
+
+
 def gopher_rules(
     df: DataFrame,
     id_col: str,

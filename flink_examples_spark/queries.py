@@ -2865,6 +2865,40 @@ def decontam_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_collapse_token_runs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), k AS (
+        SELECT doc_id, toks,
+               list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1])
+                   AS kept
+        FROM t
+    )
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS text,
+           len(toks) AS n_tokens,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_collapsed
+    FROM k
+    """,
+    doc="Elongation cleanup rewrite: consecutive identical tokens "
+        "collapse to one ('the the the end' -> 'the end') — the rewrite "
+        "companion to doc_repetition_quality's measurements. Indexed "
+        "higher-order filter on both engines (RE2 has no regex "
+        "backreferences); whole-stage codegen, zero shuffles.",
+)
+def doc_collapse_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.quality import collapse_token_runs
+
+    return collapse_token_runs(
+        load_table(spark, "documents", sf_dir), "doc_id", "text"
+    )
+
+
+@register(
     "doc_repetition_quality",
     oracle="""
     WITH t AS (
