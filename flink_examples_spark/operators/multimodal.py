@@ -386,6 +386,8 @@ def parse_bmp(raw: bytes):
     if bpp == 8:
         n_colors = struct.unpack("<I", raw[46:50])[0] or 256
         pal_off = 14 + hdr_size
+        if n_colors > 256 or len(raw) < pal_off + n_colors * 4:
+            return None  # truncated/absurd palette: undecodable, not a crash
         pal = np.frombuffer(
             raw, np.uint8, offset=pal_off, count=n_colors * 4
         ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRA entries -> RGB
@@ -404,6 +406,8 @@ def parse_bmp(raw: bytes):
     if not top_down:
         rows = rows[::-1]
     if pal is not None:
+        if int(rows.max(initial=0)) >= len(pal):
+            return None  # pixel index past the palette: malformed
         return pal[rows]  # (h, w, 3) via palette gather
     px = rows.reshape(h, w, c)[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
     return np.ascontiguousarray(px)
@@ -451,19 +455,26 @@ def decode_image_bytes(raw: bytes):
     """Dispatch a real or fake image payload to its parser:
     (fmt, (h, w, c) uint8 array) or None. BMP/PNM are pure numpy; FIMG
     is the fake codec; anything else tries pillow when importable."""
-    if raw[:2] == b"BM":
-        px = parse_bmp(raw)
-        return ("bmp", px) if px is not None else None
-    if raw[:2] in (b"P5", b"P6"):
-        px = parse_pnm(raw)
-        return ("pnm", px) if px is not None else None
-    if raw[:4] == IMAGE_MAGIC and len(raw) >= 16:
-        w, h, c = struct.unpack("<iii", raw[4:16])
-        if w > 0 and h > 0 and c > 0 and len(raw) >= 16 + w * h * c:
-            px = np.frombuffer(
-                raw, np.uint8, offset=16, count=w * h * c
-            ).reshape(h, w, c)
-            return ("fimg", px)
+    # The pure-numpy parsers validate their inputs, but a corrupt
+    # payload in a 100 TB corpus must NEVER kill a mapInPandas batch —
+    # any parser escape hatch degrades to the null-stats row (ADVICE r4:
+    # a malformed 8-bit BMP palette used to IndexError through here)
+    try:
+        if raw[:2] == b"BM":
+            px = parse_bmp(raw)
+            return ("bmp", px) if px is not None else None
+        if raw[:2] in (b"P5", b"P6"):
+            px = parse_pnm(raw)
+            return ("pnm", px) if px is not None else None
+        if raw[:4] == IMAGE_MAGIC and len(raw) >= 16:
+            w, h, c = struct.unpack("<iii", raw[4:16])
+            if w > 0 and h > 0 and c > 0 and len(raw) >= 16 + w * h * c:
+                px = np.frombuffer(
+                    raw, np.uint8, offset=16, count=w * h * c
+                ).reshape(h, w, c)
+                return ("fimg", px)
+            return None
+    except Exception:
         return None
     try:  # compressed formats: only when a real library is present
         import io
@@ -687,7 +698,10 @@ def decode_audio_real(df: DataFrame, id_col: str = "media_id",
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(raw)
-                got = parse_wav(raw)
+                try:  # corrupt payloads degrade to a null row, never a
+                    got = parse_wav(raw)  # task kill (ADVICE r4 parity
+                except Exception:  # with the image dispatch)
+                    got = None
                 fmt = "wav"
                 if got is None:
                     try:  # compressed formats need a real library

@@ -122,6 +122,79 @@ def test_real_image_codecs_roundtrip_pixel_exact():
     assert parse_pnm(b"P6\n3 5\n65535\n") is None  # 16-bit out of scope
 
 
+def test_malformed_bmp_degrades_to_none_not_crash():
+    """ADVICE r4: a corrupt 8-bit BMP (pixel index past the palette, or
+    a truncated palette) must return None from the parser / decode
+    dispatch — never raise, which would kill the whole mapInPandas
+    batch for one bad payload in a corpus."""
+    import struct as st
+
+    import numpy as np
+
+    from flink_examples_spark.operators.multimodal import (
+        decode_image_bytes,
+        parse_bmp,
+    )
+
+    def bmp8(n_colors, pal_bytes, pixels, w=4, h=1):
+        stride = (w + 3) & ~3
+        data_off = 54 + len(pal_bytes)
+        header = b"BM" + st.pack("<IHHI", data_off + stride * h, 0, 0,
+                                 data_off)
+        info = st.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h,
+                       2835, 2835, n_colors, 0)
+        body = np.zeros(stride * h, np.uint8)
+        body[: len(pixels)] = pixels
+        return header + info + pal_bytes + body.tobytes()
+
+    # valid 2-color image decodes
+    good = bmp8(2, bytes(8), [0, 1, 0, 1])
+    assert parse_bmp(good) is not None
+
+    # pixel index 7 with a 2-entry palette: used to IndexError
+    bad_idx = bmp8(2, bytes(8), [0, 7, 0, 1])
+    assert parse_bmp(bad_idx) is None
+    assert decode_image_bytes(bad_idx) is None
+
+    # palette declared 256 colors but truncated: used to ValueError
+    bad_pal = bmp8(256, bytes(8), [0, 1, 0, 1])
+    assert parse_bmp(bad_pal) is None
+    assert decode_image_bytes(bad_pal) is None
+
+
+def test_malformed_payloads_through_decode_real_yield_null_rows(spark):
+    """End-to-end through the Spark operators: one corrupt BMP / WAV in
+    a batch must produce its own null-stats row and leave the healthy
+    payloads decoded (no task kill, no silent drop)."""
+    from flink_examples_spark.operators.multimodal import (
+        decode_audio_real,
+        decode_image_real,
+        encode_bmp,
+        encode_wav,
+    )
+    import numpy as np
+
+    px = np.zeros((2, 2, 3), np.uint8)
+    bad_bmp = encode_bmp(px)[:30]  # truncated mid-header
+    img = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(px))), (2, bytearray(bad_bmp))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_image_real(img).collect()}
+    assert rows[1].width == 2 and rows[1].mean_px == 0.0
+    assert rows[2].fmt is None and rows[2].width is None
+
+    wav = encode_wav(np.zeros(8, np.float32), 8000)
+    bad_wav = wav[:20]  # truncated chunk walk
+    aud = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(bad_wav))],
+        "media_id long, payload binary",
+    )
+    arows = {r.media_id: r for r in decode_audio_real(aud).collect()}
+    assert arows[1].sample_rate == 8000 and arows[1].n_samples == 8
+    assert arows[2].fmt is None and arows[2].sample_rate is None
+
+
 def test_real_wav_codec_roundtrip_and_downmix():
     import numpy as np
 
