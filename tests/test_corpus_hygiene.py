@@ -795,3 +795,39 @@ def test_incremental_paragraph_dedup_corpus_wins(spark):
     # doc 2: first 'fresh two' kept, its twin dropped; 'fresh one' was
     # kept in doc 1 (lower id) so doc 2's copy drops
     assert got[2] == ("fresh two", 3, 2)
+
+
+def test_collapse_token_runs_goldens(spark):
+    """VERDICT r4 #3: unit goldens for collapse_token_runs — runs at
+    start/middle/end, single-token doc, NULL text passthrough, and an
+    all-identical doc collapsing to one token. Case-normalized tokens
+    (the tokens() contract) mean HA ha Ha is ONE run."""
+    from flink_examples_spark.operators.quality import collapse_token_runs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the end"),            # run at start
+            (2, "a b b b c"),                  # run in the middle
+            (3, "go go"),                      # run at end == whole doc
+            (4, "solo"),                       # single token: untouched
+            (5, None),                         # NULL passthrough
+            (6, "same same same same"),        # all-identical
+            (7, "HA ha Ha done"),              # case-insensitive run
+            (8, "x y x y"),                    # alternation: NO run
+            (9, ""),                           # empty text
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_collapsed)
+        for r in collapse_token_runs(docs, "doc_id", "text").collect()
+    }
+    assert got[1] == ("the end", 4, 2)
+    assert got[2] == ("a b c", 5, 2)
+    assert got[3] == ("go", 2, 1)
+    assert got[4] == ("solo", 1, 0)
+    assert got[5] == (None, None, None)
+    assert got[6] == ("same", 4, 3)
+    assert got[7] == ("ha done", 4, 2)
+    assert got[8] == ("x y x y", 4, 0)
+    assert got[9] == ("", 0, 0)
