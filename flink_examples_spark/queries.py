@@ -1318,14 +1318,17 @@ def token_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— no distinct). The integer twin of CCNet-style LM-perplexity "
         "filtering: gibberish surfaces as low familiar_sum/min_cnt, "
         "with none of the cross-engine float-log hazards. Plan: the "
-        "global frequency is a COUNT window partitioned by the bigram "
-        "on the exploded set — ONE corpus scan and one exchange, where "
-        "the count-then-join-back formulation would scan and explode "
-        "the corpus twice.",
+        "global frequency is a map-side-combined groupBy on the bigram "
+        "joined back to the exploded set (the oracle's own cnt-CTE "
+        "shape) — a COUNT window partitioned by the bigram would pile "
+        "every occurrence of a hot bigram ('of the') into ONE window "
+        "partition, the r4-flagged skew shape de-skewed across the "
+        "dedup family this round; the join-back is AQE-skew-splittable "
+        "and the frequency table aggregates before its exchange. The "
+        "second explode branch is cheap codegen; the skew immunity is "
+        "what survives the 100 TB corpus.",
 )
 def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from flink_examples_spark.functions.text import tokens
 
     docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
@@ -1337,9 +1340,9 @@ def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("t") >= 2)
         .select("doc_id", F.explode(bigram_expr).alias("bigram"))
     )
-    c = F.count(F.lit(1)).over(Window.partitionBy("bigram"))
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
     return (
-        bg.withColumn("c", c)
+        bg.join(cnt, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -3851,13 +3854,15 @@ def corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "so per-doc shared-gram fraction measures how much of a doc is "
         "verbatim-repeated elsewhere — the drop/trim signal for "
         "exact-substring dedup. Distinct per-doc gram hashes are pure "
-        "codegen (winnow k=24 window=1); ONE shuffle on the gram key "
-        "builds the document-frequency index; docs shorter than the "
-        "gram survive with zero counts.",
+        "codegen (winnow k=24 window=1); the shared-gram verdict is a "
+        "map-side-combined groupBy on the gram key FILTERED to keys "
+        "seen >= 2 times, left-joined back — boilerplate grams (the "
+        "hot keys this signal exists to find) combine before the "
+        "exchange instead of serializing into one window partition, "
+        "and the dup-only verdict side is usually small enough to "
+        "broadcast at runtime.",
 )
 def doc_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from flink_examples_spark.functions.text import winnow_fingerprints
 
     docs = load_table(spark, "documents", sf_dir)
@@ -3865,16 +3870,18 @@ def doc_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(winnow_fingerprints("text", k=24, window=1)).alias("h"),
     )
-    # document frequency as a window over the exploded gram set: ONE
-    # exchange on the gram key, versus the count-then-join-back shape
-    # that re-exchanges the (bigger) gram table for the join
-    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    shared = (
+        fps.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("_hit"))
+    )
     per = (
-        fps.withColumn("nd", nd)
+        fps.join(shared, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
                 "n_shared"
             ),
         )
@@ -4185,9 +4192,13 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "so membership is deterministic (no float idf logs to diverge "
         "across engines). The census that names what each document is "
         "about. Plan: one (doc,token) map-side-combined aggregate, df "
-        "as a window over the token key on the ALREADY-aggregated "
-        "(doc,token) set (|vocab-pairs| << |tokens|), top-3 via "
-        "doc-partitioned row_number.",
+        "as a second map-side-combined aggregate over the token joined "
+        "back (a count window PARTITION BY tk would funnel a "
+        "stopword's every (doc,token) row — up to |corpus docs| of "
+        "them — into one window partition; the aggregate+rejoin "
+        "combines before the exchange and AQE can split the hot-token "
+        "join), top-3 via doc-partitioned row_number (skew-safe: that "
+        "partition is one document's vocabulary).",
 )
 def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -4200,9 +4211,8 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tk")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    withdf = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("tk"))
-    )
+    dfreq = tf.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    withdf = tf.join(dfreq, "tk")
     rank = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(
             F.desc("tf"), F.asc("df"), F.asc("tk")
@@ -4391,8 +4401,6 @@ def _hygiene_v2_stages(spark: SparkSession, sf_dir: str,
     fused lineage — ONLY for plan inspection (tests/test_plans.py
     audits the broadcast/JVM properties that the checkpoint boundary
     makes opaque in the registered queries' plans)."""
-    from pyspark.sql import Window
-
     from flink_examples_spark.functions.text import tokens
     from flink_examples_spark.operators.classify import nb_token_evidence
     from flink_examples_spark.operators.dedup import substring_dedup_strip
@@ -4429,10 +4437,21 @@ def _hygiene_v2_stages(spark: SparkSession, sf_dir: str,
         F.md5(F.trim("kept_text")).alias("fp"),
         F.size(tokens("kept_text")).alias("n"),
     )
-    wfp = Window.partitionBy("fp")
+    # exact-dup keep-min without a content-keyed window (the r5 de-skew
+    # shape): dup-only verdict aggregate + left join — a mass-duplicated
+    # body combines map-side instead of piling into one fp partition
+    dups = (
+        dd.groupBy("fp")
+        .agg(F.min("doc_id").alias("_mid"), F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .drop("_c")
+    )
     surv = (
-        dd.withColumn("_mid", F.min("doc_id").over(wfp))
-        .filter((F.col("doc_id") == F.col("_mid")) & (F.col("n") > 0))
+        dd.join(dups, "fp", "left")
+        .filter(
+            (F.col("_mid").isNull() | (F.col("doc_id") == F.col("_mid")))
+            & (F.col("n") > 0)
+        )
         .select("doc_id", "source", "kept_text")
     )
     return docs, gk, kept, surv

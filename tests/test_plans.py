@@ -347,6 +347,35 @@ def test_fan_out_skips_wide_scans(spark, sf_dir, tmp_path):
     assert fanned.rdd.getNumPartitions() == par
 
 
+def test_frequency_signals_have_no_content_keyed_window(spark, sf_dir):
+    """r5 de-skew sweep beyond the dedup family: the corpus-frequency
+    signals (bigram familiarity, substring overlap, TF-IDF document
+    frequency) and the hygiene pipeline's exact-dup stage must compute
+    their per-key counts as partial+final aggregates joined back — a
+    Window partitioned by a content key (bigram/gram-hash/token/fp)
+    piles every occurrence of a hot key into one reducer partition,
+    which AQE cannot split. The only Window allowed is TF-IDF's top-3
+    row_number, partitioned by doc_id (one document's vocabulary)."""
+    import re
+
+    import __spark_entry__ as E
+
+    q = E.queries()
+    for name in ["doc_bigram_familiarity", "doc_substring_overlap"]:
+        plan = formatted_plan(q[name](spark, sf_dir))
+        assert "windowspecdefinition" not in plan, name
+        assert "partial_count" in plan, name  # map-side combine
+
+    plan = formatted_plan(q["doc_tfidf_keywords"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(col == "doc_id" for col in specs), specs
+
+    from flink_examples_spark.queries import _hygiene_v2_stages
+
+    *_, surv = _hygiene_v2_stages(spark, sf_dir, checkpoint=False)
+    assert "windowspecdefinition" not in formatted_plan(surv)
+
+
 def test_paragraph_dedup_deskewed_no_window_no_python(spark, sf_dir):
     """Paragraph dedup must stay JVM-side (split/explode in codegen)
     and must NOT hang its keep-first choice on a Window partitioned by
