@@ -1353,6 +1353,116 @@ def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_nll",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), ref AS (
+        SELECT toks FROM t WHERE source = 'src0'
+    ), runi AS (
+        SELECT w, COUNT(*) AS c1
+        FROM (SELECT unnest(toks) AS w FROM ref) GROUP BY 1
+    ), rbi AS (
+        SELECT toks[g.i] AS w1, toks[g.i+1] AS w2, COUNT(*) AS c2
+        FROM ref CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 1
+        GROUP BY 1, 2
+    ), v AS (
+        SELECT COUNT(*) + 1 AS v FROM runi
+    ), bg AS (
+        SELECT doc_id, toks[g.i] AS w1, toks[g.i+1] AS w2
+        FROM t CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 1
+    ), scored AS (
+        SELECT bg.doc_id,
+               ln((COALESCE(rbi.c2, 0) + 1.0)
+                  / (COALESCE(runi.c1, 0) + v.v)) AS lp
+        FROM bg
+        LEFT JOIN rbi ON bg.w1 = rbi.w1 AND bg.w2 = rbi.w2
+        LEFT JOIN runi ON bg.w1 = runi.w
+        CROSS JOIN v
+    ), per AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, round(-AVG(lp), 6) AS nll
+        FROM scored GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           per.nll AS avg_nll
+    FROM t LEFT JOIN per USING (doc_id)
+    """,
+    doc="Statistical-LM quality scoring, the CCNet/fastText-era recipe "
+        "in full: train an add-one-smoothed bigram LM on a REFERENCE "
+        "slice of the corpus (here source='src0' — in production, the "
+        "curated high-quality subset), then score EVERY document by "
+        "its average negative log-likelihood under that model. High "
+        "avg_nll = unfamiliar/gibberish text (the perplexity filter's "
+        "log); docs with <2 tokens score NULL with n_bigrams 0. "
+        "Completes the family next to [[doc_bigram_familiarity]] (its "
+        "integer twin on corpus-wide counts, no train/score split). "
+        "Plan: both model tables are map-side-combined aggregates over "
+        "the reference slice joined back to the scored bigrams (the r5 "
+        "de-skew shape — no content-keyed windows; hot-token joins are "
+        "AQE-splittable, and a curated-small reference model "
+        "broadcasts at runtime); the vocab size rides a one-row "
+        "broadcast cross join. Float-parity: ln() differs by <=1 ulp "
+        "across engines, swamped by the 6 dp round on the per-doc "
+        "average.",
+)
+def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import tokens
+
+    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    t = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    bigram_expr = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> struct(toks[i] as w1, toks[i+1] as w2))"
+    )
+
+    def bigrams(df):
+        return (
+            df.filter(F.size("toks") >= 2)
+            .select("doc_id", F.explode(bigram_expr).alias("b"))
+            .select("doc_id", "b.w1", "b.w2")
+        )
+
+    ref = t.filter(F.col("source") == "src0")
+    runi = (
+        ref.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    rbi = bigrams(ref).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    vdf = runi.agg((F.count(F.lit(1)) + 1).alias("v"))
+    scored = (
+        bigrams(t)
+        .join(rbi, ["w1", "w2"], "left")
+        .join(runi.withColumnRenamed("w", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("nll"),
+    )
+    return t.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.col("nll").alias("avg_nll"),
+    )
+
+
+@register(
     "embedding_neardup_lsh",
     oracle=None,  # approximate by construction; the measured recall
                   # grid + >=0.85 floors live in tests/test_similarity.py

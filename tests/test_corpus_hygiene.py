@@ -831,3 +831,37 @@ def test_collapse_token_runs_goldens(spark):
     assert got[7] == ("ha done", 4, 2)
     assert got[8] == ("x y x y", 4, 0)
     assert got[9] == ("", 0, 0)
+
+
+def test_doc_bigram_nll_hand_example(spark, tmp_path):
+    """Add-one-smoothed bigram NLL on a hand corpus. Reference doc
+    (src0) 'a b a b c' gives unigrams a:2 b:2 c:1 (V=4 incl. unseen),
+    bigrams (a,b):2 (b,a):1 (b,c):1. Scoring 'a b z' (src1):
+    -[ln(3/6) + ln(1/6)]/2 = 1.242453; the reference doc scores
+    -[ln(3/6)+ln(2/6)+ln(3/6)+ln(2/6)]/4 = 0.895880. One-token and
+    NULL docs emit n_bigrams 0 with NULL avg_nll."""
+    import pandas as pd
+
+    from flink_examples_spark.queries import registry
+
+    # single parquet FILE, the testdata layout load_table expects
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b a b c", "a b z", "solo", None],
+            "lang": ["en"] * 4,
+            "source": ["src0", "src1", "src1", "src1"],
+            "n_chars": [9, 5, 4, 0],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in registry()["doc_bigram_nll"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[1] == (4, 0.89588)
+    assert got[2] == (2, 1.242453)
+    assert got[3] == (0, None)
+    assert got[4] == (0, None)

@@ -361,10 +361,12 @@ def test_frequency_signals_have_no_content_keyed_window(spark, sf_dir):
     import __spark_entry__ as E
 
     q = E.queries()
-    for name in ["doc_bigram_familiarity", "doc_substring_overlap"]:
+    for name in ["doc_bigram_familiarity", "doc_substring_overlap",
+                 "doc_bigram_nll"]:
         plan = formatted_plan(q[name](spark, sf_dir))
         assert "windowspecdefinition" not in plan, name
         assert "partial_count" in plan, name  # map-side combine
+        assert python_eval_nodes(q[name](spark, sf_dir)) == [], name
 
     plan = formatted_plan(q["doc_tfidf_keywords"](spark, sf_dir))
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
