@@ -891,6 +891,105 @@ def _rebuild_paragraphs(
     )
 
 
+def span_dedup_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = ". ",
+    width: int = 3,
+) -> DataFrame:
+    """C4-style overlapping-SPAN dedup (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more
+    than once"): split each document on ``sep`` into sentences, slide a
+    ``width``-sentence window, keep each distinct span only at its
+    corpus-wide canonical occurrence (min ``(doc_id, span_pos)``), and
+    MASK every sentence covered by a non-canonical occurrence of a
+    duplicated span. Overlap is the point — a sentence inside any
+    duplicated window is removed even if its other windows are unique,
+    which is what distinguishes this from [[paragraph_dedup]] (unit =
+    whole paragraph) and [[substring_dedup_strip]] (unit = disjoint
+    token chunk).
+
+    Output: ``<id_col>, text, n_sentences, n_removed`` — one row per
+    input doc; docs with fewer than ``width`` sentences pass through
+    unchanged; NULL text stays NULL with NULL counts.
+
+    100 TB shape: sentences aggregate per doc once (the spans come out
+    of the in-memory array, codegen), the keep-first verdict is the
+    de-skewed dup-only aggregate+rejoin of [[_keep_first_verdicts]]
+    (a boilerplate span repeated 10⁸× combines map-side; no
+    content-keyed window), coverage fan-out is ``width`` rows per
+    dropped occurrence, and the sentence mask is a left-anti join on
+    (doc_id, pos) — every exchange is keyed by doc or fingerprint,
+    nothing quadratic. Oracle parity uses the documented
+    ``doc_id*100000+pos`` canonical-key twin under the 4096-unit cap.
+    """
+    parts = _doc_paragraphs(df, id_col, text_col, sep)
+    arr = parts.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "part"))
+        ).alias("_sp")
+    )
+    span_expr = F.expr(
+        f"transform(sequence(0, size(_sp) - {width}), "
+        f"i -> concat_ws(char(31), transform(sequence(i, i + {width} - 1), "
+        f"j -> _sp[j].part)))"
+    )
+    spans = (
+        arr.filter(F.size("_sp") >= width)
+        .select("doc_id", F.posexplode(span_expr).alias("spos", "span"))
+        .withColumn("sfp", F.md5("span"))
+    )
+    ckey = F.struct(F.col("doc_id"), F.col("spos"))
+    dropped = (
+        spans.withColumn("ckey", ckey)
+        .join(_keep_first_verdicts(spans, "sfp", ckey), "sfp")
+        .filter(F.col("ckey") != F.col("_ckey_min"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("spos"), F.col("spos") + (width - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = parts.join(dropped, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "part"))),
+                lambda s: s["part"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = parts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences")
+    )
+    spine = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).isNull().alias("_null_text"),
+    )
+    return (
+        spine.join(rebuilt, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.when(F.col("_null_text"), F.lit(None)).otherwise(
+                F.coalesce(F.col("text"), F.lit(""))
+            ).alias("text"),
+            F.when(F.col("_null_text"), F.lit(None)).otherwise(
+                F.coalesce(F.col("n_sentences"), F.lit(0))
+            ).alias("n_sentences"),
+            F.when(F.col("_null_text"), F.lit(None)).otherwise(
+                F.coalesce(F.col("n_sentences"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
 def paragraph_fp_index(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n"
 ) -> DataFrame:

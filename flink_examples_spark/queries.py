@@ -4119,6 +4119,87 @@ def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_span_dedup",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               concat_ws('. ', text,
+                   lead(text, 1) OVER (ORDER BY doc_id),
+                   lead(text, 2) OVER (ORDER BY doc_id),
+                   lead(text, 3) OVER (ORDER BY doc_id),
+                   lead(text, 4) OVER (ORDER BY doc_id)) AS text
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               unnest(string_split(text, '. ')) AS part,
+               unnest(range(len(string_split(text, '. ')))) AS pos
+        FROM synth
+    ), sp AS (
+        SELECT a.doc_id, a.pos AS spos,
+               a.part || chr(31) || b.part || chr(31) || c.part AS span
+        FROM s a
+        JOIN s b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN s c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), dup AS (
+        SELECT span, MIN(doc_id * 100000 + spos) AS ck, COUNT(*) AS c
+        FROM sp GROUP BY 1
+    ), cov AS (
+        SELECT DISTINCT sp.doc_id, sp.spos + g.k AS pos
+        FROM sp JOIN dup USING (span)
+        CROSS JOIN generate_series(0, 2) AS g(k)
+        WHERE dup.c > 1 AND sp.doc_id * 100000 + sp.spos <> dup.ck
+    ), kept AS (
+        SELECT s.doc_id, s.pos, s.part
+        FROM s LEFT JOIN cov
+            ON cov.doc_id = s.doc_id AND cov.pos = s.pos
+        WHERE cov.pos IS NULL
+    ), reb AS (
+        SELECT doc_id, string_agg(part, '. ' ORDER BY pos) AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY 1
+    ), tot AS (
+        SELECT doc_id, COUNT(*) AS n_sentences FROM s GROUP BY 1
+    )
+    SELECT tot.doc_id,
+           coalesce(reb.text, '') AS text,
+           CAST(tot.n_sentences AS BIGINT) AS n_sentences,
+           CAST(tot.n_sentences - coalesce(reb.n_kept, 0) AS BIGINT)
+               AS n_removed
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+    doc="C4-style THREE-SENTENCE-SPAN dedup (Raffel et al. 2020 §2.2): "
+        "slide a 3-sentence window over every doc, keep each distinct "
+        "span only at its min-(doc_id,pos) occurrence, and mask every "
+        "sentence covered by a duplicated span's other occurrences — "
+        "overlap masking is what paragraph/chunk dedup can't express. "
+        "The fixture has no sentence breaks, so the corpus is "
+        "synthesized as the '. '-join of each doc and its four doc_id "
+        "successors (every text recurs as a sentence in 5 docs; "
+        "consecutive docs then share two spans, so the masking "
+        "cascades). Plan: per-doc sentence array once, spans from the "
+        "array in codegen, the de-skewed dup-only verdict "
+        "aggregate+rejoin, width-row coverage fan-out, left-anti mask "
+        "— every exchange keyed by doc or fingerprint. The synthesis "
+        "lead-window sorts the FIXTURE only, not the operator.",
+)
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.operators.dedup import span_dedup_strip
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            ". ", "text",
+            *[F.lead("text", i).over(w) for i in range(1, 5)],
+        ).alias("text"),
+    )
+    return span_dedup_strip(synth, "doc_id", "text")
+
+
+@register(
     "doc_quality_nb",
     oracle="""
     WITH t AS (

@@ -865,3 +865,32 @@ def test_doc_bigram_nll_hand_example(spark, tmp_path):
     assert got[2] == (2, 1.242453)
     assert got[3] == (0, None)
     assert got[4] == (0, None)
+
+
+def test_span_dedup_overlap_masking_goldens(spark):
+    """C4 span dedup semantics: a duplicated 3-sentence span masks its
+    covered sentences at every non-canonical occurrence, even when the
+    covering doc has unique sentences around them; docs shorter than
+    the window pass through; NULL stays NULL; a doc that is nothing
+    but a duplicated span empties out."""
+    from flink_examples_spark.operators.dedup import span_dedup_strip
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1. s2. s3. s4"),      # canonical holder of (s2,s3,s4)
+            (2, "x. s2. s3. s4. y"),    # dup span inside unique context
+            (3, "a. b"),                # shorter than the window
+            (4, None),
+            (5, "s2. s3. s4"),          # exactly one span, duplicated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_sentences, r.n_removed)
+        for r in span_dedup_strip(docs, "doc_id", "text").collect()
+    }
+    assert got[1] == ("s1. s2. s3. s4", 4, 0)
+    assert got[2] == ("x. y", 5, 3)       # middle masked, edges kept
+    assert got[3] == ("a. b", 2, 0)
+    assert got[4] == (None, None, None)
+    assert got[5] == ("", 3, 3)
