@@ -925,6 +925,22 @@ def span_dedup_strip(
     ``doc_id*100000+pos`` canonical-key twin under the 4096-unit cap.
     """
     parts = _doc_paragraphs(df, id_col, text_col, sep)
+    spans = _doc_spans(parts, width)
+    ckey = F.struct(F.col("doc_id"), F.col("spos"))
+    dropped = (
+        spans.withColumn("ckey", ckey)
+        .join(_keep_first_verdicts(spans, "sfp", ckey), "sfp")
+        .filter(F.col("ckey") != F.col("_ckey_min"))
+    )
+    return _mask_and_rebuild(df, parts, dropped, id_col, text_col,
+                             sep, width)
+
+
+def _doc_spans(parts: DataFrame, width: int) -> DataFrame:
+    """(doc_id, spos, span, sfp): sliding ``width``-sentence spans from
+    the exploded sentence set, built from each doc's in-memory sentence
+    array (one exchange on doc_id, span construction in codegen).
+    Shared by the batch and incremental span-dedup paths."""
     arr = parts.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct("pos", "part"))
@@ -935,17 +951,28 @@ def span_dedup_strip(
         f"i -> concat_ws(char(31), transform(sequence(i, i + {width} - 1), "
         f"j -> _sp[j].part)))"
     )
-    spans = (
+    return (
         arr.filter(F.size("_sp") >= width)
         .select("doc_id", F.posexplode(span_expr).alias("spos", "span"))
         .withColumn("sfp", F.md5("span"))
     )
-    ckey = F.struct(F.col("doc_id"), F.col("spos"))
-    dropped = (
-        spans.withColumn("ckey", ckey)
-        .join(_keep_first_verdicts(spans, "sfp", ckey), "sfp")
-        .filter(F.col("ckey") != F.col("_ckey_min"))
-        .select(
+
+
+def _mask_and_rebuild(
+    df: DataFrame,
+    parts: DataFrame,
+    dropped: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str,
+    width: int,
+) -> DataFrame:
+    """Fan each dropped span occurrence (doc_id, spos) out to its
+    ``width`` covered sentence positions, left-anti mask the sentence
+    set, and rebuild one output row per INPUT doc (empty text when
+    everything masked, NULL passthrough for NULL text)."""
+    cover = (
+        dropped.select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("spos"), F.col("spos") + (width - 1))
@@ -953,7 +980,7 @@ def span_dedup_strip(
         )
         .distinct()
     )
-    kept = parts.join(dropped, ["doc_id", "pos"], "left_anti")
+    kept = parts.join(cover, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             sep,
@@ -988,6 +1015,71 @@ def span_dedup_strip(
             ).alias("n_removed"),
         )
     )
+
+
+def span_fp_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = ". ",
+    width: int = 3,
+) -> DataFrame:
+    """Distinct span-fingerprint index ``(sfp)`` over a corpus — the
+    staged artifact [[incremental_span_dedup]] probes (16 bytes per
+    distinct ``width``-sentence span; write once per snapshot, reuse
+    across daily strip runs)."""
+    return (
+        _doc_spans(_doc_paragraphs(df, id_col, text_col, sep), width)
+        .select("sfp")
+        .distinct()
+    )
+
+
+def incremental_span_dedup(
+    fp_index: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = ". ",
+    width: int = 3,
+) -> DataFrame:
+    """Daily-ingest twin of [[span_dedup_strip]]: mask a small delta
+    against a STAGED corpus span-fingerprint index. A delta span
+    occurrence drops (masking its ``width`` covered sentences) when its
+    fingerprint exists anywhere in the corpus index, or when it is a
+    non-canonical duplicate WITHIN the delta (min (doc_id, spos) kept).
+    Corpus occurrences win unconditionally — shipped docs are
+    immutable (the [[incremental_paragraph_dedup]] asymmetry).
+
+    Shuffle discipline: the corpus index is probed with the BROADCAST
+    delta span-fingerprint set and the hit list (≤ |delta spans|)
+    broadcasts back — the staged index is never reshuffled; every
+    other exchange is delta-sized. Output shape matches the batch op:
+    ``<id_col>, text, n_sentences, n_removed``.
+    """
+    parts = _doc_paragraphs(delta, id_col, text_col, sep)
+    spans = _doc_spans(parts, width)
+    hits = (
+        fp_index.join(
+            F.broadcast(spans.select("sfp").distinct()), "sfp"
+        )
+        .withColumn("_hit", F.lit(1))
+    )
+    ckey = F.struct(F.col("doc_id"), F.col("spos"))
+    dropped = (
+        spans.join(F.broadcast(hits), "sfp", "left")
+        .withColumn("ckey", ckey)
+        .join(_keep_first_verdicts(spans, "sfp", ckey), "sfp", "left")
+        .filter(
+            F.col("_hit").isNotNull()
+            | (
+                F.col("_ckey_min").isNotNull()
+                & (F.col("ckey") != F.col("_ckey_min"))
+            )
+        )
+    )
+    return _mask_and_rebuild(delta, parts, dropped, id_col, text_col,
+                             sep, width)
 
 
 def paragraph_fp_index(

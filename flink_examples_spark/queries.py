@@ -4820,6 +4820,124 @@ def corpus_paragraph_dedup_incremental(
 
 
 @register(
+    "corpus_span_dedup_incremental",
+    oracle="""
+    WITH synth AS (
+        SELECT doc_id,
+               concat_ws('. ', text,
+                   lead(text, 1) OVER (ORDER BY doc_id),
+                   lead(text, 2) OVER (ORDER BY doc_id),
+                   lead(text, 3) OVER (ORDER BY doc_id),
+                   lead(text, 4) OVER (ORDER BY doc_id)) AS text
+        FROM documents
+    ), sdocs AS (
+        SELECT doc_id, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sincr'),
+                               1, 15))::BIGINT % 10000 AS b
+        FROM synth
+    ), cs AS (
+        SELECT doc_id,
+               unnest(string_split(text, '. ')) AS part,
+               unnest(range(len(string_split(text, '. ')))) AS pos
+        FROM sdocs WHERE b < 9000
+    ), cidx AS (
+        SELECT DISTINCT a.part || chr(31) || b.part || chr(31) || c.part
+                   AS span
+        FROM cs a
+        JOIN cs b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN cs c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), ds AS (
+        SELECT doc_id,
+               unnest(string_split(text, '. ')) AS part,
+               unnest(range(len(string_split(text, '. ')))) AS pos
+        FROM sdocs WHERE b >= 9000
+    ), dsp AS (
+        SELECT a.doc_id, a.pos AS spos,
+               a.part || chr(31) || b.part || chr(31) || c.part AS span
+        FROM ds a
+        JOIN ds b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN ds c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ), st AS (
+        SELECT span, COUNT(*) AS c, MIN(doc_id * 100000 + spos) AS mk
+        FROM dsp GROUP BY 1
+    ), dropped AS (
+        SELECT dsp.doc_id, dsp.spos
+        FROM dsp
+        JOIN st USING (span)
+        LEFT JOIN cidx USING (span)
+        WHERE cidx.span IS NOT NULL
+           OR (st.c > 1 AND dsp.doc_id * 100000 + dsp.spos <> st.mk)
+    ), cov AS (
+        SELECT DISTINCT doc_id, spos + g.k AS pos
+        FROM dropped CROSS JOIN generate_series(0, 2) AS g(k)
+    ), kept AS (
+        SELECT ds.doc_id, ds.pos, ds.part
+        FROM ds LEFT JOIN cov
+            ON cov.doc_id = ds.doc_id AND cov.pos = ds.pos
+        WHERE cov.pos IS NULL
+    ), reb AS (
+        SELECT doc_id, string_agg(part, '. ' ORDER BY pos) AS text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY 1
+    ), tot AS (
+        SELECT doc_id, COUNT(*) AS n_sentences FROM ds GROUP BY 1
+    )
+    SELECT tot.doc_id,
+           coalesce(reb.text, '') AS text,
+           CAST(tot.n_sentences AS BIGINT) AS n_sentences,
+           CAST(tot.n_sentences - coalesce(reb.n_kept, 0) AS BIGINT)
+               AS n_removed
+    FROM tot LEFT JOIN reb USING (doc_id)
+    """,
+    doc="Daily-ingest span dedup: the 10% newest slice of the "
+        "synthesized sentence corpus (same 5-doc sliding synthesis as "
+        "corpus_span_dedup) is masked against the STAGED corpus "
+        "span-fingerprint index — a delta span occurrence drops (and "
+        "masks its 3 covered sentences) if its md5 exists anywhere in "
+        "the corpus or it is a non-canonical within-delta duplicate; "
+        "corpus occurrences win unconditionally (shipped docs are "
+        "immutable). The corpus is never re-exploded or reshuffled: "
+        "its 16-byte-per-span index is probed with the broadcast delta "
+        "fingerprint set and the hit list broadcasts back. Completes "
+        "the batch/incremental pair for the span family, alongside the "
+        "substring and paragraph families.",
+)
+def corpus_span_dedup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.operators.dedup import (
+        incremental_span_dedup,
+        span_fp_index,
+    )
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            ". ", "text",
+            *[F.lead("text", i).over(w) for i in range(1, 5)],
+        ).alias("text"),
+    )
+    split = hash_split(
+        synth, "doc_id",
+        weights=(("corpus", 0.9), ("delta", 0.1)), salt="sincr",
+    )
+    idx = span_fp_index(
+        _fan_out(spark, split.filter(F.col("split") == "corpus")),
+        "doc_id", "text",
+    )
+    return incremental_span_dedup(
+        idx,
+        split.filter(F.col("split") == "delta"),
+        "doc_id", "text",
+    )
+
+
+@register(
     "corpus_curriculum_phases",
     oracle="""
     WITH t AS (

@@ -894,3 +894,38 @@ def test_span_dedup_overlap_masking_goldens(spark):
     assert got[3] == ("a. b", 2, 0)
     assert got[4] == (None, None, None)
     assert got[5] == ("", 3, 3)
+
+
+def test_incremental_span_dedup_corpus_precedence(spark):
+    """Corpus spans win unconditionally: a delta doc whose span already
+    shipped is masked even though a fresh batch run would have made it
+    canonical; within-delta dups keep min (doc_id, spos); spans absent
+    from both the index and the delta survive."""
+    from flink_examples_spark.operators.dedup import (
+        incremental_span_dedup,
+        span_fp_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "c1. c2. c3. tail")], "doc_id long, text string"
+    )
+    idx = span_fp_index(corpus, "doc_id", "text")
+    delta = spark.createDataFrame(
+        [
+            (1, "c1. c2. c3. mine"),    # span (c1,c2,c3) shipped: masked
+            (2, "d1. d2. d3. z"),       # within-delta canonical holder
+            (3, "d1. d2. d3"),          # within-delta dup: loses
+            (4, "u1. u2. u3"),          # unique: untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in incremental_span_dedup(
+            idx, delta, "doc_id", "text"
+        ).collect()
+    }
+    assert got[1] == ("mine", 3)        # corpus wins despite doc_id 1 < 100
+    assert got[2][1] == 0               # canonical keeps everything
+    assert got[3] == ("", 3)            # non-canonical dup fully masked
+    assert got[4] == ("u1. u2. u3", 0)
