@@ -545,12 +545,77 @@ def paragraph_dedup_ingest_foreach_batch(
     its own survivors excluded from the probe.
     """
 
-    def apply(batch_df: DataFrame, batch_id: int) -> None:
-        from flink_examples_spark.operators.dedup import (
-            incremental_paragraph_dedup,
-            paragraph_fp_index,
-        )
+    from flink_examples_spark.operators.dedup import (
+        incremental_paragraph_dedup,
+        paragraph_fp_index,
+    )
 
+    return _staged_fp_ingest_foreach_batch(
+        index_path, out_path, fmt, compact_every_n_batches,
+        fp_col="pfp",
+        strip_fn=lambda idx, batch_df: incremental_paragraph_dedup(
+            idx, batch_df, id_col, text_col, sep=sep, min_chars=min_chars
+        ),
+        index_fn=lambda surv: paragraph_fp_index(
+            surv, id_col, "text", sep
+        ),
+    )
+
+
+def span_dedup_ingest_foreach_batch(
+    index_path: str,
+    out_path: str,
+    id_col: str,
+    text_col: str,
+    sep: str = ". ",
+    width: int = 3,
+    fmt: str = "parquet",
+    compact_every_n_batches: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` ingest face of C4-style SPAN dedup — the span
+    family's twin of :func:`paragraph_dedup_ingest_foreach_batch`,
+    sharing the staged-index ingest core (batch-keyed idempotent
+    replays, crash ordering output-before-index, compaction hook).
+    Each micro-batch is masked against the accumulated span-fingerprint
+    index via ``operators.dedup.incremental_span_dedup``, and the
+    SHIPPED text's spans (post-masking adjacencies, i.e. what the
+    corpus actually now contains) extend the index."""
+    from flink_examples_spark.operators.dedup import (
+        incremental_span_dedup,
+        span_fp_index,
+    )
+
+    return _staged_fp_ingest_foreach_batch(
+        index_path, out_path, fmt, compact_every_n_batches,
+        fp_col="sfp",
+        strip_fn=lambda idx, batch_df: incremental_span_dedup(
+            idx, batch_df, id_col, text_col, sep=sep, width=width
+        ),
+        index_fn=lambda surv: span_fp_index(
+            surv, id_col, "text", sep=sep, width=width
+        ),
+    )
+
+
+def _staged_fp_ingest_foreach_batch(
+    index_path: str,
+    out_path: str,
+    fmt: str,
+    compact_every_n_batches: int | None,
+    fp_col: str,
+    strip_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    index_fn: Callable[[DataFrame], DataFrame],
+) -> Callable[[DataFrame, int], None]:
+    """Shared staged-fingerprint-index ingest core: read the
+    accumulated index (excluding the in-flight batch's own subdir —
+    replay self-poisoning guard), strip the batch with ``strip_fn``,
+    write output under ``out_path/batch=<id>``, then append the
+    survivors' fingerprints (``index_fn`` over non-NULL texts) under
+    ``index_path/batch=<id>``. Output-before-index ordering means a
+    crash between the two replays the batch instead of poisoning the
+    index with never-shipped content."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_swap(index_path)  # heal any interrupted compaction swap
         if (
@@ -558,10 +623,9 @@ def paragraph_dedup_ingest_foreach_batch(
             and batch_id > 0
             and batch_id % compact_every_n_batches == 0
         ):
-            compact_paragraph_index(spark, index_path, fmt=fmt)
-        # exclude THIS batch's own subdir: on replay the index already
-        # holds the batch's survivors, and reading them back would
-        # strip the batch against itself (self-poisoning replay)
+            compact_paragraph_index(
+                spark, index_path, fmt=fmt, fp_col=fp_col
+            )
         prior = (
             [
                 os.path.join(index_path, n)
@@ -573,18 +637,14 @@ def paragraph_dedup_ingest_foreach_batch(
             else []
         )
         if prior:
-            idx = spark.read.format(fmt).load(prior).select("pfp")
+            idx = spark.read.format(fmt).load(prior).select(fp_col)
         else:
-            idx = spark.createDataFrame([], "pfp string")
-        out = incremental_paragraph_dedup(
-            idx, batch_df, id_col, text_col, sep=sep, min_chars=min_chars
-        ).localCheckpoint()
+            idx = spark.createDataFrame([], f"{fp_col} string")
+        out = strip_fn(idx, batch_df).localCheckpoint()
         out.write.mode("overwrite").format(fmt).save(
             os.path.join(out_path, f"batch={batch_id}")
         )
-        fps = paragraph_fp_index(
-            out.filter(F.col("text").isNotNull()), id_col, "text", sep
-        )
+        fps = index_fn(out.filter(F.col("text").isNotNull()))
         fps.write.mode("overwrite").format(fmt).save(
             os.path.join(index_path, f"batch={batch_id}")
         )
@@ -593,12 +653,15 @@ def paragraph_dedup_ingest_foreach_batch(
 
 
 def compact_paragraph_index(spark, index_path: str,
-                            fmt: str = "parquet") -> int:
-    """Fold the paragraph-fingerprint index's ``batch=*`` subdirs into
+                            fmt: str = "parquet",
+                            fp_col: str = "pfp") -> int:
+    """Fold a staged fingerprint index's ``batch=*`` subdirs into
     one distinct set under ``batch=compacted`` (VERDICT r4 'What's
     wrong #3': the docstring promised this; a long-running ingest
     otherwise accumulates a subdir per batch forever). Returns distinct
-    fingerprints folded, 0 when there is nothing to fold.
+    fingerprints folded, 0 when there is nothing to fold. ``fp_col``
+    names the fingerprint column — ``pfp`` for the paragraph index,
+    ``sfp`` for the span index (the span ingest face passes it).
 
     Replay safety: the NEWEST numbered batch subdir is always spared —
     the ingest excludes the in-flight batch's own subdir from its probe
@@ -631,13 +694,13 @@ def compact_paragraph_index(spark, index_path: str,
     folded = (
         spark.read.format(fmt)
         .load([os.path.join(index_path, n) for n in fold])
-        .select("pfp")
+        .select(fp_col)
         .distinct()
     )
     spared = (
         spark.read.format(fmt)
         .load(os.path.join(index_path, spare))
-        .select("pfp")
+        .select(fp_col)
         if spare
         else None
     )

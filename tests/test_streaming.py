@@ -2307,3 +2307,66 @@ def test_compaction_swap_is_crash_safe(spark, tmp_path):
     for dirpath, dirnames, _ in _os.walk(root):
         names.update(dirnames)
     assert any(d == "batch=compacted" for d in names)
+
+
+def test_streaming_span_dedup_ingest_matches_batch(spark, tmp_path):
+    """Span dedup as an ingest STREAM (the span-family twin of the
+    paragraph ingest): micro-batches mask against the accumulated
+    span-fingerprint index; under id-ordered arrival the union of
+    batch outputs equals one incremental run over the whole delta, a
+    replayed batch overwrites itself, and the compaction hook folds
+    the index without changing subsequent verdicts."""
+    from flink_examples_spark.operators.dedup import (
+        incremental_span_dedup,
+        span_fp_index,
+    )
+    from flink_examples_spark.streaming.sinks import (
+        span_dedup_ingest_foreach_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "c1. c2. c3. c4")], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "idx")
+    span_fp_index(corpus, "doc_id", "text").write.parquet(
+        os.path.join(idx_path, "batch=-1")
+    )
+
+    delta_rows = [
+        (1, "a1. a2. a3. a4"),   # unique: ships whole
+        (2, "c1. c2. c3. x"),    # corpus span: 3 sentences masked
+        (3, "a2. a3. a4. z"),    # dup of batch-0 doc 1's span, via index
+        (4, "x. y. w"),          # unique (single span, fresh)
+    ]
+    schema = "doc_id long, text string"
+    out_path = str(tmp_path / "out")
+    apply = span_dedup_ingest_foreach_batch(
+        idx_path, out_path, "doc_id", "text",
+        compact_every_n_batches=2,
+    )
+    dfs = [spark.createDataFrame(delta_rows[i:i + 2], schema)
+           for i in (0, 2)]
+    apply(dfs[0], 0)
+    apply(dfs[1], 1)
+    apply(dfs[1], 1)  # replay: must overwrite, not duplicate
+    apply(spark.createDataFrame([(5, "a1. a2. a3")], schema), 2)  # compacts
+
+    got = {r.doc_id: (r.text, r.n_removed)
+           for r in spark.read.parquet(out_path).collect()}
+
+    want = {r.doc_id: (r.text, r.n_removed)
+            for r in incremental_span_dedup(
+                span_fp_index(corpus, "doc_id", "text"),
+                spark.createDataFrame(
+                    delta_rows + [(5, "a1. a2. a3")], schema
+                ),
+                "doc_id", "text").collect()}
+    assert got == want
+    assert got[1] == ("a1. a2. a3. a4", 0)
+    assert got[2] == ("x", 3)            # corpus wins
+    assert got[3] == ("z", 3)            # cross-batch dup via index
+    assert got[4] == ("x. y. w", 0)
+    assert got[5] == ("", 3)             # dup of doc 1's first span
+    subs = sorted(d for d in os.listdir(idx_path)
+                  if not d.startswith((".", "_")))
+    assert "batch=compacted" in subs     # the hook actually folded
