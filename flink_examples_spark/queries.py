@@ -5585,6 +5585,136 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "returned_item_revenue_topn",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer "
+        "(l_returnflag = 'R'), nation attached, deterministic top-20 "
+        "by (revenue DESC, custkey). Plan: the returnflag filter "
+        "reaches the lineitem scan (PushedFilters), nation broadcasts, "
+        "and the top-20 is a TakeOrderedAndProject — no global sort "
+        "materialization.",
+)
+def returned_item_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation),
+              cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "sole_late_supplier_census",
+    oracle="""
+    WITH lo AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lo l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.late
+      AND EXISTS (
+          SELECT 1 FROM lo l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lo l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.late
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape, adapted to this schema's dates (late = "
+        "shipped >90 days after the order date; the fixture has no "
+        "commit/receipt dates): suppliers who were the SOLE late "
+        "supplier in a multi-supplier order — the blame census. The "
+        "interesting part is the plan: the EXISTS is a LeftSemi and "
+        "the NOT EXISTS a LeftAnti self-reference on the same "
+        "order-keyed set, so rows never multiply, both legs shuffle "
+        "on l_orderkey (co-partitioned with the probe), and the "
+        "100-row supplier dim broadcasts. Deterministic top-20 by "
+        "(numwait DESC, s_name).",
+)
+def sole_late_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name"
+    )
+    lo = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    l1 = lo.filter("late").alias("l1")
+    others = lo.select("l_orderkey", "l_suppkey").alias("l2")
+    late_others = lo.filter("late").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l3")
+    qualified = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.join(
+            F.broadcast(supplier),
+            F.col("l1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
     "session_path_transitions",
     oracle="""
     WITH ordered AS (

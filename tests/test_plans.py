@@ -308,6 +308,20 @@ def test_relational_pattern_pack_plan_shapes(spark, sf_dir):
     assert "Window" in plan_share
     assert plan_share.count("BroadcastHashJoin") >= 2
 
+    # Q21 shape: EXISTS→LeftSemi, NOT EXISTS→LeftAnti (rows never
+    # multiply through the self-references), supplier dim broadcasts
+    p21 = formatted_plan(q["sole_late_supplier_census"](spark, sf_dir))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "BroadcastHashJoin" in p21
+    assert "Cartesian" not in p21
+
+    # Q10 shape: returnflag filter reaches the scan, top-20 is a
+    # TakeOrderedAndProject (no global sort materialization)
+    p10 = formatted_plan(q["returned_item_revenue_topn"](spark, sf_dir))
+    assert any("l_returnflag" in f for f in
+               pushed_filters(q["returned_item_revenue_topn"](spark, sf_dir)))
+    assert "TakeOrderedAndProject" in p10
+
 
 def test_session_path_transitions_single_fact_exchange(spark, sf_dir):
     """The sessionize→lag→count cascade must cluster on the user key:
