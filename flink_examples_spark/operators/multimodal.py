@@ -164,6 +164,100 @@ def encode_fake_audio(
 # Decode / metadata extraction
 # ---------------------------------------------------------------------------
 
+def encode_const_frame_videos(
+    df: DataFrame,
+    id_col: str,
+    width_expr: str,
+    height_expr: str,
+    n_frames_expr: str,
+    fill,
+) -> DataFrame:
+    """Fake FVID videos whose frame ``f`` is uniformly filled with
+    ``fill(media_id, f) % 256`` — every frame's mean brightness is that
+    byte exactly, so per-frame statistics (and scene-cut verdicts) are
+    closed-form computable by a SQL oracle. The fixture encoder for
+    :func:`video_scene_cuts`."""
+    src = df.selectExpr(
+        f"{id_col} as media_id",
+        f"cast(({width_expr}) as int) as _w",
+        f"cast(({height_expr}) as int) as _h",
+        f"cast(({n_frames_expr}) as int) as _nf",
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, w, h, nf in zip(pdf["media_id"], pdf["_w"],
+                                     pdf["_h"], pdf["_nf"]):
+                frames = b"".join(
+                    bytes([fill(int(mid), f) % 256]) * (w * h)
+                    for f in range(nf)
+                )
+                payloads.append(
+                    VIDEO_MAGIC + struct.pack("<iii", w, h, nf) + frames
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return src.mapInPandas(enc, "media_id long, payload binary")
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    threshold: float = 8.0,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over the video batch shape:
+    decode each video's frames, take per-frame mean brightness, and
+    emit one row per adjacent-frame jump whose absolute delta exceeds
+    ``threshold`` — the classic intensity-difference cut detector
+    (real pipelines swap the mean for a histogram or embedding delta;
+    the Spark-side plumbing — binary payload in, per-cut fan-out,
+    Arrow batches, no shuffle — is identical). Undecodable payloads
+    emit one null row (seen-but-undecodable, no silent drops); videos
+    with no cuts emit nothing.
+
+    Output: ``<id_col>, cut_frame, delta`` (delta rounded 6 dp)."""
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(raw)
+                try:
+                    if raw[:4] != VIDEO_MAGIC or len(raw) < 16:
+                        rows.append((mid, None, None))
+                        continue
+                    w, h, nf = struct.unpack("<iii", raw[4:16])
+                    fsz = w * h
+                    if w <= 0 or h <= 0 or nf < 0 \
+                            or len(raw) < 16 + nf * fsz:
+                        rows.append((mid, None, None))
+                        continue
+                    means = [
+                        float(np.frombuffer(
+                            raw, np.uint8, offset=16 + f * fsz, count=fsz
+                        ).mean())
+                        for f in range(nf)
+                    ]
+                except Exception:
+                    rows.append((mid, None, None))
+                    continue
+                for f in range(1, nf):
+                    d = abs(means[f] - means[f - 1])
+                    if d > threshold:
+                        rows.append((mid, f, round(d, 6)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "cut_frame", "delta"]
+            )
+
+    return df.mapInPandas(
+        cuts, f"{id_col} long, cut_frame int, delta double"
+    )
+
+
 def media_metadata(df: DataFrame, id_col: str = "media_id",
                    payload_col: str = "payload") -> DataFrame:
     """Parse the typed metadata struct off each payload's header —

@@ -1961,6 +1961,50 @@ def media_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_sample(videos, every=2).select("media_id", "frame_idx")
 
 
+@register(
+    "media_video_scene_cuts",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(g.f AS INT) AS cut_frame,
+           round(abs(CAST((doc_id * 17 + g.f * g.f) % 32 AS DOUBLE)
+                     - CAST((doc_id * 17 + (g.f-1) * (g.f-1)) % 32
+                            AS DOUBLE)), 6) AS delta
+    FROM documents
+    CROSS JOIN generate_series(1, 7) AS g(f)
+    WHERE g.f <= doc_id % 8
+      AND abs(CAST((doc_id * 17 + g.f * g.f) % 32 AS DOUBLE)
+              - CAST((doc_id * 17 + (g.f-1) * (g.f-1)) % 32 AS DOUBLE))
+          > 8
+    """,
+    doc="Multimodal: shot-boundary detection — adjacent-frame mean-"
+        "brightness deltas over the threshold emit one cut row each. "
+        "The fixture encodes constant-fill FVID frames (frame f filled "
+        "with (id*17+f*f)%32), so per-frame means are exact integers "
+        "and the oracle derives the cut set closed-form; the quadratic "
+        "fill makes deltas wrap mod 32, so both cut and no-cut pairs "
+        "occur. Plan: encode and detect are one fused mapInPandas "
+        "chain over Arrow batches — zero shuffles, per-cut fan-out "
+        "only.",
+)
+def media_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.multimodal import (
+        encode_const_frame_videos,
+        video_scene_cuts,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    videos = encode_const_frame_videos(
+        docs, "doc_id",
+        width_expr="4 + doc_id % 3",
+        height_expr="4",
+        n_frames_expr="1 + doc_id % 8",
+        fill=lambda mid, f: (mid * 17 + f * f) % 32,
+    )
+    return video_scene_cuts(videos, threshold=8.0).select(
+        "media_id", "cut_frame", "delta"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Async / lookup enrichment (M1, P4, J6/M3)
 # ---------------------------------------------------------------------------

@@ -601,3 +601,44 @@ def test_image_phash_corrupt_payloads_yield_null_not_crash(spark):
     assert out[2] is None and out[3] is None and out[4] is None
     assert out[5] is None
     assert len(out) == 5
+
+
+def test_video_scene_cuts_detects_jumps_and_guards(spark):
+    """Scene-cut detector: a hand-built video with means 10,10,200,200
+    cuts exactly at frame 2; a single-frame video emits nothing; a
+    truncated payload emits one null row; threshold is strict (delta
+    == threshold is NOT a cut)."""
+    import struct as st
+
+    import numpy as np
+
+    from flink_examples_spark.operators.multimodal import (
+        VIDEO_MAGIC,
+        video_scene_cuts,
+    )
+
+    def vid(means, w=2, h=2):
+        frames = b"".join(bytes([m]) * (w * h) for m in means)
+        return VIDEO_MAGIC + st.pack("<iii", w, h, len(means)) + frames
+
+    rows = [
+        (1, bytearray(vid([10, 10, 200, 200]))),
+        (2, bytearray(vid([5]))),                 # one frame: no pairs
+        (3, bytearray(vid([0, 8]))),              # delta 8 == threshold
+        (4, bytearray(vid([0, 9]))),              # delta 9 > threshold
+        (5, bytearray(vid([10, 20])[:10])),       # truncated
+        (6, bytearray(b"not a video")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = [
+        (r.media_id, r.cut_frame, r.delta)
+        for r in video_scene_cuts(df, threshold=8.0)
+        .orderBy("media_id", "cut_frame")
+        .collect()
+    ]
+    assert got == [
+        (1, 2, 190.0),
+        (4, 1, 9.0),
+        (5, None, None),
+        (6, None, None),
+    ]
