@@ -250,3 +250,58 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         *[F.col("_last")[c].alias(c) for c in payload_cols],
     )
+
+
+def banded_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Scale-safe point-in-interval range join: every ``points`` row
+    paired with every ``intervals`` row where
+    ``lo_col <= point_col <= hi_col`` (NULL bounds/points never match,
+    standard SQL BETWEEN semantics).
+
+    Why not ``points.join(intervals, point.between(lo, hi))``: a
+    non-equi predicate gives Catalyst no join key, so the plan
+    degenerates to BroadcastNestedLoopJoin (fine for a broadcastable
+    side, O(|P|*|I|) work and a single-node build otherwise). The
+    banded form manufactures an equi-key from a value grid: each
+    interval explodes to the ``ceil((hi-lo)/w)+1`` grid cells it
+    overlaps, each point maps to exactly ONE cell, and the join is a
+    plain equi-join on the cell id followed by the residual BETWEEN
+    filter. Because a point lives in one cell, no dedup pass is
+    needed — an interval meets a given point in at most one cell.
+
+    Scale shape: work is |P| + sum(interval_span/w) rows through one
+    hash exchange on the cell id; pick ``bucket_width`` near the
+    typical interval span so each interval lands in O(1) cells. Skew
+    (a popular value cell) is an equi-join hot key — AQE-splittable,
+    exactly the property the nested-loop plan lacks. Cells are
+    floor-quantized from DOUBLE; the residual filter re-checks the
+    exact bounds, so quantization can't change results.
+    """
+    cell = lambda c: F.floor(c.cast("double") / F.lit(bucket_width))
+    ivals = intervals.filter(
+        F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    ).withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(cell(F.col(lo_col)), cell(F.col(hi_col)))
+        ),
+    )
+    pts = points.filter(F.col(point_col).isNotNull()).withColumn(
+        "_cell", cell(F.col(point_col))
+    )
+    return (
+        pts.join(ivals, "_cell")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_cell")
+    )

@@ -5759,6 +5759,52 @@ def sole_late_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "acctbal_band_matches",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_close_customers,
+           MIN(c_custkey) AS min_custkey,
+           MAX(c_custkey) AS max_custkey
+    FROM customer JOIN supplier
+      ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+    GROUP BY s_suppkey, s_name
+    """,
+    doc="Numeric range join (point-in-interval): customers whose "
+        "account balance falls within ±50 of a supplier's, counted "
+        "per supplier. The naive BETWEEN join has no equi-key and "
+        "plans as BroadcastNestedLoopJoin — O(|C|·|S|) work and a "
+        "broadcast build that dies when neither side is small. "
+        "banded_range_join manufactures the key: intervals explode to "
+        "their ~2 value-grid cells (width 100 ≈ the interval span), "
+        "points map to exactly one cell, and the join is a plain "
+        "equi-join on the cell plus a residual BETWEEN re-check — one "
+        "hash exchange, AQE-skew-splittable, no dedup needed since a "
+        "point lives in one cell. Same rows as the nested-loop "
+        "formulation by construction (plan-tested: no "
+        "BroadcastNestedLoopJoin).",
+)
+def acctbal_band_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.joins import banded_range_join
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal"
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name",
+        (F.col("s_acctbal") - 50).alias("_lo"),
+        (F.col("s_acctbal") + 50).alias("_hi"),
+    )
+    pairs = banded_range_join(
+        cust, supp, "c_acctbal", "_lo", "_hi", bucket_width=100.0
+    )
+    return pairs.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("n_close_customers"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
+@register(
     "session_path_transitions",
     oracle="""
     WITH ordered AS (

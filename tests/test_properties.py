@@ -404,3 +404,48 @@ def test_strided_chunking_covers_minimally(spark, n_tokens, c, s):
     assert all(r["n_chunk_tokens"] == c for r in rows[:-1])  # interior full
     if len(rows) > 1:  # minimal: second-to-last window misses the tail
         assert rows[-2]["start_tok"] + c < n_tokens
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.one_of(st.none(), st.integers(-30, 30)),
+             min_size=1, max_size=20),
+    st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(-30, 30)),
+                  st.integers(0, 40)),
+        min_size=1, max_size=12,
+    ),
+    st.sampled_from([1.0, 7.0, 100.0]),
+)
+def test_banded_range_join_matches_bruteforce(spark, pts, ivs, width):
+    """banded_range_join invariants over random points/intervals and
+    bucket widths (including width far larger and far smaller than
+    interval spans): exactly the BETWEEN-predicate pair set, no
+    duplicates from multi-cell intervals, NULL points/bounds never
+    match, inverted intervals (hi < lo after construction) excluded."""
+    from flink_examples_spark.operators.joins import banded_range_join
+
+    prow = [(i, float(p) if p is not None else None)
+            for i, p in enumerate(pts)]
+    irow = [
+        (100 + i,
+         float(lo) if lo is not None else None,
+         float(lo + span) if lo is not None else None)
+        for i, (lo, span) in enumerate(ivs)
+    ]
+    pdf = spark.createDataFrame(prow, "pid int, v double")
+    idf = spark.createDataFrame(irow, "iid int, lo double, hi double")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in banded_range_join(pdf, idf, "v", "lo", "hi", width)
+        .collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, v in prow
+        for iid, lo, hi in irow
+        if v is not None and lo is not None and hi is not None
+        and lo <= v <= hi
+    )
+    assert got == want
