@@ -305,3 +305,61 @@ def banded_range_join(
         )
         .drop("_cell")
     )
+
+
+def banded_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Scale-safe interval-OVERLAP join: every (left, right) pair whose
+    ranges intersect — ``l_lo <= r_hi AND r_lo <= l_hi`` (closed
+    bounds; NULL or inverted ranges never match). The interval×interval
+    big sibling of :func:`banded_range_join`.
+
+    Both sides explode to their grid cells, pairs meet by cell
+    equi-join — but two overlapping intervals can share MANY cells, so
+    a dedup is owed. Instead of a distinct over the (potentially huge)
+    pair set, each pair is emitted only by its RESPONSIBLE cell — the
+    cell containing ``max(l_lo, r_lo)``, the overlap's left edge,
+    which both intervals provably cover — a filter in the join
+    projection, zero extra exchanges (the standard interval-join
+    dedup trick, e.g. GeoSpark/Sedona's reference-point rule for
+    spatial pairs).
+
+    Scale shape: one hash exchange per side keyed by cell; work is
+    sum(span/w) rows per side. Pick ``bucket_width`` near the typical
+    span so each interval hits O(1) cells; hot value regions are
+    equi-join hot keys — AQE-splittable, which the
+    BroadcastNestedLoopJoin a naive overlap predicate plans as is not.
+    """
+    cell = lambda c: F.floor(c.cast("double") / F.lit(bucket_width))
+
+    def explode_cells(df, lo, hi, tag):
+        return df.filter(
+            F.col(lo).isNotNull() & F.col(hi).isNotNull()
+            & (F.col(lo) <= F.col(hi))
+        ).withColumn(
+            f"_cell_{tag}",
+            F.explode(F.sequence(cell(F.col(lo)), cell(F.col(hi)))),
+        )
+
+    l = explode_cells(left, left_lo, left_hi, "l")
+    r = explode_cells(right, right_lo, right_hi, "r")
+    return (
+        l.join(r, F.col("_cell_l") == F.col("_cell_r"))
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            # responsible cell: the one holding the overlap's left edge
+            & (
+                F.col("_cell_l")
+                == cell(F.greatest(F.col(left_lo), F.col(right_lo)))
+            )
+        )
+        .drop("_cell_l", "_cell_r")
+    )

@@ -5805,6 +5805,52 @@ def acctbal_band_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "acctbal_overlap_pairs",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           MIN(c_custkey) AS min_custkey,
+           MAX(c_custkey) AS max_custkey
+    FROM supplier JOIN customer
+      ON s_acctbal - 25 <= c_acctbal + 25
+     AND c_acctbal - 25 <= s_acctbal + 25
+    GROUP BY s_suppkey, s_name
+    """,
+    doc="Interval-OVERLAP join (the interval×interval sibling of "
+        "acctbal_band_matches): supplier and customer ±25 balance "
+        "bands that intersect, counted per supplier. "
+        "banded_overlap_join explodes BOTH sides to grid cells and "
+        "dedups overlapping pairs without a distinct: each pair is "
+        "emitted only by the RESPONSIBLE cell holding the overlap's "
+        "left edge (max of the two lo bounds — a cell both intervals "
+        "provably cover), the reference-point rule spatial joins use. "
+        "One hash exchange per side, residual exact re-check, no "
+        "nested-loop node (plan-tested).",
+)
+def acctbal_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.joins import banded_overlap_join
+
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name",
+        (F.col("s_acctbal") - 25).alias("_slo"),
+        (F.col("s_acctbal") + 25).alias("_shi"),
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        (F.col("c_acctbal") - 25).alias("_clo"),
+        (F.col("c_acctbal") + 25).alias("_chi"),
+    )
+    pairs = banded_overlap_join(
+        supp, cust, "_slo", "_shi", "_clo", "_chi", bucket_width=50.0
+    )
+    return pairs.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
+@register(
     "session_path_transitions",
     oracle="""
     WITH ordered AS (

@@ -322,11 +322,12 @@ def test_relational_pattern_pack_plan_shapes(spark, sf_dir):
                pushed_filters(q["returned_item_revenue_topn"](spark, sf_dir)))
     assert "TakeOrderedAndProject" in p10
 
-    # banded range join: the BETWEEN predicate must ride a manufactured
-    # equi-key (grid cell), never a nested-loop/cartesian plan
-    pband = formatted_plan(q["acctbal_band_matches"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in pband
-    assert "Cartesian" not in pband
+    # banded range/overlap joins: the range predicates must ride a
+    # manufactured equi-key (grid cell), never a nested-loop/cartesian
+    for name in ["acctbal_band_matches", "acctbal_overlap_pairs"]:
+        pband = formatted_plan(q[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in pband, name
+        assert "Cartesian" not in pband, name
 
 
 def test_session_path_transitions_single_fact_exchange(spark, sf_dir):

@@ -449,3 +449,55 @@ def test_banded_range_join_matches_bruteforce(spark, pts, ivs, width):
         and lo <= v <= hi
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(-25, 25)),
+                  st.integers(0, 30)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(-25, 25)),
+                  st.integers(0, 30)),
+        min_size=1, max_size=12,
+    ),
+    st.sampled_from([1.0, 9.0, 80.0]),
+)
+def test_banded_overlap_join_matches_bruteforce(spark, ls, rs, width):
+    """banded_overlap_join invariants: exactly the closed-bound overlap
+    pair set, each pair emitted ONCE despite multi-cell co-coverage
+    (the responsible-cell rule), NULL bounds never match."""
+    from flink_examples_spark.operators.joins import banded_overlap_join
+
+    lrow = [
+        (i,
+         float(lo) if lo is not None else None,
+         float(lo + span) if lo is not None else None)
+        for i, (lo, span) in enumerate(ls)
+    ]
+    rrow = [
+        (100 + i,
+         float(lo) if lo is not None else None,
+         float(lo + span) if lo is not None else None)
+        for i, (lo, span) in enumerate(rs)
+    ]
+    ldf = spark.createDataFrame(lrow, "lid int, llo double, lhi double")
+    rdf = spark.createDataFrame(rrow, "rid int, rlo double, rhi double")
+    got = sorted(
+        (r.lid, r.rid)
+        for r in banded_overlap_join(
+            ldf, rdf, "llo", "lhi", "rlo", "rhi", width
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, llo, lhi in lrow
+        for rid, rlo, rhi in rrow
+        if llo is not None and rlo is not None
+        and llo <= rhi and rlo <= lhi
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # responsible-cell rule: no dups
