@@ -2370,3 +2370,39 @@ def test_streaming_span_dedup_ingest_matches_batch(spark, tmp_path):
     subs = sorted(d for d in os.listdir(idx_path)
                   if not d.startswith((".", "_")))
     assert "batch=compacted" in subs     # the hook actually folded
+
+
+def test_streaming_banded_range_join_matches_batch(spark, tmp_path):
+    """banded_range_join in stream-static form: a stream of points
+    probed against a static interval table is a cell EQUI-join, so it
+    rides the supported (and efficient) stream-static hash-join path —
+    per-micro-batch output equals the batch operator on the union of
+    batches."""
+    import pandas as pd
+
+    from flink_examples_spark.operators.joins import banded_range_join
+
+    ivals = spark.createDataFrame(
+        [(100, 0.0, 10.0), (101, 5.0, 25.0), (102, 40.0, 41.0)],
+        "iid int, lo double, hi double",
+    )
+    pts_pdf = pd.DataFrame(
+        {"pid": list(range(8)),
+         "v": [0.0, 7.5, 10.0, 10.1, 24.9, 39.9, 40.5, 99.0]}
+    )
+    d = write_chunks(pts_pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        banded_range_join(src, ivals, "v", "lo", "hi", 10.0),
+        spark, "banded_stream", "append", str(tmp_path / "ck"),
+    )
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    want = sorted(
+        (r.pid, r.iid)
+        for r in banded_range_join(
+            spark.createDataFrame(pts_pdf), ivals, "v", "lo", "hi", 10.0
+        ).collect()
+    )
+    assert got == want
+    assert (0, 100) in got and (1, 100) in got and (1, 101) in got
+    assert (6, 102) in got and not any(p == 7 for p, _ in got)
