@@ -1059,10 +1059,16 @@ def incremental_span_dedup(
     """
     parts = _doc_paragraphs(delta, id_col, text_col, sep)
     spans = _doc_spans(parts, width)
+    # distinct: the accumulated ingest index can hold the same span
+    # fingerprint in several batch subdirs (post-masking adjacencies
+    # recreate indexed spans); one hit row per sfp keeps the probe
+    # join from fanning delta spans out k-fold
     hits = (
         fp_index.join(
             F.broadcast(spans.select("sfp").distinct()), "sfp"
         )
+        .select("sfp")
+        .distinct()
         .withColumn("_hit", F.lit(1))
     )
     ckey = F.struct(F.col("doc_id"), F.col("spos"))
@@ -1126,10 +1132,18 @@ def incremental_paragraph_dedup(
     parts = _doc_paragraphs(delta, id_col, text_col, sep).withColumn(
         "pfp", F.md5("part")
     )
+    # distinct AFTER the probe: a staged index accumulated over many
+    # ingest batches can hold the same fingerprint in several subdirs
+    # (min_chars-exempt short paragraphs survive every batch), and a
+    # duplicated hit row would DUPLICATE the matching parts rows
+    # through the left join — inflating counts and doubling paragraphs
+    # in the rebuilt text
     hits = (
         fp_index.join(
             F.broadcast(parts.select("pfp").distinct()), "pfp"
         )
+        .select("pfp")
+        .distinct()
         .withColumn("_hit", F.lit(1))
     )
     ckey = F.struct(F.col("doc_id"), F.col("pos"))
@@ -1197,6 +1211,9 @@ def incremental_substring_strip(
     d_chunks = _doc_chunks(delta, id_col, text_col, k).withColumn(
         "cfp", F.md5("chunk")
     )
+    # distinct: one hit row per fingerprint no matter how many index
+    # rows matched (multi-snapshot indexes), so the probe join can
+    # never multiply delta rows
     hits = (
         chunk_index.join(
             F.broadcast(
@@ -1205,6 +1222,7 @@ def incremental_substring_strip(
             "chunk",
         )
         .select("cfp")
+        .distinct()
         .withColumn("_hit", F.lit(1))
     )
     # struct-ordered canonical key — see substring_dedup_strip; the

@@ -284,6 +284,12 @@ def banded_range_join(
     floor-quantized from DOUBLE; the residual filter re-checks the
     exact bounds, so quantization can't change results.
     """
+    if not bucket_width > 0:
+        raise ValueError(
+            f"banded_range_join: bucket_width must be > 0, got "
+            f"{bucket_width!r} (a zero/negative width would floor-"
+            "divide to Infinity/NaN cells and silently match nothing)"
+        )
     cell = lambda c: F.floor(c.cast("double") / F.lit(bucket_width))
     ivals = intervals.filter(
         F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
@@ -337,6 +343,12 @@ def banded_overlap_join(
     equi-join hot keys — AQE-splittable, which the
     BroadcastNestedLoopJoin a naive overlap predicate plans as is not.
     """
+    if not bucket_width > 0:
+        raise ValueError(
+            f"banded_overlap_join: bucket_width must be > 0, got "
+            f"{bucket_width!r} (a zero/negative width would floor-"
+            "divide to Infinity/NaN cells and silently match nothing)"
+        )
     cell = lambda c: F.floor(c.cast("double") / F.lit(bucket_width))
 
     def explode_cells(df, lo, hi, tag):

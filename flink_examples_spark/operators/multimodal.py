@@ -52,6 +52,14 @@ MEDIA_META_DDL = (
 )
 
 
+def _payload_bytes(raw) -> bytes:
+    """NULL-safe payload coercion: a NULL binary cell becomes b'' —
+    which fails every magic check and falls into the op's null-row
+    branch — instead of ``bytes(None)`` raising TypeError and killing
+    the whole mapInPandas Arrow batch (r5 review finding)."""
+    return b"" if raw is None else bytes(raw)
+
+
 def _cycle_bytes(data: bytes, n: int) -> bytes:
     """Repeat/truncate ``data`` to exactly ``n`` bytes (deterministic
     pixel/sample synthesis from seed text)."""
@@ -225,8 +233,10 @@ def video_scene_cuts(
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(raw)
                 try:
+                    # bytes() inside the try: a NULL payload must emit
+                    # the null row, not TypeError the whole Arrow batch
+                    raw = _payload_bytes(raw)
                     if raw[:4] != VIDEO_MAGIC or len(raw) < 16:
                         rows.append((mid, None, None))
                         continue
@@ -267,7 +277,7 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(raw)
+                raw = _payload_bytes(raw)
                 magic = raw[:4]
                 # per-magic header width: FAUD's header is 12 bytes, so
                 # unpacking a fixed 16-byte prefix would crash on clips
@@ -307,7 +317,7 @@ def image_features(df: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(raw)
+                raw = _payload_bytes(raw)
                 # non-image / truncated-header / header-only payloads:
                 # null-stats row (no silent drops, no task-killing
                 # struct.error / zero-size-reduction ValueError)
@@ -344,7 +354,7 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(raw)
+                raw = _payload_bytes(raw)
                 if raw[:4] != AUDIO_MAGIC:
                     # non-audio payload in a mixed-media input: emit a
                     # null-stats row (mirrors media_metadata's 'unknown'
@@ -386,7 +396,7 @@ def image_resize(df: DataFrame, out_w: int, out_h: int,
         for pdf in batches:
             ids, payloads = [], []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(raw)
+                raw = _payload_bytes(raw)
                 # non-image / degenerate payloads: null-payload row so
                 # mixed-media inputs are visible downstream, not dropped
                 if raw[:4] != IMAGE_MAGIC or len(raw) < 16:
@@ -428,7 +438,7 @@ def video_frame_sample(df: DataFrame, every: int = 2,
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(raw)
+                raw = _payload_bytes(raw)
                 # non-video / truncated payloads: one null-frame row
                 # marks the id as seen-but-undecodable (no silent drops)
                 if raw[:4] != VIDEO_MAGIC or len(raw) < 16:
@@ -754,7 +764,7 @@ def decode_image_real(df: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
-                got = decode_image_bytes(bytes(raw))
+                got = decode_image_bytes(_payload_bytes(raw))
                 if got is None:
                     rows.append((mid, None, None, None, None, None, None))
                     continue
@@ -791,11 +801,11 @@ def decode_audio_real(df: DataFrame, id_col: str = "media_id",
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(raw)
-                try:  # corrupt payloads degrade to a null row, never a
-                    got = parse_wav(raw)  # task kill (ADVICE r4 parity
-                except Exception:  # with the image dispatch)
-                    got = None
+                try:  # corrupt/NULL payloads degrade to a null row,
+                    raw = bytes(raw)  # never a task kill (ADVICE r4
+                    got = parse_wav(raw)  # parity with image dispatch)
+                except Exception:
+                    raw, got = b"", None
                 fmt = "wav"
                 if got is None:
                     try:  # compressed formats need a real library

@@ -1409,7 +1409,9 @@ def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broadcasts at runtime); the vocab size rides a one-row "
         "broadcast cross join. Float-parity: ln() differs by <=1 ulp "
         "across engines, swamped by the 6 dp round on the per-doc "
-        "average.",
+        "average. Oracle parity holds under the repo's documented "
+        "4096-token-per-doc cap (the oracle's generate_series bound; "
+        "fixture docs are far shorter).",
 )
 def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.functions.text import tokens

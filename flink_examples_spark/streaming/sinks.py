@@ -442,6 +442,12 @@ def cdc_merge_foreach_batch(
         )
 
         spark = batch_df.sparkSession
+        if guard_seq:
+            # heal an interrupted compaction swap EVERY batch, before
+            # any read or write can observe the missing log (and before
+            # a new tombstone write could recreate the root and orphan
+            # the retired copy holding the full history)
+            _recover_swap(_tombstone_root(table_path))
         if (
             guard_seq
             and compact_every_n_batches
@@ -715,7 +721,10 @@ def compact_paragraph_index(spark, index_path: str,
             )
 
     return _swap_in_rewrite(
-        index_path, write_to, count=lambda: folded.count()
+        index_path, write_to,
+        # count the just-written compacted set, not a second fold pass
+        count=lambda staging: spark.read.format(fmt)
+        .load(os.path.join(staging, "batch=compacted")).count(),
     )
 
 
@@ -765,7 +774,10 @@ def compact_tombstones(
             .format(fmt)
             .partitionBy(partition_col, "batch")
             .save(staging),
-            count=lambda: folded.count(),
+            # count the just-written staging files: one source pass
+            # total, instead of recomputing the fold a second time
+            count=lambda staging: spark.read.format(fmt)
+            .load(staging).count(),
         )
         return kept
     finally:
@@ -802,10 +814,13 @@ def _swap_in_rewrite(root: str, write_to, count=None) -> int:
     ``.old`` sibling (never only in memory), and :func:`_recover_swap`
     makes any interrupted swap converge on the next call. Both sibling
     names keep the root's underscore prefix, so Spark's file listing
-    hides them from plain table reads."""
+    hides them from plain table reads. ``count`` (optional) receives
+    the STAGING path after the write — count the freshly written files
+    there rather than re-running the fold's lineage (which would scan
+    the source a second time)."""
     retired, staging = _retired_of(root), _staging_of(root)
     write_to(staging)
-    kept = count() if count is not None else 0
+    kept = count(staging) if count is not None else 0
     os.rename(root, retired)
     os.rename(staging, root)
     shutil.rmtree(retired)
@@ -870,6 +885,7 @@ def _drop_stale_events(
             if not is_unable_to_infer_schema(e):
                 raise
         tomb_root = _tombstone_root(table_path)
+        _recover_swap(tomb_root)  # never read through a half-done swap
         if os.path.isdir(tomb_root):
             tombs = (
                 spark.read.format(fmt)

@@ -929,3 +929,37 @@ def test_incremental_span_dedup_corpus_precedence(spark):
     assert got[2][1] == 0               # canonical keeps everything
     assert got[3] == ("", 3)            # non-canonical dup fully masked
     assert got[4] == ("u1. u2. u3", 0)
+
+
+def test_incremental_dedup_duplicated_index_fps_do_not_multiply(spark):
+    """r5 review: a staged index accumulated over many ingest batches
+    can hold the same fingerprint in several subdirs; a duplicated hit
+    row must NOT duplicate delta rows through the probe join (which
+    would inflate n_paragraphs and double paragraphs in the rebuilt
+    text). Same guard for the span path."""
+    from flink_examples_spark.operators.dedup import (
+        incremental_paragraph_dedup,
+        incremental_span_dedup,
+    )
+
+    # 'dup' appears TWICE in the index (two batch subdirs' worth)
+    idx = spark.createDataFrame(
+        [("x",), ("x",)], "part string"
+    ).selectExpr("md5(part) as pfp")
+    delta = spark.createDataFrame(
+        [(1, "x\n\nkeep me")], "doc_id long, text string"
+    )
+    out = incremental_paragraph_dedup(idx, delta, "doc_id", "text").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.text, r.n_paragraphs, r.n_removed) == ("keep me", 2, 1)
+
+    sidx = spark.createDataFrame(
+        [("a\x1fb\x1fc",), ("a\x1fb\x1fc",)], "span string"
+    ).selectExpr("md5(span) as sfp")
+    sdelta = spark.createDataFrame(
+        [(1, "a. b. c. tail")], "doc_id long, text string"
+    )
+    sout = incremental_span_dedup(sidx, sdelta, "doc_id", "text").collect()
+    assert len(sout) == 1
+    assert (sout[0].text, sout[0].n_removed) == ("tail", 3)

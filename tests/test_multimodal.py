@@ -642,3 +642,30 @@ def test_video_scene_cuts_detects_jumps_and_guards(spark):
         (5, None, None),
         (6, None, None),
     ]
+
+
+def test_null_payloads_emit_null_rows_everywhere(spark):
+    """r5 review: a NULL binary cell (upstream left join, corrupt
+    record) must produce the op's null row, not TypeError the whole
+    Arrow batch — across the fake-codec ops, the real decoders, and
+    the scene-cut detector."""
+    from flink_examples_spark.operators.multimodal import (
+        audio_features,
+        decode_audio_real,
+        decode_image_real,
+        image_features,
+        media_metadata,
+        video_frame_sample,
+        video_scene_cuts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None)], "media_id long, payload binary"
+    )
+    assert media_metadata(df).collect()[0].kind == "unknown"
+    assert image_features(df).collect()[0].mean_px is None
+    assert audio_features(df).collect()[0].sample_rate is None
+    assert video_frame_sample(df).collect()[0].frame_idx is None
+    assert video_scene_cuts(df).collect()[0].cut_frame is None
+    assert decode_image_real(df).collect()[0].fmt is None
+    assert decode_audio_real(df).collect()[0].fmt is None

@@ -501,3 +501,24 @@ def test_banded_overlap_join_matches_bruteforce(spark, ls, rs, width):
     )
     assert got == want
     assert len(got) == len(set(got))  # responsible-cell rule: no dups
+
+
+def test_banded_joins_reject_degenerate_bucket_width(spark):
+    """A zero/negative bucket width would floor-divide every value to
+    Infinity/NaN cells and silently match nothing — both banded joins
+    must refuse it loudly."""
+    import pytest
+
+    from flink_examples_spark.operators.joins import (
+        banded_overlap_join,
+        banded_range_join,
+    )
+
+    pts = spark.createDataFrame([(1, 1.0)], "pid int, v double")
+    ivs = spark.createDataFrame(
+        [(2, 0.0, 2.0)], "iid int, lo double, hi double"
+    )
+    with pytest.raises(ValueError, match="bucket_width"):
+        banded_range_join(pts, ivs, "v", "lo", "hi", 0.0)
+    with pytest.raises(ValueError, match="bucket_width"):
+        banded_overlap_join(ivs, ivs, "lo", "hi", "lo", "hi", -1.0)

@@ -2308,6 +2308,19 @@ def test_compaction_swap_is_crash_safe(spark, tmp_path):
         names.update(dirnames)
     assert any(d == "batch=compacted" for d in names)
 
+    # r5 review: the ORDINARY batch path (no compaction hook) must heal
+    # an interrupted swap by itself — before this fix, the next batch
+    # saw no log (stale upserts resurrected) and a delete-carrying
+    # batch would recreate the root, orphaning the retired history
+    _os.rename(root, root + ".old")
+    assert not _os.path.isdir(root)
+    apply(spark.createDataFrame(
+        [(1, "one STALE2", "s0", 8, "upsert")], ev), 3)  # plain apply
+    assert _os.path.isdir(root)          # healed before the read
+    assert not _os.path.isdir(root + ".old")
+    assert spark.read.schema(tbl).parquet(path).where(
+        "doc_id = 1").count() == 0       # seq-9 tombstone still guards
+
 
 def test_streaming_span_dedup_ingest_matches_batch(spark, tmp_path):
     """Span dedup as an ingest STREAM (the span-family twin of the
