@@ -272,3 +272,55 @@ def merge_apply_partitioned(
             ):
                 shutil.rmtree(d)
     return affected
+
+
+def events_log_as_of(
+    events: DataFrame,
+    id_col: str,
+    seq_col: str,
+    horizon,
+    op_col: str = "op",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Time-travel read over a retained CDC event log: reconstruct the
+    table state AS OF ``horizon`` — the rows whose latest event with
+    ``seq <= horizon`` is an upsert (delete wins seq ties, the same
+    conservative rule as :func:`streaming.sinks.cdc_merge_foreach_batch`
+    applies going forward). The what-did-the-corpus-look-like-at-
+    snapshot-K primitive a versioned training-data store owes its
+    consumers; transactional formats ship it as snapshot reads, and a
+    plain retained event log supports it with one aggregation.
+
+    Keys are ``(id_col, partition_col)`` when ``partition_col`` is
+    given (the CDC merge's per-partition identity — a doc moved across
+    partitions via delete+upsert restores into its new partition only
+    when both legs clear the horizon), else ``id_col`` alone.
+
+    Plan: filter to the horizon (pushable to the scan), ONE map-side-
+    combinable ``max_by`` aggregation per key — no window over the
+    event history, no join; the log is scanned once. Output: the
+    event-row payload of each surviving upsert (minus ``op_col``).
+    """
+    keys = [id_col] + ([partition_col] if partition_col else [])
+    payload = [c for c in events.columns if c != op_col]
+    # delete outranks an upsert at the SAME seq: order by (seq, is_del)
+    rank = F.struct(
+        F.col(seq_col),
+        F.when(F.col(op_col) == "delete", 1).otherwise(0).alias("_d"),
+        *[F.col(c) for c in payload if c not in keys + [seq_col]],
+    )
+    latest = (
+        events.filter(F.col(seq_col) <= horizon)
+        .groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(F.col(op_col).alias("_op"),
+                         *[F.col(c) for c in payload]),
+                rank,
+            ).alias("_last")
+        )
+    )
+    return (
+        latest.filter(F.col("_last._op") != "delete")
+        .select(*[F.col(f"_last.{c}").alias(c) for c in payload])
+    )

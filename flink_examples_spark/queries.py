@@ -5261,6 +5261,72 @@ def corpus_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "orders_as_of_snapshot",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_orderkey % 3 = 0
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+                AS DOUBLE) AS price,
+           CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS seq
+    FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    doc="Time-travel read over a retained CDC event log "
+        "(events_log_as_of): the log is synthesized closed-form from "
+        "orders — seq-1 upserts for every order, seq-2 re-prices every "
+        "3rd, a seq-2 delete for every 7th (tying deletes beat tying "
+        "upserts, so every 21st order tests the tie rule), and seq-3 "
+        "deletes for every 5th that the horizon=2 restore must IGNORE. "
+        "Reconstruction is one map-side-combinable max_by per id over "
+        "the horizon-filtered log — no window over event history, no "
+        "join, one scan; the horizon filter is scan-pushable. The "
+        "snapshot-read primitive transactional formats ship, over a "
+        "plain event log.",
+)
+def orders_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.diff import events_log_as_of
+
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderkey",
+        _dec("o_totalprice").cast("double").alias("price"),
+    )
+    ev = (
+        base.select(
+            "o_orderkey", "price",
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("upsert").alias("op"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 3 == 0).select(
+                "o_orderkey",
+                (_dec("price") + 10).cast("double").alias("price"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("upsert").alias("op"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 7 == 0).select(
+                "o_orderkey",
+                F.lit(None).cast("double").alias("price"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey",
+                F.lit(None).cast("double").alias("price"),
+                F.lit(3).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+            )
+        )
+    )
+    return events_log_as_of(ev, "o_orderkey", "seq", horizon=2)
+
+
+@register(
     "asof_join_last_click",
     oracle="""
     WITH u AS (

@@ -963,3 +963,45 @@ def test_incremental_dedup_duplicated_index_fps_do_not_multiply(spark):
     sout = incremental_span_dedup(sidx, sdelta, "doc_id", "text").collect()
     assert len(sout) == 1
     assert (sout[0].text, sout[0].n_removed) == ("tail", 3)
+
+
+def test_events_log_as_of_tie_rule_and_partition_moves(spark):
+    """Time-travel reconstruction semantics: delete beats upsert at the
+    SAME seq; horizons slice the history; with partition_col, a
+    delete+upsert cross-partition move restores into the new partition
+    only once both legs clear the horizon."""
+    from flink_examples_spark.operators.diff import events_log_as_of
+
+    ev = spark.createDataFrame(
+        [
+            (1, "v1", "s0", 1, "upsert"),
+            (1, "v2", "s0", 2, "upsert"),
+            (2, "x1", "s0", 1, "upsert"),
+            (2, None, "s0", 1, "delete"),     # tie: delete wins
+            (3, "m1", "s0", 1, "upsert"),     # moves s0 -> s1 at seq 2
+            (3, None, "s0", 2, "delete"),
+            (3, "m2", "s1", 2, "upsert"),
+        ],
+        "doc_id long, text string, source string, seq long, op string",
+    )
+
+    def snap(h):
+        return {
+            (r.doc_id, r.source): r.text
+            for r in events_log_as_of(
+                ev, "doc_id", "seq", horizon=h,
+                partition_col="source",
+            ).collect()
+        }
+
+    assert snap(1) == {(1, "s0"): "v1", (3, "s0"): "m1"}  # 2 tie-deleted
+    assert snap(2) == {(1, "s0"): "v2", (3, "s1"): "m2"}  # moved
+
+    # without partition identity the move's same-seq delete+upsert is
+    # a TIE on the flat key, and the conservative rule drops the doc —
+    # exactly why the CDC contract keys per (id, partition)
+    flat = {
+        r.doc_id: r.text
+        for r in events_log_as_of(ev, "doc_id", "seq", 2).collect()
+    }
+    assert flat == {1: "v2"}
