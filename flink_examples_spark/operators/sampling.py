@@ -338,3 +338,54 @@ def plan_repeat_factors(
         )
     )
     return planned.drop("_t_min", "_t_total", "_w_sum")
+
+
+def materialize_repeat_plan(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str,
+    source_col: str = "source",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Expand a corpus into its planned epoch copies — the manifest
+    step after [[plan_repeat_factors]]: each doc appears
+    ``floor(repeat_factor)`` times plus one more copy selected by the
+    salted hash with probability equal to the fractional part, so each
+    source's materialized token mass converges on
+    ``repeat_factor × tokens`` while every decision stays a pure
+    function of (id, copy index) — replayable across retries, engines,
+    and incremental re-runs (the module's no-rand() contract).
+
+    Output: the input columns plus ``copy_idx`` (0-based). A plan row
+    with ``repeat_10k`` = 25000 yields copies 0 and 1 for every doc and
+    copy 2 for the hash-selected half; ``repeat_10k`` < 10000 is a pure
+    subsample (copy 0, kept at frac). Sources missing from the plan are
+    dropped (inner join — a manifest only contains planned sources).
+
+    Plan shape: the plan is a per-source handful of rows (broadcast);
+    the explode emits ``ceil(repeat_factor)`` candidates per doc before
+    the fractional filter — data volume ~``repeat_factor × corpus``,
+    which is the OUTPUT's size, so the expansion is within a constant
+    of optimal; no shuffle anywhere (scan-side codegen + broadcast).
+    """
+    p = plan.select(source_col, "repeat_10k")
+    joined = df.join(F.broadcast(p), source_col)
+    n_full = F.floor(F.col("repeat_10k") / _BUCKETS).cast("int")
+    frac = F.pmod(F.col("repeat_10k"), F.lit(_BUCKETS)).cast("int")
+    copies = joined.withColumn(
+        "copy_idx",
+        F.explode(F.sequence(F.lit(0), n_full)),
+    )
+    bucket = F.pmod(
+        hash60(
+            F.concat(
+                _null_safe(F.col(id_col)),
+                F.lit("#" + salt + "#"),
+                F.col("copy_idx").cast("string"),
+            )
+        ),
+        F.lit(_BUCKETS),
+    )
+    return copies.filter(
+        (F.col("copy_idx") < n_full) | (bucket < frac)
+    ).select(*df.columns, "copy_idx")

@@ -3859,6 +3859,69 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_repeat_manifest",
+    oracle=f"""
+    WITH c AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> ''))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ), m AS (
+        SELECT MIN(tokens) * 1.0 AS t_min, SUM(tokens) * 1.0 AS t_total
+        FROM c
+    ), w AS (
+        SELECT source, tokens,
+               CAST(round(power(tokens / t_min, 0.7) * 10000, 0)
+                    AS BIGINT) AS weight_10k,
+               t_total
+        FROM c, m
+    ), s AS (
+        SELECT SUM(weight_10k) * 1.0 AS w_sum FROM w
+    ), p AS (
+        SELECT source,
+               CAST(round(LEAST(4.0,
+                    (2.0 * t_total * weight_10k) / (w_sum * tokens))
+                    * 10000, 0) AS BIGINT) AS repeat_10k
+        FROM w, s
+    )
+    SELECT d.doc_id, d.source, CAST(g.k AS INT) AS copy_idx
+    FROM documents d
+    JOIN p USING (source)
+    CROSS JOIN generate_series(0, 4) AS g(k)
+    WHERE g.k <= p.repeat_10k // 10000
+      AND (g.k < p.repeat_10k // 10000
+           OR {_HASH60_SQL.format(
+               expr="CAST(d.doc_id AS VARCHAR) || '#epoch#' "
+                    "|| CAST(g.k AS VARCHAR)")}
+               % 10000 < p.repeat_10k % 10000)
+    """,
+    doc="Materialized epoch manifest: corpus_repeat_factors' plan "
+        "(temperature-weighted repeat factors filling a 2x token "
+        "budget, <=4 epochs) expanded to the actual (doc, copy) rows a "
+        "training run reads — floor(r) full copies per doc plus one "
+        "hash-selected fractional copy, every decision a pure function "
+        "of (id, copy) on the shared 10k grid (replayable, no rand(), "
+        "engine-portable). Plan rows broadcast; the explode emits "
+        "~output-size candidates, no shuffle anywhere.",
+)
+def corpus_repeat_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import token_count
+    from flink_examples_spark.operators.sampling import (
+        materialize_repeat_plan,
+        plan_repeat_factors,
+    )
+
+    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("tokens")
+    )
+    plan = plan_repeat_factors(per_source)
+    return materialize_repeat_plan(
+        docs.select("doc_id", "source"), plan, "doc_id"
+    ).select("doc_id", "source", "copy_idx")
+
+
+@register(
     "embedding_semdedup_keep",
     oracle=None,  # cluster-bounded search is approximate by
                   # construction; precision-1.0 + recall floor vs the

@@ -166,3 +166,48 @@ def test_temperature_mixture_null_stratum_not_dropped(spark):
     assert kept.get(None) == 20
     # en keeps ~(100/20)^-0.3 = 0.617 -> ~62
     assert 40 < kept["en"] < 85
+
+
+def test_materialize_repeat_plan_copy_semantics(spark):
+    """Manifest expansion semantics on a hand plan: r=2.5 gives every
+    doc copies {0,1} plus copy 2 for ~half (hash-selected,
+    deterministic); r=1.0 exactly one copy, never a fractional; r=0.4
+    a pure subsample; unplanned sources drop; re-running yields the
+    identical manifest (replayability)."""
+    from flink_examples_spark.operators.sampling import (
+        materialize_repeat_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(200)]
+        + [(1000 + i, "b") for i in range(50)]
+        + [(2000 + i, "c") for i in range(50)]
+        + [(3000, "unplanned")],
+        "doc_id long, source string",
+    )
+    plan = spark.createDataFrame(
+        [("a", 25000), ("b", 10000), ("c", 4000)],
+        "source string, repeat_10k long",
+    )
+    out = materialize_repeat_plan(docs, plan, "doc_id").collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append((r.doc_id, r.copy_idx))
+    assert "unplanned" not in by_src
+
+    a_counts = {}
+    for did, ci in by_src["a"]:
+        a_counts[did] = a_counts.get(did, 0) + 1
+    assert all(v in (2, 3) for v in a_counts.values())
+    n_three = sum(1 for v in a_counts.values() if v == 3)
+    assert 60 <= n_three <= 140          # ~half get the fractional copy
+    assert all(ci <= 2 for _, ci in by_src["a"])
+
+    assert sorted(by_src["b"]) == [(1000 + i, 0) for i in range(50)]
+
+    c_ids = [did for did, ci in by_src["c"]]
+    assert len(c_ids) == len(set(c_ids))  # at most one copy each
+    assert 5 <= len(c_ids) <= 45          # ~40% subsample
+
+    again = materialize_repeat_plan(docs, plan, "doc_id").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
