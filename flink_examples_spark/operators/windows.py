@@ -158,3 +158,55 @@ def trailing_time_window_agg(
     for name, expr in aggs.items():
         out = out.withColumn(name, expr.over(w))
     return out
+
+
+def series_pattern_scan(
+    df,
+    key_col: str,
+    order_cols,
+    value_col: str,
+    pattern,
+    max_dist: float,
+):
+    """Time-series subsequence similarity scan (the UCR-suite shape,
+    plain squared-euclidean variant): slide a window of
+    ``len(pattern)`` consecutive values over each key's ordered series
+    and emit every window whose squared distance to the query pattern
+    is within ``max_dist``. The streaming-analytics "find this shape
+    in every sensor/user series" primitive (cf. EDBT'19 time-series
+    similarity search for streaming data — PAPERS.md).
+
+    Output: the window-START row's key + order columns plus
+    ``dist`` (rounded 6 dp). Windows that run off the series end (or
+    contain a NULL value) emit nothing.
+
+    Plan: one exchange on the key for the ordered window; the m-1
+    ``lead`` columns and the unrolled left-to-right distance sum are
+    whole-stage codegen — no Python, no self-join, no per-key collect.
+    The explicit left-assoc addition chain is reproduced verbatim in
+    the SQL oracle so float fold order can't diverge.
+    """
+    from pyspark.sql import Window
+
+    m = len(pattern)
+    if m < 1:
+        raise ValueError("series_pattern_scan: empty pattern")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    out = df.select(
+        key_col, *order_cols,
+        F.col(value_col).alias("_x0"),
+        *[
+            F.lead(value_col, j).over(w).alias(f"_x{j}")
+            for j in range(1, m)
+        ],
+    )
+    dist = None
+    for j, q in enumerate(pattern):
+        term = (F.col(f"_x{j}") - F.lit(float(q))) ** 2
+        dist = term if dist is None else dist + term
+    return (
+        out.filter(F.col(f"_x{m-1}").isNotNull())
+        .withColumn("dist", F.round(dist, 6))
+        .filter(F.col("dist") <= max_dist)
+        .select(key_col, *order_cols, "dist")
+    )

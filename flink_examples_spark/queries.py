@@ -5982,6 +5982,50 @@ def acctbal_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "series_pattern_scan_ramp",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, value,
+               lead(value, 1) OVER w AS x1,
+               lead(value, 2) OVER w AS x2,
+               lead(value, 3) OVER w AS x3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, event_id,
+           round((((value - 5.0) * (value - 5.0)
+                   + (x1 - 15.0) * (x1 - 15.0))
+                  + (x2 - 30.0) * (x2 - 30.0))
+                 + (x3 - 60.0) * (x3 - 60.0), 6) AS dist
+    FROM o
+    WHERE x3 IS NOT NULL
+      AND round((((value - 5.0) * (value - 5.0)
+                  + (x1 - 15.0) * (x1 - 15.0))
+                 + (x2 - 30.0) * (x2 - 30.0))
+                + (x3 - 60.0) * (x3 - 60.0), 6) <= 500
+    """,
+    doc="Time-series subsequence similarity scan (UCR shape, squared "
+        "euclidean): find every 4-event window in each user's ordered "
+        "value series within distance 500 of the rising ramp "
+        "[5,15,30,60] — the find-this-shape-in-every-series primitive "
+        "(cf. the EDBT'19 streaming time-series similarity paper, "
+        "PAPERS.md). Plan: one exchange on user_id, three lead "
+        "columns + an unrolled left-assoc distance chain in pure "
+        "codegen — no self-join, no per-key collect; the oracle "
+        "reproduces the addition order verbatim so float folding "
+        "can't diverge.",
+)
+def series_pattern_scan_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.windows import series_pattern_scan
+
+    ev = load_table(spark, "events", sf_dir)
+    return series_pattern_scan(
+        ev, "user_id", ["ts", "event_id"], "value",
+        pattern=[5.0, 15.0, 30.0, 60.0], max_dist=500.0,
+    )
+
+
+@register(
     "session_path_transitions",
     oracle="""
     WITH ordered AS (

@@ -221,3 +221,30 @@ def test_journey_ops_handle_empty_inputs(spark):
     )
     rows = asof_join(one_l, empty_r, "k", "lts", "rts", ["rid"]).collect()
     assert len(rows) == 1 and rows[0]["rid"] is None
+
+
+def test_series_pattern_scan_goldens(spark):
+    """Subsequence scan semantics: an exact pattern occurrence scores
+    dist 0 at its start row; near misses score their squared gap;
+    windows crossing a NULL value or running off the series end emit
+    nothing; keys shorter than the pattern emit nothing."""
+    from flink_examples_spark.operators.windows import series_pattern_scan
+
+    rows = [
+        # user 1: exact [1,2,3] at pos 0; [9,9,9] nowhere near
+        (1, 0, 1.0), (1, 1, 2.0), (1, 2, 3.0), (1, 3, 9.0),
+        # user 2: NULL splits the series: windows over it are skipped
+        (2, 0, 1.0), (2, 1, None), (2, 2, 3.0), (2, 3, 1.0),
+        (2, 4, 2.0), (2, 5, 3.5),
+        # user 3: too short
+        (3, 0, 1.0), (3, 1, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, pos long, value double")
+    got = {
+        (r.user_id, r.pos): r.dist
+        for r in series_pattern_scan(
+            df, "user_id", ["pos"], "value",
+            pattern=[1.0, 2.0, 3.0], max_dist=1.0,
+        ).collect()
+    }
+    assert got == {(1, 0): 0.0, (2, 3): 0.25}  # 3.5 vs 3.0 -> 0.25
