@@ -252,6 +252,23 @@ def asof_join(
     )
 
 
+def _grid_cell(bucket_width: float):
+    """The banded joins' shared value-grid quantizer. ONE definition on
+    purpose: the explode range, the point mapping, and the responsible-
+    cell dedup must all quantize identically or the 'both intervals
+    provably cover that cell' invariant breaks."""
+    return lambda c: F.floor(c.cast("double") / F.lit(bucket_width))
+
+
+def _check_bucket_width(fn_name: str, bucket_width: float) -> None:
+    if not bucket_width > 0:
+        raise ValueError(
+            f"{fn_name}: bucket_width must be > 0, got "
+            f"{bucket_width!r} (a zero/negative width would floor-"
+            "divide to Infinity/NaN cells and silently match nothing)"
+        )
+
+
 def banded_range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -284,13 +301,8 @@ def banded_range_join(
     floor-quantized from DOUBLE; the residual filter re-checks the
     exact bounds, so quantization can't change results.
     """
-    if not bucket_width > 0:
-        raise ValueError(
-            f"banded_range_join: bucket_width must be > 0, got "
-            f"{bucket_width!r} (a zero/negative width would floor-"
-            "divide to Infinity/NaN cells and silently match nothing)"
-        )
-    cell = lambda c: F.floor(c.cast("double") / F.lit(bucket_width))
+    _check_bucket_width("banded_range_join", bucket_width)
+    cell = _grid_cell(bucket_width)
     ivals = intervals.filter(
         F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
         & (F.col(lo_col) <= F.col(hi_col))
@@ -343,13 +355,8 @@ def banded_overlap_join(
     equi-join hot keys — AQE-splittable, which the
     BroadcastNestedLoopJoin a naive overlap predicate plans as is not.
     """
-    if not bucket_width > 0:
-        raise ValueError(
-            f"banded_overlap_join: bucket_width must be > 0, got "
-            f"{bucket_width!r} (a zero/negative width would floor-"
-            "divide to Infinity/NaN cells and silently match nothing)"
-        )
-    cell = lambda c: F.floor(c.cast("double") / F.lit(bucket_width))
+    _check_bucket_width("banded_overlap_join", bucket_width)
+    cell = _grid_cell(bucket_width)
 
     def explode_cells(df, lo, hi, tag):
         return df.filter(

@@ -368,13 +368,24 @@ def materialize_repeat_plan(
     which is the OUTPUT's size, so the expansion is within a constant
     of optimal; no shuffle anywhere (scan-side codegen + broadcast).
     """
-    p = plan.select(source_col, "repeat_10k")
+    # a 0-repeat plan row contributes nothing; filtering it here also
+    # keeps last_idx >= 0 (sequence(0, -1) would run DESCENDING and
+    # emit phantom negative copies)
+    p = plan.select(source_col, "repeat_10k").filter(
+        F.col("repeat_10k") > 0
+    )
     joined = df.join(F.broadcast(p), source_col)
     n_full = F.floor(F.col("repeat_10k") / _BUCKETS).cast("int")
     frac = F.pmod(F.col("repeat_10k"), F.lit(_BUCKETS)).cast("int")
+    # exactly ceil(repeat_factor) candidates: the fractional slot only
+    # exists when there IS a fraction — an integer factor (e.g. capped
+    # at max_epochs) must not explode a per-doc candidate that the
+    # filter then unconditionally drops (r5 review: 25% wasted rows +
+    # hash evaluations at the cap)
+    last_idx = n_full - 1 + (frac > 0).cast("int")
     copies = joined.withColumn(
         "copy_idx",
-        F.explode(F.sequence(F.lit(0), n_full)),
+        F.explode(F.sequence(F.lit(0), last_idx)),
     )
     bucket = F.pmod(
         hash60(

@@ -202,7 +202,11 @@ def series_pattern_scan(
     )
     dist = None
     for j, q in enumerate(pattern):
-        term = (F.col(f"_x{j}") - F.lit(float(q))) ** 2
+        # d * d, NOT ** 2: POWER() is java.lang.Math.pow (1-ulp
+        # tolerance) while the oracle multiplies exactly — the product
+        # is IEEE-exact-identical on both engines
+        d = F.col(f"_x{j}") - F.lit(float(q))
+        term = d * d
         dist = term if dist is None else dist + term
     return (
         out.filter(F.col(f"_x{m-1}").isNotNull())

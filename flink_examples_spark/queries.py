@@ -84,6 +84,27 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 # Flagship: HotItems sliding-window top-N (SURVEY §7.2; HotItems.java:55-81)
 # ---------------------------------------------------------------------------
 
+def _span_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared sentence-corpus synthesis for the span-dedup fixtures:
+    each doc becomes the '. '-join of itself and its four doc_id
+    successors, so every text recurs as a sentence in 5 docs and
+    consecutive docs share two 3-sentence spans. ONE definition on
+    purpose — corpus_span_dedup and its incremental twin's oracles
+    both assume byte-identical synthesis."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            ". ", "text",
+            *[F.lead("text", i).over(w) for i in range(1, 5)],
+        ).alias("text"),
+    )
+
+
+
 @register(
     "hot_items_sliding_topn",
     oracle="""
@@ -4292,20 +4313,9 @@ def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lead-window sorts the FIXTURE only, not the operator.",
 )
 def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from flink_examples_spark.operators.dedup import span_dedup_strip
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    synth = docs.select(
-        "doc_id",
-        F.concat_ws(
-            ". ", "text",
-            *[F.lead("text", i).over(w) for i in range(1, 5)],
-        ).alias("text"),
-    )
-    return span_dedup_strip(synth, "doc_id", "text")
+    return span_dedup_strip(_span_synth(spark, sf_dir), "doc_id", "text")
 
 
 @register(
@@ -5014,25 +5024,14 @@ def corpus_paragraph_dedup_incremental(
 def corpus_span_dedup_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     from flink_examples_spark.operators.dedup import (
         incremental_span_dedup,
         span_fp_index,
     )
     from flink_examples_spark.operators.sampling import hash_split
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    synth = docs.select(
-        "doc_id",
-        F.concat_ws(
-            ". ", "text",
-            *[F.lead("text", i).over(w) for i in range(1, 5)],
-        ).alias("text"),
-    )
     split = hash_split(
-        synth, "doc_id",
+        _span_synth(spark, sf_dir), "doc_id",
         weights=(("corpus", 0.9), ("delta", 0.1)), salt="sincr",
     )
     idx = span_fp_index(

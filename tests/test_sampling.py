@@ -211,3 +211,26 @@ def test_materialize_repeat_plan_copy_semantics(spark):
 
     again = materialize_repeat_plan(docs, plan, "doc_id").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_materialize_repeat_plan_integer_and_zero_factors(spark):
+    """r5 review follow-ups: an integer repeat factor must not explode
+    a doomed extra candidate (exactly ceil(r) candidates), and a
+    0-repeat plan row emits nothing — not phantom negative copies."""
+    from flink_examples_spark.operators.sampling import (
+        materialize_repeat_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "whole"), (2, "none")], "doc_id long, source string"
+    )
+    plan = spark.createDataFrame(
+        [("whole", 40000), ("none", 0)],
+        "source string, repeat_10k long",
+    )
+    out = materialize_repeat_plan(docs, plan, "doc_id")
+    rows = sorted((r.doc_id, r.copy_idx) for r in out.collect())
+    assert rows == [(1, 0), (1, 1), (1, 2), (1, 3)]
+    # candidate volume check: the explode itself must produce exactly
+    # ceil(r) rows per doc (no always-filtered slot)
+    assert out.count() == 4
