@@ -201,3 +201,56 @@ def ngram_decontaminate_bloom(
             .alias("verdict"),
         )
     )
+
+
+def ngram_novelty(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Memorization/novelty audit: per ``group_col``, the fraction of
+    the TEST side's distinct-per-doc n-grams never seen anywhere in the
+    TRAIN corpus.
+
+    The generalization-gap telemetry an eval pipeline runs after a
+    [[hash-split]]: a test slice whose n-grams are almost all present
+    in train measures memorization, not generalization (the converse of
+    decontamination — there the overlap is the contaminant; here its
+    ABSENCE is the quantity of interest, reported as a rate rather than
+    a verdict).
+
+    Shape at 100 TB: the train side's distinct shingle set is the big
+    operand — it is reduced map-side (partial distinct per task) and
+    shuffled once on the shingle; the test side left-joins against it
+    on the same key, so the audit costs one co-partitioned join, no
+    broadcast of anything corpus-sized, no all-pairs anything. Output
+    per group: ``n_test_shingles, n_novel, novelty_rate`` (exact
+    integer counts; the rate is a double division of the two).
+    """
+    tr_sh = (
+        shingles(train, id_col, text_col, n)
+        .select("shingle").distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    te_sh = shingles(test, id_col, text_col, n)
+    te = te_sh.join(
+        test.select(F.col(id_col).alias("doc_id"), group_col), "doc_id"
+    )
+    return (
+        te.join(tr_sh, "shingle", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_test_shingles"),
+            F.sum(
+                F.when(F.col("_seen").isNull(), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.col("n_novel").cast("double")
+            / F.col("n_test_shingles").cast("double"),
+        )
+    )

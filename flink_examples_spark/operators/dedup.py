@@ -184,6 +184,71 @@ def _jaccard_above(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: ordered pairs where doc_a's n-gram set is
+    mostly contained in doc_b's — containment C(a,b) = |S(a)∩S(b)| /
+    |S(a)| ≥ ``threshold``.
+
+    Jaccard misses the quote/excerpt case a training corpus cares
+    about: a 100-token post quoted inside a 10,000-token page has
+    Jaccard ≈ 0.01 but containment ≈ 1.0 — the small doc is redundant
+    given the big one. Broder's original resemblance/containment split
+    (the same paper MinHash comes from); CCNet/FineWeb-style pipelines
+    run this to strip quoted boilerplate that survives symmetric dedup.
+
+    Same inverted-index shape as [[ngram_jaccard_pairs]] — pairs only
+    form on a shared shingle (Σ freq² cost, bounded by the frequency
+    cap), never all-pairs — but the join keeps BOTH orders
+    (``a.doc_id != b.doc_id``) because containment is directional, and
+    the divisor is the contained side's size only. Output:
+    ``doc_a`` (contained), ``doc_b`` (container), ``n_common, n_a,
+    containment``. Exact integer arithmetic, bit-identical to the SQL
+    oracle."""
+    sh = shingles_df if shingles_df is not None \
+        else shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .withColumn("containment", F.col("n_common") / F.col("n_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -6621,3 +6621,106 @@ def bracket_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh0 AS ({_SHINGLE_SQL}),
+    hot AS (
+        SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > {_MAX_SHINGLE_FREQ}
+    ),
+    sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a,
+           n_common * 1.0 / sa.n_sh AS containment
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE n_common * 1.0 / sa.n_sh >= 0.6
+    """,
+    doc="Asymmetric containment near-dup (Broder's containment, the "
+        "quote/excerpt case symmetric Jaccard misses): ordered pairs "
+        "where >=60%% of doc_a's 3-grams also appear in doc_b. Same "
+        "frequency-capped inverted-index join as the Jaccard path but "
+        "direction-keeping and divided by the contained side only.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _fan_out(spark, load_table(spark, "documents", sf_dir)),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.6,
+        max_shingle_freq=_MAX_SHINGLE_FREQ,
+    )
+
+
+_NOVELTY_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@register(
+    "split_ngram_novelty",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, text, source,
+               {_HASH60_SQL.format(expr="CAST(doc_id AS VARCHAR) || '#split'")}
+                   % 10000 AS bkt
+        FROM documents
+    ),
+    tr AS (
+        SELECT DISTINCT
+               toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+        FROM (SELECT {_NOVELTY_TOKS} AS toks FROM b WHERE bkt < 8000) t
+        CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 2
+    ),
+    te AS (
+        SELECT DISTINCT doc_id, source,
+               toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+        FROM (SELECT doc_id, source, {_NOVELTY_TOKS} AS toks
+              FROM b WHERE bkt >= 9000) t
+        CROSS JOIN generate_series(1, 4096) AS g(i)
+        WHERE g.i <= len(toks) - 2
+    )
+    SELECT source,
+           COUNT(*) AS n_test_shingles,
+           CAST(SUM(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_rate
+    FROM te LEFT JOIN tr ON te.shingle = tr.shingle
+    GROUP BY 1
+    """,
+    doc="Memorization/novelty audit over the deterministic 80/10/10 "
+        "hash split: per source, the fraction of test-side 3-grams "
+        "absent from the ENTIRE train corpus (the converse of "
+        "decontamination — overlap's absence is the measured "
+        "quantity). Train's distinct shingle set reduces map-side and "
+        "shuffles once; the test side joins on the same key.",
+)
+def split_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.decontam import ngram_novelty
+    from flink_examples_spark.operators.sampling import hash_split
+
+    docs = _fan_out(
+        spark,
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", "text", "source"
+        ),
+    )
+    split = hash_split(docs, "doc_id")
+    return ngram_novelty(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "test"),
+        "doc_id",
+        "text",
+        "source",
+        n=3,
+    )

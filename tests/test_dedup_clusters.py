@@ -294,3 +294,60 @@ def test_levenshtein_verify_null_text_pairs_are_not_dups(spark):
         docs, cands, "doc_id", "text", min_sim=0.0
     ).collect()
     assert out == []
+
+
+def test_containment_is_asymmetric_and_exact(spark):
+    from flink_examples_spark.operators.dedup import ngram_containment_pairs
+
+    # doc 1 = a 5-token quote; doc 2 = a long page containing it verbatim;
+    # doc 3 = unrelated. 1's 3 shingles all appear in 2 -> C(1,2)=1.0;
+    # 2 has many shingles of its own -> C(2,1) small and filtered out.
+    quote = "the quick brown fox jumps"
+    page = "intro words here " + quote + " plus a long tail of other tokens"
+    rows = [(1, quote), (2, page), (3, "totally different content words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.containment)
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.6
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    n_common, n_a, c = out[(1, 2)]
+    assert (n_common, n_a, c) == (3, 3, 1.0)
+
+
+def test_containment_respects_frequency_cap(spark):
+    from flink_examples_spark.operators.dedup import ngram_containment_pairs
+
+    # one shingle shared by every doc; with cap=2 it is dropped, so the
+    # pair list collapses to only the genuinely-contained pair.
+    boiler = "click here to subscribe"
+    rows = [(i, boiler) for i in range(1, 5)]
+    rows.append((10, boiler + " and some unique trailing content too"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.6, max_shingle_freq=2
+    )
+    assert capped.count() == 0   # boilerplate shingles can't form pairs
+
+
+def test_ngram_novelty_golden(spark):
+    from flink_examples_spark.operators.decontam import ngram_novelty
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "s")],
+        "doc_id long, text string, source string",
+    )
+    # test doc shares shingle 'alpha beta gamma'+'beta gamma delta'? no:
+    # test text = 'alpha beta gamma epsilon' -> shingles:
+    #   'alpha beta gamma' (seen), 'beta gamma epsilon' (novel)
+    test = spark.createDataFrame(
+        [(2, "alpha beta gamma epsilon", "s")],
+        "doc_id long, text string, source string",
+    )
+    [row] = ngram_novelty(
+        train, test, "doc_id", "text", "source", n=3
+    ).collect()
+    assert (row.n_test_shingles, row.n_novel) == (2, 1)
+    assert abs(row.novelty_rate - 0.5) < 1e-12
