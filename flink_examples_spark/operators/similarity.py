@@ -1188,3 +1188,121 @@ def cosine_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Fit a k-component PCA over an ``array<float/double>`` column by
+    distributed moment accumulation.
+
+    One ``mapInPandas`` pass emits a PARTIAL (count, sum-vector,
+    Gram-matrix) triple per Arrow batch — d=64 means each partial is
+    64 + 4096 floats, so the driver collects O(num_batches) tiny rows,
+    never vectors. Covariance = Gram/n − mean·meanᵀ; the d×d
+    eigendecomposition runs on the driver (numpy ``eigh``, exact
+    symmetric solver — d is model-dimension-sized, not data-sized, the
+    same bounded-driver-state contract as [[train_ivf_centroids]]).
+
+    Sign convention: each component is flipped so its
+    largest-|coefficient| entry is positive — eigenvectors are
+    sign-ambiguous and the convention makes the fit reproducible across
+    partition counts and BLAS builds.
+
+    Returns ``(mean[d], components[k,d], eigvals[k])`` with components
+    in DESCENDING eigenvalue order.
+    """
+    import numpy as np
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(x))],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .mapInPandas(moments, "n double, s array<double>, g array<double>")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("pca_fit: no non-null vectors")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.asarray(p["g"]).reshape(d, d) for p in parts], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T                  # (k, d)
+    flips = np.sign(comps[np.arange(len(comps)),
+                          np.abs(comps).argmax(axis=1)])
+    comps = comps * flips[:, None]
+    return mean, comps, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Project every embedding onto its corpus's top-``k`` principal
+    components and report the per-row reconstruction error.
+
+    The dimensionality-reduction / outlier-audit primitive a 100 TB
+    embedding pipeline runs before clustering or visualization: fit via
+    [[pca_fit]] (one distributed moment pass, driver-side d×d eigh),
+    then ONE more narrow ``mapInPandas`` pass projects each batch
+    against the broadcast ``(k, d)`` component matrix — no shuffle at
+    all; both passes are scans.
+
+    Output: ``(id, pc array<double>[k], recon_err double)`` where
+    recon_err = ‖(x−μ)‖² − ‖proj‖² (the variance the kept components
+    miss, ≥ 0 up to float rounding).
+    """
+    import numpy as np
+
+    mean, comps, _ = pca_fit(df, vec_col, k)
+    b_mean, b_comps = mean, comps   # captured in closure, Arrow-shipped
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64) - b_mean
+            proj = x @ b_comps.T                    # (n, k)
+            err = (x * x).sum(axis=1) - (proj * proj).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "pc": list(proj.tolist()),
+                    "recon_err": np.maximum(err, 0.0),
+                }
+            )
+
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_col]
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .mapInPandas(
+            project, f"_id {id_type}, pc array<double>, recon_err double"
+        )
+        .select(F.col("_id").alias(id_col), "pc", "recon_err")
+    )

@@ -6724,3 +6724,25 @@ def split_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         n=3,
     )
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition isn't SQL-expressible; pinned
+    # against numpy PCA on collected data + invariance properties in
+    # tests/test_similarity.py (see README rows-only table)
+    doc="Distributed PCA: one moment-accumulation pass (count/sum/Gram "
+        "partials per Arrow batch, driver-side 64x64 eigh), then one "
+        "shuffle-free projection pass onto the top-4 components with "
+        "per-row reconstruction error. The embedding-space audit/"
+        "reduction primitive for clustering and outlier triage.",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import pca_project
+
+    return pca_project(
+        _fan_out(spark, load_table(spark, "embeddings", sf_dir)),
+        "vec_id",
+        "embedding",
+        k=4,
+    )

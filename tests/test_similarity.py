@@ -491,3 +491,49 @@ def test_ann_empty_queries_and_strategy_typo_guards(spark, sf_dir):
     assert embedding_neardup_pairs(empty, strategy="gemm").count() == 0
     with pytest.raises(ValueError, match="unknown strategy"):
         embedding_neardup_pairs(emb, strategy="lsh")
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import pca_fit, pca_project
+
+    df = load_table(spark, "embeddings", sf_dir)
+    mean, comps, vals = pca_fit(df, "embedding", 4)
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in df.select("embedding").collect()])
+    # reference: exact covariance eigh on the collected matrix
+    xc = x - x.mean(axis=0)
+    ref_vals, ref_vecs = np.linalg.eigh(xc.T @ xc / len(x))
+    ref_vals = ref_vals[::-1][:4]
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    assert np.allclose(vals, ref_vals, rtol=1e-8)
+    # components orthonormal, eigenvalues descending, sign convention
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    assert all(vals[i] >= vals[i + 1] for i in range(3))
+    for c in comps:
+        assert c[np.abs(c).argmax()] > 0
+    # projection: recon_err >= 0 everywhere and total matches the
+    # residual eigenvalue mass (trace - kept)
+    out = pca_project(df, "vec_id", "embedding", k=4).collect()
+    assert len(out) == len(x)
+    errs = np.array([r.recon_err for r in out])
+    assert (errs >= 0).all()
+    total_var = np.trace(xc.T @ xc / len(x))
+    assert np.isclose(errs.mean(), total_var - vals.sum(), rtol=1e-6)
+
+
+def test_pca_projection_invariant_to_partitioning(spark, sf_dir):
+    import numpy as np
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.similarity import pca_project
+
+    df = load_table(spark, "embeddings", sf_dir)
+    a = {r.vec_id: r.pc for r in
+         pca_project(df, "vec_id", "embedding", k=2).collect()}
+    b = {r.vec_id: r.pc for r in
+         pca_project(df.repartition(13), "vec_id", "embedding",
+                     k=2).collect()}
+    assert a.keys() == b.keys()
+    for k_ in a:
+        assert np.allclose(a[k_], b[k_], atol=1e-8)
