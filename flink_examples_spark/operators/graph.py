@@ -1,0 +1,119 @@
+"""Iterative graph propagation: PageRank-family random-walk mass in
+EXACT integer arithmetic.
+
+Classic PageRank is float-valued, which makes cross-engine equality
+(and even run-to-run equality, via float sum order) unverifiable. This
+operator reformulates the damped walk over integers so the fixpoint
+iteration is bit-exact in any engine:
+
+  - every node starts with ``init_mass`` integer units;
+  - each iteration, a node sends ``floor(mass * damp * w(u,v) /
+    W(u))`` units along each out-edge (edge-weight-proportional,
+    damping folded into the numerator) and KEEPS the remainder — the
+    1-damp share plus all floor residue stays put, a self-teleport
+    variant of the damping term;
+  - received mass sums exactly; total mass is conserved to the unit.
+
+Rank ordering converges to the same heavy nodes PageRank finds (mass
+concentrates where in-links concentrate), while every intermediate
+table is integer — so the DuckDB oracle (the same recurrence unrolled
+as CTEs) hash-matches exactly, the same contract as the rest of the
+registry.
+
+Scale shape: each iteration is one join of the mass vector against the
+edge list (both keyed by src — co-partitioned after the first shuffle)
+plus two map-side-combinable groupBys. Nothing is ever all-pairs; the
+mass vector is |V| rows, the join is |E| rows. For billion-edge graphs
+the edge list with its precomputed out-weight is the stageable
+artifact. Iteration-in-driver-loop precedent: operators/iteration.py
+(fib_iterate, D6) and the pointer-doubling connected components
+(operators/dedup.py).
+
+Reference parity: flink-examples has no graph operator (its iteration
+example is the fibonacci stream, IterateExample.java) — this extends
+the same §2.11 iteration capability to graph propagation per the
+training-pipeline mandate (web-graph quality signals for corpus
+curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def walk_mass(
+    edges: DataFrame,
+    iterations: int = 3,
+    init_mass: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Run ``iterations`` rounds of integer damped-walk mass over
+    ``edges`` (columns ``src, dst, w``; ``w`` a positive integer
+    weight). Returns ``(node, mass)`` with
+    Σ mass = |V| * init_mass exactly.
+
+    Overflow headroom: the per-edge numerator is
+    ``mass * damp_num * w`` ≤ |V|·init_mass·damp_num·w — with the
+    defaults and a 10⁹-node graph that is ~10¹⁷·w, so keep
+    ``init_mass`` modest for huge weighted graphs (the ranking only
+    depends on the ratio mass/init_mass).
+    """
+    ew = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    e = edges.join(ew, "src").select("src", "dst", "w", "w_out")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    mass = nodes.withColumn("mass", F.lit(init_mass).cast("long"))
+    div = f"(mass * {damp_num} * w) div ({damp_den} * w_out)"
+    for _ in range(iterations):
+        contrib = (
+            mass.join(e, mass["node"] == e["src"])
+            .select("src", "dst", F.expr(div).alias("c"))
+        )
+        out_tot = contrib.groupBy("src").agg(F.sum("c").alias("_out"))
+        kept = (
+            mass.join(out_tot, mass["node"] == out_tot["src"], "left")
+            .select(
+                "node",
+                (F.col("mass") - F.coalesce(F.col("_out"), F.lit(0)))
+                .alias("mass"),
+            )
+        )
+        recv = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("mass")
+        )
+        mass = (
+            kept.unionByName(recv)
+            .groupBy("node")
+            .agg(F.sum("mass").alias("mass"))
+        )
+    return mass
+
+
+def transition_edges(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    node_col: str,
+) -> DataFrame:
+    """Weighted transition graph from an event log: per ``part_col``
+    ordered by ``order_cols`` (a TOTAL order — include a unique
+    tiebreak), every consecutive ``node_col`` pair becomes an edge;
+    weight = transition count. One window pass + one count — the
+    standard session-graph construction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (
+        df.select(
+            F.col(node_col).alias("src"),
+            F.lead(node_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )

@@ -6746,3 +6746,75 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         k=4,
     )
+
+
+def _walk_mass_sql(iters: int = 3) -> str:
+    """Unrolled integer damped-walk oracle (operators/graph.py): the
+    identical recurrence as ``walk_mass`` — floor-division sends,
+    remainder kept — as one CTE chain. Iteration count is a literal so
+    the statement stays static for the driver."""
+    s = """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ),
+    pairs AS (
+        SELECT k AS src,
+               LEAD(k) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS dst
+        FROM ev WHERE k IS NOT NULL
+    ),
+    e0 AS (SELECT src, dst, COUNT(*) AS w FROM pairs
+           WHERE dst IS NOT NULL GROUP BY 1, 2),
+    e AS (SELECT e0.*, SUM(w) OVER (PARTITION BY src) AS w_out FROM e0),
+    m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM
+           (SELECT DISTINCT src AS node FROM e0
+            UNION SELECT DISTINCT dst FROM e0))"""
+    for i in range(iters):
+        s += f""",
+    c{i} AS (SELECT e.src, e.dst,
+                    (m.mass * 85 * e.w) // (100 * e.w_out) AS c
+             FROM m{i} m JOIN e ON m.node = e.src),
+    m{i + 1} AS (
+        SELECT node, CAST(SUM(mass) AS BIGINT) AS mass FROM (
+            SELECT m.node AS node,
+                   m.mass - COALESCE(o.out_c, 0) AS mass
+            FROM m{i} m
+            LEFT JOIN (SELECT src, SUM(c) AS out_c FROM c{i}
+                       GROUP BY 1) o ON m.node = o.src
+            UNION ALL
+            SELECT dst AS node, SUM(c) AS mass FROM c{i} GROUP BY 1
+        ) u GROUP BY 1
+    )"""
+    return s + f"\n    SELECT node, mass FROM m{iters}"
+
+
+@register(
+    "event_graph_walk_mass",
+    oracle=_walk_mass_sql(3),
+    doc="PageRank-family damped-walk mass over the per-user event "
+        "transition graph (props.k buckets as nodes), 3 iterations in "
+        "EXACT integer arithmetic — floor-division sends, remainder "
+        "kept, total mass conserved to the unit — so the iterative "
+        "fixpoint hash-matches the unrolled SQL recurrence exactly, "
+        "which float PageRank never can. Each iteration is one "
+        "mass-x-edges join plus two map-side-combinable groupBys.",
+)
+def event_graph_walk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.scalar import json_field
+    from flink_examples_spark.operators.graph import (
+        transition_edges,
+        walk_mass,
+    )
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "user_id", "ts", "event_id",
+            json_field("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+    edges = transition_edges(ev, "user_id", ["ts", "event_id"], "k")
+    return walk_mass(edges, iterations=3)
