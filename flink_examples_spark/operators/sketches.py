@@ -1,0 +1,84 @@
+"""Count-Min Sketch: fixed-size frequency summaries with deterministic,
+engine-portable hashing.
+
+Completes the classic sketch trio alongside HLL cardinality
+(``count_distinct_daily_approx``, Spark's built-in
+``approx_count_distinct``) and the Bloom membership filter
+(``decontam_ngram_bloom``): CMS answers "how often does key x occur"
+from ``depth × width`` integer cells regardless of corpus size
+(Cormode & Muthukrishnan 2005).
+
+The hashes are md5-derived ([[hash60]], functions/text.py) rather than
+engine-native, which buys the property the rest of this repo is built
+on: the WHOLE sketch — every cell, every estimate — is bit-exactly
+reproducible in ANY engine, so the registry query is oracle-backed
+(hash-exact vs DuckDB), not merely error-bounded. The standard CMS
+guarantee still holds and is asserted in tests: estimate ≥ true count
+always (no undercount is possible), and ≤ true + εN with probability
+1-δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+
+Scale shape: building the table is ONE map-side-combinable groupBy over
+(row × depth) — the combine collapses to at most depth × width cells
+per task before the exchange, so the shuffle is sketch-sized, not
+data-sized; the table is mergeable across shards/days by cell-wise sum
+(the reason CMS exists). Estimation joins probes against the tiny
+table — broadcast by size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_examples_spark.functions.text import hash60
+
+
+def _cells(df: DataFrame, key_col: str, depth: int, width: int) -> DataFrame:
+    """(j, bucket) cell coordinates for every input row, one per hash
+    row j: bucket_j(key) = hash60(key || '#cm' || j) % width."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j")
+    return df.select(F.col(key_col).cast("string").alias("_k"), j).select(
+        "j",
+        (
+            hash60(F.concat(F.col("_k"), F.lit("#cm"), F.col("j")))
+            % width
+        ).alias("bucket"),
+        "_k",
+    )
+
+
+def countmin_table(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """The sketch itself: ``(j, bucket, cnt)`` — at most depth × width
+    rows. Persist this tiny table once per shard/day and merge by
+    cell-wise sum; estimates never need the raw data again."""
+    return (
+        _cells(df, key_col, depth, width)
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    table: DataFrame | None = None,
+) -> DataFrame:
+    """CMS estimate for every distinct key: min over the depth cells
+    the key hashes to. Pass a staged ``table`` to estimate against a
+    previously-built (possibly merged) sketch. Output:
+    ``(key, cms_est)`` with cms_est ≥ the true count always."""
+    t = table if table is not None else countmin_table(
+        df, key_col, depth, width
+    )
+    probes = _cells(
+        df.select(key_col).distinct(), key_col, depth, width
+    )
+    return (
+        probes.join(F.broadcast(t), ["j", "bucket"])
+        .groupBy(F.col("_k").alias("key"))
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -6818,3 +6818,54 @@ def event_graph_walk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = transition_edges(ev, "user_id", ["ts", "event_id"], "k")
     return walk_mass(edges, iterations=3)
+
+
+@register(
+    "heavy_hitters_countmin",
+    oracle=f"""
+    WITH cells AS (
+        SELECT g.j,
+               {_HASH60_SQL.format(
+                   expr="CAST(user_id AS VARCHAR) || '#cm' || CAST(g.j AS VARCHAR)")}
+                   % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM events CROSS JOIN generate_series(0, 3) AS g(j)
+        GROUP BY 1, 2
+    ),
+    keys AS (
+        SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1
+    ),
+    probes AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, true_cnt, g.j,
+               {_HASH60_SQL.format(
+                   expr="CAST(user_id AS VARCHAR) || '#cm' || CAST(g.j AS VARCHAR)")}
+                   % 64 AS bucket
+        FROM keys CROSS JOIN generate_series(0, 3) AS g(j)
+    )
+    SELECT key, MIN(cnt) AS cms_est, MIN(true_cnt) AS true_cnt
+    FROM probes JOIN cells USING (j, bucket)
+    GROUP BY key
+    HAVING MIN(cnt) >= 75
+    """,
+    doc="Count-Min Sketch heavy hitters over events.user_id (depth 4, "
+        "width 64): md5-derived cell hashing makes every sketch cell "
+        "and estimate bit-reproducible in any engine, so the sketch "
+        "itself is oracle-backed — not just error-bounded. True counts "
+        "ride along to exhibit the one-sided error (est >= truth "
+        "always). Sketch build is one map-side-combined groupBy whose "
+        "shuffle is sketch-sized (<= 256 cells/task), not data-sized.",
+)
+def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.sketches import countmin_estimates
+
+    events = load_table(spark, "events", sf_dir)
+    est = countmin_estimates(events, "user_id", depth=4, width=64)
+    truth = (
+        events.groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return (
+        est.join(truth, "key")
+        .filter(F.col("cms_est") >= 75)
+        .select("key", "cms_est", "true_cnt")
+    )

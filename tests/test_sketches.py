@@ -36,3 +36,54 @@ def test_percentile_approx_brackets_exact_median(spark, sf_dir):
         ).first()
     )
     assert lo <= est <= hi
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.sketches import countmin_estimates
+
+    events = load_table(spark, "events", sf_dir)
+    est = {r.key: r.cms_est for r in
+           countmin_estimates(events, "user_id").collect()}
+    truth = {str(r.user_id): r.cnt for r in
+             events.groupBy("user_id").agg(
+                 __import__("pyspark.sql.functions", fromlist=["F"])
+                 .count("*").alias("cnt")).collect()}
+    assert est.keys() == truth.keys()
+    assert all(est[k] >= truth[k] for k in truth)
+
+
+def test_countmin_table_is_mergeable(spark):
+    from pyspark.sql import functions as F
+    from flink_examples_spark.operators.sketches import (
+        countmin_estimates,
+        countmin_table,
+    )
+
+    rows = [(i % 7,) for i in range(200)] + [(99,)] * 50
+    half_a = spark.createDataFrame(rows[:120], "user_id long")
+    half_b = spark.createDataFrame(rows[120:], "user_id long")
+    df = half_a.unionByName(half_b)
+    merged = (
+        countmin_table(half_a, "user_id")
+        .unionByName(countmin_table(half_b, "user_id"))
+        .groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_estimates(df, "user_id")
+    via_merge = countmin_estimates(df, "user_id", table=merged)
+    a = {r.key: r.cms_est for r in whole.collect()}
+    b = {r.key: r.cms_est for r in via_merge.collect()}
+    assert a == b
+
+
+def test_countmin_exact_when_no_collisions(spark):
+    from flink_examples_spark.operators.sketches import countmin_estimates
+
+    # 3 keys in a width-1024 sketch: collision probability over 4
+    # independent rows is negligible and, with these fixed md5 hashes,
+    # deterministically absent — estimates are exact.
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "user_id string")
+    est = {r.key: r.cms_est for r in
+           countmin_estimates(df, "user_id", width=1024).collect()}
+    assert est == {"a": 5, "b": 3, "c": 1}
