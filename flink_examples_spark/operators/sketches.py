@@ -82,3 +82,81 @@ def countmin_estimates(
         .groupBy(F.col("_k").alias("key"))
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def kmv_estimates(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per group (Bar-Yossef et
+    al. 2002): keep the ``k`` smallest ``hash60`` values of the key;
+    estimate distinct = ``(k-1) / max_kept`` in hash-normalized space.
+
+    Same engine-portability trick as [[countmin_table]]: the md5-derived
+    hash makes the kept set — and therefore the ESTIMATE — bit-exact in
+    any engine, so the registry query is oracle-backed where a native
+    HLL sketch (``approx_count_distinct``) can only be error-bounded.
+    The sketch is mergeable: union two kept-sets, re-take the k
+    smallest (tested).
+
+    Shape: min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)), so a
+    per-PARTITION min-k partial (one Arrow pass, ≤ k rows emitted per
+    group per partition, duplicate hashes deduped locally) bounds the
+    shuffle to sketch-size — a plain ``collect_set``-then-slice would
+    haul every distinct hash of every group through the exchange, the
+    exact data-sized shuffle a sketch exists to avoid. Groups with < k
+    distinct keys report their EXACT count (kept set is short), the
+    standard KMV small-range behavior.
+
+    Output: ``(*group_cols, n_kept, kmv_est double)`` — callers join
+    truth alongside if they want the error exhibited.
+    """
+    import pandas as pd
+
+    hashed = df.select(
+        *group_cols,
+        hash60(
+            F.concat(F.col(key_col).cast("string"), F.lit("#kmv"))
+        ).alias("_h"),
+    )
+
+    def partial(batches):
+        acc: dict[tuple, list] = {}
+        for pdf in batches:
+            for g, grp in pdf.groupby(group_cols, sort=False):
+                gk = g if isinstance(g, tuple) else (g,)
+                pool = grp["_h"].drop_duplicates()
+                prev = acc.get(gk)
+                if prev is not None:
+                    pool = pd.concat([prev, pool]).drop_duplicates()
+                acc[gk] = pool.nsmallest(k)
+        if acc:
+            yield pd.DataFrame(
+                [(*gk, h) for gk, pool in acc.items() for h in pool],
+                columns=[*group_cols, "_h"],
+            )
+
+    gtypes = dict(
+        (f.name, f.dataType.simpleString()) for f in hashed.schema.fields
+    )
+    schema = ", ".join(
+        [f"{c} {gtypes[c]}" for c in group_cols] + ["_h long"]
+    )
+    kept = (
+        hashed.mapInPandas(partial, schema)
+        .groupBy(*group_cols)
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_kept"))
+    )
+    two60 = float(1 << 60)
+    return kept.select(
+        *group_cols,
+        F.size("_kept").alias("n_kept"),
+        F.when(
+            F.size("_kept") < k, F.size("_kept").cast("double")
+        ).otherwise(
+            F.lit(float(k - 1))
+            / (F.element_at("_kept", k).cast("double") / F.lit(two60))
+        ).alias("kmv_est"),
+    )

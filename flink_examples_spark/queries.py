@@ -6869,3 +6869,56 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cms_est") >= 75)
         .select("key", "cms_est", "true_cnt")
     )
+
+
+@register(
+    "distinct_kmv_by_event_type",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               {_HASH60_SQL.format(
+                   expr="CAST(user_id AS VARCHAR) || '#kmv'")} AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM hashed
+    ),
+    sk AS (
+        SELECT event_type,
+               CAST(LEAST(MIN(nd), 64) AS INT) AS n_kept,
+               CASE WHEN MIN(nd) < 64 THEN CAST(MIN(nd) AS DOUBLE)
+                    ELSE 63.0 /
+                         (CAST(MAX(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+                          / 1152921504606846976.0)
+               END AS kmv_est
+        FROM ranked GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT sk.event_type, n_kept, kmv_est, exact_distinct
+    FROM sk JOIN ex USING (event_type)
+    """,
+    doc="K-Minimum-Values distinct-user sketch per event type (k=64): "
+        "the mergeable distinct-count sketch with md5-derived hashing, "
+        "so — unlike native HLL — every kept hash and the estimate "
+        "itself are bit-exact across engines and the sketch is "
+        "oracle-backed. Partial min-k per partition bounds the shuffle "
+        "to sketch size; exact distinct rides along to exhibit the "
+        "error (and the <k exact-count small-range path).",
+)
+def distinct_kmv_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.sketches import kmv_estimates
+
+    events = load_table(spark, "events", sf_dir)
+    sk = kmv_estimates(events, "user_id", ["event_type"], k=64)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "n_kept", "kmv_est", "exact_distinct"
+    )

@@ -87,3 +87,46 @@ def test_countmin_exact_when_no_collisions(spark):
     est = {r.key: r.cms_est for r in
            countmin_estimates(df, "user_id", width=1024).collect()}
     assert est == {"a": 5, "b": 3, "c": 1}
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from flink_examples_spark.operators.sketches import kmv_estimates
+
+    # group 'small' has 10 distinct keys (< k=16) -> exact; group 'big'
+    # has 500 distinct -> estimated within 60% (k=16 is coarse; the
+    # bound here just pins that the estimate is in the right decade and
+    # deterministic)
+    rows = [("small", i) for i in range(10)] * 3 + [
+        ("big", 1000 + i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, user string")
+    out = {r.g: (r.n_kept, r.kmv_est) for r in
+           kmv_estimates(df, "user", ["g"], k=16).collect()}
+    assert out["small"] == (10, 10.0)
+    n_kept, est = out["big"]
+    assert n_kept == 16
+    assert 200 < est < 800
+    # determinism: same inputs partitioned differently -> same sketch
+    out2 = {r.g: (r.n_kept, r.kmv_est) for r in
+            kmv_estimates(df.repartition(7), "user", ["g"],
+                          k=16).collect()}
+    assert out == out2
+
+
+def test_kmv_merge_equals_whole(spark):
+    from flink_examples_spark.operators.sketches import kmv_estimates
+
+    # min-k(A ∪ B) == min-k over the union of the halves' rows: feed
+    # the halves through separate frames and union BEFORE the sketch;
+    # partial min-k runs per partition so this exercises the merge path
+    rows = [("g", f"u{i}") for i in range(300)]
+    a = spark.createDataFrame(rows[:150], "g string, user string")
+    b = spark.createDataFrame(rows[150:], "g string, user string")
+    whole = kmv_estimates(
+        spark.createDataFrame(rows, "g string, user string"),
+        "user", ["g"], k=32,
+    ).collect()[0]
+    merged = kmv_estimates(
+        a.unionByName(b), "user", ["g"], k=32
+    ).collect()[0]
+    assert (whole.n_kept, whole.kmv_est) == (merged.n_kept, merged.kmv_est)
