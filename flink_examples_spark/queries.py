@@ -6922,3 +6922,62 @@ def distinct_kmv_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.join(exact, "event_type").select(
         "event_type", "n_kept", "kmv_est", "exact_distinct"
     )
+
+
+_BM25_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len(toks) AS dl,
+               len(list_filter(toks, x -> x = 'window')) AS tf_0,
+               len(list_filter(toks, x -> x = 'hash'))   AS tf_1,
+               len(list_filter(toks, x -> x = 'stream')) AS tf_2
+        FROM (SELECT doc_id, {_BM25_TOKS} AS toks FROM documents)
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+               SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+               SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+               SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+        FROM base
+    )
+    SELECT doc_id, dl,
+           ROUND(
+             ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+               * (CAST(tf_0 AS DOUBLE) * 2.2)
+               / (CAST(tf_0 AS DOUBLE)
+                  + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+           + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+               * (CAST(tf_1 AS DOUBLE) * 2.2)
+               / (CAST(tf_1 AS DOUBLE)
+                  + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+           + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+               * (CAST(tf_2 AS DOUBLE) * 2.2)
+               / (CAST(tf_2 AS DOUBLE)
+                  + 1.2 * (0.25 + (0.75 * dl) / avgdl)),
+           6) AS score
+    FROM base CROSS JOIN stats
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+    doc="Okapi BM25 top-20 for the fixed query {window, hash, stream} "
+        "(k1=1.2, b=0.75, never-negative idf): per-term tf as "
+        "size(filter(tokens)) codegen expressions, corpus stats "
+        "(N/avgdl/df) as ONE single-row broadcast aggregate, top-k as "
+        "TakeOrderedAndProject — two scan passes, zero token-sized "
+        "shuffles, no index build. Scores rounded to 6dp with doc-id "
+        "tiebreak so rank membership is cross-engine deterministic.",
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, "documents", sf_dir),
+        "doc_id",
+        "text",
+        terms=["window", "hash", "stream"],
+        topk=20,
+    )
