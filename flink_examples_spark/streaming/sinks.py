@@ -909,3 +909,118 @@ def _drop_stale_events(
         return latest
     finally:
         spark.conf.set(infer_key, prev)
+
+
+def countmin_ingest_foreach_batch(
+    sketch_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    fmt: str = "parquet",
+    compact_every_n_batches: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming face of the Count-Min sketch
+    (operators/sketches.py): each micro-batch writes ITS OWN sketch
+    table under ``sketch_path/batch=<id>`` — at most depth × width rows
+    per batch, the mergeable-sketch property doing exactly what it
+    exists for. Readers fold subdirs by cell-wise sum
+    (:func:`read_countmin_sketch`); estimates never touch raw events.
+
+    Replay safety: the per-batch write is ``mode("overwrite")`` into
+    the batch's own subdir, so a replayed batch REPLACES its cells
+    rather than double-counting them. Compaction
+    (:func:`compact_countmin_sketch`) must therefore spare the newest
+    numbered subdir — only the in-flight batch can replay, and folding
+    it into the compacted set would double-count on replay (counts are
+    additive, unlike the paragraph index's idempotent distinct-set) —
+    same sparing rule, different reason, as
+    :func:`compact_paragraph_index`.
+    """
+    from flink_examples_spark.operators.sketches import countmin_table
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(sketch_path)
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            compact_countmin_sketch(spark, sketch_path, fmt=fmt)
+        countmin_table(batch_df, key_col, depth, width).write.mode(
+            "overwrite"
+        ).format(fmt).save(os.path.join(sketch_path, f"batch={batch_id}"))
+
+    return apply
+
+
+def read_countmin_sketch(spark, sketch_path: str,
+                         fmt: str = "parquet") -> DataFrame:
+    """Fold every staged subdir into the current sketch:
+    ``(j, bucket, cnt)`` via cell-wise sum. Sketch-sized however long
+    the ingest has run."""
+    _recover_swap(sketch_path)
+    subs = [
+        os.path.join(sketch_path, n)
+        for n in os.listdir(sketch_path)
+        if not n.startswith((".", "_"))
+    ]
+    return (
+        spark.read.format(fmt).load(subs)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_countmin_sketch(spark, sketch_path: str,
+                            fmt: str = "parquet") -> int:
+    """Fold all committed batch subdirs into one ``batch=compacted``
+    cell-sum table, sparing the newest numbered batch (see
+    :func:`countmin_ingest_foreach_batch` for why sparing is
+    count-correctness here, not just replay hygiene). Crash-safe via
+    the staging swap (:func:`_swap_in_rewrite`). Returns cells in the
+    compacted table, 0 if nothing to fold."""
+    _recover_swap(sketch_path)
+    if not os.path.isdir(sketch_path):
+        return 0
+    subs = [
+        n for n in os.listdir(sketch_path) if not n.startswith((".", "_"))
+    ]
+    numbered = sorted(
+        (int(n.split("=", 1)[1]), n)
+        for n in subs
+        if n.startswith("batch=") and n.split("=", 1)[1].isdigit()
+    )
+    spare = numbered[-1][1] if numbered else None
+    fold = [n for n in subs if n != spare]
+    if not any(n != "batch=compacted" for n in fold):
+        return 0
+    folded = (
+        spark.read.format(fmt)
+        .load([os.path.join(sketch_path, n) for n in fold])
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+    spared_df = (
+        spark.read.format(fmt).load(os.path.join(sketch_path, spare))
+        .localCheckpoint()
+        if spare else None
+    )
+
+    def write_to(staging: str) -> None:
+        folded.write.mode("overwrite").format(fmt).save(
+            os.path.join(staging, "batch=compacted")
+        )
+        if spared_df is not None:
+            spared_df.write.mode("overwrite").format(fmt).save(
+                os.path.join(staging, spare)
+            )
+
+    return _swap_in_rewrite(
+        sketch_path,
+        write_to,
+        count=lambda staging: spark.read.format(fmt)
+        .load(os.path.join(staging, "batch=compacted"))
+        .count(),
+    )

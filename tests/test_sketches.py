@@ -130,3 +130,48 @@ def test_kmv_merge_equals_whole(spark):
         a.unionByName(b), "user", ["g"], k=32
     ).collect()[0]
     assert (whole.n_kept, whole.kmv_est) == (merged.n_kept, merged.kmv_est)
+
+
+def test_countmin_streaming_ingest_merges_and_replays(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from flink_examples_spark.operators.sketches import countmin_table
+    from flink_examples_spark.streaming.sinks import (
+        compact_countmin_sketch,
+        countmin_ingest_foreach_batch,
+        read_countmin_sketch,
+    )
+
+    root = str(tmp_path / "cms")
+    apply = countmin_ingest_foreach_batch(root, "user_id")
+    b0 = spark.createDataFrame([(i % 5,) for i in range(40)], "user_id long")
+    b1 = spark.createDataFrame([(i % 9,) for i in range(50)], "user_id long")
+    apply(b0, 0)
+    apply(b1, 1)
+
+    def cells(df):
+        return {(r.j, r.bucket): r.cnt for r in df.collect()}
+
+    whole = cells(countmin_table(b0.unionByName(b1), "user_id"))
+    assert cells(read_countmin_sketch(spark, root)) == whole
+
+    # replay of the in-flight batch overwrites, never double-counts
+    apply(b1, 1)
+    assert cells(read_countmin_sketch(spark, root)) == whole
+
+    # compaction folds committed batches, spares the newest, and the
+    # folded sketch still reads identically
+    b2 = spark.createDataFrame([(7,)] * 11, "user_id long")
+    apply(b2, 2)
+    n = compact_countmin_sketch(spark, root)
+    assert n > 0
+    import os
+    subs = sorted(os.listdir(root))
+    assert "batch=compacted" in subs and "batch=2" in subs
+    assert "batch=0" not in subs
+    whole3 = cells(
+        countmin_table(b0.unionByName(b1).unionByName(b2), "user_id")
+    )
+    assert cells(read_countmin_sketch(spark, root)) == whole3
+    # replaying the spared newest batch after compaction stays correct
+    apply(b2, 2)
+    assert cells(read_countmin_sketch(spark, root)) == whole3
