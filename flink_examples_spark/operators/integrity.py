@@ -54,3 +54,37 @@ def orphan_census(
         row = orphan_check(name, left, lk, right, rk)
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column ingest profile: ``(col, n_rows, n_nulls,
+    n_distinct)`` for each named column, in long format.
+
+    ONE aggregation over ONE scan regardless of column count: all the
+    per-column counters are expressions of the same ``agg`` call
+    (Catalyst plans the multiple exact COUNT(DISTINCT)s as a single
+    Expand + two-level aggregate — the scan is not repeated per
+    column), then the single result row is unpivoted driver-free with
+    ``stack``. The Deequ-style completeness/cardinality check a data
+    platform runs after every ingest; exact counts, so the output is
+    oracle-checkable (swap ``approx_count_distinct`` in at the 100 TB
+    interactive tier if exactness isn't required).
+    """
+    if not cols:
+        raise ValueError("column_profile: no columns given")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select("col", "n_rows", "n_nulls", "n_distinct")

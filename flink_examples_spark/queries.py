@@ -6981,3 +6981,140 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms=["window", "hash", "stream"],
         topk=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP grouping surface: ROLLUP / pivot / ingest profiling — the
+# multi-granularity reporting shapes (Spark .rollup()/.pivot(); DuckDB
+# GROUP BY ROLLUP / conditional aggregation).
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_rollup_region_nation_year",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(GROUPING(r_name) * 4 + GROUPING(n_name) * 2
+                + GROUPING(year(o_orderdate)) AS BIGINT) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name, year(o_orderdate))
+    """,
+    doc="Multi-granularity reporting: order revenue at (region, "
+        "nation, year), with ROLLUP super-aggregate rows for each "
+        "prefix level up to the grand total; grouping_id disambiguates "
+        "NULL-as-rolled-up from NULL-as-value. Spark plans ROLLUP as "
+        "one Expand + a single hash aggregate — one shuffle for all "
+        "four granularities, not four scans.",
+)
+def revenue_rollup_region_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey")
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation),
+              cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region),
+              nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            "o_totalprice",
+        )
+        .rollup("region", "nation", "o_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("region", "nation", "o_year", "gid", "revenue", "n_orders")
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_type_pivot_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Wide-format daily event report via .pivot() with an EXPLICIT "
+        "value list — the two-pass pivot (value discovery) is skipped, "
+        "the schema is static, and the plan is one hash aggregate with "
+        "conditional counts, exactly what the SQL twin spells out. "
+        "Missing combinations surface as 0, not NULL.",
+)
+def events_type_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    out = (
+        events.select(F.date_trunc("day", F.col("ts")).alias("day"),
+                      "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out.select(
+        "day", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "orders_column_profile",
+    oracle="""
+    SELECT col, n_rows, n_nulls, n_distinct FROM (
+        SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderpriority) FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderdate) FROM orders
+    )
+    """,
+    doc="Ingest-time column profiling (the Deequ/data-card shape): "
+        "row/null/exact-distinct counts for every profiled column in "
+        "ONE logical pass — Spark plans the multi-distinct aggregate "
+        "as a single Expand + two-level aggregation, so the table is "
+        "scanned once however many columns are profiled (vs the "
+        "oracle's one-subquery-per-column spelling).",
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.integrity import column_profile
+
+    return column_profile(
+        load_table(spark, "orders", sf_dir),
+        ["o_orderkey", "o_custkey", "o_orderstatus",
+         "o_orderpriority", "o_orderdate"],
+    )

@@ -1005,3 +1005,29 @@ def test_events_log_as_of_tie_rule_and_partition_moves(spark):
         for r in events_log_as_of(ev, "doc_id", "seq", 2).collect()
     }
     assert flat == {1: "v2"}
+
+
+def test_column_profile_counts_nulls_and_distincts(spark):
+    import pytest
+    from flink_examples_spark.operators.integrity import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, v string",
+    )
+    out = {r.col: (r.n_rows, r.n_nulls, r.n_distinct)
+           for r in column_profile(df, ["k", "v"]).collect()}
+    assert out == {"k": (4, 1, 3), "v": (4, 1, 2)}
+    with pytest.raises(ValueError):
+        column_profile(df, [])
+
+
+def test_column_profile_single_scan_plan(spark):
+    from flink_examples_spark.operators.integrity import column_profile
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    plan = column_profile(df, ["k", "v"])._jdf.queryExecution().executedPlan().toString()
+    # multi-distinct profiling must plan as Expand over ONE scan of the
+    # source, not one scan per profiled column
+    assert plan.count("Scan ExistingRDD") <= 1
+    assert "Expand" in plan
