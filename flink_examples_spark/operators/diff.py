@@ -324,3 +324,52 @@ def events_log_as_of(
         latest.filter(F.col("_last._op") != "delete")
         .select(*[F.col(f"_last.{c}").alias(c) for c in payload])
     )
+
+
+def incremental_agg_apply(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    amount_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental MAINTENANCE of an additive aggregate (sum + count)
+    from a change feed — the materialized-view half of the versioning
+    family: [[snapshot_diff]] tells you WHAT changed, this applies it
+    to a standing report without recomputing the corpus.
+
+    ``base_agg``: the maintained view ``(*key_cols, total, n_rows)``.
+    ``delta``: change rows ``(*key_cols, amount, op)`` with op
+    ``'add'`` (row inserted) or ``'del'`` (row removed, amount = the
+    removed row's amount). An update is modelled as del+add, the
+    standard change-feed decomposition. Groups whose maintained count
+    reaches zero are DROPPED (the group no longer exists), and brand-new
+    groups appear — so the result is always identical to re-aggregating
+    the post-change corpus, which is exactly what the oracle asserts.
+
+    Scale shape: the delta is aggregated FIRST (map-side combinable,
+    delta-sized), then merged with the view by one co-partitioned
+    union+groupBy on the view's own key — the base corpus is never
+    read. Sum arithmetic stays in DECIMAL so maintenance is exact
+    (order-free), never float drift.
+    """
+    signed = delta.select(
+        *key_cols,
+        F.when(F.col(op_col) == "del", -F.col(amount_col))
+        .otherwise(F.col(amount_col))
+        .alias("_amt"),
+        F.when(F.col(op_col) == "del", F.lit(-1))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("_n"),
+    )
+    delta_agg = signed.groupBy(*key_cols).agg(
+        F.sum("_amt").alias("total"), F.sum("_n").alias("n_rows")
+    )
+    return (
+        base_agg.select(*key_cols, "total", "n_rows")
+        .unionByName(delta_agg)
+        .groupBy(*key_cols)
+        .agg(F.sum("total").alias("total"), F.sum("n_rows").alias("n_rows"))
+        .filter(F.col("n_rows") != 0)
+    )

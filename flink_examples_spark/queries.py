@@ -7118,3 +7118,87 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_custkey", "o_orderstatus",
          "o_orderpriority", "o_orderdate"],
     )
+
+
+@register(
+    "orders_agg_incremental_maintain",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total,
+           COUNT(*) AS n_rows
+    FROM orders
+    WHERE (o_orderdate < DATE '2000-01-01' AND o_orderkey % 10 <> 0)
+       OR o_orderdate >= DATE '2000-01-01'
+    GROUP BY 1
+    """,
+    doc="Materialized-view maintenance: a standing per-priority "
+        "revenue report built from pre-2000 orders is brought current "
+        "by APPLYING a change feed (post-2000 inserts + a simulated "
+        "cancellation of every 10th legacy order as deletes) instead "
+        "of re-aggregating — the delta aggregates map-side first, the "
+        "base corpus is never re-read, sums stay in DECIMAL so "
+        "maintenance is drift-free. The oracle aggregates the "
+        "post-change corpus directly; equality IS the MV invariant.",
+)
+def orders_agg_incremental_maintain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.operators.diff import incremental_agg_apply
+
+    orders = load_table(spark, "orders", sf_dir)
+    cutoff = F.lit("2000-01-01").cast("date")
+    old = orders.filter(F.col("o_orderdate") < cutoff)
+    base = old.groupBy("o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    adds = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderpriority",
+        _dec("o_totalprice").alias("amount"),
+        F.lit("add").alias("op"),
+    )
+    dels = old.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderpriority",
+        _dec("o_totalprice").alias("amount"),
+        F.lit("del").alias("op"),
+    )
+    out = incremental_agg_apply(
+        base, adds.unionByName(dels), ["o_orderpriority"], "amount"
+    )
+    return out.select(
+        "o_orderpriority", F.col("total").cast("double").alias("total"),
+        "n_rows",
+    )
+
+
+@register(
+    "events_type_unpivot_long",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="The melt/unpivot half of the reshaping surface: the wide "
+        "daily pivot report folded back to long (day, event_type, n) "
+        "rows via DataFrame.unpivot — zero-count cells dropped so the "
+        "round trip reproduces the original long-format census "
+        "exactly (which is what the oracle computes directly).",
+)
+def events_type_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = events_type_pivot_daily(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["day"],
+            [f"n_{t}" for t in _EVENT_TYPES],
+            "event_type",
+            "n",
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            "day",
+            F.expr("substring(event_type, 3)").alias("event_type"),
+            "n",
+        )
+    )

@@ -1031,3 +1031,24 @@ def test_column_profile_single_scan_plan(spark):
     # source, not one scan per profiled column
     assert plan.count("Scan ExistingRDD") <= 1
     assert "Expand" in plan
+
+
+def test_incremental_agg_apply_drops_zeroed_groups_and_handles_new(spark):
+    from pyspark.sql import functions as F
+    from flink_examples_spark.operators.diff import incremental_agg_apply
+
+    base = spark.createDataFrame(
+        [("a", 10.0, 2), ("b", 5.0, 1)],
+        "k string, total double, n_rows long",
+    )
+    delta = spark.createDataFrame(
+        [
+            ("b", 5.0, "del"),          # zeroes group b -> dropped
+            ("a", 3.0, "add"),
+            ("c", 7.0, "add"),          # brand-new group appears
+        ],
+        "k string, amount double, op string",
+    )
+    out = {r.k: (r.total, r.n_rows) for r in
+           incremental_agg_apply(base, delta, ["k"], "amount").collect()}
+    assert out == {"a": (13.0, 3), "c": (7.0, 1)}
