@@ -415,3 +415,77 @@ def test_paragraph_dedup_deskewed_no_window_no_python(spark, sf_dir):
     assert "Window" not in plan  # no content-keyed analytic window
     assert "partial_min" in plan  # map-side combine on the verdict agg
     assert exchange_count(df) <= 4
+
+
+def test_round5_relational_plan_shapes(spark, sf_dir):
+    """Q7/Q15/Q19 shapes: dims broadcast (facts never shuffle for a
+    dim), the scalar-max join is a broadcast of a 1-row aggregate, and
+    the Q19 bracket disjunction's part-side residual reaches the part
+    scan as a pushed filter."""
+    from flink_examples_spark.queries import registry
+
+    r = registry()
+    q7 = formatted_plan(
+        r["nation_pair_trade_volume"].spark_fn(spark, sf_dir)
+    )
+    assert q7.count("BroadcastHashJoin") >= 4   # nation x2 + dims
+    assert "SortMergeJoin" not in q7 or q7.count("SortMergeJoin") <= 2
+
+    q15 = r["top_supplier_revenue"].spark_fn(spark, sf_dir)
+    p15 = formatted_plan(q15)
+    assert "BroadcastHashJoin" in p15           # 1-row max + supplier dim
+    assert "Window" not in p15                  # no global-window max
+
+    q19 = r["bracket_discount_revenue"].spark_fn(spark, sf_dir)
+    p19 = formatted_plan(q19)
+    # the brand/size disjunction must reach the part scan
+    assert "p_brand" in p19 and "PushedFilters" in p19
+
+
+def test_rollup_is_single_expand_single_exchange(spark, sf_dir):
+    """ROLLUP must plan as ONE Expand + one aggregate exchange — four
+    granularities for the price of one shuffle, never four scans."""
+    from flink_examples_spark.queries import registry
+
+    df = registry()["revenue_rollup_region_nation_year"].spark_fn(
+        spark, sf_dir
+    )
+    plan = formatted_plan(df)
+    assert plan.count("Expand (") == 1          # one Expand node
+    assert plan.count("Scan parquet") <= 8      # tree + detail listings
+
+
+def test_walk_mass_no_cartesian_no_python(spark, sf_dir):
+    """3 iterations = 3 hash joins + combinable aggs; nothing
+    quadratic, nothing Python-side."""
+    from flink_examples_spark.queries import registry
+
+    df = registry()["event_graph_walk_mass"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert not python_eval_nodes(df)
+
+
+def test_countmin_build_is_partial_aggregated(spark, sf_dir):
+    """The sketch build's groupBy(j,bucket) must carry a partial
+    aggregate before its exchange — that partial is what makes the
+    shuffle sketch-sized instead of data-sized."""
+    from flink_examples_spark.operators.sketches import countmin_table
+
+    t = countmin_table(load_table(spark, "events", sf_dir), "user_id")
+    plan = formatted_plan(t)
+    assert plan.count("HashAggregate") >= 2     # partial + final
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_two_scans_no_token_shuffle(spark, sf_dir):
+    """BM25: corpus stats via broadcast of a 1-row aggregate; the only
+    wide movement is the final top-k (TakeOrderedAndProject)."""
+    from flink_examples_spark.queries import registry
+
+    df = registry()["bm25_search_topk"].spark_fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not python_eval_nodes(df)
