@@ -36,6 +36,8 @@ Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
     asof_join              0.3s    0.3s    0.3s  -0.03   1.00
     funnel_stage_counts    0.3s    0.4s    0.3s   0.05   n/a (3 rows)
     merge_apply_partnd     1.2s    0.9s    1.0s  -0.11   n/a (delta 313)
+    ngram_containment      2.2s    2.2s    2.8s   0.17   1.00 (r5)
+    event_walk_mass        1.9s    2.0s    2.0s   0.02   n/a (100 nodes, r5)
 
 The merge row is the partition-scoped MERGE (2026-08-14): the staged
 corpus quadruples (shard count grows, constant rows per shard) while
@@ -87,6 +89,28 @@ def _asof_last_click(events):
     )
     return asof_join(p, c, "user_id", "ts", "cts", ["click_id"],
                      right_order="click_id")
+
+
+def _containment(docs):
+    from flink_examples_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", threshold=0.6, max_shingle_freq=256
+    )
+
+
+def _walk(events):
+    """Transition graph per user (value buckets as nodes) + 3 rounds of
+    integer walk mass — canary twin of event_graph_walk_mass without
+    the JSON parse (the canary's doubled frame drops props)."""
+    from flink_examples_spark.operators.graph import (
+        transition_edges,
+        walk_mass,
+    )
+
+    ev = events.withColumn("k", F.pmod(F.col("event_id"), 100))
+    edges = transition_edges(ev, "user_id", ["ts", "event_id"], "k")
+    return walk_mass(edges, iterations=3)
 
 
 def main() -> None:
@@ -193,6 +217,20 @@ def main() -> None:
                 d, "user_id", "ts", "event_type",
                 ["view", "click", "purchase"],
             ),
+            ("user_id",),
+        ),
+        # r5: containment joins both directions of the same capped
+        # inverted index — must track the Jaccard curve, never n²
+        "ngram_containment_pairs": (
+            docs1, "doc_id",
+            lambda d: _containment(d),
+        ),
+        # r5: iterative walk — per-user transition window (linear) +
+        # 3 mass×edges joins over a bounded node set; curve must stay
+        # linear in |events| with no iteration-driven blowup
+        "event_walk_mass": (
+            events1, "event_id",
+            lambda d: _walk(d),
             ("user_id",),
         ),
     }
