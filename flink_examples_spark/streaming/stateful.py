@@ -696,3 +696,40 @@ def streaming_sequence_pack(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hot_items_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    filter_expr: str = "event_type = 'view'",
+    duration: str = "1 hour",
+    slide: str = "5 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming half of the flagship HotItems (HotItems.java:55-81;
+    batch twin ``operators.topn.hot_items``): append-mode sliding-window
+    view counts, finalized when the watermark passes each window end.
+
+    Declarative on purpose — no GroupState: Spark's native windowed
+    aggregation already IS the incremental per-window count Flink's
+    aggregate()+WindowFunction pair implements by hand, with map-side
+    partial merge per trigger. The per-window top-N rank is batch logic
+    over FINALIZED windows: run ``top_n_per_group`` (the same function
+    the batch query uses) in a foreachBatch sink or over any batch read
+    of the appended output — ranking inside the stream would force
+    update mode and re-emit every rank change, which is the Flink
+    job's keyBy(windowEnd)+ProcessFunction cost this formulation
+    avoids. Parity with the batch query on closed windows is asserted
+    in tests/test_streaming.py."""
+    return (
+        events.filter(filter_expr)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("view_count"))
+        .select(
+            F.col("w.end").alias("window_end"),
+            F.col(key),
+            F.col("view_count"),
+        )
+    )

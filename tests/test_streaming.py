@@ -2419,3 +2419,48 @@ def test_streaming_banded_range_join_matches_batch(spark, tmp_path):
     assert got == want
     assert (0, 100) in got and (1, 100) in got and (1, 101) in got
     assert (6, 102) in got and not any(p == 7 for p, _ in got)
+
+
+def test_streaming_hot_items_matches_batch_on_closed_windows(
+    spark, tmp_path, events_pdf
+):
+    """Flagship streaming parity: sliding-window counts under
+    availableNow replay + the batch top-N rank over finalized windows
+    equal hot_items_sliding_topn for every window the watermark closed
+    (open tail windows stay pending in append mode — same divergence
+    note as the session-window twin)."""
+    from flink_examples_spark.operators.topn import (
+        hot_items,
+        top_n_per_group,
+    )
+    from flink_examples_spark.streaming.stateful import (
+        streaming_hot_items_counts,
+    )
+
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 3)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    counts = streaming_hot_items_counts(src, duration="60 minutes")
+    out = run_to_memory(
+        counts, spark, "hot_counts", "append", str(tmp_path / "ck")
+    )
+    ranked = top_n_per_group(
+        out, ["window_end"], [F.desc("view_count"), F.asc("user_id")], 3
+    ).select("window_end", "user_id", "view_count", "rank")
+    stream_rows = {tuple(r) for r in ranked.collect()}
+    # the watermark advances on the FILTERED stream, so closed = windows
+    # ending at-or-before the last view's ts, not the global max ts
+    max_ts = (
+        load_table(spark, "events", SF)
+        .filter("event_type = 'view'")
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    batch_rows = {
+        tuple(r)
+        for r in hot_items(
+            load_table(spark, "events", SF), duration="60 minutes"
+        ).collect()
+        if r.window_end <= max_ts
+    }
+    assert stream_rows == batch_rows
+    assert len(batch_rows) > 0
