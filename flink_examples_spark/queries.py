@@ -7202,3 +7202,117 @@ def events_type_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "user_attr_scd2",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    grp AS (
+        SELECT user_id, ts, k,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, k
+                                  ORDER BY ts, event_id) AS island
+        FROM seq
+    ),
+    isl AS (
+        SELECT user_id, k, MIN(ts) AS valid_from,
+               COUNT(*) AS n_events
+        FROM grp GROUP BY user_id, k, island
+    )
+    SELECT user_id, k, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           n_events
+    FROM isl
+    """,
+    doc="SCD Type-2 dimension build (gaps-and-islands): collapse each "
+        "user's consecutive runs of the same props.k attribute into "
+        "validity intervals [valid_from, valid_to) with the classic "
+        "difference-of-row_numbers island id; the current value has "
+        "NULL valid_to. All three windows share the user_id partition "
+        "key, so the whole build is ONE shuffle on user_id.",
+)
+def user_attr_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.functions.scalar import json_field
+
+    seq = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "user_id", "ts", "event_id",
+            json_field("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_k = Window.partitionBy("user_id", "k").orderBy("ts", "event_id")
+    isl = (
+        seq.withColumn(
+            "island",
+            F.row_number().over(w_all) - F.row_number().over(w_k),
+        )
+        .groupBy("user_id", "k", "island")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_v = Window.partitionBy("user_id").orderBy("valid_from")
+    return isl.select(
+        "user_id", "k", "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+        "n_events",
+    )
+
+
+@register(
+    "order_value_quartile_bands",
+    oracle="""
+    WITH banded AS (
+        SELECT o_orderpriority,
+               NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS band,
+               o_totalprice
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(band AS INT) AS band,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS band_revenue
+    FROM banded
+    GROUP BY 1, 2
+    """,
+    doc="Distribution report: exact within-priority revenue quartiles "
+        "via NTILE over a TOTAL order (price + orderkey tiebreak — "
+        "without it quartile membership is nondeterministic at price "
+        "ties), then per-band count/range/mass. One shuffle on the "
+        "priority key serves both the rank and the final aggregate.",
+)
+def order_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.withColumn("band", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+            F.sum(_dec("o_totalprice")).cast("double")
+            .alias("band_revenue"),
+        )
+    )

@@ -248,3 +248,22 @@ def test_series_pattern_scan_goldens(spark):
         ).collect()
     }
     assert got == {(1, 0): 0.0, (2, 3): 0.25}  # 3.5 vs 3.0 -> 0.25
+
+
+def test_scd2_islands_golden(spark, sf_dir):
+    """Gaps-and-islands: consecutive same-value runs collapse into one
+    interval; a value that RETURNS later starts a NEW interval; the
+    current run has NULL valid_to."""
+    import pandas as pd
+    from flink_examples_spark.queries import registry
+
+    out = registry()["user_attr_scd2"].spark_fn(spark, sf_dir).toPandas()
+    one = out[out.user_id == out.user_id.iloc[0]].sort_values("valid_from")
+    # intervals tile the timeline: each valid_to == next valid_from
+    froms = list(one.valid_from)
+    tos = list(one.valid_to)
+    assert tos[:-1] == froms[1:]
+    assert pd.isna(tos[-1])
+    # no two ADJACENT intervals share a k (else they'd be one island)
+    ks = list(one.k)
+    assert all(a != b for a, b in zip(ks, ks[1:]))
