@@ -522,3 +522,84 @@ def test_banded_joins_reject_degenerate_bucket_width(spark):
         banded_range_join(pts, ivs, "v", "lo", "hi", 0.0)
     with pytest.raises(ValueError, match="bucket_width"):
         banded_overlap_join(ivs, ivs, "lo", "hi", "lo", "hi", -1.0)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        min_size=1, max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_matches_bruteforce(spark, docs):
+    """Containment pairs == brute-force distinct-3-gram set arithmetic
+    for ANY corpus (threshold 0.5, no frequency cap)."""
+    from flink_examples_spark.operators.dedup import ngram_containment_pairs
+
+    texts = {i: " ".join(d) for i, d in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a)
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+
+    def sh(t):
+        w = [x for x in t.split(" ") if x]
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for a, ta in texts.items():
+        for b, tb in texts.items():
+            if a == b or not sh(ta):
+                continue
+            inter = len(sh(ta) & sh(tb))
+            if inter / len(sh(ta)) >= 0.5:
+                want[(a, b)] = (inter, len(sh(ta)))
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6),
+                  st.integers(1, 9)),
+        min_size=1, max_size=20,
+    ),
+    iters=st.integers(1, 3),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_walk_mass_conserves_and_matches_bruteforce(spark, edges, iters):
+    """Integer walk mass == a literal python simulation of the same
+    recurrence, and total mass is conserved exactly, for ANY weighted
+    multigraph (parallel edges collapse by weight-sum first)."""
+    from collections import defaultdict
+
+    from flink_examples_spark.operators.graph import walk_mass
+
+    w = defaultdict(int)
+    for s, d, x in edges:
+        w[(s, d)] += x
+    rows = [(s, d, x) for (s, d), x in w.items()]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r.node: r.mass for r in
+           walk_mass(df, iterations=iters).collect()}
+
+    nodes = {s for s, _ in w} | {d for _, d in w}
+    out_w = defaultdict(int)
+    for (s, _), x in w.items():
+        out_w[s] += x
+    mass = {v: 1_000_000 for v in nodes}
+    for _ in range(iters):
+        nxt = dict(mass)
+        for (s, d), x in w.items():
+            c = (mass[s] * 85 * x) // (100 * out_w[s])
+            nxt[s] -= c
+            nxt[d] += c
+        mass = nxt
+    assert got == mass
+    assert sum(got.values()) == len(nodes) * 1_000_000
