@@ -7316,3 +7316,116 @@ def order_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band_revenue"),
         )
     )
+
+
+@register(
+    "events_rate_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT day, n,
+               AVG(n) OVER w AS mu,
+               COUNT(*) OVER w AS n_base
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, n,
+           ROUND(CAST(n AS DOUBLE) / mu, 6) AS rate_ratio,
+           CAST(CAST(n AS DOUBLE) / mu > 1.5
+                OR CAST(n AS DOUBLE) / mu < 0.5 AS BOOLEAN) AS anomaly
+    FROM stats
+    WHERE n_base = 7
+    """,
+    doc="Volume-anomaly monitor: each day's event count vs its "
+        "trailing-7-day mean (warm-up days without a full baseline "
+        "excluded); flagged when the ratio leaves [0.5, 1.5]. The "
+        "trailing window runs over the DAY-aggregated table — the "
+        "map-side daily rollup does the data-sized work, so the "
+        "analytic window touches ~thousands of rows however big the "
+        "event log is (the aggregate-first discipline of the de-skew "
+        "rewrite applied to time series).",
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    ratio = F.col("n").cast("double") / F.avg("n").over(w)
+    return (
+        daily.select(
+            "day", "n",
+            F.round(ratio, 6).alias("rate_ratio"),
+            ((ratio > 1.5) | (ratio < 0.5)).alias("anomaly"),
+            F.count(F.lit(1)).over(w).alias("_n_base"),
+        )
+        .filter(F.col("_n_base") == 7)
+        .drop("_n_base")
+    )
+
+
+@register(
+    "orders_open_timeline",
+    oracle="""
+    WITH bounds AS (
+        SELECT o_orderkey, o_orderdate AS start_day,
+               MAX(l_shipdate) AS end_day
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT date_trunc('day', start_day) AS day, 1 AS d FROM bounds
+        UNION ALL
+        SELECT date_trunc('day', end_day), -1 FROM bounds
+    ),
+    daily AS (
+        SELECT day, CAST(SUM(d) AS BIGINT) AS net FROM deltas GROUP BY 1
+    )
+    SELECT day, net,
+           CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+    doc="Sweep-line concurrency: how many orders are in flight "
+        "(placed, not yet fully shipped) on each day — +1/-1 boundary "
+        "events, aggregated to day granularity FIRST (map-side, "
+        "data-sized work), then a running sum over the tiny day table. "
+        "The global cumulative window is single-partition by nature, "
+        "which is exactly why the aggregate-first step must bound its "
+        "input to ~thousands of rows at any corpus size.",
+)
+def orders_open_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate")
+    bounds = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("end_day"))
+    )
+    deltas = (
+        bounds.select(
+            F.date_trunc("day", "o_orderdate").alias("day"),
+            F.lit(1).alias("d"),
+        )
+        .unionByName(
+            bounds.select(
+                F.date_trunc("day", "end_day").alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "net", F.sum("net").over(w).alias("open_orders")
+    )

@@ -267,3 +267,20 @@ def test_scd2_islands_golden(spark, sf_dir):
     # no two ADJACENT intervals share a k (else they'd be one island)
     ks = list(one.k)
     assert all(a != b for a, b in zip(ks, ks[1:]))
+
+
+def test_open_timeline_ends_at_zero_and_never_negative(spark, sf_dir):
+    """Sweep-line invariants: every order opens and closes, so the
+    running count returns to 0 at the final boundary and never dips
+    below 0 anywhere."""
+    from flink_examples_spark.queries import registry
+
+    rows = (
+        registry()["orders_open_timeline"]
+        .spark_fn(spark, sf_dir)
+        .orderBy("day")
+        .collect()
+    )
+    assert rows[-1].open_orders == 0
+    assert min(r.open_orders for r in rows) >= 0
+    assert max(r.open_orders for r in rows) > 0
