@@ -129,6 +129,29 @@ def ngram_jaccard_pairs(
     the re-scan saves, and ReuseExchange dedupes the self-join sides);
     at corpus scale stage the index yourself and pass ``shingles_df``.
     """
+    sizes, inter = _capped_shingle_intersections(
+        df, id_col, text_col, n, max_shingle_freq, shingles_df
+    )
+    return _jaccard_above(inter, sizes, threshold)
+
+
+def _capped_shingle_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_freq: int | None,
+    shingles_df: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared head of the exact inverted-index near-dup family: the
+    (optionally frequency-capped) shingle index reduced to per-doc
+    ``sizes`` (doc_id, n_sh) and UNORDERED pair intersection counts
+    ``inter`` (doc_a < doc_b, n_common). One definition on purpose —
+    Jaccard and containment differ only in the final arithmetic, and
+    the ``<``-predicate self-join computes each symmetric n_common
+    once (a ``!=`` join would redo the dominant Σ freq² stage twice;
+    direction-dependent consumers mirror the AGGREGATED pair table
+    instead, which is candidate-sized)."""
     sh = shingles_df if shingles_df is not None \
         else shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
@@ -153,7 +176,7 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _jaccard_above(inter, sizes, threshold)
+    return sizes, inter
 
 
 def _jaccard_above(
@@ -206,38 +229,25 @@ def ngram_containment_pairs(
 
     Same inverted-index shape as [[ngram_jaccard_pairs]] — pairs only
     form on a shared shingle (Σ freq² cost, bounded by the frequency
-    cap), never all-pairs — but the join keeps BOTH orders
-    (``a.doc_id != b.doc_id``) because containment is directional, and
-    the divisor is the contained side's size only. Output:
-    ``doc_a`` (contained), ``doc_b`` (container), ``n_common, n_a,
-    containment``. Exact integer arithmetic, bit-identical to the SQL
-    oracle."""
-    sh = shingles_df if shingles_df is not None \
-        else shingles(df, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("freq"))
-            .filter(F.col("freq") > max_shingle_freq)
-            .select("shingle")
+    cap), never all-pairs. n_common is SYMMETRIC, so the dominant
+    self-join runs once with the ``<`` predicate (shared helper with
+    the Jaccard path) and only the aggregated candidate-sized pair
+    table is mirrored to restore both directions; the divisor is the
+    contained side's size only. Output: ``doc_a`` (contained),
+    ``doc_b`` (container), ``n_common, n_a, containment``. Exact
+    integer arithmetic, bit-identical to the SQL oracle."""
+    sizes, inter = _capped_shingle_intersections(
+        df, id_col, text_col, n, max_shingle_freq, shingles_df
+    )
+    both = inter.unionByName(
+        inter.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "n_common",
         )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        inter.join(
+        both.join(
             sizes.select(
                 F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
             ),

@@ -53,6 +53,13 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk: need at least one query term")
+    # tokens() lowercases the corpus — normalize the query the same way
+    # (an uppercase term would silently match nothing), and drop
+    # duplicate terms (they would double-count their score component)
+    seen: dict[str, None] = {}
+    for t in terms:
+        seen.setdefault(t.lower())
+    terms = list(seen)
     def _tf(term: str):
         # NOTE: a two-arg lambda here would be taken as Spark's
         # (element, index) filter form — close over the term instead

@@ -70,7 +70,13 @@ def countmin_estimates(
     """CMS estimate for every distinct key: min over the depth cells
     the key hashes to. Pass a staged ``table`` to estimate against a
     previously-built (possibly merged) sketch. Output:
-    ``(key, cms_est)`` with cms_est ≥ the true count always."""
+    ``(key, cms_est)`` with cms_est ≥ the true count always.
+
+    Cells absent from the sketch count as 0 (LEFT join + coalesce):
+    against a staged table, a probe key the sketch never saw must
+    report estimate 0 — an inner join would silently drop it, and a
+    key with only SOME cells present would overstate by taking the min
+    over the surviving non-zero cells only."""
     t = table if table is not None else countmin_table(
         df, key_col, depth, width
     )
@@ -78,9 +84,9 @@ def countmin_estimates(
         df.select(key_col).distinct(), key_col, depth, width
     )
     return (
-        probes.join(F.broadcast(t), ["j", "bucket"])
+        probes.join(F.broadcast(t), ["j", "bucket"], "left")
         .groupBy(F.col("_k").alias("key"))
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 
@@ -115,7 +121,12 @@ def kmv_estimates(
     """
     import pandas as pd
 
-    hashed = df.select(
+    # NULL keys are excluded up front (COUNT(DISTINCT) semantics — the
+    # oracle's COUNT(DISTINCT user_id) ignores NULLs too); this also
+    # keeps ``_h`` non-nullable, so Arrow never widens the hash column
+    # to float64 (hash60 values exceed float64's 2^53 integer range
+    # and would silently corrupt the kept-set).
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
         *group_cols,
         hash60(
             F.concat(F.col(key_col).cast("string"), F.lit("#kmv"))
@@ -125,7 +136,10 @@ def kmv_estimates(
     def partial(batches):
         acc: dict[tuple, list] = {}
         for pdf in batches:
-            for g, grp in pdf.groupby(group_cols, sort=False):
+            # dropna=False: a NULL group VALUE is a real group (Spark
+            # groupBy keeps it; so must the partial)
+            for g, grp in pdf.groupby(group_cols, sort=False,
+                                      dropna=False):
                 gk = g if isinstance(g, tuple) else (g,)
                 pool = grp["_h"].drop_duplicates()
                 prev = acc.get(gk)

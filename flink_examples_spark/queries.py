@@ -6594,7 +6594,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q19 shape: revenue from three (brand, size, quantity) "
         "brackets OR-ed together across the part join. Catalyst's "
         "CNF conversion extracts the single-side residuals — the part "
-        "scan sees the brand/size disjunction (a ~12%% prune) and the "
+        "scan sees the brand/size disjunction (a ~12% prune) and the "
         "lineitem scan the derived quantity envelope [1,30] — before "
         "the join evaluates the full cross-table disjunction. One "
         "output row; COUNT(*) rides along so the match set, not just "
@@ -6645,7 +6645,7 @@ def bracket_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Asymmetric containment near-dup (Broder's containment, the "
         "quote/excerpt case symmetric Jaccard misses): ordered pairs "
-        "where >=60%% of doc_a's 3-grams also appear in doc_b. Same "
+        "where >=60% of doc_a's 3-grams also appear in doc_b. Same "
         "frequency-capped inverted-index join as the Jaccard path but "
         "direction-keeping and divided by the contained side only.",
 )
@@ -7214,7 +7214,7 @@ def events_type_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE json_extract_string(props, '$.k') IS NOT NULL
     ),
     grp AS (
-        SELECT user_id, ts, k,
+        SELECT user_id, ts, event_id, k,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id)
              - ROW_NUMBER() OVER (PARTITION BY user_id, k
@@ -7223,12 +7223,14 @@ def events_type_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     isl AS (
         SELECT user_id, k, MIN(ts) AS valid_from,
+               MIN(event_id) AS first_eid,
                COUNT(*) AS n_events
         FROM grp GROUP BY user_id, k, island
     )
     SELECT user_id, k, valid_from,
            LEAD(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to,
+                                  ORDER BY valid_from, first_eid)
+               AS valid_to,
            n_events
     FROM isl
     """,
@@ -7262,10 +7264,15 @@ def user_attr_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "k", "island")
         .agg(
             F.min("ts").alias("valid_from"),
+            # tiebreak for the lead(): two islands CAN share a
+            # valid_from when two events carry the same ts — the
+            # island's first event_id restores the total order the
+            # hash-exact contract requires
+            F.min("event_id").alias("first_eid"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    w_v = Window.partitionBy("user_id").orderBy("valid_from")
+    w_v = Window.partitionBy("user_id").orderBy("valid_from", "first_eid")
     return isl.select(
         "user_id", "k", "valid_from",
         F.lead("valid_from").over(w_v).alias("valid_to"),

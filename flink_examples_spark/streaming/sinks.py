@@ -958,13 +958,19 @@ def read_countmin_sketch(spark, sketch_path: str,
                          fmt: str = "parquet") -> DataFrame:
     """Fold every staged subdir into the current sketch:
     ``(j, bucket, cnt)`` via cell-wise sum. Sketch-sized however long
-    the ingest has run."""
+    the ingest has run. A missing or not-yet-committed sketch path
+    reads as an EMPTY sketch (every estimate 0) rather than crashing —
+    monitoring readers race the stream's first micro-batch."""
     _recover_swap(sketch_path)
     subs = [
         os.path.join(sketch_path, n)
         for n in os.listdir(sketch_path)
         if not n.startswith((".", "_"))
-    ]
+    ] if os.path.isdir(sketch_path) else []
+    if not subs:
+        return spark.createDataFrame(
+            [], "j int, bucket long, cnt long"
+        )
     return (
         spark.read.format(fmt).load(subs)
         .groupBy("j", "bucket")

@@ -66,3 +66,19 @@ def test_bm25_rejects_empty_query(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(df, "doc_id", "text", [])
+
+
+def test_bm25_normalizes_case_and_dedupes_terms(spark):
+    docs = {1: "window window other", 2: "nothing relevant"}
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    base = {r.doc_id: r.score for r in
+            bm25_topk(df, "doc_id", "text", ["window"], topk=2).collect()}
+    upper = {r.doc_id: r.score for r in
+             bm25_topk(df, "doc_id", "text", ["Window"], topk=2).collect()}
+    doubled = {r.doc_id: r.score for r in
+               bm25_topk(df, "doc_id", "text",
+                         ["window", "WINDOW"], topk=2).collect()}
+    assert upper == base            # case must not zero the match
+    assert doubled == base          # duplicates must not double-count
+    assert base[1] > 0.0

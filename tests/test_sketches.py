@@ -175,3 +175,39 @@ def test_countmin_streaming_ingest_merges_and_replays(spark, tmp_path):
     # replaying the spared newest batch after compaction stays correct
     apply(b2, 2)
     assert cells(read_countmin_sketch(spark, root)) == whole3
+
+
+def test_countmin_staged_table_unseen_key_reads_zero(spark):
+    from flink_examples_spark.operators.sketches import (
+        countmin_estimates,
+        countmin_table,
+    )
+
+    day1 = spark.createDataFrame([("x",)] * 5, "user_id string")
+    sketch = countmin_table(day1, "user_id")
+    day2 = spark.createDataFrame([("x",), ("brandnew",)], "user_id string")
+    est = {r.key: r.cms_est for r in
+           countmin_estimates(day2, "user_id", table=sketch).collect()}
+    assert est["x"] == 5
+    assert est["brandnew"] == 0          # unseen key: estimate 0, not dropped
+
+
+def test_kmv_null_keys_excluded_null_group_kept(spark):
+    from flink_examples_spark.operators.sketches import kmv_estimates
+
+    rows = [("a", "u1"), ("a", "u2"), ("a", None),
+            (None, "u3"), (None, "u4"), (None, None)]
+    df = spark.createDataFrame(rows, "g string, user string")
+    out = {r.g: (r.n_kept, r.kmv_est) for r in
+           kmv_estimates(df, "user", ["g"], k=16).collect()}
+    # NULL keys don't count (COUNT DISTINCT semantics); NULL group is
+    # a real group and must survive
+    assert out == {"a": (2, 2.0), None: (2, 2.0)}
+
+
+def test_read_countmin_sketch_missing_path_is_empty(spark, tmp_path):
+    from flink_examples_spark.streaming.sinks import read_countmin_sketch
+
+    out = read_countmin_sketch(spark, str(tmp_path / "never_written"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["j", "bucket", "cnt"]
