@@ -7436,3 +7436,48 @@ def orders_open_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "net", F.sum("net").over(w).alias("open_orders")
     )
+
+
+@register(
+    "part_supplier_variety_census",
+    oracle="""
+    WITH excluded AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    ),
+    links AS (
+        SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    )
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM links
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT l_suppkey) >= 4
+    """,
+    doc="TPC-H Q16 shape on this schema (lineitem as the part-supplier "
+        "link; the 'complaint' blocklist is the negative-balance "
+        "supplier set): how many distinct eligible suppliers can serve "
+        "each (brand, type, size), keeping combinations served by >=4 suppliers (scales to the fixture's 10-supplier sf0.001 tier). "
+        "The blocklist excludes via a broadcast LEFT ANTI join (never "
+        "NOT IN's null-trap semantics on the fact side), and the "
+        "distinct runs map-side-combined before the count.",
+)
+def part_supplier_variety_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey")
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", "p_brand", "p_type", "p_size")
+    excluded = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(excluded),
+                li["l_suppkey"] == excluded["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .filter(F.col("supplier_cnt") >= 4)
+    )
