@@ -7481,3 +7481,46 @@ def part_supplier_variety_census(
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .filter(F.col("supplier_cnt") >= 4)
     )
+
+
+@register(
+    "crosslingual_dup_census",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               md5(lower(substr(text, 1, 80))) AS fingerprint
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT fingerprint,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           MIN(doc_id) AS first_doc
+    FROM fp
+    GROUP BY 1
+    HAVING COUNT(DISTINCT lang) >= 2
+    """,
+    doc="Cross-lingual boilerplate census: 80-char OPENING "
+        "fingerprints that recur under DIFFERENT language tags — the "
+        "shared-template/mislabeled-language artifact a multilingual "
+        "corpus audit hunts (lang-ID noise and common headers mean "
+        "per-language dedup misses these). One map-side-combined "
+        "groupBy on the 16-byte fingerprint; the multi-language "
+        "HAVING keeps the audit set tiny.",
+)
+def crosslingual_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    return (
+        docs.select(
+            "doc_id", "lang",
+            F.md5(F.lower(F.substring("text", 1, 80))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_langs") >= 2)
+    )
