@@ -7524,3 +7524,99 @@ def crosslingual_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_langs") >= 2)
     )
+
+
+@register(
+    "nation_participation_fullouter",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+        FROM customer GROUP BY 1
+    ),
+    s AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+        FROM supplier GROUP BY 1
+    )
+    SELECT n_name AS nation,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           CAST(n_customers IS NULL OR n_suppliers IS NULL AS BOOLEAN)
+               AS one_sided
+    FROM c FULL OUTER JOIN s USING (nk)
+    JOIN nation ON nk = n_nationkey
+    """,
+    doc="FULL OUTER reconciliation: customer presence vs supplier "
+        "presence per nation, nations active on only one side flagged "
+        "(at small SF several nations have customers but no "
+        "suppliers). The outer join runs between two pre-aggregated "
+        "nation-sized tables — aggregate-first keeps the unmatched-"
+        "side bookkeeping off the fact tables entirely.",
+)
+def nation_participation_fullouter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cust.join(supp, "nk", "full_outer")
+        .withColumn(
+            "one_sided",
+            F.col("n_customers").isNull() | F.col("n_suppliers").isNull(),
+        )
+        .join(F.broadcast(nation), F.col("nk") == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            "one_sided",
+        )
+    )
+
+
+@register(
+    "order_price_deciles_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           ROUND(quantile_cont(o_totalprice, 0.1), 6) AS p10,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="EXACT (not sketched) per-group percentiles via Spark's "
+        "percentile() — linear interpolation on the sorted group, the "
+        "same definition as the oracle's quantile_cont, rounded to "
+        "6dp for cross-engine float stability. The exact variant "
+        "complements the approx_percentile path "
+        "(source_token_percentiles): exact costs a per-group sort and "
+        "is the right tool when groups are modest; the sketch is the "
+        "100 TB default.",
+)
+def order_price_deciles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    pct = F.expr(
+        "percentile(o_totalprice, array(0.1, 0.5, 0.9))"
+    )
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pct.alias("_p"),
+        )
+        .select(
+            "o_orderstatus", "n_orders",
+            F.round(F.col("_p")[0], 6).alias("p10"),
+            F.round(F.col("_p")[1], 6).alias("p50"),
+            F.round(F.col("_p")[2], 6).alias("p90"),
+        )
+    )
