@@ -2464,3 +2464,78 @@ def test_streaming_hot_items_matches_batch_on_closed_windows(
     }
     assert stream_rows == batch_rows
     assert len(batch_rows) > 0
+
+
+def test_streaming_outer_interval_join_emits_unmatched(
+    spark, tmp_path, events_pdf
+):
+    """J2/J4 declarative outer variant: LEFT OUTER stream-stream join
+    with watermarks — clicks that never see a purchase in their window
+    emit a NULL-extended row once the watermark closes the window (the
+    timeout-emission semantics J4 implements imperatively with
+    GroupState, here expressed as a native outer join). Matched pairs
+    must equal the batch join; unmatched clicks must equal the batch
+    anti set, minus clicks whose window the end-of-input watermark
+    never closed."""
+    clicks_pdf = events_pdf[events_pdf["event_type"] == "click"]
+    purch_pdf = events_pdf[events_pdf["event_type"] == "purchase"]
+    d1 = write_chunks(clicks_pdf, str(tmp_path / "c"), 2)
+    d2 = write_chunks(purch_pdf, str(tmp_path / "p"), 2)
+    clicks = (
+        file_stream(spark, d1, os.path.join(d1, "000.parquet"))
+        .withWatermark("ts", "0 seconds")
+        .select(F.col("user_id").alias("cu"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("cts"))
+    )
+    purchases = (
+        file_stream(spark, d2, os.path.join(d2, "000.parquet"))
+        .withWatermark("ts", "0 seconds")
+        .select(F.col("user_id").alias("pu"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("pts"))
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    out = run_to_memory(
+        clicks.join(purchases, cond, "leftOuter")
+        .select("click_id", "purchase_id"),
+        spark, "oij", "append", str(tmp_path / "ck"),
+    )
+    rows = out.collect()
+    stream_matched = {(r.click_id, r.purchase_id) for r in rows
+                      if r.purchase_id is not None}
+    stream_unmatched = {r.click_id for r in rows if r.purchase_id is None}
+
+    ev = load_table(spark, "events", SF)
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"))
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"))
+    batch = bc.join(bp, cond, "left_outer").select(
+        "click_id", "purchase_id", "cts").collect()
+    batch_matched = {(r.click_id, r.purchase_id) for r in batch
+                     if r.purchase_id is not None}
+    assert stream_matched == batch_matched
+    # unmatched emission needs the GLOBAL watermark (min across both
+    # streams — Spark's multipleWatermarkPolicy default) past
+    # cts+30min; compare only clicks whose window provably closed
+    wm = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type").agg(F.max("ts").alias("m"))
+        .agg(F.min("m")).first()[0]
+    )
+    import datetime
+    closed = {
+        r.click_id for r in batch
+        if r.purchase_id is None
+        and r.cts + datetime.timedelta(minutes=30) < wm
+    }
+    assert closed <= stream_unmatched
+    assert stream_unmatched.isdisjoint({m[0] for m in batch_matched})
+    assert len(stream_matched) > 0 and len(closed) > 0
