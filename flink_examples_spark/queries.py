@@ -7620,3 +7620,70 @@ def order_price_deciles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_p")[2], 6).alias("p90"),
         )
     )
+
+
+@register(
+    "multimodal_pack_manifest",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS text_tokens,
+               ((4 + doc_id % 4) * (4 + n_chars % 4)) // 4
+                   AS vision_tokens
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               CAST(text_tokens AS BIGINT) AS text_tokens,
+               CAST(vision_tokens AS BIGINT) AS vision_tokens,
+               CAST(text_tokens + vision_tokens + 2 AS BIGINT)
+                   AS sample_tokens
+        FROM t
+    )
+    SELECT source, doc_id, text_tokens, vision_tokens, sample_tokens,
+           CAST(COALESCE(SUM(sample_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) // 2048 AS BIGINT) AS pack_id
+    FROM m
+    """,
+    doc="Interleaved multimodal packing manifest (the VLM training "
+        "shape): each sample's sequence budget = text tokens + vision "
+        "patch tokens (image dims from the deterministic FIMG payload "
+        "contract, 2x2 patches) + 2 media delimiters, packed to "
+        "2048-token bins per source with the same integer "
+        "prefix-sum-div discipline as seq_pack_bins — hash-exact at "
+        "any prefix magnitude, one window per source partition, no "
+        "Python.",
+)
+def multimodal_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.functions.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    m = docs.select(
+        "source", "doc_id",
+        token_count("text").cast("long").alias("text_tokens"),
+        F.expr("((4 + doc_id % 4) * (4 + n_chars % 4)) div 4")
+        .cast("long").alias("vision_tokens"),
+    ).withColumn(
+        "sample_tokens",
+        F.col("text_tokens") + F.col("vision_tokens") + F.lit(2),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return m.select(
+        "source", "doc_id", "text_tokens", "vision_tokens",
+        "sample_tokens",
+        F.expr(
+            "coalesce(sum(sample_tokens) over ("
+            "partition by source order by doc_id "
+            "rows between unbounded preceding and 1 preceding), 0) "
+            "div 2048"
+        ).alias("pack_id"),
+    )
