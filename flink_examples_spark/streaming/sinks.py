@@ -1030,3 +1030,50 @@ def compact_countmin_sketch(spark, sketch_path: str,
         .load(os.path.join(staging, "batch=compacted"))
         .count(),
     )
+
+
+def column_profile_ingest_foreach_batch(
+    profile_path: str,
+    cols: list[str],
+    k: int = 64,
+    fmt: str = "parquet",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming ingest profiling: each micro-batch writes its
+    MERGEABLE column-profile partial (operators/integrity.py
+    ``column_profile_partial`` — exact row/null counts + KMV kept-set
+    for distinct estimation) under ``profile_path/batch=<id>``.
+    Readers fold any subset of batches with ``column_profile_fold`` —
+    the profile of a week of ingest costs reading kilobytes of
+    partials, never re-scanning the data. Same replay contract as
+    the Count-Min sink: overwrite into the batch's own subdir."""
+    from flink_examples_spark.operators.integrity import (
+        column_profile_partial,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        column_profile_partial(batch_df, cols, k).write.mode(
+            "overwrite"
+        ).format(fmt).save(os.path.join(profile_path, f"batch={batch_id}"))
+
+    return apply
+
+
+def read_column_profile(spark, profile_path: str, k: int = 64,
+                        fmt: str = "parquet") -> DataFrame:
+    """Fold every staged profile partial into the current profile;
+    missing/empty path reads as an empty profile."""
+    from flink_examples_spark.operators.integrity import (
+        column_profile_fold,
+    )
+
+    subs = [
+        os.path.join(profile_path, n)
+        for n in os.listdir(profile_path)
+        if not n.startswith((".", "_"))
+    ] if os.path.isdir(profile_path) else []
+    if not subs:
+        return spark.createDataFrame(
+            [], "col string, n_rows long, n_nulls long, "
+                "n_kept int, distinct_est double"
+        )
+    return column_profile_fold(spark.read.format(fmt).load(subs), k)

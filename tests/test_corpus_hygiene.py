@@ -1052,3 +1052,40 @@ def test_incremental_agg_apply_drops_zeroed_groups_and_handles_new(spark):
     out = {r.k: (r.total, r.n_rows) for r in
            incremental_agg_apply(base, delta, ["k"], "amount").collect()}
     assert out == {"a": (13.0, 3), "c": (7.0, 1)}
+
+
+def test_profile_partials_fold_to_single_shot(spark, tmp_path):
+    """Mergeable profiling: folding per-batch partials must equal the
+    single-shot partial over the whole data — counts exactly, the KMV
+    distinct estimate bit-for-bit (min-k of min-k's == min-k)."""
+    from flink_examples_spark.operators.integrity import (
+        column_profile_fold,
+        column_profile_partial,
+    )
+    from flink_examples_spark.streaming.sinks import (
+        column_profile_ingest_foreach_batch,
+        read_column_profile,
+    )
+
+    rows = [(i % 37, None if i % 5 == 0 else f"v{i % 97}")
+            for i in range(400)]
+    a = spark.createDataFrame(rows[:150], "k long, v string")
+    b = spark.createDataFrame(rows[150:], "k long, v string")
+    whole = {r.col: (r.n_rows, r.n_nulls, r.n_kept, r.distinct_est)
+             for r in column_profile_fold(
+                 column_profile_partial(
+                     a.unionByName(b), ["k", "v"], 16), 16).collect()}
+    root = str(tmp_path / "prof")
+    apply = column_profile_ingest_foreach_batch(root, ["k", "v"], 16)
+    apply(a, 0)
+    apply(b, 1)
+    folded = {r.col: (r.n_rows, r.n_nulls, r.n_kept, r.distinct_est)
+              for r in read_column_profile(spark, root, 16).collect()}
+    assert folded == whole
+    assert folded["k"][0] == 400 and folded["k"][1] == 0
+    assert folded["v"][1] == 80               # every 5th row null
+    # k has 37 distinct (> sketch k=16): estimated; v's null excluded
+    assert folded["k"][2] == 16
+    # missing path reads empty
+    empty = read_column_profile(spark, str(tmp_path / "nope"), 16)
+    assert empty.count() == 0
