@@ -7687,3 +7687,98 @@ def multimodal_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div 2048"
         ).alias("pack_id"),
     )
+
+
+@register(
+    "purchase_attr_as_of",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE event_type IN ('view', 'click')
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    grp AS (
+        SELECT user_id, ts, event_id, k,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, k
+                                  ORDER BY ts, event_id) AS island
+        FROM seq
+    ),
+    isl AS (
+        SELECT user_id, k, MIN(ts) AS valid_from,
+               MIN(event_id) AS first_eid
+        FROM grp GROUP BY user_id, k, island
+    ),
+    dim AS (
+        SELECT user_id, k, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, first_eid)
+                   AS valid_to
+        FROM isl
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts, d.k AS attr_k
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+    doc="Temporal point-in-time join: each purchase joined to the "
+        "SCD2 attribute dimension (built from the user's view/click "
+        "history, the user_attr_scd2 recipe) to recover the attribute "
+        "version IN EFFECT at purchase time — the textbook "
+        "dimension-as-of lookup. The interval predicate rides on the "
+        "user_id equi-join, so candidates are bounded per user and "
+        "there is no theta-join blowup; purchases before the user's "
+        "first interval correctly drop out (inner join).",
+)
+def purchase_attr_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.functions.scalar import json_field
+
+    ev = load_table(spark, "events", sf_dir)
+    seq = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id", "ts", "event_id",
+            json_field("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_k = Window.partitionBy("user_id", "k").orderBy("ts", "event_id")
+    isl = (
+        seq.withColumn(
+            "island",
+            F.row_number().over(w_all) - F.row_number().over(w_k),
+        )
+        .groupBy("user_id", "k", "island")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.min("event_id").alias("first_eid"),
+        )
+    )
+    w_v = Window.partitionBy("user_id").orderBy("valid_from", "first_eid")
+    dim = isl.select(
+        F.col("user_id").alias("du"), "k", "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return (
+        purchases.join(
+            dim,
+            (purchases["user_id"] == dim["du"])
+            & (purchases["ts"] >= dim["valid_from"])
+            & (dim["valid_to"].isNull()
+               | (purchases["ts"] < dim["valid_to"])),
+        )
+        .select("purchase_id", "user_id", "ts",
+                F.col("k").alias("attr_k"))
+    )
