@@ -7782,3 +7782,68 @@ def purchase_attr_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "user_id", "ts",
                 F.col("k").alias("attr_k"))
     )
+
+
+@register(
+    "purchase_attribution_linear",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 60 MINUTES
+    ),
+    sized AS (
+        SELECT purchase_id, click_id,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS n_clicks
+        FROM pairs
+    )
+    SELECT click_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(1000000 // n_clicks) AS BIGINT) AS credit_ppm
+    FROM sized
+    GROUP BY 1
+    """,
+    doc="Linear (equal-split) conversion attribution: every purchase "
+        "divides one unit of credit across ALL its clicks in the "
+        "preceding 60 minutes — complementing the last-touch "
+        "attribution of asof_join_last_click. Credit is integer ppm "
+        "(1e6 div n, the walk_mass floor discipline) so per-click "
+        "sums are order-free and hash-exact — float 1/n credit would "
+        "drift under Spark-vs-DuckDB summation order. The pair join "
+        "rides the user_id equi-key; per-purchase fan-out is bounded "
+        "by the 60-minute window.",
+)
+def purchase_attribution_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    pairs = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES")),
+    ).select("purchase_id", "click_id")
+    sized = pairs.withColumn(
+        "n_clicks",
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")),
+    )
+    return (
+        sized.groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.expr("1000000 div n_clicks")).alias("credit_ppm"),
+        )
+    )
