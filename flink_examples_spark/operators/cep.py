@@ -65,6 +65,11 @@ class Pat:
     min_times: int | None = None
     max_times: int | None = None
     internal_contiguity: str = "strict"
+    # reluctant (lazy) quantifier: prefer the FEWEST repetitions that
+    # let the rest of the pattern complete (``B+?``/``B*?``/``B{n,m}?``
+    # — Flink MATCH_RECOGNIZE semantics). Pure branch-order flip in the
+    # DFS; identical match SET in all_matches mode.
+    reluctant: bool = False
 
 
 def _bounds(p: Pat) -> tuple[int, int | None]:
@@ -152,6 +157,13 @@ def _find_matches(
             candidates = range(next_row, n)
             scan_until_hit = False
 
+        # reluctant: the move-on branch is tried FIRST once the minimum
+        # is met — the shortest repetition that lets the rest of the
+        # pattern complete wins (Flink's lazy quantifier semantics);
+        # greedy keeps move-on as the fallback after consuming
+        if elem.reluctant and reps >= lo:
+            if dfs(elem_i + 1, next_row, consumed, 0):
+                return True
         if hi is None or reps < hi:
             for idx in candidates:
                 if not pred_ok(elem, idx, consumed):
@@ -166,7 +178,7 @@ def _find_matches(
                     break  # relaxed: only the FIRST later hit continues
         # move on once the element has met its minimum (covers B* / B?
         # consuming nothing at all when lo == 0)
-        if reps >= lo:
+        if not elem.reluctant and reps >= lo:
             return dfs(elem_i + 1, next_row, consumed, 0)
         return False
 
@@ -434,14 +446,17 @@ _QUANT_RE = __import__("re").compile(
 def _parse_pattern(pattern_str: str, define: dict) -> list[Pat]:
     """``PATTERN (A B+ C)`` body -> Pat list. MATCH_RECOGNIZE is a regex
     over the ordered row sequence, so contiguity is strict throughout.
-    Greedy quantifiers per the CEP.md grammar: ``+`` (1+), ``*`` (0+),
-    ``?`` (0 or 1), ``{n}``, ``{n,}``, ``{n,m}``, ``{,m}``. Variables
-    without a DEFINE entry get the implicit TRUE condition (CEP.md
-    START_ROW). Flink-parity guardrails raise loudly: reluctant
-    quantifiers (``+?``/``*?``) are unsupported, and a pattern every
-    element of which can match empty (e.g. ``A* B?``) is rejected the
-    way Flink rejects empty-matchable patterns, instead of silently
-    emitting zero-width matches."""
+    Quantifiers per the CEP.md grammar: greedy ``+`` (1+), ``*`` (0+),
+    ``?`` (0 or 1), ``{n}``, ``{n,}``, ``{n,m}``, ``{,m}``, and their
+    RELUCTANT variants (``+?``/``*?``/``{n,m}?`` — fewest repetitions
+    that let the rest of the pattern complete). Variables without a
+    DEFINE entry get the implicit TRUE condition (CEP.md START_ROW).
+    Flink-parity guardrails raise loudly: a pattern ENDING in a
+    reluctant quantifier is rejected (Flink does too — nothing after
+    it could ever force expansion), and a pattern every element of
+    which can match empty (e.g. ``A* B?``) is rejected the way Flink
+    rejects empty-matchable patterns, instead of silently emitting
+    zero-width matches."""
     import re as _re
 
     # normalize whitespace inside {n, m} so token splitting is safe
@@ -454,11 +469,7 @@ def _parse_pattern(pattern_str: str, define: dict) -> list[Pat]:
         m = _QUANT_RE.match(tok)
         if m is None:
             raise ValueError(f"unparseable pattern element {tok!r}")
-        if m.group("reluctant"):
-            raise NotImplementedError(
-                f"reluctant quantifier in {tok!r}: only greedy "
-                "quantifiers are supported (Flink parity)"
-            )
+        reluctant = bool(m.group("reluctant"))
         name, q = m.group("name"), m.group("q")
         if q is None:
             lo, hi = 1, 1
@@ -485,7 +496,17 @@ def _parse_pattern(pattern_str: str, define: dict) -> list[Pat]:
         pats.append(
             Pat(name, where=where,
                 quantifier="plus" if (lo, hi) == (1, None) else "one",
-                contiguity="strict", min_times=lo, max_times=hi)
+                contiguity="strict", min_times=lo, max_times=hi,
+                reluctant=reluctant)
+        )
+    if pats and pats[-1].reluctant:
+        # Flink rejects patterns ENDING in a reluctant quantifier
+        # (nothing after it can ever force expansion, so it would
+        # always stop at its minimum — Flink raises; so do we)
+        raise ValueError(
+            f"pattern {pattern_str!r} ends with a reluctant "
+            "quantifier — not supported, same as Flink's "
+            "MATCH_RECOGNIZE"
         )
     if pats and all(_bounds(p)[0] == 0 for p in pats):
         raise ValueError(

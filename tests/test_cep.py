@@ -465,16 +465,18 @@ def test_match_recognize_open_upper_bound_golden(spark):
 
 
 def test_match_recognize_quantifier_guardrails(spark):
-    """Reluctant quantifiers and empty-matchable patterns raise loudly
-    (Flink MATCH_RECOGNIZE parity), as do degenerate bounds."""
+    """Empty-matchable patterns, reluctant pattern-ends, and
+    degenerate bounds raise loudly (Flink MATCH_RECOGNIZE parity);
+    mid-pattern reluctant quantifiers parse (r5: implemented)."""
     import pytest as _pytest
 
     from flink_examples_spark.operators.cep import _parse_pattern
 
-    with _pytest.raises(NotImplementedError, match="reluctant"):
-        _parse_pattern("A B+? C", {})
-    with _pytest.raises(NotImplementedError, match="reluctant"):
-        _parse_pattern("A B*? C", {})
+    assert _parse_pattern("A B+? C", {})[1].reluctant
+    assert _parse_pattern("A B*? C", {})[1].reluctant
+    assert not _parse_pattern("A B+ C", {})[1].reluctant
+    with _pytest.raises(ValueError, match="reluctant"):
+        _parse_pattern("A B+?", {})
     with _pytest.raises(ValueError, match="empty matches"):
         _parse_pattern("A* B?", {})
     with _pytest.raises(ValueError, match="degenerate"):
@@ -484,3 +486,67 @@ def test_match_recognize_quantifier_guardrails(spark):
     # whitespace inside braces parses fine
     pats = _parse_pattern("A B{2, 4} C", {})
     assert (pats[1].min_times, pats[1].max_times) == (2, 4)
+
+
+def test_reluctant_vs_greedy_plus(spark):
+    """B+? consumes the FEWEST rows that let C match; B+ the most.
+    Values 1,2,3,4,9 with C: price >= 4 — greedy runs B through 4 and
+    takes C=9; reluctant stops B at 3 and takes C=4."""
+    import pandas as pd
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    pdf = pd.DataFrame(
+        {"sym": ["X"] * 5, "seq": [1, 2, 3, 4, 5],
+         "price": [1.0, 2.0, 3.0, 4.0, 9.0]}
+    )
+    def run(pattern):
+        return match_recognize_sql(
+            spark.createDataFrame(pdf),
+            partition_by=["sym"], order_by=["seq"],
+            measures={"b_last": "LAST(B.seq)", "c_price": "LAST(C.price)"},
+            pattern=pattern,
+            define={"A": "A.price = 1", "C": "C.price >= 4"},
+            output_schema="sym string, b_last long, c_price double",
+        ).toPandas().iloc[0]
+
+    greedy = run("(A B+ C)")
+    assert (greedy.b_last, greedy.c_price) == (4, 9.0)
+    lazy = run("(A B+? C)")
+    assert (lazy.b_last, lazy.c_price) == (3, 4.0)
+
+
+def test_reluctant_bounded_range(spark):
+    """B{2,4}? stops at its minimum 2 when C can then match."""
+    import pandas as pd
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    pdf = pd.DataFrame(
+        {"sym": ["X"] * 6, "seq": [1, 2, 3, 4, 5, 6],
+         "price": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}
+    )
+    out = match_recognize_sql(
+        spark.createDataFrame(pdf),
+        partition_by=["sym"], order_by=["seq"],
+        measures={"b_last": "LAST(B.seq)", "c_price": "LAST(C.price)"},
+        pattern="(A B{2,4}? C)",
+        define={"A": "A.price = 1", "C": "C.price >= 4"},
+        output_schema="sym string, b_last long, c_price double",
+    ).toPandas().iloc[0]
+    assert (out.b_last, out.c_price) == (3, 4.0)
+
+
+def test_reluctant_pattern_end_rejected(spark):
+    import pandas as pd
+    import pytest
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    pdf = pd.DataFrame({"sym": ["X"], "seq": [1], "price": [1.0]})
+    with pytest.raises(ValueError, match="reluctant"):
+        match_recognize_sql(
+            spark.createDataFrame(pdf),
+            partition_by=["sym"], order_by=["seq"],
+            measures={"n": "LAST(B.seq)"},
+            pattern="(A B+?)",
+            define={"A": "A.price = 1"},
+            output_schema="sym string, n long",
+        ).toPandas()
