@@ -7847,3 +7847,80 @@ def purchase_attribution_linear(
             F.sum(F.expr("1000000 div n_clicks")).alias("credit_ppm"),
         )
     )
+
+
+@register(
+    "cep_reluctant_first_purchase",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    s AS (SELECT user_id, ts AS s_ts, event_id AS signup_id, rn
+          FROM seq WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts, event_id, rn
+          FROM seq WHERE event_type = 'purchase')
+    SELECT s.user_id, s.signup_id,
+           p.event_id AS purchase_id,
+           CAST(p.rn - s.rn - 1 AS BIGINT) AS n_between
+    FROM s
+    JOIN p ON s.user_id = p.user_id AND p.rn = (
+        SELECT MIN(p2.rn) FROM p p2
+        WHERE p2.user_id = s.user_id AND p2.rn > s.rn
+    )
+    """,
+    doc="MATCH_RECOGNIZE with a RELUCTANT quantifier, driver-checked: "
+        "(S E*? P) per user — the lazy E*? stops at the FIRST "
+        "purchase after each signup (greedy E* would run to the last "
+        "one), AFTER MATCH SKIP TO NEXT ROW makes matches "
+        "per-signup-independent so the oracle is the closed-form "
+        "first-following-purchase join with an exact "
+        "rows-between count.",
+)
+def cep_reluctant_first_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.operators.cep import match_recognize_sql
+
+    events = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = match_recognize_sql(
+        events,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        measures={
+            "signup_id": "FIRST(S.event_id)",
+            "purchase_id": "LAST(P.event_id)",
+        },
+        pattern="(S E*? P)",
+        define={
+            "S": "S.event_type = 'signup'",
+            "P": "P.event_type = 'purchase'",
+        },
+        output_schema="user_id long, signup_id long, purchase_id long",
+        after_match="SKIP TO NEXT ROW",
+    )
+    # n_between from the matched E span is not directly a measure —
+    # recover it exactly by ranking events once and differencing
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    ranked = events.select("user_id", "event_id", rn.alias("rn"))
+    s_rn = ranked.select(
+        F.col("user_id").alias("su"), F.col("event_id").alias("signup_id"),
+        F.col("rn").alias("s_rn"))
+    p_rn = ranked.select(
+        F.col("event_id").alias("purchase_id"), F.col("rn").alias("p_rn"))
+    return (
+        out.join(s_rn, ["signup_id"])
+        .join(p_rn, ["purchase_id"])
+        .select(
+            "user_id", "signup_id", "purchase_id",
+            (F.col("p_rn") - F.col("s_rn") - 1).alias("n_between"),
+        )
+    )
