@@ -7924,3 +7924,96 @@ def cep_reluctant_first_purchase(
             (F.col("p_rn") - F.col("s_rn") - 1).alias("n_between"),
         )
     )
+
+
+@register(
+    "monthly_revenue_mom_change",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE) - 1,
+                 6) AS mom_change
+    FROM m
+    """,
+    doc="Period-over-period reporting: monthly revenue with LAG-based "
+        "month-over-month change (first month NULL). The global-order "
+        "window runs over the month-aggregated table — aggregate-first "
+        "bounds it to dozens of rows at any corpus size; sums stay "
+        "DECIMAL until the final cast so the ratio is bit-stable.",
+)
+def monthly_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        F.round(
+            F.col("rev").cast("double") / prev.cast("double") - 1, 6
+        ).alias("mom_change"),
+    )
+
+
+@register(
+    "embedding_norm_stats_by_label",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               CAST(ROUND(sqrt(list_aggregate(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)
+                                               * CAST(x AS DOUBLE)),
+                   'sum')), 6) AS DECIMAL(18,6)) AS norm
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(MIN(norm) AS DOUBLE) AS min_norm,
+           CAST(MAX(norm) AS DOUBLE) AS max_norm,
+           CAST(CAST(SUM(norm) AS DOUBLE) / COUNT(*) AS DOUBLE)
+               AS mean_norm
+    FROM n GROUP BY 1
+    """,
+    doc="Array-fold analytics as a visible query surface: per-label "
+        "L2-norm census over the embedding column via zip-free "
+        "aggregate folds (JVM codegen, no Python). The mean is made "
+        "order-free by rounding each norm to 6dp and summing as "
+        "DECIMAL — a double sum's value depends on partition order "
+        "and would never hash-match across engines.",
+)
+def embedding_norm_stats_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    sq = F.aggregate(
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.round(F.sqrt(sq), 6).cast("decimal(18,6)")
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm").cast("double").alias("min_norm"),
+            F.max("norm").cast("double").alias("max_norm"),
+            (F.sum("norm").cast("double") / F.count(F.lit(1)))
+            .cast("double").alias("mean_norm"),
+        )
+    )
