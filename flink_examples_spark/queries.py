@@ -8017,3 +8017,26 @@ def embedding_norm_stats_by_label(
             .cast("double").alias("mean_norm"),
         )
     )
+
+
+@register(
+    "unigram_token_stats",
+    oracle=None,  # EM-trained piece vocabulary is trainer state, not
+    # SQL; pinned by hand goldens + segmentation invariants in
+    # tests/test_tokenizer.py (see README rows-only table)
+    doc="Unigram-LM tokenizer (SentencePiece family, Kudo 2018, "
+        "Viterbi-EM variant): vocabulary trained on the bounded "
+        "word-frequency sample (driver cost corpus-size-independent, "
+        "the BPE trainer's contract), whole corpus segmented in one "
+        "Arrow pass with the broadcast vocab + per-batch memo; "
+        "per-source piece counts and integer-ppm fertility.",
+)
+def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.tokenizer import (
+        train_unigram_vocab,
+        unigram_encode_stats,
+    )
+
+    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    vocab = train_unigram_vocab(docs, vocab_size=200, em_iters=3)
+    return unigram_encode_stats(docs, vocab)

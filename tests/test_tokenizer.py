@@ -125,3 +125,60 @@ def test_encode_stats_carries_input_id_and_keep_col_types(spark):
     assert dict(out.dtypes)["n_chars"] == "bigint"
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows["u-1"]["n_chars"] == 5 and rows["u-1"]["n_pretokens"] == 2
+
+
+def test_unigram_viterbi_goldens_and_invariants():
+    import math
+    from flink_examples_spark.operators.tokenizer import _viterbi_segment
+
+    logp = {"ab": math.log(0.4), "a": math.log(0.1), "b": math.log(0.1),
+            "abab": math.log(0.05), "c": math.log(0.1)}
+    # high-prob 'ab' beats both char-by-char and the rare whole piece:
+    # 2*ln(.4) = -1.83 > ln(.05) = -3.0 > 4*ln(.1)
+    assert _viterbi_segment("abab", logp, 6) == ["ab", "ab"]
+    # concat(pieces) == word always, incl. unknown chars (floor prob)
+    for w in ["abc", "zzz", "cab", "x"]:
+        assert "".join(_viterbi_segment(w, logp, 6)) == w
+    # deterministic tie-break: equal-prob 'a'+'b' vs... fewer pieces win
+    logp2 = {"ab": math.log(0.01), "a": math.log(0.1), "b": math.log(0.1)}
+    # ln(.01) vs ln(.1)+ln(.1): mathematically equal; float rounding
+    # decides, and on exact equality fewer pieces must win -> 'ab'
+    s1 = math.log(0.01)
+    s2 = math.log(0.1) + math.log(0.1)
+    want = ["ab"] if s1 >= s2 else ["a", "b"]
+    assert _viterbi_segment("ab", logp2, 6) == want
+
+
+def test_unigram_trainer_learns_frequent_pieces(spark):
+    from flink_examples_spark.operators.tokenizer import (
+        train_unigram_vocab,
+        unigram_encode_stats,
+    )
+
+    rows = [(i, ("hello world " * 5).strip(), "s") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    vocab = train_unigram_vocab(df, vocab_size=40, em_iters=2)
+    # frequent whole words (as space-prefixed pretokens) survive pruning
+    assert any("hello" in p for p in vocab)
+    out = unigram_encode_stats(df, vocab, group_col="source").collect()[0]
+    assert out.n_docs == 20
+    assert out.n_words == 20 * 10
+    # fertility >= 1e6 (>= one piece per word) and exact-integer ppm
+    assert out.fertility_ppm >= 1_000_000
+    assert out.n_pieces * 1_000_000 // out.n_words == out.fertility_ppm
+
+
+def test_unigram_stats_partition_invariant(spark, sf_dir):
+    from flink_examples_spark.catalog import load_table
+    from flink_examples_spark.operators.tokenizer import (
+        train_unigram_vocab,
+        unigram_encode_stats,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    vocab = train_unigram_vocab(docs, vocab_size=100, em_iters=2)
+    a = {r.source: (r.n_words, r.n_pieces) for r in
+         unigram_encode_stats(docs, vocab).collect()}
+    b = {r.source: (r.n_words, r.n_pieces) for r in
+         unigram_encode_stats(docs.repartition(7), vocab).collect()}
+    assert a == b and len(a) > 0
