@@ -198,9 +198,17 @@ def main() -> None:
         names = [n for n in names if n in wanted]
     reg = registry()
     runs: dict[str, list[float]] = {}
-    for _ in range(reps):
-        for name in names:
-            q = reg[name]
+    # reps are CONSECUTIVE per query (inner loop), not interleaved
+    # across the registry: interleaving put ~160 other queries between
+    # a query's reps, evicting its generated code from the JVM code
+    # cache so every rep re-paid whole-stage compilation — min-of-3
+    # then measured compile time, not the plan, with a bias that GREW
+    # as the registry grew (r4→r5 'movers' on codegen-heavy queries
+    # were exactly this; docs/PERF_NOTES_r5.md). Consecutive reps
+    # measure the docstring's claim: how fast the plan goes.
+    for name in names:
+        q = reg[name]
+        for _ in range(reps):
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             # force full materialization (not just count pushdown)
