@@ -8040,3 +8040,165 @@ def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
     vocab = train_unigram_vocab(docs, vocab_size=200, em_iters=3)
     return unigram_encode_stats(docs, vocab)
+
+
+@register(
+    "supplier_balance_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(s_acctbal AS DECIMAL(18,2)) AS bal
+        FROM supplier
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(bal) AS DOUBLE) AS s1,
+               CAST(SUM(bal * bal) AS DOUBLE) AS s2
+        FROM s
+    )
+    SELECT s_suppkey, s_name,
+           ROUND((CAST(bal AS DOUBLE) - s1 / n)
+                 / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+    FROM s CROSS JOIN stats
+    WHERE abs((CAST(bal AS DOUBLE) - s1 / n)
+              / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 1.5
+    """,
+    doc="Statistical outlier screen: supplier balances more than 1.5 "
+        "population standard deviations from the mean. Moments are "
+        "DECIMAL sums (order-free — a double sum's value depends on "
+        "partition order) broadcast back as one scalar row; only the "
+        "final mean/std arithmetic is floating point, rounded to 6dp.",
+)
+def supplier_balance_zscore_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", _dec("s_acctbal").alias("bal")
+    )
+    stats = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal").cast("double").alias("s1"),
+        F.sum(F.col("bal") * F.col("bal")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = (F.col("bal").cast("double") - mean) / std
+    return (
+        s.join(F.broadcast(stats))
+        .filter(F.abs(z) > 1.5)
+        .select("s_suppkey", "s_name", F.round(z, 6).alias("z"))
+    )
+
+
+@register(
+    "events_weekly_occupancy",
+    oracle="""
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Calendar-occupancy heatmap surface: events by (day-of-week, "
+        "hour) with distinct users. Pins the cross-engine calendar "
+        "convention explicitly: Spark's dayofweek is 1=Sunday..7, "
+        "DuckDB's is 0=Sunday..6 — the oracle shifts by one; silently "
+        "mismatched calendar bases are a classic migration bug this "
+        "row would catch.",
+)
+def events_weekly_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "order_lines_histogram",
+    oracle="""
+    SELECT n_lines, COUNT(*) AS n_orders
+    FROM (SELECT l_orderkey, COUNT(*) AS n_lines
+          FROM lineitem GROUP BY 1)
+    GROUP BY 1
+    """,
+    doc="Two-level aggregation (distribution-of-group-sizes): "
+        "lines-per-order histogram. Both levels partial-aggregate "
+        "map-side; the second groupBy runs over the already-reduced "
+        "per-order table, so the histogram costs one fact shuffle "
+        "plus a cardinality-of-histogram exchange.",
+)
+def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "doc_length_token_correlation",
+    oracle="""
+    WITH d AS (
+        SELECT source,
+               CAST(n_chars AS DECIMAL(18,2)) AS x,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS DECIMAL(18,2)) AS y
+        FROM documents
+    ),
+    m AS (
+        SELECT source, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM d GROUP BY 1
+    )
+    SELECT source, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS pearson_r
+    FROM m
+    """,
+    doc="Per-source Pearson correlation between character length and "
+        "token count — the feature-redundancy screen a quality "
+        "pipeline runs before adding a signal. Built from DECIMAL "
+        "moment sums rather than F.corr: corr()'s streaming double "
+        "accumulation is partition-order-dependent and can never "
+        "hash-match across engines; exact moments + one double "
+        "formula (rounded 6dp) can.",
+)
+def doc_length_token_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.functions.text import token_count
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "source",
+        F.col("n_chars").cast("decimal(18,2)").alias("x"),
+        token_count("text").cast("decimal(18,2)").alias("y"),
+    )
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx)
+        * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return m.select("source", "n", F.round(r, 6).alias("pearson_r"))
