@@ -8202,3 +8202,107 @@ def doc_length_token_correlation(
         * F.sqrt(n * F.col("syy") - sy * sy)
     )
     return m.select("source", "n", F.round(r, 6).alias("pearson_r"))
+
+
+@register(
+    "customer_balance_mad_outliers",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_name, c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer
+    ),
+    med AS (
+        SELECT c_mktsegment, quantile_cont(bal, 0.5) AS med_bal
+        FROM c GROUP BY 1
+    ),
+    dev AS (
+        SELECT c.c_mktsegment,
+               quantile_cont(abs(c.bal - med.med_bal), 0.5) AS mad
+        FROM c JOIN med USING (c_mktsegment)
+        GROUP BY 1, med.med_bal
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           ROUND(abs(c.bal - med.med_bal) / NULLIF(dev.mad, 0), 6)
+               AS mad_score
+    FROM c
+    JOIN med USING (c_mktsegment)
+    JOIN dev USING (c_mktsegment)
+    WHERE abs(c.bal - med.med_bal) / NULLIF(dev.mad, 0) > 1.9
+    """,
+    doc="Robust outlier screen (median absolute deviation — immune to "
+        "the outliers themselves, unlike the z-score twin): customers "
+        "more than 1.9 MADs from their market segment's median "
+        "balance. Two exact-percentile passes over SEGMENT-sized "
+        "aggregates (medians broadcast back between them); only the "
+        "final ratio is floating point, rounded to 6dp.",
+)
+def customer_balance_mad_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    med = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(bal, 0.5)").alias("med_bal")
+    )
+    withmed = c.join(F.broadcast(med), "c_mktsegment")
+    dev = withmed.groupBy("c_mktsegment").agg(
+        F.expr("percentile(abs(bal - med_bal), 0.5)").alias("mad")
+    )
+    score = F.abs(F.col("bal") - F.col("med_bal")) / F.nullif(
+        F.col("mad"), F.lit(0.0)
+    )
+    return (
+        withmed.join(F.broadcast(dev), "c_mktsegment")
+        .filter(score > 1.9)
+        .select("c_custkey", "c_name", "c_mktsegment",
+                F.round(score, 6).alias("mad_score"))
+    )
+
+
+@register(
+    "brand_cumulative_shipments",
+    oracle="""
+    WITH m AS (
+        SELECT p_brand, date_trunc('month', l_shipdate) AS month,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_brand, month,
+           CAST(qty AS DOUBLE) AS month_qty,
+           CAST(SUM(qty) OVER (PARTITION BY p_brand ORDER BY month)
+                AS DOUBLE) AS cum_qty
+    FROM m
+    """,
+    doc="Running-balance reporting: cumulative shipped quantity per "
+        "brand by month. Aggregate-first discipline again: the "
+        "cumulative window runs over the (brand × month) rollup "
+        "(a few thousand rows at any corpus size), partitioned by "
+        "brand so no global single-reducer ordering exists; sums stay "
+        "DECIMAL until the final cast.",
+)
+def brand_cumulative_shipments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_shipdate", "l_quantity")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    m = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            "p_brand",
+            F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+        )
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("month")
+    return m.select(
+        "p_brand", "month",
+        F.col("qty").cast("double").alias("month_qty"),
+        F.sum("qty").over(w).cast("double").alias("cum_qty"),
+    )
