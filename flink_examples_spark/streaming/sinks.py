@@ -1077,3 +1077,58 @@ def read_column_profile(spark, profile_path: str, k: int = 64,
                 "n_kept int, distinct_est double"
         )
     return column_profile_fold(spark.read.format(fmt).load(subs), k)
+
+
+def transition_edges_ingest_foreach_batch(
+    edges_path: str,
+    part_col: str,
+    order_cols: list[str],
+    node_col: str,
+    fmt: str = "parquet",
+) -> Callable[[DataFrame, int], None]:
+    """Streaming graph construction: each micro-batch writes ITS OWN
+    weighted transition-edge table (operators/graph.py
+    ``transition_edges``) under ``edges_path/batch=<id>`` — edge
+    weights are counts, so the accumulated graph is the cell-wise SUM
+    of batch tables, the same mergeable-sketch contract as the
+    Count-Min sink (overwrite-into-own-subdir replay safety included).
+    Readers fold with :func:`read_transition_edges` and run the
+    iterative ``walk_mass`` on the folded graph — continuous ingest,
+    periodic batch analytics, no raw-event replay.
+
+    Caveat (documented, inherent to batch-local windows): transitions
+    that STRADDLE a batch boundary (last event of batch N → first of
+    N+1 for the same key) are not edges in either batch's table — at
+    streaming-window granularity the graph slightly undercounts
+    boundary transitions, the standard trade against keeping
+    unbounded per-key last-event state. Tests pin the fold identity on
+    batch-aligned data."""
+    from flink_examples_spark.operators.graph import transition_edges
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        transition_edges(
+            batch_df, part_col, order_cols, node_col
+        ).write.mode("overwrite").format(fmt).save(
+            os.path.join(edges_path, f"batch={batch_id}")
+        )
+
+    return apply
+
+
+def read_transition_edges(spark, edges_path: str,
+                          fmt: str = "parquet") -> DataFrame:
+    """Fold staged per-batch edge tables into the current graph
+    (``src, dst, w`` with weight-sum merge); missing path reads as an
+    empty graph."""
+    subs = [
+        os.path.join(edges_path, n)
+        for n in os.listdir(edges_path)
+        if not n.startswith((".", "_"))
+    ] if os.path.isdir(edges_path) else []
+    if not subs:
+        return spark.createDataFrame([], "src long, dst long, w long")
+    return (
+        spark.read.format(fmt).load(subs)
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )

@@ -57,3 +57,40 @@ def test_transition_edges_golden(spark):
     out = {(r.src, r.dst): r.w for r in
            transition_edges(df, "user", ["ts"], "node").collect()}
     assert out == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_streaming_edge_ingest_folds_to_whole(spark, tmp_path):
+    """Batch-aligned ingest: folding per-batch edge tables == edges of
+    the concatenated log (each user's events stay within one batch),
+    and walk_mass over the folded graph is deterministic."""
+    from flink_examples_spark.streaming.sinks import (
+        read_transition_edges,
+        transition_edges_ingest_foreach_batch,
+    )
+
+    rows_a = [(u, t, (u * 3 + t) % 5) for u in range(4) for t in range(6)]
+    rows_b = [(u, t, (u * 7 + t) % 5) for u in range(4, 8)
+              for t in range(6)]
+    a = spark.createDataFrame(rows_a, "user long, ts long, node long")
+    b = spark.createDataFrame(rows_b, "user long, ts long, node long")
+    root = str(tmp_path / "edges")
+    apply = transition_edges_ingest_foreach_batch(
+        root, "user", ["ts"], "node")
+    apply(a, 0)
+    apply(b, 1)
+    folded = {(r.src, r.dst): r.w for r in
+              read_transition_edges(spark, root).collect()}
+    whole = {(r.src, r.dst): r.w for r in
+             transition_edges(a.unionByName(b), "user", ["ts"],
+                              "node").collect()}
+    assert folded == whole
+    # replay overwrite: re-applying a batch must not double weights
+    apply(b, 1)
+    assert {(r.src, r.dst): r.w for r in
+            read_transition_edges(spark, root).collect()} == whole
+    # end-to-end: the iterative walk runs on the folded graph
+    out = _masses(walk_mass(read_transition_edges(spark, root), 2))
+    assert sum(out.values()) == len({n for e in whole for n in e}) \
+        * 1_000_000
+    # missing path -> empty graph
+    assert read_transition_edges(spark, str(tmp_path / "no")).count() == 0
