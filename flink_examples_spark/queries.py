@@ -8306,3 +8306,85 @@ def brand_cumulative_shipments(
         F.col("qty").cast("double").alias("month_qty"),
         F.sum("qty").over(w).cast("double").alias("cum_qty"),
     )
+
+
+@register(
+    "revenue_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2
+                + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE companion to the ROLLUP report: revenue at every subset "
+        "of (status, priority) — both 1-D margins AND the grand total "
+        "in one pass, which ROLLUP's prefix hierarchy cannot express. "
+        "Same single-Expand single-exchange plan shape; grouping_id "
+        "disambiguates margin rows.",
+)
+def revenue_cube_status_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid",
+                "revenue", "n_orders")
+    )
+
+
+@register(
+    "event_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           ROUND(quantile_cont(gap_us, 0.5), 6) AS median_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Inter-arrival cadence census: per event type, the "
+        "distribution of per-user gaps between consecutive "
+        "occurrences (each user's first occurrence contributes no "
+        "gap). One keyed window pass for the LAG, then exact MICROSECOND "
+        "min/max (second-floor arithmetic truncates differently per "
+        "engine on nanosecond fixtures) and an exact interpolated median — the heartbeat "
+        "telemetry behind rate-limit and session-gap tuning.",
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts")
+            - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6)
+        .alias("median_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
