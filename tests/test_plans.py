@@ -489,3 +489,20 @@ def test_bm25_two_scans_no_token_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert not python_eval_nodes(df)
+
+
+def test_cube_and_scd2_plan_discipline(spark, sf_dir):
+    """CUBE plans as one Expand like ROLLUP; the SCD2 build's three
+    differently-keyed windows share ONE user_id exchange (Catalyst
+    satisfies ClusteredDistribution(user_id, k) from the user_id hash
+    partitioning with a re-sort, not a re-shuffle)."""
+    from flink_examples_spark.queries import registry
+
+    cube = registry()["revenue_cube_status_priority"].spark_fn(
+        spark, sf_dir)
+    p = formatted_plan(cube)
+    assert p.count("Expand (") == 1
+
+    scd2 = registry()["user_attr_scd2"].spark_fn(spark, sf_dir)
+    assert exchange_count(scd2) == 1
+    assert not python_eval_nodes(scd2)

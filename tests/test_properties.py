@@ -603,3 +603,32 @@ def test_walk_mass_conserves_and_matches_bruteforce(spark, edges, iters):
         mass = nxt
     assert got == mass
     assert sum(got.values()) == len(nodes) * 1_000_000
+
+
+@given(
+    keys=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    split=st.integers(1, 59),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmv_fold_equals_whole_under_any_split(spark, keys, split):
+    """Mergeability is exact for ANY batch split: min-k of the union
+    == min-k over folded partials, so the streaming profile's distinct
+    estimate can never depend on batch boundaries."""
+    from flink_examples_spark.operators.sketches import kmv_estimates
+
+    split = min(split, len(keys))
+    rows = [("g", k) for k in keys]
+    whole = kmv_estimates(
+        spark.createDataFrame(rows, "g string, user long"),
+        "user", ["g"], k=8,
+    ).collect()[0]
+    a = spark.createDataFrame(rows[:split] or [("g", keys[0])],
+                              "g string, user long")
+    b = spark.createDataFrame(rows[split:] or [("g", keys[-1])],
+                              "g string, user long")
+    via_union = kmv_estimates(
+        a.unionByName(b), "user", ["g"], k=8
+    ).collect()[0]
+    assert (whole.n_kept, whole.kmv_est) \
+        == (via_union.n_kept, via_union.kmv_est)
