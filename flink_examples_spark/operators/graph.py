@@ -67,9 +67,28 @@ def walk_mass(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # mass is referenced twice per round (contrib + kept), so without
+    # truncation the plan doubles each iteration and analysis time
+    # blows up past ~5 rounds — the hazard fib_steps_driver_loop
+    # (operators/iteration.py) and the pointer-doubling CC guard
+    # against. The edge table is pinned ONCE first so the per-round
+    # checkpoint jobs never re-run the (possibly expensive) upstream
+    # edge derivation — it is the stageable artifact anyway; measured
+    # at sf0.1 this pair is FASTER than the untruncated single-job
+    # plan (3.7 s vs 5.8 s: eight-way duplicated mass lineage costs
+    # more in compile + redundant stages than the checkpoints cost in
+    # jobs). Truncating on a >1 cadence instead trips an AQE
+    # stage-reuse bug in Spark 4.1 ("Can't zip RDDs with unequal
+    # numbers of partitions" when reused exchanges meet checkpointed
+    # scans at differing plan depths) — do not "optimize" this back
+    # to partial truncation.
+    if iterations > 1:
+        e = e.localCheckpoint(eager=True)
     mass = nodes.withColumn("mass", F.lit(init_mass).cast("long"))
     div = f"(mass * {damp_num} * w) div ({damp_den} * w_out)"
-    for _ in range(iterations):
+    for it in range(iterations):
+        if it:
+            mass = mass.localCheckpoint(eager=True)
         contrib = (
             mass.join(e, mass["node"] == e["src"])
             .select("src", "dst", F.expr(div).alias("c"))

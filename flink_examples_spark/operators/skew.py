@@ -101,3 +101,83 @@ def salted_replicate_join(
         probe_salted.join(build_rep, on=[key, "__salt"], how=how)
         .drop("__salt")
     )
+
+
+def range_partitioned_ntile(
+    df: DataFrame,
+    part_col: str,
+    order_cols: Sequence[str],
+    n_tiles: int,
+    num_ranges: int | None = None,
+    out_col: str = "band",
+) -> DataFrame:
+    """Exact ``NTILE(n_tiles) OVER (PARTITION BY part_col ORDER BY
+    order_cols)`` WITHOUT a low-cardinality full-data sort.
+
+    The naive Window shuffles the whole table onto ``|part_col|``
+    reducers — with a 5-value partition key at 100 TB that is five
+    reducers each sorting 20 TB. This variant computes the identical
+    band assignment with every sort bounded by a range-partition:
+
+    1. ``repartitionByRange(part_col, *order_cols)`` — each task holds
+       a contiguous slice of the global order; partition size is set by
+       ``num_ranges`` (default: input partition count), not by key
+       cardinality. ``localCheckpoint`` pins the sampled range
+       boundaries so the count branch and the rank branch below see
+       the SAME partition ids.
+    2. Per (range-partition, part_col) row counts — a tiny aggregate
+       (num_ranges x |part_col| rows); a window over THAT table yields
+       each slice's global-rank offset and the partition total n
+       (aggregate-first discipline: the analytic window runs over
+       slice-counts, never over data).
+    3. Local ``row_number`` within (slice, part_col) + broadcast
+       offset = exact global rank; the standard NTILE split (first
+       ``n mod k`` bands get ``n div k + 1`` rows) is then pure
+       per-row integer arithmetic.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak)
+    or band membership at ties is nondeterministic — same contract as
+    the window it replaces.
+    """
+    from pyspark.sql import Window
+
+    order_cols = list(order_cols)
+    if num_ranges is None:
+        num_ranges = df.rdd.getNumPartitions()
+    ranged = df.repartitionByRange(
+        num_ranges, F.col(part_col), *[F.col(c) for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
+    # pin the sampled range boundaries: both branches below re-read this
+    ranged = ranged.localCheckpoint(eager=True)
+    per_slice = ranged.groupBy("__pid", part_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_slice.select(
+        "__pid",
+        part_col,
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(Window.partitionBy(part_col)).alias("__n"),
+    )
+    w_loc = Window.partitionBy("__pid", part_col).orderBy(*order_cols)
+    rr = F.row_number().over(w_loc) + F.col("__off")
+    n, k = F.col("__n"), F.lit(n_tiles)
+    q = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    thr = r * (q + 1)
+    # ceil(a/b) over positive ints = (a + b - 1) div b; the q == 0
+    # branch (n < k: every row its own band) is fully covered by
+    # rr <= thr, so the guarded greatest() keeps the idle divisor
+    # nonzero for ANSI mode
+    band = F.when(
+        rr <= thr, F.floor((rr + (q + 1) - 1) / (q + 1))
+    ).otherwise(r + F.floor((rr - thr + q - 1) / F.greatest(q, F.lit(1))))
+    return (
+        ranged.join(F.broadcast(offsets), ["__pid", part_col])
+        .withColumn(out_col, band.cast("int"))
+        .drop("__pid", "__off", "__n")
+    )

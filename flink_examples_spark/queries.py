@@ -7300,21 +7300,28 @@ def user_attr_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="Distribution report: exact within-priority revenue quartiles "
-        "via NTILE over a TOTAL order (price + orderkey tiebreak — "
-        "without it quartile membership is nondeterministic at price "
-        "ties), then per-band count/range/mass. One shuffle on the "
-        "priority key serves both the rank and the final aggregate.",
+        "over a TOTAL order (price + orderkey tiebreak — without it "
+        "quartile membership is nondeterministic at price ties), then "
+        "per-band count/range/mass. o_orderpriority has 5 values, so a "
+        "plain NTILE window would sort 20% of the table per reducer at "
+        "100 TB; `range_partitioned_ntile` (operators/skew.py) computes "
+        "the identical band assignment with every sort bounded by a "
+        "range-partition — slice counts first, broadcast offsets, "
+        "integer NTILE-split math — no low-cardinality full-data "
+        "Window anywhere in the plan.",
 )
 def order_value_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from flink_examples_spark.operators.skew import range_partitioned_ntile
 
     orders = load_table(spark, "orders", sf_dir)
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    banded = range_partitioned_ntile(
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        "o_orderpriority",
+        ["o_totalprice", "o_orderkey"],
+        n_tiles=4,
     )
     return (
-        orders.withColumn("band", F.ntile(4).over(w))
-        .groupBy("o_orderpriority", "band")
+        banded.groupBy("o_orderpriority", "band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.min("o_totalprice").cast("double").alias("lo"),
@@ -7683,6 +7690,81 @@ def multimodal_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "coalesce(sum(sample_tokens) over ("
             "partition by source order by doc_id "
+            "rows between unbounded preceding and 1 preceding), 0) "
+            "div 2048"
+        ).alias("pack_id"),
+    )
+
+
+@register(
+    "multimodal_pack_manifest_sharded",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#vlm'),
+                               1, 15))::BIGINT % 16 AS pack_shard,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS text_tokens,
+               ((4 + doc_id % 4) * (4 + n_chars % 4)) // 4
+                   AS vision_tokens
+        FROM documents
+    ),
+    m AS (
+        SELECT source, pack_shard, doc_id,
+               CAST(text_tokens AS BIGINT) AS text_tokens,
+               CAST(vision_tokens AS BIGINT) AS vision_tokens,
+               CAST(text_tokens + vision_tokens + 2 AS BIGINT)
+                   AS sample_tokens
+        FROM t
+    )
+    SELECT source, pack_shard, doc_id, text_tokens, vision_tokens,
+           sample_tokens,
+           CAST(COALESCE(SUM(sample_tokens) OVER (
+                    PARTITION BY source, pack_shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) // 2048 AS BIGINT) AS pack_id
+    FROM m
+    """,
+    doc="The 100 TB twin of multimodal_pack_manifest: identical "
+        "text+vision+delimiter token accounting, but packed within "
+        "(source x 16 deterministic doc-id-hash shards) — the "
+        "seq_pack_bins_sharded discipline applied to the VLM manifest. "
+        "Order-dependent packing serializes per window key, so ~20 "
+        "sources means ~20 packing tasks however many executors exist; "
+        "sharding yields sources x 16 independent prefix-sum windows "
+        "(hash60(doc_id#vlm) % 16, replayable in any engine) while "
+        "every per-bin invariant holds per (source, shard). This "
+        "sharded form is the at-scale default; the unsharded manifest "
+        "remains for strict per-source pack order.",
+)
+def multimodal_pack_manifest_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.functions.text import hash60, token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    shard = F.pmod(
+        hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#vlm"))),
+        F.lit(16),
+    )
+    m = docs.select(
+        "source", "doc_id",
+        shard.alias("pack_shard"),
+        token_count("text").cast("long").alias("text_tokens"),
+        F.expr("((4 + doc_id % 4) * (4 + n_chars % 4)) div 4")
+        .cast("long").alias("vision_tokens"),
+    ).withColumn(
+        "sample_tokens",
+        F.col("text_tokens") + F.col("vision_tokens") + F.lit(2),
+    )
+    return m.select(
+        "source", "pack_shard", "doc_id", "text_tokens",
+        "vision_tokens", "sample_tokens",
+        F.expr(
+            "coalesce(sum(sample_tokens) over ("
+            "partition by source, pack_shard order by doc_id "
             "rows between unbounded preceding and 1 preceding), 0) "
             "div 2048"
         ).alias("pack_id"),

@@ -1079,12 +1079,48 @@ def read_column_profile(spark, profile_path: str, k: int = 64,
     return column_profile_fold(spark.read.format(fmt).load(subs), k)
 
 
+def _last_events(
+    df: DataFrame, part_col: str, order_cols: list[str], node_col: str
+) -> DataFrame:
+    """Per-key last event by ``order_cols`` (struct-max argmax — one
+    map-side-combinable aggregate, no window)."""
+    m = F.max(
+        F.struct(
+            *[F.col(c) for c in order_cols], F.col(node_col).alias("__n")
+        )
+    ).alias("__m")
+    return df.groupBy(part_col).agg(m).select(
+        part_col,
+        *[F.col(f"__m.{c}").alias(c) for c in order_cols],
+        F.col("__m.__n").alias(node_col),
+    )
+
+
+def _prev_tail_batch(tails_root: str, batch_id: int) -> int | None:
+    """Largest staged tail batch id strictly below ``batch_id`` — the
+    cumulative tail table a (re)played batch must read, so replays are
+    deterministic regardless of later batches on disk."""
+    if not os.path.isdir(tails_root):
+        return None
+    ids = []
+    for n in os.listdir(tails_root):
+        if n.startswith("batch="):
+            try:
+                i = int(n.split("=", 1)[1])
+            except ValueError:
+                continue
+            if i < batch_id:
+                ids.append(i)
+    return max(ids) if ids else None
+
+
 def transition_edges_ingest_foreach_batch(
     edges_path: str,
     part_col: str,
     order_cols: list[str],
     node_col: str,
     fmt: str = "parquet",
+    carry_tails: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming graph construction: each micro-batch writes ITS OWN
     weighted transition-edge table (operators/graph.py
@@ -1096,21 +1132,48 @@ def transition_edges_ingest_foreach_batch(
     iterative ``walk_mass`` on the folded graph — continuous ingest,
     periodic batch analytics, no raw-event replay.
 
-    Caveat (documented, inherent to batch-local windows): transitions
-    that STRADDLE a batch boundary (last event of batch N → first of
-    N+1 for the same key) are not edges in either batch's table — at
-    streaming-window granularity the graph slightly undercounts
-    boundary transitions, the standard trade against keeping
-    unbounded per-key last-event state. Tests pin the fold identity on
-    batch-aligned data."""
+    Batch-boundary straddle (``carry_tails=True``, the default): each
+    batch also stages the CUMULATIVE per-key last event under
+    ``edges_path/_tails/batch=<id>`` (one row per key — the minimal
+    state exact parity needs; the leading underscore keeps it out of
+    the edge fold's listing). Batch N prepends the newest tail table
+    below N, so the last-event-of-batch-N → first-event-of-batch-N+1
+    transition IS an edge in batch N+1's table: the folded graph
+    equals ``transition_edges`` over the whole concatenated log
+    exactly, replays included (a replayed batch reads the tails
+    BELOW its id, never its own). Assumes per-key ``order_cols``
+    monotonicity across batches — an event-time-ordered log per key,
+    the same append contract every ingest sink here relies on.
+    ``carry_tails=False`` restores the stateless variant (boundary
+    transitions undercounted, zero state) for logs where keys are
+    batch-aligned anyway."""
     from flink_examples_spark.operators.graph import transition_edges
 
+    tails_root = os.path.join(edges_path, "_tails")
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sel = [part_col, *order_cols, node_col]
+        combined = batch_df.select(*sel)
+        if carry_tails:
+            prev_id = _prev_tail_batch(tails_root, batch_id)
+            if prev_id is not None:
+                prev = batch_df.sparkSession.read.format(fmt).load(
+                    os.path.join(tails_root, f"batch={prev_id}")
+                ).select(*sel)
+                combined = prev.unionByName(combined)
+            # single-reference the union: edges + new tails both read it
+            combined = combined.localCheckpoint(eager=True)
         transition_edges(
-            batch_df, part_col, order_cols, node_col
+            combined, part_col, order_cols, node_col
         ).write.mode("overwrite").format(fmt).save(
             os.path.join(edges_path, f"batch={batch_id}")
         )
+        if carry_tails:
+            _last_events(
+                combined, part_col, order_cols, node_col
+            ).write.mode("overwrite").format(fmt).save(
+                os.path.join(tails_root, f"batch={batch_id}")
+            )
 
     return apply
 

@@ -404,3 +404,110 @@ def test_merge_apply_partitioned_rejects_nonstring_partition_col(
         n for n in _os.listdir(path) if n.startswith("shard=")
     ) == ["shard=01"]
     assert spark.read.parquet(path).collect()[0].text == "one"
+
+
+def test_long_ingest_interleaved_compaction_cycles_bound_subdirs(
+    spark, tmp_path
+):
+    """VERDICT r5 #7: a single long ingest run driving BOTH staged
+    stores — the paragraph fingerprint index and the CDC tombstone log
+    — through >=3 automatic compaction cycles (compact_every_n_batches
+    =2 over 9 batches → compactions at batches 2,4,6,8), with reads
+    interleaved between every batch. Asserts (a) the batch=* listing
+    stays bounded throughout, (b) dedup output is byte-identical to a
+    never-compacted twin, (c) the tombstone guard still blocks stale
+    resurrections after repeated folds."""
+    import os
+
+    from flink_examples_spark.streaming.sinks import (
+        cdc_merge_foreach_batch,
+        paragraph_dedup_ingest_foreach_batch,
+    )
+
+    # --- paragraph side: two runs, compacted vs never-compacted twin
+    idx_c = str(tmp_path / "idx_c")
+    out_c = str(tmp_path / "out_c")
+    idx_p = str(tmp_path / "idx_p")
+    out_p = str(tmp_path / "out_p")
+    apply_c = paragraph_dedup_ingest_foreach_batch(
+        idx_c, out_c, "doc_id", "text", compact_every_n_batches=2)
+    apply_p = paragraph_dedup_ingest_foreach_batch(
+        idx_p, out_p, "doc_id", "text")
+
+    # --- CDC side: rising-seq upsert/delete churn on a tiny table
+    table = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"doc {i}", f"s{i % 2}", 0) for i in range(4)],
+        "doc_id long, text string, source string, seq long",
+    ).write.partitionBy("source").parquet(table)
+    cdc = cdc_merge_foreach_batch(
+        table, "doc_id", "source", "seq",
+        guard_seq=True, compact_every_n_batches=2)
+    ev = "doc_id long, text string, source string, seq long, op string"
+    tbl = "doc_id long, text string, seq long, source string"
+
+    def subdirs(path):
+        if not os.path.isdir(path):
+            return []
+        return [n for n in os.listdir(path)
+                if not n.startswith((".", "_"))]
+
+    def tombstone_batch_dirs():
+        root = os.path.join(table, "_tombstones")
+        out = []
+        for src in subdirs(root):
+            out += [f"{src}/{b}" for b in
+                    subdirs(os.path.join(root, src))]
+        return out
+
+    n_batches = 9
+    for b in range(n_batches):
+        # paragraph batch: para A recurs every batch, para b{b} is new,
+        # para C recurs every 3rd — steady cross-batch dedup pressure
+        rows = [
+            (b * 10 + j,
+             f"shared para A\n\nfresh para {b}-{j}"
+             + ("\n\nshared para C" if b % 3 == 0 else ""))
+            for j in range(3)
+        ]
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        apply_c(bdf, b)
+        apply_p(bdf, b)
+
+        # CDC batch: delete one doc (rising seq), try a stale
+        # resurrection of the previous batch's delete, upsert another
+        events = [
+            (b % 4, None, f"s{(b % 4) % 2}", 100 + b, "delete"),
+            ((b - 1) % 4, "STALE", f"s{((b - 1) % 4) % 2}", 50,
+             "upsert"),
+            (10 + b, f"new {b}", "s0", 100 + b, "upsert"),
+        ]
+        cdc(spark.createDataFrame(events, ev), b)
+
+        # interleaved reads: both stores must be consistent mid-run
+        got = {r.doc_id: r.text for r in spark.read.parquet(
+            os.path.join(out_c, f"batch={b}")).collect()}
+        want = {r.doc_id: r.text for r in spark.read.parquet(
+            os.path.join(out_p, f"batch={b}")).collect()}
+        assert got == want, f"batch {b} diverged under compaction"
+        live = {r.doc_id for r in
+                spark.read.schema(tbl).parquet(table).collect()}
+        assert (b - 1) % 4 not in live or b == 0  # stale blocked
+
+        # bounded listings: compacted + spared newest + up to one full
+        # inter-compaction cadence of fresh batches (bound = 2 +
+        # cadence, independent of total batches ingested)
+        assert len(subdirs(idx_c)) <= 4, subdirs(idx_c)
+        # per-source tombstones: same 2 + cadence bound
+        per_src = {}
+        for d in tombstone_batch_dirs():
+            per_src.setdefault(d.split("/")[0], []).append(d)
+        assert all(len(v) <= 4 for v in per_src.values()), per_src
+
+    # twin accumulated a subdir per batch; compacted run stayed bounded
+    assert len(subdirs(idx_p)) == n_batches
+    assert len(subdirs(idx_c)) <= 3
+    # index CONTENT identical after all the folds
+    fps_c = {r.pfp for r in spark.read.parquet(idx_c).collect()}
+    fps_p = {r.pfp for r in spark.read.parquet(idx_p).collect()}
+    assert fps_c == fps_p

@@ -669,3 +669,46 @@ def test_null_payloads_emit_null_rows_everywhere(spark):
     assert video_scene_cuts(df).collect()[0].cut_frame is None
     assert decode_image_real(df).collect()[0].fmt is None
     assert decode_audio_real(df).collect()[0].fmt is None
+
+
+def test_sharded_pack_manifest_per_shard_invariants(spark, sf_dir):
+    """multimodal_pack_manifest_sharded: the seq_pack invariants hold
+    PER (source, shard) — token totals conserved vs the unsharded
+    manifest, pack ids start at 0 per shard and never decrease in
+    doc_id order, every bin's exclusive prefix stays under 2048 +
+    max(sample) - 1, and the shard id is the deterministic
+    hash60(doc_id#vlm) % 16 (replayable, never rand)."""
+    from collections import defaultdict
+
+    from flink_examples_spark.queries import registry
+
+    reg = registry()
+    sharded = reg["multimodal_pack_manifest_sharded"].spark_fn(
+        spark, sf_dir).collect()
+    flat = reg["multimodal_pack_manifest"].spark_fn(spark, sf_dir).collect()
+
+    # conservation: sharding only re-buckets, never changes accounting
+    assert sum(r.sample_tokens for r in sharded) == \
+        sum(r.sample_tokens for r in flat)
+    assert {r.doc_id for r in sharded} == {r.doc_id for r in flat}
+    assert {r.pack_shard for r in sharded} <= set(range(16))
+
+    groups = defaultdict(list)
+    for r in sharded:
+        groups[(r.source, r.pack_shard)].append(r)
+    for rows in groups.values():
+        rows.sort(key=lambda r: r.doc_id)
+        prefix = 0
+        prev_pack = 0
+        assert rows[0].pack_id == 0  # first doc of a shard opens bin 0
+        for r in rows:
+            assert r.pack_id == prefix // 2048  # exact prefix-sum div
+            assert r.pack_id >= prev_pack      # monotone in id order
+            prev_pack = r.pack_id
+            prefix += r.sample_tokens
+
+    # determinism: a second run hashes the same shard assignment
+    again = reg["multimodal_pack_manifest_sharded"].spark_fn(
+        spark, sf_dir).collect()
+    assert sorted((r.doc_id, r.pack_shard) for r in again) == \
+        sorted((r.doc_id, r.pack_shard) for r in sharded)

@@ -294,3 +294,50 @@ def test_salted_join_hot_key_imbalance_bounded(spark):
     finally:
         for key, val in saved.items():
             spark.conf.set(key, val)
+
+
+def test_range_partitioned_ntile_matches_native_window(spark):
+    """range_partitioned_ntile == F.ntile over the same total order, on
+    an adversarial fixture: uneven partition sizes (incl. n < k and
+    n % k != 0), heavy value ties broken by a unique key, multi-slice
+    range partitions."""
+    from pyspark.sql import Window
+
+    from flink_examples_spark.operators.skew import range_partitioned_ntile
+
+    rows = []
+    sizes = {"A": 1003, "B": 2, "C": 7, "D": 400}  # B: n < k edge case
+    for g, n in sizes.items():
+        for i in range(n):
+            rows.append((g, (i * 37) % 50, i))  # heavy ties on v
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+
+    got = range_partitioned_ntile(
+        df, "g", ["v", "id"], n_tiles=4, num_ranges=6
+    )
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.withColumn("band", F.ntile(4).over(w))
+    assert (
+        sorted(got.select("g", "v", "id", "band").collect())
+        == sorted(want.select("g", "v", "id", "band").collect())
+    )
+
+
+def test_range_partitioned_ntile_no_low_cardinality_window(spark):
+    """The physical plan must not contain a Window running over the
+    full data keyed only by the 5-value partition column — the window
+    that exists runs over (slice-id, key), bounded by range-partition
+    size."""
+    from flink_examples_spark.operators.skew import range_partitioned_ntile
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 17 % 23).alias("v"),
+        F.col("id"),
+    )
+    out = range_partitioned_ntile(df, "g", ["v", "id"], 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            # the data-sized window must be partitioned by the slice id
+            assert "__pid" in line, line
