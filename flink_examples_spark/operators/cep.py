@@ -185,63 +185,147 @@ def _find_matches(
     dfs(0, start, [], 0)
 
 
+def _live_partials(
+    records: list[dict],
+    pattern: Sequence[Pat],
+    start: int,
+    within_check: Callable[[int, int], bool] | None,
+    cap: int = 64,
+) -> list[list[tuple[str, int]]]:
+    """EVERY live partial match from ``start``, greedy-first — the set
+    the reference's TimedOutPartialMatchHandler sees when the window
+    expires (CEPTimeout.java:72-103): Flink's NFA keeps one computation
+    per branch (loop-take vs proceed-take when a row satisfies both the
+    looping element and its successor; take-and-ignore for relaxedAll),
+    and times out EACH live computation individually.
+
+    Event-driven semantics, per computation (head element ``elem_i``
+    with ``reps`` rows consumed, waiting at row ``next_row``):
+
+    - TAKE: the arriving row may extend the head (below its max) or,
+      once the head's min is met, any element of the epsilon PROCEED
+      chain — each take branches a successor computation. A chain
+      element whose effective contiguity is strict can only take the
+      strictly-adjacent row.
+    - IGNORE: a relaxed head survives rows that fail its predicate
+      (``followedBy`` skips non-matches; the first hit ends the wait);
+      a relaxedAll head survives every row (``followedByAny`` branches
+      on each hit AND keeps waiting — that perpetual-ignore branch
+      itself times out). A strict head has no ignore: an in-horizon row
+      that fires no transition KILLS the computation (death, not
+      timeout — Flink emits nothing for it).
+    - TIMEOUT: a computation whose next row is past the ``within``
+      horizon of its anchor (or past end-of-input, the batch final
+      watermark) emits its consumed rows.
+
+    All returned partials share one anchor row — the first row any
+    take fired on (every event is its own start-state computation in
+    Flink, so later anchors belong to later scan positions; the caller
+    advances past the shared anchor and re-enumerates there, keeping
+    the sweep duplicate-free). ``cap`` bounds the branch enumeration
+    (relaxedAll loops grow it combinatorially); greedy-first order
+    means the cap sheds the shortest, least-informative branches last.
+    Returns [] when nothing anchors (no partial to time out)."""
+    n = len(records)
+    out: list[list[tuple[str, int]]] = []
+    seen: set[tuple[tuple[str, int], ...]] = set()
+
+    def pred_ok(elem: Pat, idx: int, consumed: list[tuple[str, int]]) -> bool:
+        if elem.where is None:
+            return True
+        return bool(elem.where(records[idx], MatchCtx(consumed, records)))
+
+    def in_horizon(consumed: list[tuple[str, int]], idx: int) -> bool:
+        if within_check is None or not consumed:
+            return True
+        return within_check(consumed[0][1], idx)
+
+    def emit(consumed: list[tuple[str, int]]) -> None:
+        key = tuple(consumed)
+        if consumed and key not in seen:
+            seen.add(key)
+            out.append(list(consumed))
+
+    def dfs(elem_i: int, reps: int, next_row: int,
+            consumed: list[tuple[str, int]]) -> None:
+        if len(out) >= cap:
+            return
+        # epsilon PROCEED chain: every element reachable without
+        # consuming a row. Reaching past the LAST element would be an
+        # accepting state — a complete match, which the caller already
+        # ruled out — so the chain stops before it.
+        chain: list[tuple[int, int]] = []
+        j, rj = elem_i, reps
+        while True:
+            chain.append((j, rj))
+            lo_j, _ = _bounds(pattern[j])
+            if rj >= lo_j and j + 1 < len(pattern):
+                j, rj = j + 1, 0
+                continue
+            break
+        # The computation RESIDES at the first chain element that can
+        # still take (a maxed-out 'one'/'{n}' element hands the state to
+        # its successor the moment it completes — Flink's NFA has no
+        # residual state for it); the resident's effective contiguity
+        # governs ignore-survival. Elements before the resident are
+        # maxed; later chain elements only contribute branch takes.
+        res_j, res_rj = elem_i, reps
+        for cj, crj in chain:
+            _, hi_j = _bounds(pattern[cj])
+            if hi_j is None or crj < hi_j:
+                res_j, res_rj = cj, crj
+                break
+        res = pattern[res_j]
+        eff_h = res.internal_contiguity if res_rj > 0 else res.contiguity
+        base = next_row  # the strictly-adjacent row for this state
+        r = next_row
+        while True:
+            if r >= n or not in_horizon(consumed, r):
+                emit(consumed)  # blocked by horizon/end — times out
+                return
+            res_hit = False
+            took = False
+            for cj, crj in chain:
+                elem_j = pattern[cj]
+                lo_j, hi_j = _bounds(elem_j)
+                if hi_j is not None and crj >= hi_j:
+                    continue
+                eff_j = (elem_j.internal_contiguity if crj > 0
+                         else elem_j.contiguity)
+                if eff_j == "strict" and r != base:
+                    continue
+                if pred_ok(elem_j, r, consumed):
+                    if cj == res_j:
+                        res_hit = True
+                    took = True
+                    consumed.append((elem_j.name, r))
+                    dfs(cj, crj + 1, r + 1, consumed)
+                    consumed.pop()
+                    if len(out) >= cap:
+                        return
+            if not consumed and took:
+                return  # anchor frame: one shared anchor row only
+            if eff_h == "strict":
+                return  # no ignore: consumed by takes, or dead
+            if eff_h == "relaxed" and res_hit:
+                return  # relaxed: the first resident hit ends the wait
+            r += 1  # ignore this row, keep waiting
+
+    dfs(0, 0, start, [])
+    return out
+
+
 def _greedy_partial(
     records: list[dict],
     pattern: Sequence[Pat],
     start: int,
     within_check: Callable[[int, int], bool] | None,
 ) -> list[tuple[str, int]]:
-    """Longest greedy prefix consumed from ``start`` without completing
-    the pattern — the representative partial match the reference's
-    TimedOutPartialMatchHandler would see at timeout (CEPTimeout.java:
-    72-103). Multiple concurrent partials collapse to the first-branch
-    one (documented divergence)."""
-    consumed: list[tuple[str, int]] = []
-    n = len(records)
-    next_row = start
-    for elem in pattern:
-        lo, hi = _bounds(elem)
-        hit = None
-        if elem.contiguity == "strict":
-            cands = [next_row] if next_row < n else []
-        else:
-            cands = range(next_row, n)
-        for idx in cands:
-            if within_check is not None and consumed and not within_check(
-                consumed[0][1], idx
-            ):
-                break
-            ctx = MatchCtx(consumed, records)
-            if elem.where is None or bool(elem.where(records[idx], ctx)):
-                hit = idx
-                break
-            if elem.contiguity == "strict":
-                break
-        if hit is None:
-            if lo == 0:
-                continue  # optional element: skip, keep scanning
-            break
-        consumed.append((elem.name, hit))
-        next_row = hit + 1
-        reps = 1
-        # greedy repetition: keep consuming adjacent rows while the
-        # predicate holds and the max allows (mirrors dfs's strict
-        # adjacency after the first repetition) — stopping after one
-        # row would underreport the variable in timed-out partials
-        while next_row < n and (hi is None or reps < hi):
-            if within_check is not None and consumed and not (
-                within_check(consumed[0][1], next_row)
-            ):
-                break
-            ctx = MatchCtx(consumed, records)
-            if elem.where is not None and not bool(
-                elem.where(records[next_row], ctx)
-            ):
-                break
-            consumed.append((elem.name, next_row))
-            next_row += 1
-            reps += 1
-    return consumed
+    """The longest greedy live partial from ``start`` — the first
+    branch of :func:`_live_partials` (kept for callers that only need
+    the representative partial)."""
+    live = _live_partials(records, pattern, start, within_check, cap=1)
+    return live[0] if live else []
 
 
 def match_recognize(
@@ -257,6 +341,7 @@ def match_recognize(
     all_matches: bool = False,
     max_matches_per_key: int = 100_000,
     timeout_measures: Callable[[dict[str, pd.DataFrame], pd.DataFrame], dict] | None = None,
+    max_concurrent_partials: int = 64,
 ) -> DataFrame:
     """Run a MATCH_RECOGNIZE-style pattern per key.
 
@@ -283,9 +368,15 @@ def match_recognize(
     incomplete matches emit a row too — the reference's
     TimedOutPartialMatchHandler side output (CEPTimeout.java:72-103).
     Batch end-of-input acts as the final MAX watermark, so every pending
-    partial times out (E1 end-of-stream flush). Include a discriminator
-    column (e.g. ``timed_out boolean``) in the schema and filter to
-    split the side output (P7).
+    partial times out (E1 end-of-stream flush). EVERY concurrent live
+    NFA computation emits individually, exactly as Flink calls
+    processTimedOutMatch once per partial (a row satisfying both a
+    looping element and its successor forks two computations; both time
+    out) — see :func:`_live_partials`. ``max_concurrent_partials``
+    bounds the per-anchor branch enumeration (greedy-first, so the cap
+    sheds the shortest branches). Include a discriminator column (e.g.
+    ``timed_out boolean``) in the schema and filter to split the side
+    output (P7).
     """
     pattern = list(pattern)
     pcols = list(partition_by)
@@ -313,15 +404,22 @@ def match_recognize(
             _find_matches(records, pattern, start, within_check, all_matches, found)
             if not found:
                 if timeout_measures is not None:
-                    partial = _greedy_partial(records, pattern, start, within_check)
-                    if partial:
-                        pvars: dict[str, list[int]] = {}
-                        for var, idx in partial:
-                            pvars.setdefault(var, []).append(idx)
-                        results.append(timeout_measures(
-                            {v: pdf.iloc[idxs] for v, idxs in pvars.items()}, pdf
-                        ))
-                        start = partial[0][1] + 1
+                    partials = _live_partials(
+                        records, pattern, start, within_check,
+                        cap=max_concurrent_partials,
+                    )
+                    if partials:
+                        for partial in partials:
+                            pvars: dict[str, list[int]] = {}
+                            for var, idx in partial:
+                                pvars.setdefault(var, []).append(idx)
+                            results.append(timeout_measures(
+                                {v: pdf.iloc[idxs] for v, idxs in pvars.items()}, pdf
+                            ))
+                        # all partials share one anchor row; resume past
+                        # it — later-anchored computations are found at
+                        # their own scan position (no duplicates)
+                        start = partials[0][0][1] + 1
                         continue
                 start += 1
                 continue

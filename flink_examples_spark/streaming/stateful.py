@@ -417,6 +417,7 @@ def streaming_cep(
     within_ms: int,
     order_cols: Sequence[str] | None = None,
     timeout_measures=None,
+    max_concurrent_partials: int = 64,
 ) -> DataFrame:
     """Streaming CEP: the batch NFA (operators/cep.py) with its pending
     buffer in GroupState (C1-C5 streaming; SURVEY.md §3.3).
@@ -430,14 +431,18 @@ def streaming_cep(
     ``max_seen_ts - within`` can never complete.
 
     timeout_measures (C4 streaming, cep/CEPTimeout.java:59-103): when
-    set, a start whose horizon passes does NOT evict silently — its
-    longest greedy partial match emits through this callable (same
-    contract as the batch ``match_recognize(timeout_measures=...)``:
-    ``fn(vars_map, None) -> dict``; include a discriminator column such
-    as ``timed_out boolean`` in ``output_schema`` and filter to split
-    the side output). The partial can only emit once the watermark-like
-    horizon ``max_seen_ts - within`` passes its first row, which may be
-    a later trigger than the one that buffered it — the timer latency
+    set, a start whose horizon passes does NOT evict silently — EVERY
+    live partial match anchored there emits through this callable,
+    one row per concurrent NFA computation, exactly as Flink calls
+    processTimedOutMatch once per partial (same contract and the same
+    branch enumeration as the batch
+    ``match_recognize(timeout_measures=...)``, see
+    ``operators.cep._live_partials``; ``max_concurrent_partials``
+    bounds it). Include a discriminator column such as ``timed_out
+    boolean`` in ``output_schema`` and filter to split the side
+    output. A partial can only emit once the watermark-like horizon
+    ``max_seen_ts - within`` passes its first row, which may be a
+    later trigger than the one that buffered it — the timer latency
     the reference's TimedOutPartialMatchHandler has too.
 
     Matches emit eagerly at first completion; for patterns whose greedy
@@ -447,7 +452,7 @@ def streaming_cep(
     """
     import json
 
-    from flink_examples_spark.operators.cep import _find_matches, _greedy_partial
+    from flink_examples_spark.operators.cep import _find_matches, _live_partials
 
     # The pending buffer is JSON-encoded in GroupState; only ts_col is
     # converted (timestamp -> epoch ms). Any OTHER non-JSON-able column
@@ -515,20 +520,25 @@ def streaming_cep(
                 # completable by future rows, so only the dead head row
                 # is dropped and the anchor stays buffered.
                 if timeout_measures is not None:
-                    partial = _greedy_partial(
-                        records, pattern, start, within_check
+                    partials = _live_partials(
+                        records, pattern, start, within_check,
+                        cap=max_concurrent_partials,
                     )
-                    if partial and (
-                        records[partial[0][1]][ts_col] + within_ms < max_ts
+                    # all partials share one anchor row (see
+                    # _live_partials); one horizon check covers them
+                    if partials and (
+                        records[partials[0][0][1]][ts_col] + within_ms
+                        < max_ts
                     ):
-                        pvars: dict[str, list[dict]] = {}
-                        for var, idx in partial:
-                            pvars.setdefault(var, []).append(records[idx])
-                        results.append(timeout_measures(
-                            {v: pd.DataFrame(r) for v, r in pvars.items()},
-                            None,
-                        ))
-                        start = partial[0][1] + 1
+                        for partial in partials:
+                            pvars: dict[str, list[dict]] = {}
+                            for var, idx in partial:
+                                pvars.setdefault(var, []).append(records[idx])
+                            results.append(timeout_measures(
+                                {v: pd.DataFrame(r) for v, r in pvars.items()},
+                                None,
+                            ))
+                        start = partials[0][0][1] + 1
                         continue
                 start += 1
             else:

@@ -550,3 +550,139 @@ def test_reluctant_pattern_end_rejected(spark):
             define={"A": "A.price = 1"},
             output_schema="sym string, n long",
         ).toPandas()
+
+
+def test_cep_timeout_java_golden_matches_and_single_timeout(spark):
+    """CEPTimeout.java:40-67 verbatim: ``begin('start').next('end'
+    where name = error).within(2s)`` over the nine-event stream.
+    Flink's output: matches (1,2) (5,6) (42,8); processTimedOutMatch
+    fires exactly ONCE, for event 8's partial (end of stream = final
+    watermark). Every other start is followed in-horizon by a
+    non-error, which KILLS the computation (strict ``next``) — death
+    emits nothing, only horizon expiry does (D9 closure)."""
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    ids = [1, 2, 3, 4, 5, 6, 7, 42, 8]
+    names = ["foo", "error", "critical", "bar", "33", "error", "bar",
+             "55", "error"]
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": ["s"] * len(ids),
+        "id": ids,
+        "name": names,
+        "ts": [base + pd.Timedelta(milliseconds=100 * k)
+               for k in range(len(ids))],
+    }))
+
+    pattern = [
+        Pat("start", None, contiguity="strict"),
+        Pat("end", where=lambda r, c: r["name"] == "error",
+            contiguity="strict"),
+    ]
+
+    def measures(v, pdf):
+        return {"start_id": v["start"].iloc[0]["id"],
+                "end_id": v["end"].iloc[0]["id"], "timed_out": False}
+
+    def timeout_measures(v, pdf):
+        return {"start_id": v["start"].iloc[0]["id"],
+                "end_id": None, "timed_out": True}
+
+    out = match_recognize(
+        df, partition_by=["k"], order_by=["ts"], pattern=pattern,
+        measures=measures,
+        output_schema="k string, start_id long, end_id long, "
+                      "timed_out boolean",
+        within="2 seconds", ts_col="ts",
+        timeout_measures=timeout_measures,
+    ).toPandas()
+
+    matches = sorted(zip(out[~out.timed_out].start_id,
+                         out[~out.timed_out].end_id))
+    assert matches == [(1, 2), (5, 6), (42, 8)]
+    assert list(out[out.timed_out].start_id) == [8]
+
+
+def test_two_concurrent_partials_each_time_out_individually(spark):
+    """D9 closure golden: a row satisfying BOTH the looping element and
+    its successor forks two NFA computations (Flink's TAKE-into-loop vs
+    PROCEED-TAKE); when the horizon passes, processTimedOutMatch fires
+    for EACH — [A, B=b, B=bc] at C-wait and [A, B=b, C=bc] at D-wait.
+    The old greedy collapse emitted only the first."""
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": ["k"] * 3,
+        "action": ["a", "b", "bc"],
+        "ts": [base, base + m, base + 2 * m],
+    }))
+
+    pattern = [
+        Pat("A", lambda r, c: r["action"] == "a", contiguity="strict"),
+        Pat("B", lambda r, c: r["action"] in ("b", "bc"),
+            quantifier="plus", contiguity="strict"),
+        Pat("C", lambda r, c: r["action"] in ("bc", "c"),
+            contiguity="strict"),
+        Pat("D", lambda r, c: r["action"] == "d", contiguity="strict"),
+    ]
+
+    def timeout_measures(v, pdf):
+        return {"n_b": len(v.get("B", [])),
+                "c_action": (v["C"].iloc[0]["action"]
+                             if "C" in v else None)}
+
+    out = match_recognize(
+        df, partition_by=["k"], order_by=["ts"], pattern=pattern,
+        measures=lambda v, p: {"n_b": -1, "c_action": "MATCH"},
+        output_schema="k string, n_b int, c_action string",
+        within="10 minutes", ts_col="ts",
+        timeout_measures=timeout_measures,
+    ).toPandas()
+
+    got = sorted(zip(out.n_b, out.c_action),
+                 key=lambda t: (t[0], t[1] or ""))
+    assert got == [(1, "bc"), (2, None)], got
+
+
+def test_live_partials_relaxed_all_keeps_perpetual_ignore_branch():
+    """followedByAny (relaxedAll): a matching row is taken AND ignored.
+    Rows a,b1,b2 with pattern A followedByAny B next C: [A,b1] died
+    when b2 arrived without matching C (strict next kills); [A,b2]
+    survives to end-of-input at C-wait; the branch that ignored every B
+    is still waiting at B — Flink times out BOTH, individually."""
+    from flink_examples_spark.operators.cep import _live_partials
+
+    records = [{"t": "a"}, {"t": "b"}, {"t": "b"}]
+    pat = [
+        Pat("A", lambda r, c: r["t"] == "a", contiguity="strict"),
+        Pat("B", lambda r, c: r["t"] == "b", contiguity="relaxedAll"),
+        Pat("C", lambda r, c: r["t"] == "c", contiguity="strict"),
+    ]
+    out = _live_partials(records, pat, 0, None)
+    assert [("A", 0), ("B", 2)] in out      # survived to end at C-wait
+    assert [("A", 0)] in out                # perpetual-ignore branch
+    assert [("A", 0), ("B", 1)] not in out  # killed by b2 (not C)
+
+
+def test_live_partials_cap_keeps_greedy_first():
+    """The branch cap sheds later branches and always retains the
+    greedy-longest partial as element 0. Note only TWO computations are
+    live at end-of-input here: the all-B loop branch and the branch
+    that took C on the LAST row — every earlier proceed-branch reached
+    D-wait with rows remaining and was killed by the strict non-D row
+    (death, not timeout), exactly Flink's pruning."""
+    from flink_examples_spark.operators.cep import _live_partials
+
+    records = [{"t": "a"}] + [{"t": "bc"}] * 6
+    pat = [
+        Pat("A", lambda r, c: r["t"] == "a", contiguity="strict"),
+        Pat("B", lambda r, c: r["t"] == "bc", quantifier="plus",
+            contiguity="strict"),
+        Pat("C", lambda r, c: r["t"] == "bc", contiguity="strict"),
+        Pat("D", lambda r, c: r["t"] == "d", contiguity="strict"),
+    ]
+    full = _live_partials(records, pat, 0, None)
+    capped = _live_partials(records, pat, 0, None, cap=1)
+    assert full == [
+        [("A", 0)] + [("B", i) for i in range(1, 7)],
+        [("A", 0)] + [("B", i) for i in range(1, 6)] + [("C", 6)],
+    ]
+    assert capped == full[:1]

@@ -2539,3 +2539,80 @@ def test_streaming_outer_interval_join_emits_unmatched(
     assert closed <= stream_unmatched
     assert stream_unmatched.isdisjoint({m[0] for m in batch_matched})
     assert len(stream_matched) > 0 and len(closed) > 0
+
+
+def test_streaming_cep_concurrent_partials_agree_with_batch(
+    spark, tmp_path
+):
+    """D9 closure, streaming twin: the loop-take vs proceed-take fork
+    (a row satisfying both B+ and C) emits BOTH timed-out partials —
+    one row per live NFA computation, exactly the batch
+    match_recognize(timeout_measures=...) output on the same fixture
+    (tests/test_cep.py::test_two_concurrent_partials_each_time_out_individually),
+    with the horizon crossed at a LATER trigger."""
+    from flink_examples_spark.operators.cep import Pat
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    # trigger 0: the a / b / bc prefix (no d ever arrives)
+    pd.DataFrame({
+        "k": ["k"] * 3,
+        "action": ["a", "b", "bc"],
+        "ts": [base, base + m, base + 2 * m],
+    }).to_parquet(os.path.join(d, "000.parquet"), index=False)
+    os.utime(os.path.join(d, "000.parquet"), (now, now))
+    # trigger 1: a much later event on the same key advances max_ts
+    # past a's horizon -> both partials time out HERE
+    pd.DataFrame({
+        "k": ["k"], "action": ["zzz"], "ts": [base + 60 * m],
+    }).to_parquet(os.path.join(d, "001.parquet"), index=False)
+    os.utime(os.path.join(d, "001.parquet"), (now + 1, now + 1))
+
+    pattern = [
+        Pat("A", lambda r, c: r["action"] == "a", contiguity="strict"),
+        Pat("B", lambda r, c: r["action"] in ("b", "bc"),
+            quantifier="plus", contiguity="strict"),
+        Pat("C", lambda r, c: r["action"] in ("bc", "c"),
+            contiguity="strict"),
+        Pat("D", lambda r, c: r["action"] == "d", contiguity="strict"),
+    ]
+
+    def timeout_measures(v, pdf):
+        return {"n_b": len(v.get("B", [])),
+                "c_action": (v["C"].iloc[0]["action"]
+                             if "C" in v else None)}
+
+    batches: list = []
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    q = (
+        streaming_cep(
+            src, key="k", ts_col="ts", pattern=pattern,
+            measures=lambda v, p: {"n_b": -1, "c_action": "MATCH"},
+            output_schema="k string, n_b int, c_action string",
+            within_ms=10 * 60 * 1000,
+            order_cols=["ts"],
+            timeout_measures=timeout_measures,
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, bid: batches.append((bid, bdf.collect()))
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = sorted(
+        ((r.n_b, r.c_action) for _, b in batches for r in b),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    # identical pair to the batch golden: [A,B=b,C=bc] and [A,B=b,B=bc]
+    assert rows == [(1, "bc"), (2, None)], rows
+    # and they fire only once the horizon passes (trigger >= 1)
+    early = [bid for bid, b in batches if b and bid == 0]
+    assert not early, batches
