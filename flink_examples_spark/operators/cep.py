@@ -315,6 +315,28 @@ def _live_partials(
     return out
 
 
+def _match_could_extend(
+    pattern: Sequence[Pat], consumed: list[tuple[str, int]]
+) -> bool:
+    """True when a greedy NFA would prefer to EXTEND this complete
+    match with further rows rather than emit it: the element that
+    consumed the final row can still take (below its max), or optional
+    trailing elements remain. Used by the streaming matcher to hold a
+    match whose tail sits at the buffer's edge until the ``within``
+    horizon closes — otherwise a ``B+`` spanning a trigger boundary
+    would split differently from the batch run (D10)."""
+    last_var = consumed[-1][0]
+    idxs = [k for k, p in enumerate(pattern) if p.name == last_var]
+    i = idxs[-1]
+    reps = sum(1 for v, _ in consumed if v == last_var)
+    _, hi = _bounds(pattern[i])
+    if hi is None or reps < hi:
+        return True
+    # any trailing element necessarily has min 0 (the match is already
+    # complete without it) and max >= 1 — it could still take a row
+    return i + 1 < len(pattern)
+
+
 def _greedy_partial(
     records: list[dict],
     pattern: Sequence[Pat],

@@ -445,14 +445,24 @@ def streaming_cep(
     later trigger than the one that buffered it — the timer latency
     the reference's TimedOutPartialMatchHandler has too.
 
-    Matches emit eagerly at first completion; for patterns whose greedy
-    PLUS could extend across a trigger boundary this can differ from a
-    single-batch run (documented divergence — strict fixed-length
-    patterns are exactly equal, which the tests assert).
+    Match emission (D10, narrowed r6): a completed match emits in the
+    trigger that completes it UNLESS its greedy tail sits at the
+    buffer's edge and could still take rows (a ``B+`` below its max,
+    or an optional trailing element) while the anchor's ``within``
+    horizon is open — such a match is held and re-scanned so a
+    boundary-spanning greedy tail ends up identical to the batch run
+    (maximal), emitting when a row blocks extension or the horizon
+    closes. Fixed-suffix patterns emit eagerly as before. Like D1,
+    a held match on a key that never receives another row stays
+    pending until data (or a horizon-advancing event) arrives.
     """
     import json
 
-    from flink_examples_spark.operators.cep import _find_matches, _live_partials
+    from flink_examples_spark.operators.cep import (
+        _find_matches,
+        _live_partials,
+        _match_could_extend,
+    )
 
     # The pending buffer is JSON-encoded in GroupState; only ts_col is
     # converted (timestamp -> epoch ms). Any OTHER non-JSON-able column
@@ -502,12 +512,28 @@ def streaming_cep(
             found: list[list[tuple[str, int]]] = []
             _find_matches(records, pattern, start, within_check, False, found)
             if found:
+                m = found[0]
+                # D10 closure: a complete match whose greedy tail sits
+                # at the buffer's edge AND could still take rows (B+
+                # below max / optional trailing element) is HELD while
+                # its anchor's horizon is open — the next trigger's
+                # rows may extend it, and emitting now would split a
+                # boundary-spanning B+ differently from the batch run.
+                # Once max_seen_ts passes anchor + within, no future
+                # in-order row can extend it; it emits maximal.
+                anchor_ts = records[m[0][1]][ts_col]
+                if (
+                    max(idx for _, idx in m) == n - 1
+                    and anchor_ts + within_ms >= max_ts
+                    and _match_could_extend(pattern, m)
+                ):
+                    break  # keep buffered; re-scan next trigger
                 vars_map: dict[str, list[dict]] = {}
-                for var, idx in found[0]:
+                for var, idx in m:
                     vars_map.setdefault(var, []).append(records[idx])
                 vars_pdf = {v: pd.DataFrame(rows) for v, rows in vars_map.items()}
                 results.append(measures(vars_pdf, None))
-                start = found[0][0][1] + 1
+                start = m[0][1] + 1
             elif records[start][ts_col] + within_ms < max_ts:
                 # Horizon passed for the row at ``start``: nothing can
                 # complete FROM here. Emit the timed-out partial (C4

@@ -2616,3 +2616,71 @@ def test_streaming_cep_concurrent_partials_agree_with_batch(
     # and they fire only once the horizon passes (trigger >= 1)
     early = [bid for bid, b in batches if b and bid == 0]
     assert not early, batches
+
+
+def test_streaming_cep_trailing_greedy_plus_spans_trigger_boundary(
+    spark, tmp_path
+):
+    """D10 closure: a pattern ENDING in greedy B+ whose repetitions
+    span a trigger boundary emits ONE maximal match identical to the
+    batch run — the completed-but-extendable match is held at the
+    buffer edge while its horizon is open, instead of emitting [A,B]
+    eagerly in trigger 0 and a fragment later."""
+    from flink_examples_spark.operators.cep import Pat
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    s = pd.Timedelta(seconds=1)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    # trigger 0: a b b  — [A,B,B] is complete AND extendable
+    pd.DataFrame({
+        "k": ["k"] * 3, "action": ["a", "b", "b"],
+        "ts": [base, base + s, base + 2 * s],
+    }).to_parquet(os.path.join(d, "000.parquet"), index=False)
+    os.utime(os.path.join(d, "000.parquet"), (now, now))
+    # trigger 1: two more b's — still extendable, still held
+    pd.DataFrame({
+        "k": ["k"] * 2, "action": ["b", "b"],
+        "ts": [base + 3 * s, base + 4 * s],
+    }).to_parquet(os.path.join(d, "001.parquet"), index=False)
+    os.utime(os.path.join(d, "001.parquet"), (now + 1, now + 1))
+    # trigger 2: a non-b row blocks extension -> the maximal match
+    # [A, B x4] emits (same as one batch over the whole log)
+    pd.DataFrame({
+        "k": ["k"], "action": ["x"], "ts": [base + 5 * s],
+    }).to_parquet(os.path.join(d, "002.parquet"), index=False)
+    os.utime(os.path.join(d, "002.parquet"), (now + 2, now + 2))
+
+    pattern = [
+        Pat("A", lambda r, c: r["action"] == "a", contiguity="strict"),
+        Pat("B", lambda r, c: r["action"] == "b",
+            quantifier="plus", contiguity="strict"),
+    ]
+
+    batches: list = []
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    q = (
+        streaming_cep(
+            src, key="k", ts_col="ts", pattern=pattern,
+            measures=lambda v, p: {"n_b": len(v["B"])},
+            output_schema="k string, n_b int",
+            within_ms=60_000,
+            order_cols=["ts"],
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, bid: batches.append((bid, bdf.collect()))
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = [(bid, r.n_b) for bid, b in batches for r in b]
+    # exactly ONE match, maximal (4 B's), emitted when extension was
+    # blocked in trigger 2 — never the eager [A,B,B] fragment
+    assert [n for _, n in rows] == [4], rows
+    assert all(bid >= 2 for bid, _ in rows), rows
