@@ -136,3 +136,78 @@ def transition_edges(
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle counting via degree-ordered edge orientation —
+    ``(node, n_triangles)`` for every node in at least one triangle.
+
+    The naive three-way edge self-join enumerates each triangle six
+    times and, worse, fans out quadratically on high-degree hubs (a
+    celebrity node with d followers contributes d^2 wedge candidates).
+    The standard fix (Cohen 2009 MapReduce triangle counting /
+    compact-forward): orient every undirected edge from the
+    LOWER-degree endpoint to the higher (ties by id), so each triangle
+    has exactly one "apex" node whose two out-edges form the wedge —
+    every triangle is built exactly once, and wedge fan-out is bounded
+    by sum of min-degree^2, the theoretically optimal bound, instead
+    of max-degree^2.
+
+    Plan shape: degrees = one map-side-combinable groupBy; orientation
+    = two broadcast-or-shuffle joins of edges to the degree table;
+    wedges = one self-join of the oriented list on the apex; closure =
+    one join of wedges against oriented edges on the (b, c) pair.
+    Nothing is ever all-pairs; every join key is an edge endpoint or
+    an edge pair. Input edges may carry duplicates or both directions
+    — they are canonicalized and deduped first.
+    """
+    lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(lo.alias("a"), hi.alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient (a, b) from lower (degree, id) to higher — total order, so
+    # the oriented graph is acyclic and each triangle has one apex
+    da, db = F.col("da.d"), F.col("db.d")
+    oriented = (
+        und.join(deg.alias("da"), und["a"] == F.col("da.node"))
+        .join(deg.alias("db"), und["b"] == F.col("db.node"))
+        .select(
+            F.when((da < db) | ((da == db) & (und["a"] < und["b"])),
+                   F.struct(und["a"].alias("u"), und["b"].alias("v")))
+            .otherwise(F.struct(und["b"].alias("u"), und["a"].alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.v") < F.col("w2.v")),
+    ).select(
+        F.col("w1.u").alias("apex"),
+        F.col("w1.v").alias("b"),
+        F.col("w2.v").alias("c"),
+    )
+    # the closing edge is looked up in the CANONICAL undirected list
+    # (a < b by id) — wedges already have b < c by construction
+    tri = wedges.join(
+        und,
+        (wedges["b"] == und["a"]) & (wedges["c"] == und["b"]),
+    ).select("apex", wedges["b"].alias("nb"), wedges["c"].alias("nc"))
+    return (
+        tri.select(F.explode(F.array("apex", "nb", "nc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -174,3 +174,91 @@ def kmv_estimates(
             / (F.element_at("_kept", k).cast("double") / F.lit(two60))
         ).alias("kmv_est"),
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """HyperLogLog register table per group — ``(*group_cols, bucket,
+    reg)`` with at most ``m = 2**p`` rows per group (Flajolet et al.
+    2007), every value integer-exact and engine-portable.
+
+    Spark's built-in ``approx_count_distinct`` is HLL++ but its sketch
+    is opaque JVM state; this table IS the sketch, in plain columns:
+    ``bucket = h % m``, ``reg = max over keys of rho(h div m)`` where
+    ``rho`` = leading-zero count + 1 within the remaining 60-p bits,
+    computed as ``55 - length(bin(w))`` (for p=6; ``bin`` renders
+    minimal binary in both Spark and DuckDB, so the oracle reproduces
+    every register bit-exactly — the same md5-portability discipline
+    as [[countmin_table]] / [[kmv_estimates]]).
+
+    Scale shape: one map-side-combinable groupBy (max) whose shuffle is
+    at most m rows per task per group — sketch-sized, not data-sized;
+    registers merge across shards/days by element-wise MAX, which is
+    the whole point of HLL.
+    """
+    m = 1 << p
+    rbits = 60 - p  # h is 60-bit (hash60); w = h div m has 60-p bits
+    h = hash60(F.concat(F.col(key_col).cast("string"), F.lit("#hll")))
+    w = F.expr(f"_h div {m}")
+    rho = F.when(w == 0, F.lit(rbits + 1)).otherwise(
+        F.lit(rbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .select(
+            *group_cols,
+            F.pmod("_h", F.lit(m)).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_summary(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 6,
+) -> DataFrame:
+    """Fold the register table into the HLL raw estimate per group:
+    ``(*group_cols, n_buckets_set, sum_pow, hll_est)``.
+
+    ``sum_pow`` is the harmonic-sum denominator kept INTEGER-exact:
+    ``sum over all m registers of 2**(rmax - reg)`` with ``rmax =
+    60 - p + 1`` (empty registers contribute ``2**rmax`` each), so the
+    only float op is the final ``alpha_m * m^2 * 2**rmax / sum_pow``
+    division — one IEEE expression both engines evaluate identically.
+    The small-range linear-counting correction is deliberately NOT
+    applied (it needs ``ln``, whose last-ulp behavior is libm-specific
+    and would break bit-exact oracles); callers see ``n_buckets_set``
+    and can apply any correction policy downstream.
+    """
+    m = 1 << p
+    rmax = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, key_col, group_cols, p)
+    scale = float(alpha * m * m * (1 << rmax))
+    return (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_buckets_set"),
+            (
+                F.sum(F.expr(f"shiftleft(1L, {rmax} - reg)"))
+                + (F.lit(m) - F.count(F.lit(1)))
+                * F.lit(1 << rmax).cast("long")
+            ).alias("sum_pow"),
+        )
+        .select(
+            *group_cols,
+            "n_buckets_set",
+            "sum_pow",
+            (F.lit(scale) / F.col("sum_pow").cast("double"))
+            .alias("hll_est"),
+        )
+    )

@@ -6821,6 +6821,70 @@ def event_graph_walk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "copurchase_triangle_counts",
+    oracle="""
+    WITH e AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY 1
+    """,
+    doc="Per-part triangle participation in the co-purchase graph "
+        "(parts co-ordered in >= 2 distinct orders — the min-support "
+        "filter keeps the graph sparse as lineitem grows; unfiltered, "
+        "co-purchase edges grow ~linearly with orders and the graph "
+        "densifies). Counting uses degree-ordered orientation "
+        "(operators/graph.py triangle_counts): each undirected edge "
+        "points from its lower-(degree, id) endpoint, so every "
+        "triangle is built exactly once at its unique apex and wedge "
+        "fan-out is bounded by sum(min-degree^2) — the Cohen/"
+        "compact-forward bound — instead of hub-degree^2. The oracle "
+        "is the naive declarative triple-join spec; the engine plan "
+        "is the scalable one. Pair building self-joins lineitem on "
+        "l_orderkey (per-order quadratic, bounded by TPC-H's <= 7 "
+        "lines per order).",
+)
+def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges).select(
+        "node", F.col("n_triangles").cast("long").alias("n_triangles")
+    )
+
+
+@register(
     "heavy_hitters_countmin",
     oracle=f"""
     WITH cells AS (
@@ -6921,6 +6985,74 @@ def distinct_kmv_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sk.join(exact, "event_type").select(
         "event_type", "n_kept", "kmv_est", "exact_distinct"
+    )
+
+
+# HLL raw-estimate scale for p=6 (m=64, rmax=55): one Python-computed
+# double embedded verbatim in BOTH the Spark op and the oracle so the
+# only float op (the final division) is bit-identical cross-engine
+_HLL_SCALE = 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * float(1 << 55)
+
+
+@register(
+    "hll_distinct_by_event_type",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               {_HASH60_SQL.format(
+                   expr="CAST(user_id AS VARCHAR) || '#hll'")} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+        SELECT event_type, h % 64 AS bucket,
+               MAX(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END) AS reg
+        FROM h GROUP BY 1, 2
+    ),
+    sk AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS INT) AS n_buckets_set,
+               CAST(SUM(1::BIGINT << (55 - reg))
+                    + (64 - COUNT(*)) * (1::BIGINT << 55)
+                    AS BIGINT) AS sum_pow
+        FROM regs GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT sk.event_type, n_buckets_set, sum_pow,
+           {_HLL_SCALE!r} / CAST(sum_pow AS DOUBLE) AS hll_est,
+           exact_distinct
+    FROM sk JOIN ex USING (event_type)
+    """,
+    doc="HyperLogLog distinct-user sketch per event type (p=6, m=64), "
+        "completing the sketch trio (CMS frequencies, KMV distincts, "
+        "Bloom membership) with the one HLL property Spark's built-in "
+        "approx_count_distinct can't expose: the REGISTERS are plain "
+        "integer columns, bit-exact in any engine (md5-derived hash, "
+        "rho via minimal-binary length — identical in Spark and "
+        "DuckDB), so the sketch itself is oracle-backed. The harmonic "
+        "denominator stays integer (sum of 2^(55-reg) over all 64 "
+        "registers); the single float op is one double division both "
+        "engines evaluate identically. Build is one map-side-combined "
+        "MAX groupBy — shuffle is <=64 rows per group per task, and "
+        "registers merge across shards/days by element-wise MAX. The "
+        "ln-based small-range correction is deliberately omitted "
+        "(libm-specific ulps would break the oracle); n_buckets_set "
+        "rides along so callers can apply any correction policy.",
+)
+def hll_distinct_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.sketches import hll_summary
+
+    events = load_table(spark, "events", sf_dir)
+    sk = hll_summary(events, "user_id", ["event_type"], p=6)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type", "n_buckets_set", "sum_pow", "hll_est",
+        "exact_distinct",
     )
 
 

@@ -171,3 +171,37 @@ def test_streaming_edge_ingest_straddle_parity(spark, tmp_path):
     stateless = {(r.src, r.dst): r.w for r in
                  read_transition_edges(spark, root2).collect()}
     assert sum(stateless.values()) == 6 * (11 - 2)  # 2 lost per user
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4: every node is in C(3,2)=3 triangles. A star hub has none.
+    Duplicate, reversed, and self-loop edges are canonicalized away."""
+    from flink_examples_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = (
+        k4
+        + [(b, a) for a, b in k4]      # reversed duplicates
+        + [(2, 1), (3, 0)]             # plain duplicates
+        + [(0, 0), (3, 3)]             # self-loops
+        + [(10, i) for i in range(4, 9)]  # star: no triangles
+    )
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_each_triangle_once_regardless_of_degree_skew(spark):
+    """A hub node h connected to k spokes, consecutive spokes also
+    connected: exactly k-1 triangles (h, i, i+1); the hub participates
+    in all of them, each spoke in at most 2 — and the wedge join never
+    double-counts even though the hub's degree dwarfs every spoke's."""
+    from flink_examples_spark.operators.graph import triangle_counts
+
+    k = 50
+    edges = [(100, i) for i in range(k)] + [(i, i + 1) for i in range(k - 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got[100] == k - 1
+    assert sum(got.values()) == 3 * (k - 1)
+    assert got[0] == 1 and got[k - 1] == 1 and got[1] == 2

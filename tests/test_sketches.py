@@ -256,3 +256,43 @@ def test_countmin_compaction_swap_is_crash_safe(spark, tmp_path):
         frames[0].unionByName(frames[1]).unionByName(frames[2]),
         "user_id").collect()}
     assert whole == ref
+
+
+def test_hll_registers_merge_by_max_equals_whole(spark):
+    """The defining HLL property: registers built on split halves of a
+    stream, merged by element-wise MAX, equal the whole-stream
+    registers — so shard/day sketches fold without the raw data."""
+    from flink_examples_spark.operators.sketches import hll_registers
+
+    rows = [(f"u{i % 97}", "t") for i in range(500)]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    half_a = hll_registers(df.filter(F.expr("substr(user_id, 2) % 2 = 0")),
+                           "user_id", ["event_type"])
+    half_b = hll_registers(df.filter(F.expr("substr(user_id, 2) % 2 = 1")),
+                           "user_id", ["event_type"])
+    merged = {r.bucket: r.reg for r in (
+        half_a.unionByName(half_b)
+        .groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+        .collect()
+    )}
+    whole = {r.bucket: r.reg
+             for r in hll_registers(df, "user_id", ["event_type"]).collect()}
+    assert merged == whole
+
+
+def test_hll_estimate_tracks_exact_within_expected_error(spark):
+    """Raw HLL error at m=64 is ~1.04/sqrt(64) = 13% RSD; assert the
+    estimate lands within 4 sigma of truth at a cardinality well past
+    the small-range regime, and sum_pow accounts every register
+    (empty ones contribute 2^55 each: sum_pow <= 64 * 2^55)."""
+    from flink_examples_spark.operators.sketches import hll_summary
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"user-{i}", "t") for i in range(n)],
+        "user_id string, event_type string",
+    )
+    row = hll_summary(df, "user_id", ["event_type"]).collect()[0]
+    assert row.n_buckets_set == 64  # 5000 keys saturate 64 buckets
+    assert 0 < row.sum_pow <= 64 * (1 << 55)
+    assert abs(row.hll_est - n) / n < 4 * 1.04 / 8.0
