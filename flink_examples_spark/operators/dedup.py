@@ -1379,3 +1379,102 @@ def verify_levenshtein_on_candidates(
         )
         .filter(F.col("lev_sim") >= min_sim)
     )
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= ``threshold_num/threshold_den``
+    via PREFIX FILTERING (PPJoin family: Chaudhuri et al. SSJoin 2006,
+    Xiao et al. 2008) — the scale path for HIGH thresholds, with no
+    frequency capping anywhere, so the result is the uncapped exact
+    answer, not "exact given the cap" like [[ngram_jaccard_pairs]].
+
+    Sort every doc's shingles by GLOBAL rarity (document frequency
+    asc, shingle asc — one total order shared by all docs); if
+    J(a, b) >= t, the two docs' ``|x| - ceil(t * |x|) + 1`` rarest
+    shingles must share at least one element, so the inverted-index
+    self-join runs over PREFIXES only. At t = 0.7 that is ~30% of each
+    doc's shingles, and because prefixes hold each doc's RAREST
+    shingles, the join's sum-of-freq^2 cost collapses — boilerplate
+    shingles (the quadratic blowup the frequency cap exists to stop)
+    are almost never inside a prefix. Survivor pairs are verified with
+    the exact full-set intersection; the threshold itself is applied
+    in integer cross-multiplication (``den * i >= num * union``), so
+    no float boundary can misclassify a pair.
+
+    Plan shape: shingle df = one map-side-combinable groupBy; prefix
+    selection = per-doc row_number window (doc-bounded partitions);
+    candidate join on prefix shingles; verify = candidate-sized join
+    back to the full index. Nothing is ever all-pairs.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    # L = n_sh - ceil(t * n_sh) + 1, all-integer (ceil(a/b) = (a+b-1)
+    # div b — no float boundary can shrink a prefix and lose a pair)
+    ceil_t = F.expr(
+        f"({threshold_num} * n_sh + {threshold_den - 1})"
+        f" div {threshold_den}"
+    )
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("n_sh") - ceil_t + F.lit(1))
+        .select("doc_id", "shingle")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cands = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("n_common")
+            >= F.lit(threshold_num)
+            * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_common")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .alias("jaccard"),
+        )
+    )

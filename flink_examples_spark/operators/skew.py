@@ -181,3 +181,59 @@ def range_partitioned_ntile(
         .withColumn(out_col, band.cast("int"))
         .drop("__pid", "__off", "__n")
     )
+
+
+def range_partitioned_running_max(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    val_col: str,
+    num_ranges: int | None = None,
+    out_col: str = "run_max",
+) -> DataFrame:
+    """EXCLUSIVE running ``MAX(val_col)`` over the GLOBAL total order
+    of ``order_cols`` (each may be a sort expression like
+    ``F.col(c).desc()``) — without the single-reducer Window a plain
+    ``Window.orderBy(...)`` with no PARTITION BY compiles to.
+
+    Same slice-offset discipline as [[range_partitioned_ntile]]:
+    ``repartitionByRange`` bounds every sort by a range-partition
+    (``localCheckpoint`` pins the sampled boundaries so both branches
+    see the same partition ids), one tiny per-slice MAX aggregate, an
+    exclusive prefix-max window over THAT (num_ranges rows, the
+    aggregate-first rule), broadcast back, and a slice-local exclusive
+    cummax combined via null-skipping ``greatest``. First row of the
+    global order gets NULL, exactly like the window it replaces.
+
+    ``order_cols`` must be a total order if ties must resolve
+    deterministically — same contract as the window form.
+    """
+    order_cols = [
+        F.col(c) if isinstance(c, str) else c for c in order_cols
+    ]
+    from pyspark.sql import Window
+
+    if num_ranges is None:
+        num_ranges = df.rdd.getNumPartitions()
+    ranged = df.repartitionByRange(num_ranges, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=True)
+    per_slice = ranged.groupBy("__pid").agg(F.max(val_col).alias("__m"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_slice.select(
+        "__pid", F.max("__m").over(w_off).alias("__off")
+    )
+    w_loc = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.max(val_col).over(w_loc)
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.greatest(local, F.col("__off")))
+        .drop("__pid", "__off")
+    )

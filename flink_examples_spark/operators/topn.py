@@ -73,3 +73,49 @@ def hot_items(
         [F.desc("view_count"), F.asc(key_col)],
         n,
     ).select("window_end", key_col, "view_count", "rank")
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """Pareto frontier (skyline) over two criteria: keep every row no
+    OTHER row dominates, where a dominator is <= on ``min_col``, >= on
+    ``max_col``, and strictly better on at least one. All duplicates
+    of a frontier point are kept (neither dominates the other) — the
+    standard skyline-operator semantics (Börzsönyi et al., ICDE 2001).
+
+    The naive spec is a NOT EXISTS self-join — quadratic. The 2-D
+    skyline collapses to a running max: over DISTINCT value pairs
+    sorted by (min_col asc, max_col desc), a pair survives iff its
+    ``max_col`` strictly exceeds the exclusive running max — every
+    potential dominator sorts strictly earlier under that order, and a
+    prior pair with running-max >= y always dominates (either its
+    min_col is smaller, or it ties and its max_col is strictly
+    larger). Survivors then semi-join the full input, so the heavy
+    table is touched by exactly one shuffle (the pair dedup) plus a
+    broadcast-sized join — the frontier is tiny by construction.
+
+    The running max itself uses [[range_partitioned_running_max]], so
+    no single-reducer global-order Window appears anywhere: sorts are
+    bounded by range partitions even when the distinct-pair set is
+    large (e.g. continuous criteria where dedup barely shrinks).
+    """
+    from flink_examples_spark.operators.skew import (
+        range_partitioned_running_max,
+    )
+
+    pairs = df.select(min_col, max_col).distinct()
+    ranked = range_partitioned_running_max(
+        pairs,
+        [F.col(min_col).asc(), F.col(max_col).desc()],
+        max_col,
+        out_col="__rm",
+    )
+    frontier = ranked.filter(
+        F.col("__rm").isNull() | (F.col(max_col) > F.col("__rm"))
+    ).drop("__rm")
+    return df.join(
+        F.broadcast(frontier), on=[min_col, max_col], how="left_semi"
+    )

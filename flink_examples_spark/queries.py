@@ -1605,6 +1605,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE 10 * n_common >= 7 * (sa.n_sh + sb.n_sh - n_common)
+    """,
+    doc="Exact 3-gram Jaccard >= 0.7 near-dup pairs by PREFIX "
+        "FILTERING (PPJoin/SSJoin) — the high-threshold scale path "
+        "with NO frequency capping: docs' shingles sort by one global "
+        "rarity order and only each doc's (n - ceil(0.7 n) + 1) "
+        "RAREST shingles enter the inverted-index self-join, so "
+        "boilerplate shingles (the sum-freq^2 blowup the capped "
+        "variant trades exactness against) almost never join; "
+        "survivors verify on the full sets, threshold applied in "
+        "integer cross-multiplication. Oracle is the naive uncapped "
+        "all-shingle spec — the answers are identical, only the join "
+        "size differs. Complements dedup_ngram_jaccard (low-threshold "
+        "capped) and dedup_minhash_lsh (probabilistic).",
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    return jaccard_prefix_filter_pairs(
+        _fan_out(spark, load_table(spark, "documents", sf_dir)),
+        "doc_id",
+        "text",
+        n=3,
+        threshold_num=7,
+        threshold_den=10,
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
@@ -6818,6 +6864,45 @@ def event_graph_walk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = transition_edges(ev, "user_id", ["ts", "event_id"], "k")
     return walk_mass(edges, iterations=3)
+
+
+@register(
+    "parts_price_size_skyline",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT p_retailprice AS x, p_size AS y FROM part
+    ),
+    ranked AS (
+        SELECT x, y,
+               MAX(y) OVER (ORDER BY x ASC, y DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS rm
+        FROM pairs
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    JOIN ranked s ON p.p_retailprice = s.x AND p.p_size = s.y
+    WHERE s.rm IS NULL OR s.y > s.rm
+    """,
+    doc="Skyline (Pareto frontier) of parts: cheapest-for-their-size — "
+        "no other part is both <= price and >= size with one strict. "
+        "The 2-D skyline collapses to an exclusive running max over "
+        "distinct (price, size) pairs sorted (price asc, size desc); "
+        "the engine computes that running max with the slice-offset "
+        "discipline (operators/skew.py range_partitioned_running_max) "
+        "so NO single-reducer global-order Window exists in the plan, "
+        "then semi-joins the broadcast-sized frontier back — the big "
+        "table pays one dedup shuffle total. Oracle is the same "
+        "mathematical spec as one declarative window query; the naive "
+        "NOT EXISTS form is quadratic and appears nowhere.",
+)
+def parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.topn import skyline_2d
+
+    part = load_table(spark, "part", sf_dir)
+    return skyline_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
 
 
 @register(

@@ -351,3 +351,45 @@ def test_ngram_novelty_golden(spark):
     ).collect()
     assert (row.n_test_shingles, row.n_novel) == (2, 1)
     assert abs(row.novelty_rate - 0.5) < 1e-12
+
+
+def test_prefix_filter_jaccard_equals_uncapped_inverted_index(spark):
+    """Prefix filtering must lose NO pair: at binary-exact thresholds
+    (1/2, 1/4) the PPJoin-style pruned join returns exactly the pairs
+    the uncapped full inverted-index join returns, on a fixture with
+    exact dups, heavy-overlap near-dups, and disjoint docs — including
+    docs whose shingle counts make ceil(t*n) land on and off integer
+    boundaries."""
+    from flink_examples_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "iota", "kappa"]
+
+    def text(idxs):
+        return " ".join(vocab[i % len(vocab)] for i in idxs)
+
+    rows = [
+        (1, text(range(12))),
+        (2, text(range(12))),                       # exact dup of 1
+        (3, text(list(range(10)) + [97, 98])),      # heavy overlap w/ 1
+        (4, text(range(50, 61))),                   # disjoint
+        (5, text(list(range(5)) + list(range(30, 37)))),  # partial
+        (6, text(range(7))),                        # small doc (n=5 shingles)
+        (7, text(list(range(7)) + [77])),           # near-dup of 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for num, den in [(1, 2), (1, 4)]:
+        got = {(r.doc_a, r.doc_b)
+               for r in jaccard_prefix_filter_pairs(
+                   df, "doc_id", "text", n=3,
+                   threshold_num=num, threshold_den=den).collect()}
+        want = {(r.doc_a, r.doc_b)
+                for r in ngram_jaccard_pairs(
+                    df, "doc_id", "text", n=3,
+                    threshold=num / den).collect()}
+        assert got == want, (num, den, got, want)
+        assert (1, 2) in got  # exact dup always survives

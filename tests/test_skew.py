@@ -341,3 +341,67 @@ def test_range_partitioned_ntile_no_low_cardinality_window(spark):
         if "Window" in line and "row_number" in line:
             # the data-sized window must be partitioned by the slice id
             assert "__pid" in line, line
+
+
+def test_range_partitioned_running_max_matches_native_window(spark):
+    """range_partitioned_running_max == the exclusive global-order
+    cummax window, on mixed asc/desc sort exprs with ties."""
+    from pyspark.sql import Window
+
+    from flink_examples_spark.operators.skew import (
+        range_partitioned_running_max,
+    )
+
+    rows = [((i * 37) % 50, (i * 13) % 29, i) for i in range(1500)]
+    df = spark.createDataFrame(rows, "x long, y long, id long")
+    order = [F.col("x").asc(), F.col("y").desc(), F.col("id").asc()]
+    got = range_partitioned_running_max(df, order, "y", num_ranges=7)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("run_max", F.max("y").over(w))
+    key = lambda r: (r.x, r.y, r.id)  # noqa: E731
+    assert sorted(((r.x, r.y, r.id, r.run_max)
+                   for r in got.collect())) == \
+        sorted(((r.x, r.y, r.id, r.run_max) for r in want.collect()))
+
+
+def test_skyline_2d_matches_not_exists_spec_and_keeps_duplicates(spark):
+    """skyline_2d == the quadratic NOT-EXISTS dominance spec, including
+    duplicate frontier points (neither dominates the other)."""
+    from flink_examples_spark.operators.topn import skyline_2d
+
+    rows = [(i, (i * 7) % 40, (i * 11) % 25) for i in range(300)]
+    rows += [(1000, rows[5][1], rows[5][2])]  # exact duplicate pair
+    df = spark.createDataFrame(rows, "id long, price long, size long")
+    got = {r.id for r in skyline_2d(df, "price", "size").collect()}
+
+    data = [(i, p, s) for i, p, s in rows]
+    want = {
+        i for i, p, s in data
+        if not any(
+            q <= p and t >= s and (q < p or t > s) for _, q, t in data
+        )
+    }
+    assert got == want and want  # non-vacuous
+    # duplicates: if one copy is on the frontier, both are
+    if rows[5][0] in want:
+        assert 1000 in got
+
+
+def test_skyline_plan_has_no_global_order_window_over_data(spark):
+    """The only Window allowed to run over data-sized input must be
+    partitioned by the slice id; the unpartitioned prefix window runs
+    over slice summaries only (aggregate-first discipline)."""
+    from flink_examples_spark.operators.topn import skyline_2d
+
+    df = spark.range(2000).select(
+        (F.col("id") * 17 % 97).alias("price"),
+        (F.col("id") * 13 % 53).alias("size"),
+        F.col("id"),
+    )
+    plan = (
+        skyline_2d(df, "price", "size")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "max(size" in line:
+            assert "__pid" in line, line
