@@ -59,3 +59,33 @@ def ts_display(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
 def bucket_mod(col: Column | str, n: int) -> Column:
     """Non-negative modulo bucketing (AsyncIOExample.java:269)."""
     return F.pmod(_c(col), F.lit(n))
+
+
+def zorder_key(c1: Column | str, c2: Column | str,
+               bits: int = 16) -> Column:
+    """Morton/Z-order interleave of two pre-quantized non-negative
+    integer columns — the multi-dimensional clustering key for data
+    layout (Databricks OPTIMIZE ZORDER, Iceberg/Hudi z-order sorts).
+
+    Sorting or range-partitioning 100 TB by a z-key makes files tight
+    in EVERY interleaved dimension at once: a reader filtering on
+    either column prunes most files from min/max footer stats, where a
+    lexicographic (c1, c2) layout only prunes on the leading column.
+    Callers quantize each dimension into ``[0, 2**bits)`` first (rank,
+    epoch-day, or min/max normalization — see the registered query).
+
+    Pure integer bit math (``bits`` pairs of shift/mask terms, all
+    inside whole-stage codegen), identical in any engine: bit i of c1
+    lands at 2i, bit i of c2 at 2i+1.
+    """
+    a = _c(c1).cast("long")
+    b = _c(c2).cast("long")
+    terms = None
+    for i in range(bits):
+        t = F.shiftleft(
+            F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(
+            F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        terms = t if terms is None else terms + t
+    return terms.cast("long")

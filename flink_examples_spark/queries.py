@@ -6866,6 +6866,93 @@ def event_graph_walk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_mass(edges, iterations=3)
 
 
+_Z_TERMS = " + ".join(
+    f"(((q1 >> {i}) & 1) << {2 * i}) + (((q2 >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
+@register(
+    "orders_zorder_clustering_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d
+        FROM orders
+    ),
+    mm AS (
+        SELECT MIN(o_custkey) AS c_lo, MAX(o_custkey) AS c_hi,
+               MIN(d) AS d_lo, MAX(d) AS d_hi
+        FROM base
+    ),
+    q AS (
+        SELECT o_orderkey, o_custkey, d,
+               (o_custkey - c_lo) * 65535
+                   // GREATEST(c_hi - c_lo, 1) AS q1,
+               (d - d_lo) * 65535 // GREATEST(d_hi - d_lo, 1) AS q2
+        FROM base CROSS JOIN mm
+    ),
+    z AS (
+        SELECT o_orderkey, o_custkey, d,
+               CAST({_Z_TERMS} AS BIGINT) AS zkey
+        FROM q
+    )
+    SELECT zkey >> 24 AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(o_custkey) - MIN(o_custkey) AS BIGINT)
+               AS custkey_span,
+           CAST(MAX(d) - MIN(d) AS BIGINT) AS day_span
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering-key layout census for orders on "
+        "(o_custkey, o_orderdate): both dimensions min/max-quantized "
+        "to 16 bits, bit-interleaved (functions/scalar.py zorder_key — "
+        "pure shift/mask integer math inside whole-stage codegen), "
+        "bucketed by the key's top 8 bits. Each bucket's custkey and "
+        "day SPANS are the payoff metric: sorting 100 TB by zkey "
+        "makes every file tight in BOTH dimensions at once, so "
+        "min/max footer stats prune scans filtered on EITHER column — "
+        "a lexicographic (custkey, date) sort only prunes on the "
+        "leading one. The min/max normalization pass is one tiny "
+        "aggregate broadcast back; everything else is per-row integer "
+        "math, bit-identical in the oracle.",
+)
+def orders_zorder_clustering_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.functions.scalar import zorder_key
+
+    base = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    )
+    mm = base.agg(
+        F.min("o_custkey").alias("c_lo"), F.max("o_custkey").alias("c_hi"),
+        F.min("d").alias("d_lo"), F.max("d").alias("d_hi"),
+    )
+    q = base.crossJoin(F.broadcast(mm)).select(
+        "o_orderkey", "o_custkey", "d",
+        F.expr("(o_custkey - c_lo) * 65535"
+               " div greatest(c_hi - c_lo, 1)").alias("q1"),
+        F.expr("(d - d_lo) * 65535 div greatest(d_hi - d_lo, 1)")
+        .alias("q2"),
+    )
+    return (
+        q.withColumn("zkey", zorder_key("q1", "q2"))
+        .groupBy(F.shiftright("zkey", 24).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.max("o_custkey") - F.min("o_custkey"))
+            .cast("long").alias("custkey_span"),
+            (F.max("d") - F.min("d")).cast("long").alias("day_span"),
+        )
+    )
+
+
 @register(
     "parts_price_size_skyline",
     oracle="""

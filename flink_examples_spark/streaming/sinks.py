@@ -1195,3 +1195,111 @@ def read_transition_edges(spark, edges_path: str,
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
     )
+
+
+def hll_ingest_foreach_batch(
+    sketch_path: str,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 6,
+    fmt: str = "parquet",
+    compact_every_n_batches: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming face of the HyperLogLog register table
+    (operators/sketches.py ``hll_registers``): each micro-batch writes
+    ITS OWN register table under ``sketch_path/batch=<id>`` (at most
+    ``2**p`` rows per group per batch); readers fold subdirs by
+    element-wise MAX (:func:`read_hll_registers`).
+
+    Replay/compaction contrast with the Count-Min twin: register MAX
+    is IDEMPOTENT, so unlike :func:`compact_countmin_sketch` (additive
+    cells — folding the in-flight batch would double-count on replay)
+    :func:`compact_hll_registers` may fold EVERY subdir including the
+    newest; a replayed batch recreates its subdir and the max-fold of
+    (compacted ∪ recreated) equals the pre-replay fold exactly."""
+    from flink_examples_spark.operators.sketches import hll_registers
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(sketch_path)
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            compact_hll_registers(spark, sketch_path, group_cols,
+                                  fmt=fmt)
+        hll_registers(batch_df, key_col, group_cols, p).write.mode(
+            "overwrite"
+        ).format(fmt).save(os.path.join(sketch_path, f"batch={batch_id}"))
+
+    return apply
+
+
+def read_hll_registers(
+    spark,
+    sketch_path: str,
+    group_cols: list[str],
+    fmt: str = "parquet",
+    group_schema: str = "event_type string",
+) -> DataFrame:
+    """Fold every staged subdir into the current register table via
+    element-wise MAX — sketch-sized however long the ingest has run. A
+    missing path reads as an empty sketch (``group_schema`` supplies
+    the group column types for that case)."""
+    _recover_swap(sketch_path)
+    subs = [
+        os.path.join(sketch_path, n)
+        for n in os.listdir(sketch_path)
+        if not n.startswith((".", "_"))
+    ] if os.path.isdir(sketch_path) else []
+    if not subs:
+        return spark.createDataFrame(
+            [], f"{group_schema}, bucket long, reg int"
+        )
+    return (
+        spark.read.format(fmt).load(subs)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def compact_hll_registers(
+    spark,
+    sketch_path: str,
+    group_cols: list[str],
+    fmt: str = "parquet",
+) -> int:
+    """Fold ALL batch subdirs — newest included, max is idempotent
+    (see :func:`hll_ingest_foreach_batch`) — into one
+    ``batch=compacted`` register table, crash-safe via the staging
+    swap. Returns registers in the compacted table, 0 if nothing to
+    fold."""
+    _recover_swap(sketch_path)
+    if not os.path.isdir(sketch_path):
+        return 0
+    subs = [
+        n for n in os.listdir(sketch_path) if not n.startswith((".", "_"))
+    ]
+    if not any(n != "batch=compacted" for n in subs):
+        return 0
+    folded = (
+        spark.read.format(fmt)
+        .load([os.path.join(sketch_path, n) for n in subs])
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("reg").alias("reg"))
+        .localCheckpoint()
+    )
+
+    def write_to(staging: str) -> None:
+        folded.write.mode("overwrite").format(fmt).save(
+            os.path.join(staging, "batch=compacted")
+        )
+
+    return _swap_in_rewrite(
+        sketch_path,
+        write_to,
+        count=lambda staging: spark.read.format(fmt)
+        .load(os.path.join(staging, "batch=compacted"))
+        .count(),
+    )

@@ -96,3 +96,42 @@ def test_query_index_doc_is_current():
     assert f"{len(qs)} registered queries" in text
     missing = [n for n in qs if f"`{n}`" not in text]
     assert not missing, f"stale QUERY_INDEX.md, missing: {missing}"
+
+
+def test_zorder_key_interleave_golden_and_locality():
+    """zorder_key bit-interleave golden: z(q1, q2) places q1's bit i at
+    position 2i and q2's at 2i+1 — checked against a pure-Python Morton
+    encode on boundary and random values; and sorting a grid by zkey
+    gives 4-quadrant locality (each contiguous quarter of the z-range
+    is one quadrant of the grid)."""
+    from pyspark.sql import SparkSession
+
+    from flink_examples_spark.functions.scalar import zorder_key
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+    def morton(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    vals = [(0, 0), (65535, 65535), (1, 0), (0, 1), (43690, 21845),
+            (12345, 54321), (65535, 0), (0, 65535)]
+    df = spark.createDataFrame(vals, "q1 long, q2 long")
+    got = {(r.q1, r.q2): r.z
+           for r in df.withColumn("z", zorder_key("q1", "q2")).collect()}
+    assert got == {(x, y): morton(x, y) for x, y in vals}
+
+    # locality: an 8x8 grid scaled to 16-bit corners — the z-order of
+    # the grid's top quadrant bit decides before any lower coordinate
+    grid = [(x << 13, y << 13) for x in range(8) for y in range(8)]
+    gdf = spark.createDataFrame(grid, "q1 long, q2 long")
+    rows = sorted(
+        gdf.withColumn("z", zorder_key("q1", "q2")).collect(),
+        key=lambda r: r.z,
+    )
+    first_quarter = rows[:16]
+    assert all(r.q1 < (4 << 13) and r.q2 < (4 << 13)
+               for r in first_quarter)

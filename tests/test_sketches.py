@@ -296,3 +296,59 @@ def test_hll_estimate_tracks_exact_within_expected_error(spark):
     assert row.n_buckets_set == 64  # 5000 keys saturate 64 buckets
     assert 0 < row.sum_pow <= 64 * (1 << 55)
     assert abs(row.hll_est - n) / n < 4 * 1.04 / 8.0
+
+
+def test_hll_ingest_fold_equals_whole_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Per-batch HLL register tables folded by MAX == registers over
+    the concatenated stream; replaying a batch (even one already
+    compacted away) changes nothing — max is idempotent, the semantic
+    the CMS twin does NOT have."""
+    import os as _os
+
+    from flink_examples_spark.operators.sketches import hll_registers
+    from flink_examples_spark.streaming.sinks import (
+        compact_hll_registers,
+        hll_ingest_foreach_batch,
+        read_hll_registers,
+    )
+
+    root = str(tmp_path / "hll")
+    frames = [
+        spark.createDataFrame(
+            [(f"u{i}", "t") for i in range(lo, hi)],
+            "user_id string, event_type string",
+        )
+        for lo, hi in [(0, 40), (20, 70), (60, 100)]
+    ]
+    apply = hll_ingest_foreach_batch(root, "user_id", ["event_type"])
+    for i, f in enumerate(frames):
+        apply(f, i)
+
+    whole = {(r.event_type, r.bucket): r.reg for r in hll_registers(
+        frames[0].unionByName(frames[1]).unionByName(frames[2]),
+        "user_id", ["event_type"]).collect()}
+    folded = {(r.event_type, r.bucket): r.reg for r in
+              read_hll_registers(spark, root, ["event_type"]).collect()}
+    assert folded == whole
+
+    # compaction folds EVERYTHING (newest included) into one subdir
+    assert compact_hll_registers(spark, root, ["event_type"]) > 0
+    assert sorted(
+        n for n in _os.listdir(root) if n.startswith("batch=")
+    ) == ["batch=compacted"]
+    assert {(r.event_type, r.bucket): r.reg for r in
+            read_hll_registers(spark, root, ["event_type"]).collect()} \
+        == whole
+
+    # replay of an already-compacted batch: subdir recreated, fold
+    # unchanged (idempotent max)
+    apply(frames[1], 1)
+    assert {(r.event_type, r.bucket): r.reg for r in
+            read_hll_registers(spark, root, ["event_type"]).collect()} \
+        == whole
+
+    # missing path -> empty sketch, not a crash
+    assert read_hll_registers(
+        spark, str(tmp_path / "nope"), ["event_type"]).count() == 0
