@@ -7057,6 +7057,89 @@ def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_pair_lift_topk",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    supp AS (
+        SELECT l_partkey, COUNT(*) AS n_p FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               COUNT(*) AS n_ab
+        FROM baskets x JOIN baskets y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, n_ab,
+           CAST(n_orders AS DOUBLE) * n_ab / (sa.n_p * sb.n_p) AS lift
+    FROM pairs
+    JOIN supp sa ON part_a = sa.l_partkey
+    JOIN supp sb ON part_b = sb.l_partkey
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+    doc="Market-basket association mining: top-20 co-purchased part "
+        "pairs by LIFT = N * supp(a,b) / (supp(a) * supp(b)), min "
+        "support 2 — the a-priori first pass expressed relationally. "
+        "Basket dedup first (a part twice in one order is one basket "
+        "membership), pair generation self-joins baskets on the order "
+        "key (per-order quadratic, bounded by lines-per-order), "
+        "supports ride in on two part-keyed joins and the global "
+        "basket count broadcasts as a scalar. Lift is one double "
+        "expression over exact integers, bit-identical in the oracle; "
+        "ties break on the part-id total order so top-20 membership "
+        "is deterministic.",
+)
+def part_pair_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    supp = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            supp.select(F.col("l_partkey").alias("part_a"),
+                        F.col("n_p").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            supp.select(F.col("l_partkey").alias("part_b"),
+                        F.col("n_p").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_ab",
+            (F.col("n_orders").cast("double") * F.col("n_ab")
+             / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@register(
     "heavy_hitters_countmin",
     oracle=f"""
     WITH cells AS (
