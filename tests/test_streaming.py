@@ -2684,3 +2684,60 @@ def test_streaming_cep_trailing_greedy_plus_spans_trigger_boundary(
     # blocked in trigger 2 — never the eager [A,B,B] fragment
     assert [n for _, n in rows] == [4], rows
     assert all(bid >= 2 for bid, _ in rows), rows
+
+
+def test_streaming_cep_held_match_emits_when_horizon_closes(
+    spark, tmp_path
+):
+    """D10, the other release path: no row ever BLOCKS the greedy tail
+    — instead a later event pushes max_ts past the anchor's horizon,
+    after which no in-order row can extend the match, so the held
+    [A, B, B] emits maximal (and exactly once)."""
+    from flink_examples_spark.operators.cep import Pat
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    s = pd.Timedelta(seconds=1)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    pd.DataFrame({
+        "k": ["k"] * 3, "action": ["a", "b", "b"],
+        "ts": [base, base + s, base + 2 * s],
+    }).to_parquet(os.path.join(d, "000.parquet"), index=False)
+    os.utime(os.path.join(d, "000.parquet"), (now, now))
+    # far-future event on the same key: closes the horizon, matches
+    # nothing itself (pattern anchor 'a' only opens on action='a')
+    pd.DataFrame({
+        "k": ["k"], "action": ["zzz"],
+        "ts": [base + pd.Timedelta(minutes=5)],
+    }).to_parquet(os.path.join(d, "001.parquet"), index=False)
+    os.utime(os.path.join(d, "001.parquet"), (now + 1, now + 1))
+
+    pattern = [
+        Pat("A", lambda r, c: r["action"] == "a", contiguity="strict"),
+        Pat("B", lambda r, c: r["action"] == "b",
+            quantifier="plus", contiguity="strict"),
+    ]
+    batches: list = []
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    q = (
+        streaming_cep(
+            src, key="k", ts_col="ts", pattern=pattern,
+            measures=lambda v, p: {"n_b": len(v["B"])},
+            output_schema="k string, n_b int",
+            within_ms=60_000,
+            order_cols=["ts"],
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, bid: batches.append((bid, bdf.collect()))
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [(bid, r.n_b) for bid, b in batches for r in b]
+    assert [n for _, n in rows] == [2], rows
+    assert all(bid >= 1 for bid, _ in rows), rows
