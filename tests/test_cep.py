@@ -686,3 +686,135 @@ def test_live_partials_cap_keeps_greedy_first():
         [("A", 0)] + [("B", i) for i in range(1, 6)] + [("C", 6)],
     ]
     assert capped == full[:1]
+
+
+def test_live_partials_differential_vs_global_event_simulation():
+    """Differential fuzz for the D9 semantics: an INDEPENDENT
+    event-driven simulator (every row spawns a start-state
+    computation; computations branch on take/proceed, survive by their
+    resident element's ignore rule, die on strict in-horizon
+    mismatches, and time out at horizon/end-of-input) must produce the
+    same multiset of timed-out partials as the anchored-DFS sweep the
+    batch loop performs (_live_partials per anchor, advancing past each
+    anchor). Patterns end in a never-matching element so no complete
+    match exists and the comparison is pure timeout enumeration."""
+    import random
+
+    from flink_examples_spark.operators.cep import (
+        Pat,
+        _bounds,
+        _find_matches,
+        _live_partials,
+    )
+
+    def mk_pred(ch):
+        return lambda r, c, ch=ch: ch in r["t"]
+
+    def simulate(records, pattern, within):
+        def pred(j, r, consumed):
+            e = pattern[j]
+            if e.where is None:
+                return True
+            from flink_examples_spark.operators.cep import MatchCtx
+            return bool(e.where(records[r], MatchCtx(list(consumed),
+                                                     records)))
+
+        def chain_of(ei, reps):
+            ch, j, rj = [], ei, reps
+            while True:
+                ch.append((j, rj))
+                lo_j, _ = _bounds(pattern[j])
+                if rj >= lo_j and j + 1 < len(pattern):
+                    j, rj = j + 1, 0
+                    continue
+                return ch
+
+        comps: list[tuple[int, int, tuple]] = []
+        out = []
+        n = len(records)
+        for r in range(n + 1):  # n = end-of-input tick
+            survivors: list[tuple[int, int, tuple]] = []
+            for ei, reps, consumed in comps + [(0, 0, ())]:
+                if not consumed and r >= n:
+                    continue
+                if consumed and (
+                    r >= n or (within and not within(consumed[0][1], r))
+                ):
+                    out.append(list(consumed))
+                    continue
+                if r >= n:
+                    continue
+                chain = chain_of(ei, reps)
+                res = next(
+                    ((j, rj) for j, rj in chain
+                     if _bounds(pattern[j])[1] is None
+                     or rj < _bounds(pattern[j])[1]),
+                    chain[0],
+                )
+                res_hit = False
+                base = consumed[-1][1] + 1 if consumed else r
+                for j, rj in chain:
+                    lo_j, hi_j = _bounds(pattern[j])
+                    if hi_j is not None and rj >= hi_j:
+                        continue
+                    e = pattern[j]
+                    eff = e.internal_contiguity if rj > 0 else e.contiguity
+                    if eff == "strict" and r != base:
+                        continue
+                    if pred(j, r, consumed):
+                        survivors.append(
+                            (j, rj + 1, consumed + ((e.name, r),))
+                        )
+                        if (j, rj) == res:
+                            res_hit = True
+                if not consumed:
+                    continue  # each row gets its own fresh start
+                re_ = pattern[res[0]]
+                eff_r = (re_.internal_contiguity if res[1] > 0
+                         else re_.contiguity)
+                if eff_r == "relaxedAll" or (
+                    eff_r == "relaxed" and not res_hit
+                ):
+                    survivors.append((ei, reps, consumed))
+            comps = survivors
+        return sorted(out)
+
+    rng = random.Random(20260815)
+    alphabet = ["a", "b", "c", "ab", "bc"]
+    checked = 0
+    for _ in range(300):
+        n_elems = rng.randint(2, 4)
+        pats = []
+        for k in range(n_elems):
+            last = k == n_elems - 1
+            q = rng.choice(["one", "plus", "range"])
+            lo, hi = {"one": (1, 1), "plus": (1, None),
+                      "range": (rng.randint(0, 2), rng.randint(2, 3))}[q]
+            if lo == 0 and k in (0, n_elems - 1):
+                lo = 1  # anchors well-defined; 'z' tail never optional
+            pats.append(Pat(
+                f"V{k}",
+                mk_pred("z") if last else mk_pred(rng.choice("abc")),
+                contiguity=rng.choice(["strict", "relaxed", "relaxedAll"]),
+                min_times=lo, max_times=hi,
+                internal_contiguity=rng.choice(["strict", "relaxed"]),
+            ))
+        records = [{"t": rng.choice(alphabet)}
+                   for _ in range(rng.randint(1, 8))]
+
+        # sweep exactly like the batch timeout loop
+        swept, start = [], 0
+        while start < len(records):
+            found: list = []
+            _find_matches(records, pats, start, None, False, found)
+            assert not found  # 'z' tail: no completion possible
+            live = _live_partials(records, pats, start, None, cap=10_000)
+            if live:
+                swept.extend(live)
+                start = live[0][0][1] + 1
+            else:
+                start += 1
+        assert sorted(swept) == simulate(records, pats, None), (
+            pats, records)
+        checked += 1
+    assert checked == 300
