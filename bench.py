@@ -221,6 +221,19 @@ def main() -> None:
             n = df.collect()
             runs.setdefault(name, []).append(time.perf_counter() - t0)
             del n
+        # drop RDD blocks the query pinned (localCheckpoint in the
+        # iterative/range-partitioned operators): left in place they
+        # accumulate across the ~180-query session and push LATER
+        # queries' reps into memory pressure — measured 3x on
+        # dedup_levenshtein_verify in-session vs solo (r6). Outside
+        # the timer: eviction cost is session hygiene, not the plan.
+        try:
+            for jrdd in (
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                jrdd.unpersist()
+        except Exception:
+            pass  # py4j surface moved: stale blocks only skew, not break
 
     timings = {name: round(min(ts), 3) for name, ts in runs.items()}
     # rep0 = plan analysis + whole-stage codegen compile + execute in a

@@ -506,3 +506,45 @@ def test_cube_and_scd2_plan_discipline(spark, sf_dir):
     scd2 = registry()["user_attr_scd2"].spark_fn(spark, sf_dir)
     assert exchange_count(scd2) == 1
     assert not python_eval_nodes(scd2)
+
+
+def test_round6_new_operator_plan_shapes(spark, sf_dir):
+    """r6 operators keep the house discipline: no cartesian products or
+    nested-loop joins anywhere, no Python boundary, HLL registers carry
+    a partial MAX before their exchange (sketch-sized shuffle), and the
+    prefix-filter dedup's only Windows are doc-bounded (partitioned by
+    doc_id), never content-keyed or global."""
+    from flink_examples_spark.queries import registry
+
+    reg = registry()
+    for name in [
+        "hll_distinct_by_event_type",
+        "copurchase_triangle_counts",
+        "dedup_jaccard_prefix_filter",
+        "parts_price_size_skyline",
+        "orders_zorder_clustering_stats",
+        "part_pair_lift_topk",
+    ]:
+        df = reg[name].spark_fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        if name not in ("orders_zorder_clustering_stats",
+                        "part_pair_lift_topk"):
+            # those two crossJoin a ONE-ROW broadcast aggregate (the
+            # min/max normalizers / global basket count) — the scalar
+            # BNLJ is the intended plan, not a join-order accident
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert not python_eval_nodes(df), name
+
+    from flink_examples_spark.operators.sketches import hll_registers
+
+    regs = hll_registers(load_table(spark, "events", sf_dir),
+                         "user_id", ["event_type"])
+    plan = formatted_plan(regs)
+    assert plan.count("HashAggregate") >= 2   # partial MAX + final
+
+    df = reg["dedup_jaccard_prefix_filter"].spark_fn(spark, sf_dir)
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in exec_plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "doc_id" in line, line   # doc-bounded, never global
