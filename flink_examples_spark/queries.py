@@ -7311,6 +7311,87 @@ def hll_distinct_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_sliding_daily_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day,
+               {_HASH60_SQL.format(
+                   expr="CAST(user_id AS VARCHAR) || '#hll'")} AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    pane AS (
+        SELECT day, h % 64 AS bucket,
+               MAX(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END) AS reg
+        FROM h GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM pane),
+    slid AS (
+        SELECT d.day, p.bucket, MAX(p.reg) AS reg
+        FROM days d JOIN pane p
+          ON p.day BETWEEN d.day - INTERVAL 2 DAY AND d.day
+        GROUP BY 1, 2
+    ),
+    sk AS (
+        SELECT day, CAST(COUNT(*) AS INT) AS n_buckets_set,
+               CAST(SUM(1::BIGINT << (55 - reg))
+                    + (64 - COUNT(*)) * (1::BIGINT << 55)
+                    AS BIGINT) AS sum_pow
+        FROM slid GROUP BY 1
+    )
+    SELECT day, n_buckets_set, sum_pow,
+           {_HLL_SCALE!r} / CAST(sum_pow AS DOUBLE) AS hll_est
+    FROM sk
+    """,
+    doc="Sliding 3-day distinct users by HLL PANE MERGE — the "
+        "Dataflow/kappa pattern that makes sliding distinct tractable "
+        "at scale: raw events are scanned ONCE into per-day register "
+        "panes (64 integer rows per day), then every 3-day window is "
+        "the element-wise MAX of its 3 panes — window assembly costs "
+        "sketch-rows x window-span, never a re-scan, and panes are "
+        "exactly what the streaming ingest (hll_ingest_foreach_batch) "
+        "already stages. Exact sliding COUNT(DISTINCT) cannot merge "
+        "this way (distinct sets don't decompose); HLL registers do. "
+        "Same bit-exact register/oracle discipline as "
+        "hll_distinct_by_event_type.",
+)
+def hll_sliding_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.sketches import hll_registers
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    pane = hll_registers(ev, "user_id", ["day"], p=6)
+    days = pane.select("day").distinct().alias("d")
+    slid = (
+        days.join(
+            pane.alias("p"),
+            (F.col("p.day") >= F.col("d.day") - F.expr("INTERVAL 2 DAYS"))
+            & (F.col("p.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("p.bucket"))
+        .agg(F.max("p.reg").alias("reg"))
+    )
+    m, rmax = 64, 55
+    return (
+        slid.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_buckets_set"),
+            (
+                F.sum(F.expr(f"shiftleft(1L, {rmax} - reg)"))
+                + (F.lit(m) - F.count(F.lit(1)))
+                * F.lit(1 << rmax).cast("long")
+            ).alias("sum_pow"),
+        )
+        .select(
+            "day", "n_buckets_set", "sum_pow",
+            (F.lit(_HLL_SCALE) / F.col("sum_pow").cast("double"))
+            .alias("hll_est"),
+        )
+    )
+
+
 _BM25_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
 
@@ -7375,6 +7456,60 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-granularity reporting shapes (Spark .rollup()/.pivot(); DuckDB
 # GROUP BY ROLLUP / conditional aggregation).
 # ---------------------------------------------------------------------------
+
+@register(
+    "revenue_grouping_sets_status_priority_year",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(GROUPING(o_orderstatus) * 4
+                + GROUPING(o_orderpriority) * 2
+                + GROUPING(year(o_orderdate)) AS BIGINT) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS (
+        (o_orderstatus, o_orderpriority),
+        (o_orderstatus, year(o_orderdate)),
+        (o_orderpriority),
+        ()
+    )
+    """,
+    doc="Arbitrary GROUPING SETS (the general form ROLLUP and CUBE "
+        "are sugar for): exactly the four groupings a report needs — "
+        "(status x priority), (status x year), (priority), grand "
+        "total — NOT the full cube's eight. Spark plans this as ONE "
+        "Expand (4 replicas, only the requested sets) + one hash "
+        "aggregate: one shuffle serves all four granularities, and "
+        "skipping the unrequested cube cells keeps the Expand factor "
+        "at 4 instead of 8 — at 100 TB the Expand multiplier IS the "
+        "cost, so requesting only needed sets halves it. grouping_id "
+        "disambiguates rolled-up NULLs from value NULLs.",
+)
+def revenue_grouping_sets_status_priority_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT status, priority, o_year,
+               CAST(grouping(status) * 4 + grouping(priority) * 2
+                    + grouping(o_year) AS BIGINT) AS gid,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS (
+            (status, priority), (status, o_year), (priority), ()
+        )
+    """)
+
 
 @register(
     "revenue_rollup_region_nation_year",
