@@ -38,6 +38,8 @@ Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
     merge_apply_partnd     1.2s    0.9s    1.0s  -0.11   n/a (delta 313)
     ngram_containment      2.2s    2.2s    2.8s   0.17   1.00 (r5)
     event_walk_mass        1.9s    2.0s    2.0s   0.02   n/a (100 nodes, r5)
+    jaccard_prefix_filter  3.7s    6.2s    8.1s   0.56   1.00 (r6, uncapped exact)
+    skyline_2d             0.7s    0.7s    0.7s  -0.03   1.00 (r6, frontier ~12)
 
 The merge row is the partition-scoped MERGE (2026-08-14): the staged
 corpus quadruples (shard count grows, constant rows per shard) while
@@ -97,6 +99,30 @@ def _containment(docs):
     return ngram_containment_pairs(
         docs, "doc_id", "text", threshold=0.6, max_shingle_freq=256
     )
+
+
+def _prefix_jaccard(docs):
+    from flink_examples_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    return jaccard_prefix_filter_pairs(
+        docs, "doc_id", "text", n=3, threshold_num=7, threshold_den=10
+    )
+
+
+def _skyline(events):
+    """2-D skyline over (value-as-cost, event_id-mod-as-benefit) — the
+    range-partitioned running-max path; must stay linear (the frontier
+    semi-join is broadcast-sized by construction)."""
+    from flink_examples_spark.operators.topn import skyline_2d
+
+    pts = events.select(
+        F.pmod(F.col("event_id") * 2654435761, 100_000).alias("price"),
+        F.pmod(F.col("event_id") * 40503, 10_000).alias("size"),
+        "event_id",
+    )
+    return skyline_2d(pts, "price", "size")
 
 
 def _walk(events):
@@ -232,6 +258,18 @@ def main() -> None:
             events1, "event_id",
             lambda d: _walk(d),
             ("user_id",),
+        ),
+        # r6: UNCAPPED exact Jaccard — the prefix join must track the
+        # capped curve (rarity prefixes, never sum-freq² blowup)
+        "jaccard_prefix_filter": (
+            docs1, "doc_id",
+            lambda d: _prefix_jaccard(d),
+        ),
+        # r6: skyline's range-partitioned running max — dedup shuffle +
+        # slice-local windows; curve linear, frontier stays tiny
+        "skyline_2d": (
+            events1, "event_id",
+            lambda d: _skyline(d),
         ),
     }
 
