@@ -769,3 +769,95 @@ def streaming_hot_items_counts(
             F.col("view_count"),
         )
     )
+
+
+def streaming_series_pattern_scan(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    pattern: Sequence[float],
+    max_dist: float,
+    order_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.series_pattern_scan`` (the
+    UCR-shape subsequence similarity scan; EDBT'19 streaming
+    time-series similarity — PAPERS.md): slide a ``len(pattern)``
+    window over each key's ordered value series AS IT ARRIVES and emit
+    every window within squared-euclidean ``max_dist`` of the query
+    shape, anchored at the window-start row.
+
+    State per key is exactly the last ``m - 1`` rows (the minimal
+    carry for boundary-spanning windows — the same tail discipline as
+    the transition-edge ingest): each trigger scans tail + new rows,
+    and since a complete window cannot fit inside the (m-1)-row tail,
+    every complete window in the concatenation contains at least one
+    new row — so nothing is ever emitted twice and nothing is missed,
+    giving EXACT batch parity on ordered per-key arrival (the module
+    contract). The distance sum replays the batch operator's
+    left-associative addition order, so emitted distances are
+    IEEE-identical to the batch twin's.
+
+    Output: ``(key, *order_cols as epoch-ms/long, dist)`` — the
+    timestamp order column is carried as epoch millis in state and
+    output (the JSON state buffer round-trip; compare against the
+    batch twin by casting its timestamp to epoch ms).
+    """
+    import json
+
+    m = len(pattern)
+    if m < 1:
+        raise ValueError("streaming_series_pattern_scan: empty pattern")
+    ocols = list(order_cols or [ts_col])
+    pat = [float(q) for q in pattern]
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        tail = (
+            [json.loads(s) for s in state.get[0]] if state.exists else []
+        )
+        new_rows: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ocols, kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                d = dict(zip(pdf.columns, row))
+                d[ts_col] = int(d[ts_col].value // 1_000_000)
+                new_rows.append(
+                    {c: d[c] for c in ocols} | {"v": d[value_col]}
+                )
+        new_rows.sort(key=lambda d: tuple(d[c] for c in ocols))
+        seq = tail + new_rows
+        out = []
+        for s in range(len(seq) - m + 1):
+            vals = [seq[s + j]["v"] for j in range(m)]
+            if any(v is None or pd.isna(v) for v in vals):
+                continue
+            dist = None
+            for v, q in zip(vals, pat):
+                term = (v - q) * (v - q)
+                dist = term if dist is None else dist + term
+            dist = round(dist, 6)
+            if dist <= max_dist:
+                out.append(
+                    (key_t[0], *[seq[s][c] for c in ocols], dist)
+                )
+        state.update(([json.dumps(r) for r in seq[max(0, len(seq) - (m - 1)):]],))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key_col, *ocols, "dist"]
+            )
+
+    types = {f.name: f.dataType.simpleString() for f in events.schema.fields}
+    out_schema = ", ".join(
+        [f"{key_col} {types[key_col]}"]
+        # the ts order column rides as epoch ms; other order cols keep
+        # their input type
+        + [f"{c} {'long' if c == ts_col else types[c]}" for c in ocols]
+        + ["dist double"]
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        "tail array<string>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

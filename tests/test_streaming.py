@@ -2741,3 +2741,64 @@ def test_streaming_cep_held_match_emits_when_horizon_closes(
     rows = [(bid, r.n_b) for bid, b in batches for r in b]
     assert [n for _, n in rows] == [2], rows
     assert all(bid >= 1 for bid, _ in rows), rows
+
+
+def test_streaming_series_pattern_scan_matches_batch(spark, tmp_path):
+    """The streaming subsequence scan == the batch operator over the
+    whole log, with 4-row windows straddling both trigger boundaries
+    (the m-1 tail carry), NULL values skipped, and distances
+    IEEE-identical (same left-assoc addition order)."""
+    from flink_examples_spark.operators.windows import series_pattern_scan
+    from flink_examples_spark.streaming.stateful import (
+        streaming_series_pattern_scan,
+    )
+
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    s = pd.Timedelta(seconds=1)
+    vals = [5.0, 14.0, 31.0, 58.0, 6.0, None, 29.0, 61.0,
+            4.0, 16.0, 30.0, 59.0]
+    rows = {
+        "user_id": [7] * 12,
+        "ts": [base + i * s for i in range(12)],
+        "event_id": list(range(12)),
+        "value": vals,
+    }
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    for b in range(3):  # 4 rows per trigger
+        pd.DataFrame({k: v[b * 4:(b + 1) * 4] for k, v in rows.items()}) \
+            .to_parquet(os.path.join(d, f"00{b}.parquet"), index=False)
+        os.utime(os.path.join(d, f"00{b}.parquet"), (now + b, now + b))
+
+    got_rows: list = []
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    q = (
+        streaming_series_pattern_scan(
+            src, "user_id", "ts", "value",
+            pattern=[5.0, 15.0, 30.0, 60.0], max_dist=500.0,
+            order_cols=["ts", "event_id"],
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, bid: got_rows.extend(bdf.collect())
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.user_id, r.ts, r.event_id, r.dist) for r in got_rows}
+
+    bdf = spark.createDataFrame(pd.DataFrame(rows))
+    want = {
+        (r.user_id, int(r.ts.timestamp() * 1000), r.event_id, r.dist)
+        for r in series_pattern_scan(
+            bdf, "user_id", ["ts", "event_id"], "value",
+            pattern=[5.0, 15.0, 30.0, 60.0], max_dist=500.0,
+        ).collect()
+    }
+    assert got == want and want, (got, want)
+    # the straddling windows (starts at rows 1-3, 6-8) must be present
+    # when within distance: row 8's start [4,16,30,59] surely is
+    assert any(e == 8 for _, _, e, _ in got)
