@@ -7312,6 +7312,135 @@ def hll_distinct_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dau_retention_bitmap",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM d GROUP BY 1),
+    ret AS (
+        SELECT a.day, COUNT(*) AS retained
+        FROM d a JOIN d b
+          ON b.user_id = a.user_id
+         AND b.day = a.day + INTERVAL 1 DAY
+        GROUP BY 1
+    )
+    SELECT day, CAST(dau AS BIGINT) AS dau,
+           CAST(COALESCE(retained, 0) AS BIGINT) AS retained_next_day
+    FROM dau LEFT JOIN ret USING (day)
+    """,
+    doc="Next-day retention by EXACT bitmap algebra (the Druid/"
+        "ClickHouse groupBitmap technique, operators/bitmap.py): each "
+        "day's active-user set packs into sparse 64-bit words via one "
+        "map-side-combinable bit_or groupBy; retained(day) is then "
+        "sum(bit_count(w_day & w_day+1)) over shared word indexes — a "
+        "join of two bitmap tables (keyspace/64 words per day), never "
+        "a re-scan or a user-level self-join of the event log. The "
+        "exact counterpart of the HLL pane merge: same never-rescan "
+        "assembly, set-exact, keyspace-proportional state. Oracle is "
+        "the naive distinct self-join spec; shiftleft/bit_or/bit_count "
+        "evaluate identically in both engines so the bitmap math is "
+        "fully verified.",
+)
+def dau_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.bitmap import presence_bitmaps
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    bm = presence_bitmaps(ev, ["day"], "user_id")
+    dau = bm.groupBy("day").agg(
+        F.sum(F.bit_count("word")).alias("dau")
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    ret = (
+        a.join(
+            b,
+            (F.col("a.word_idx") == F.col("b.word_idx"))
+            & (F.col("b.day")
+               == F.col("a.day") + F.expr("INTERVAL 1 DAY")),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.sum(F.bit_count(
+                F.col("a.word").bitwiseAND(F.col("b.word"))
+            )).alias("retained")
+        )
+    )
+    return dau.join(ret, "day", "left").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.coalesce("retained", F.lit(0)).cast("long")
+        .alias("retained_next_day"),
+    )
+
+
+@register(
+    "dau_wau_stickiness_bitmap",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM d GROUP BY 1),
+    wau AS (
+        SELECT a.day, COUNT(DISTINCT b.user_id) AS wau
+        FROM (SELECT DISTINCT day FROM d) a
+        JOIN d b ON b.day BETWEEN a.day - INTERVAL 6 DAY AND a.day
+        GROUP BY 1
+    )
+    SELECT day, CAST(dau AS BIGINT) AS dau,
+           CAST(wau AS BIGINT) AS wau_7d,
+           CAST(1000000 * dau // wau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau USING (day)
+    """,
+    doc="DAU/WAU stickiness with EXACT trailing-7-day actives by "
+        "bitmap OR-merge: daily presence bitmaps (one bit_or groupBy "
+        "over the log) assemble each trailing window as bit_or over "
+        "<= 7 word-tables then one popcount sum — the window never "
+        "re-reads events, the same pane-merge shape as "
+        "hll_sliding_daily_distinct but set-exact. Stickiness lands "
+        "as integer ppm (1e6 * dau div wau) so the ratio is "
+        "bit-reproducible. Oracle is the naive distinct-count spec "
+        "over a day-range join.",
+)
+def dau_wau_stickiness_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.bitmap import presence_bitmaps
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    bm = presence_bitmaps(ev, ["day"], "user_id")
+    dau = bm.groupBy("day").agg(
+        F.sum(F.bit_count("word")).alias("dau")
+    )
+    days = bm.select("day").distinct().alias("d")
+    wau = (
+        days.join(
+            bm.alias("p"),
+            (F.col("p.day")
+             >= F.col("d.day") - F.expr("INTERVAL 6 DAYS"))
+            & (F.col("p.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("p.word_idx"))
+        .agg(F.bit_or("p.word").alias("w"))
+        .groupBy("day")
+        .agg(F.sum(F.bit_count("w")).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau_7d"),
+            F.expr("1000000 * dau div wau").cast("long")
+            .alias("stickiness_ppm"),
+        )
+    )
+
+
+@register(
     "hll_sliding_daily_distinct",
     oracle=f"""
     WITH h AS (

@@ -352,3 +352,43 @@ def test_hll_ingest_fold_equals_whole_and_replay_idempotent(
     # missing path -> empty sketch, not a crash
     assert read_hll_registers(
         spark, str(tmp_path / "nope"), ["event_type"]).count() == 0
+
+
+def test_presence_bitmap_exact_and_mergeable(spark):
+    """Bitmap cardinality == COUNT(DISTINCT) exactly (including keys
+    landing on bit 63 — the sign bit of the packed long), bitmaps from
+    split halves bit_or-merge to the whole, and AND-popcount equals the
+    true intersection size."""
+    from flink_examples_spark.operators.bitmap import presence_bitmaps
+
+    rows_a = [("g", k) for k in [0, 1, 63, 64, 127, 128, 4096, 63]]
+    rows_b = [("g", k) for k in [1, 63, 200, 4096, 4097]]
+    a = spark.createDataFrame(rows_a, "g string, k long")
+    b = spark.createDataFrame(rows_b, "g string, k long")
+
+    def card(bm):
+        return bm.agg(F.sum(F.bit_count("word"))).collect()[0][0]
+
+    assert card(presence_bitmaps(a, ["g"], "k")) == len(set(k for _, k in rows_a))
+    # merge: bit_or of the halves' bitmaps == bitmap of the union
+    merged = (
+        presence_bitmaps(a, ["g"], "k")
+        .unionByName(presence_bitmaps(b, ["g"], "k"))
+        .groupBy("g", "word_idx").agg(F.bit_or("word").alias("word"))
+    )
+    assert card(merged) == len({k for _, k in rows_a} | {k for _, k in rows_b})
+    # intersection via AND-popcount
+    ba = presence_bitmaps(a, ["g"], "k").alias("x")
+    bb = presence_bitmaps(b, ["g"], "k").alias("y")
+    inter = (
+        ba.join(bb, (F.col("x.word_idx") == F.col("y.word_idx"))
+                & (F.col("x.g") == F.col("y.g")))
+        .agg(F.sum(F.bit_count(
+            F.col("x.word").bitwiseAND(F.col("y.word")))))
+        .collect()[0][0]
+    )
+    assert inter == len({k for _, k in rows_a} & {k for _, k in rows_b})
+    # nulls excluded, COUNT(DISTINCT) semantics
+    with_null = spark.createDataFrame(
+        [("g", None), ("g", 5)], "g string, k long")
+    assert card(presence_bitmaps(with_null, ["g"], "k")) == 1
