@@ -143,7 +143,10 @@ def range_partitioned_ntile(
 
     order_cols = list(order_cols)
     if num_ranges is None:
-        num_ranges = df.rdd.getNumPartitions()
+        # cluster parallelism, NOT df.rdd.getNumPartitions() — see
+        # range_partitioned_running_max (AQE eager-execution + empty-
+        # child 0-partition hazards)
+        num_ranges = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(
         num_ranges, F.col(part_col), *[F.col(c) for c in order_cols]
     ).withColumn("__pid", F.spark_partition_id())
@@ -213,7 +216,12 @@ def range_partitioned_running_max(
     from pyspark.sql import Window
 
     if num_ranges is None:
-        num_ranges = df.rdd.getNumPartitions()
+        # cluster parallelism, NOT df.rdd.getNumPartitions(): under AQE
+        # the RDD conversion eagerly EXECUTES the child's query stages
+        # (the _fan_out probe comment, queries.py), and an empty
+        # AQE-coalesced child reports 0 partitions, which
+        # repartitionByRange rejects
+        num_ranges = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_ranges, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -405,3 +405,41 @@ def test_skyline_plan_has_no_global_order_window_over_data(spark):
     for line in plan.splitlines():
         if "Window" in line and "max(size" in line:
             assert "__pid" in line, line
+
+
+def test_round6_operators_tolerate_empty_input(spark):
+    """Empty frames must flow through the r6 operators as empty
+    results, not crashes — repartitionByRange/localCheckpoint on empty
+    plans, degree joins on empty edges, bitmap/HLL aggregates with
+    zero groups all have degenerate paths worth pinning."""
+    from flink_examples_spark.operators.bitmap import presence_bitmaps
+    from flink_examples_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+    from flink_examples_spark.operators.graph import triangle_counts
+    from flink_examples_spark.operators.sketches import hll_summary
+    from flink_examples_spark.operators.skew import (
+        range_partitioned_ntile,
+        range_partitioned_running_max,
+    )
+    from flink_examples_spark.operators.topn import skyline_2d
+
+    empty_kv = spark.createDataFrame([], "g string, v long, id long")
+    assert range_partitioned_ntile(
+        empty_kv, "g", ["v", "id"], 4, num_ranges=4).count() == 0
+    assert range_partitioned_running_max(
+        empty_kv, [F.col("v").asc()], "v", num_ranges=4).count() == 0
+    assert skyline_2d(empty_kv, "v", "id").count() == 0
+    assert triangle_counts(
+        spark.createDataFrame([], "src long, dst long")).count() == 0
+    assert presence_bitmaps(
+        spark.createDataFrame([], "g string, k long"), ["g"], "k"
+    ).count() == 0
+    assert hll_summary(
+        spark.createDataFrame([], "user_id string, event_type string"),
+        "user_id", ["event_type"],
+    ).count() == 0
+    assert jaccard_prefix_filter_pairs(
+        spark.createDataFrame([], "doc_id long, text string"),
+        "doc_id", "text",
+    ).count() == 0
