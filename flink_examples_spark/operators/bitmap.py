@@ -39,14 +39,23 @@ def presence_bitmaps(
 ) -> DataFrame:
     """``(*group_cols, word_idx, word)`` — the sparse packed bitmap of
     ``key_col`` presence per group. Keys must be non-negative integers
-    (dense surrogate ids); NULL keys are excluded (COUNT(DISTINCT)
-    semantics). One map-side-combinable ``bit_or`` aggregate."""
+    (dense surrogate ids) — a negative key raises at execution time
+    (a negative ``word_idx`` plus a negative shift amount would corrupt
+    the packed words silently otherwise); NULL keys are excluded
+    (COUNT(DISTINCT) semantics). One map-side-combinable ``bit_or``
+    aggregate. The key column name is backtick-quoted, so names with
+    special characters are safe."""
+    k = f"`{key_col}`"
     return (
         df.filter(F.col(key_col).isNotNull())
         .select(
             *group_cols,
-            F.expr(f"{key_col} div 64").alias("word_idx"),
-            F.expr(f"shiftleft(1L, int({key_col} % 64))").alias("_bit"),
+            F.expr(
+                f"CASE WHEN {k} < 0 THEN raise_error(concat("
+                f"'presence_bitmaps: negative key in {key_col}: ', "
+                f"cast({k} as string))) ELSE {k} div 64 END"
+            ).alias("word_idx"),
+            F.expr(f"shiftleft(1L, int({k} % 64))").alias("_bit"),
         )
         .groupBy(*group_cols, "word_idx")
         .agg(F.bit_or("_bit").alias("word"))

@@ -328,7 +328,17 @@ def _match_could_extend(
     last_var = consumed[-1][0]
     idxs = [k for k, p in enumerate(pattern) if p.name == last_var]
     i = idxs[-1]
-    reps = sum(1 for v, _ in consumed if v == last_var)
+    # count only the TRAILING contiguous run of last_var: a pattern that
+    # reuses a variable name in non-adjacent elements must not have the
+    # earlier occurrences counted against the trailing element's max —
+    # that overstatement would emit an extendable boundary match eagerly
+    # and regress the D10 batch-parity hold (Flink itself rejects
+    # duplicate names; this matcher allows them, so count precisely)
+    reps = 0
+    for v, _ in reversed(consumed):
+        if v != last_var:
+            break
+        reps += 1
     _, hi = _bounds(pattern[i])
     if hi is None or reps < hi:
         return True

@@ -79,6 +79,7 @@ def skyline_2d(
     df: DataFrame,
     min_col: str,
     max_col: str,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Pareto frontier (skyline) over two criteria: keep every row no
     OTHER row dominates, where a dominator is <= on ``min_col``, >= on
@@ -95,12 +96,23 @@ def skyline_2d(
     min_col is smaller, or it ties and its max_col is strictly
     larger). Survivors then semi-join the full input, so the heavy
     table is touched by exactly one shuffle (the pair dedup) plus a
-    broadcast-sized join — the frontier is tiny by construction.
+    frontier-sized join.
 
     The running max itself uses [[range_partitioned_running_max]], so
     no single-reducer global-order Window appears anywhere: sorts are
     bounded by range partitions even when the distinct-pair set is
     large (e.g. continuous criteria where dedup barely shrinks).
+
+    Broadcast guard: frontier size is DATA-DEPENDENT. For typical
+    (correlated or discrete-valued) criteria it is tiny, but on
+    ANTI-CORRELATED continuous criteria the Pareto frontier approaches
+    the full distinct-pair set — unconditionally broadcasting it would
+    OOM the driver at scale. The frontier is counted first (one cheap
+    aggregate over the already-deduped pairs); at or below
+    ``broadcast_threshold`` rows it broadcasts, above it the semi-join
+    runs as a plain shuffle join. The count recomputes the frontier
+    once — two passes over the (small) distinct-pair set, never over
+    ``df`` — deliberately cheaper than pinning cache blocks.
     """
     from flink_examples_spark.operators.skew import (
         range_partitioned_running_max,
@@ -116,6 +128,6 @@ def skyline_2d(
     frontier = ranked.filter(
         F.col("__rm").isNull() | (F.col(max_col) > F.col("__rm"))
     ).drop("__rm")
-    return df.join(
-        F.broadcast(frontier), on=[min_col, max_col], how="left_semi"
-    )
+    if frontier.count() <= broadcast_threshold:
+        frontier = F.broadcast(frontier)
+    return df.join(frontier, on=[min_col, max_col], how="left_semi")

@@ -49,6 +49,20 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from flink_examples_spark.operators.util import schema_col_names
 
 
+def _spark_round6(x: float) -> float:
+    """Replicate Spark's ``round(double, 6)`` bit-for-bit: Java's
+    ``BigDecimal.valueOf(x)`` parses the double's SHORTEST decimal
+    representation (``Double.toString`` == Python ``repr``) and rounds
+    HALF_UP. Python's built-in ``round`` instead rounds the raw binary
+    value half-to-even, which differs on exact 6-dp halfway reprs —
+    the boundary cases the ``max_dist`` threshold compares against."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def streaming_fraud_detector(
     events: DataFrame,
     key: str = "user_id",
@@ -795,8 +809,12 @@ def streaming_series_pattern_scan(
     new row — so nothing is ever emitted twice and nothing is missed,
     giving EXACT batch parity on ordered per-key arrival (the module
     contract). The distance sum replays the batch operator's
-    left-associative addition order, so emitted distances are
-    IEEE-identical to the batch twin's.
+    left-associative addition order, and the final 6-dp rounding
+    replicates Spark's ``F.round`` exactly (HALF_UP over the double's
+    shortest decimal representation — ``BigDecimal.valueOf``; Python's
+    built-in ``round`` is binary half-to-even and differs on exact
+    halfway values), so emitted distances are IEEE-identical to the
+    batch twin's including at the ``max_dist`` threshold boundary.
 
     Output: ``(key, *order_cols as epoch-ms/long, dist)`` — the
     timestamp order column is carried as epoch millis in state and
@@ -835,7 +853,7 @@ def streaming_series_pattern_scan(
             for v, q in zip(vals, pat):
                 term = (v - q) * (v - q)
                 dist = term if dist is None else dist + term
-            dist = round(dist, 6)
+            dist = _spark_round6(dist)
             if dist <= max_dist:
                 out.append(
                     (key_t[0], *[seq[s][c] for c in ocols], dist)

@@ -818,3 +818,21 @@ def test_live_partials_differential_vs_global_event_simulation():
             pats, records)
         checked += 1
     assert checked == 300
+
+
+def test_match_could_extend_counts_only_trailing_run():
+    """r7 (ADVICE): when a pattern reuses a variable name in
+    non-adjacent elements, only the TRAILING contiguous run counts
+    against the last element's max — counting every occurrence would
+    declare an extendable boundary match saturated and emit it eagerly,
+    regressing the D10 hold."""
+    from flink_examples_spark.operators.cep import _match_could_extend
+
+    pattern = [Pat("B"), Pat("A"), Pat("B", min_times=1, max_times=2)]
+    # trailing B run is 1 of max 2 -> still extendable, despite two
+    # B-labelled rows existing in the match overall
+    assert _match_could_extend(pattern, [("B", 0), ("A", 1), ("B", 2)])
+    # trailing run saturated at max 2 and no trailing optional element
+    assert not _match_could_extend(
+        pattern, [("B", 0), ("A", 1), ("B", 2), ("B", 3)]
+    )

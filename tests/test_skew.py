@@ -443,3 +443,62 @@ def test_round6_operators_tolerate_empty_input(spark):
         spark.createDataFrame([], "doc_id long, text string"),
         "doc_id", "text",
     ).count() == 0
+
+
+def test_skyline_2d_non_broadcast_path_same_result(spark):
+    """r7 size guard: with broadcast_threshold=0 every frontier counts
+    as too large to broadcast, so the semi-join plans WITHOUT the hint
+    (a shuffle join once AQE's auto-broadcast is disabled) and the
+    result is identical — the anti-correlated-frontier escape hatch."""
+    from flink_examples_spark.operators.topn import skyline_2d
+
+    rows = [(i, (i * 7) % 40, (i * 11) % 25) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, price long, size long")
+    base = {r.id for r in skyline_2d(df, "price", "size").collect()}
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = skyline_2d(df, "price", "size", broadcast_threshold=0)
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        # the frontier SEMI-join must not be broadcast (the tiny
+        # slice-offset broadcast INSIDE range_partitioned_running_max
+        # is expected and fine — it is num_ranges rows by construction)
+        semi_broadcast = [
+            ln for ln in plan.splitlines()
+            if "LeftSemi" in ln and "Broadcast" in ln
+        ]
+        assert "LeftSemi" in plan and not semi_broadcast, plan
+        got = {r.id for r in guarded.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == base and base
+
+
+def test_presence_bitmaps_negative_key_raises(spark):
+    """r7 contract guard: a negative key would silently corrupt the
+    packed words (negative word_idx, negative shift) — it must fail
+    loudly at execution instead."""
+    import pytest
+
+    from flink_examples_spark.operators.bitmap import presence_bitmaps
+
+    df = spark.createDataFrame([("g", 5), ("g", -1)], "g string, k long")
+    with pytest.raises(Exception, match="negative key"):
+        presence_bitmaps(df, ["g"], "k").collect()
+
+
+def test_presence_bitmaps_quoted_key_column_name(spark):
+    """r7: key column names needing backticks (spaces, dashes) work —
+    the expressions quote the name instead of raw interpolation."""
+    from flink_examples_spark.operators.bitmap import presence_bitmaps
+
+    df = (
+        spark.createDataFrame([("g", 5), ("g", 64)], "g string, k long")
+        .withColumnRenamed("k", "user id")
+    )
+    rows = {
+        (r.word_idx, r.word)
+        for r in presence_bitmaps(df, ["g"], "user id").collect()
+    }
+    assert rows == {(0, 1 << 5), (1, 1)}

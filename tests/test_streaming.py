@@ -2802,3 +2802,31 @@ def test_streaming_series_pattern_scan_matches_batch(spark, tmp_path):
     # the straddling windows (starts at rows 1-3, 6-8) must be present
     # when within distance: row 8's start [4,16,30,59] surely is
     assert any(e == 8 for _, _, e, _ in got)
+
+
+def test_spark_round6_helper_matches_engine_round(spark):
+    """r7 (ADVICE): the streaming series scan's 6-dp rounding must be
+    bit-identical to the batch twin's F.round(dist, 6) — including on
+    exact 6-dp halfway representations, where Python's built-in round
+    (binary half-to-even) disagrees with Spark's HALF_UP-over-shortest-
+    repr. Vector includes both halfway and ordinary values."""
+    from flink_examples_spark.streaming.stateful import _spark_round6
+
+    vals = [
+        0.1234565, 2.5e-06, 1.0000005, 7.3555555, 0.0000015,
+        3.0000025, 123.4567895, 0.9999995, 0.0, 42.123456789,
+        5e-07, 1.5e-06,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r.r
+        for r in df.select(F.round("x", 6).alias("r"))
+        .collect()
+    ]
+    assert got == [_spark_round6(v) for v in vals]
+    # non-vacuous: at least one value must split the two roundings
+    import builtins
+
+    assert any(
+        builtins.round(v, 6) != _spark_round6(v) for v in vals
+    )
