@@ -466,9 +466,19 @@ def streaming_cep(
     horizon is open — such a match is held and re-scanned so a
     boundary-spanning greedy tail ends up identical to the batch run
     (maximal), emitting when a row blocks extension or the horizon
-    closes. Fixed-suffix patterns emit eagerly as before. Like D1,
-    a held match on a key that never receives another row stays
-    pending until data (or a horizon-advancing event) arrives.
+    closes.
+
+    End-of-input drain (D1 closure, r7): a row whose event time is at
+    or past ``finalize.FINALIZE_TS`` is a finalize sentinel — it
+    advances the key's ``max_ts`` horizon WITHOUT entering the match
+    buffer, so every held greedy match emits maximal and every pending
+    partial flows through ``timeout_measures``, exactly what Flink's
+    end-of-stream ``Watermark(MAX_VALUE)`` does to its NFA state
+    (cep/CEPTimeout.java:59-103). Bounded replays call
+    ``finalize.write_finalize_sentinel(dir, template, key_col=key,
+    keys=<distinct keys>)`` when input is complete; without it, held
+    state stays pending until the key sees data — now only the
+    genuinely-unbounded residual of D1.
     """
     import json
 
@@ -477,6 +487,7 @@ def streaming_cep(
         _live_partials,
         _match_could_extend,
     )
+    from flink_examples_spark.streaming.finalize import FINALIZE_TS_MS
 
     # The pending buffer is JSON-encoded in GroupState; only ts_col is
     # converted (timestamp -> epoch ms). Any OTHER non-JSON-able column
@@ -510,6 +521,11 @@ def streaming_cep(
             for row in pdf.itertuples(index=False):
                 d = dict(zip(pdf.columns, row))
                 d[ts_col] = int(d[ts_col].value // 1_000_000)  # epoch ms
+                if d[ts_col] >= FINALIZE_TS_MS:
+                    # finalize sentinel: advance the horizon, never
+                    # enter the buffer (the final MAX watermark, D1)
+                    max_ts = max(max_ts, d[ts_col])
+                    continue
                 new_rows.append(d)
         records.extend(new_rows)
         records.sort(key=lambda d: tuple(d[c] for c in ocols))
@@ -770,11 +786,22 @@ def streaming_hot_items_counts(
     of the appended output — ranking inside the stream would force
     update mode and re-emit every rank change, which is the Flink
     job's keyBy(windowEnd)+ProcessFunction cost this formulation
-    avoids. Parity with the batch query on closed windows is asserted
-    in tests/test_streaming.py."""
+    avoids. Parity with the batch query is asserted in
+    tests/test_streaming.py.
+
+    Bounded runs drain completely (D1 closure, r7): sentinel rows
+    written by ``finalize.write_finalize_sentinel`` pass ``filter_expr``
+    (they copy a template data row), advance the watermark past every
+    window end, and are dropped by ``drop_finalize`` BEFORE the window
+    aggregation — the final no-data micro-batch then emits the tail
+    windows, so availableNow output equals the batch query exactly."""
+    from flink_examples_spark.streaming.finalize import drop_finalize
+
     return (
-        events.filter(filter_expr)
-        .withWatermark(ts_col, watermark)
+        drop_finalize(
+            events.filter(filter_expr).withWatermark(ts_col, watermark),
+            ts_col,
+        )
         .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), key)
         .agg(F.count(F.lit(1)).alias("view_count"))
         .select(

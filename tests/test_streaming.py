@@ -255,31 +255,33 @@ def test_streaming_dfa_matches_batch_alert_counts(spark, tmp_path, events_pdf):
 
 def test_streaming_session_window_matches_batch(spark, tmp_path, events_pdf):
     """W4 streaming: session_window agg under availableNow replay equals
-    the batch formulation (SessionWindow.java:52-77 semantics)."""
+    the batch formulation EXACTLY, open tail sessions included
+    (SessionWindow.java:36-44 — the reference's expected session set
+    exists only because the end-of-stream MAX watermark fires the open
+    sessions; the finalize sentinel is that watermark as data, D1)."""
+    from flink_examples_spark.streaming.finalize import (
+        drop_finalize,
+        write_finalize_sentinel,
+    )
+
     d = write_chunks(events_pdf, str(tmp_path / "in"), 3)
+    write_finalize_sentinel(d, events_pdf, "ts")
     src = file_stream(spark, d, os.path.join(d, "000.parquet"))
     agg = (
-        src.withWatermark("ts", "0 seconds")
+        drop_finalize(src.withWatermark("ts", "0 seconds"), "ts")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("ws"), "user_id", "n")
     )
     out = run_to_memory(agg, spark, "sess", "append", str(tmp_path / "ck"))
     stream_rows = {(r.ws, r.user_id): r.n for r in out.collect()}
-    # Divergence (SURVEY.md §2.9 E1): Flink's end-of-stream MAX watermark
-    # flushes every open session; Spark's availableNow watermark stops at
-    # max(ts), so sessions still open at end-of-input (w.end > max ts)
-    # stay pending in append mode. Compare against batch minus those.
-    max_ts = load_table(spark, "events", SF).agg(F.max("ts")).first()[0]
     batch_rows = {
         (r.ws, r.user_id): r.n
         for r in load_table(spark, "events", SF)
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"),
-                "user_id", "n")
+        .select(F.col("w.start").alias("ws"), "user_id", "n")
         .collect()
-        if r.we <= max_ts
     }
     assert stream_rows == batch_rows
 
@@ -366,13 +368,16 @@ def test_streaming_late_rows_dropped_after_watermark(spark, tmp_path):
     assert rows.get(0) == 1
 
 
-def test_streaming_cep_matches_batch_modulo_pending_tail(spark, tmp_path, events_pdf):
-    """C1-C5 streaming: the GroupState NFA over chunked replay finds the
-    same strict A<B<C-purchase matches as the batch NFA, except starts
-    still inside the ``within`` horizon of the stream head (no final MAX
-    watermark in availableNow — they stay pending, like Flink partials
-    before the last watermark)."""
+def test_streaming_cep_matches_batch_exactly(spark, tmp_path, events_pdf):
+    """C1-C5 streaming: the GroupState NFA over chunked replay finds
+    EXACTLY the batch NFA's strict A<B<C-purchase match set — including
+    starts still inside the ``within`` horizon of the stream head,
+    which the per-key finalize sentinels drain at end-of-input (the
+    reference's final MAX watermark; D1 closed for bounded runs)."""
     from flink_examples_spark.operators.cep import Pat, match_recognize
+    from flink_examples_spark.streaming.finalize import (
+        write_finalize_sentinel,
+    )
     from flink_examples_spark.streaming.stateful import streaming_cep
 
     def b_where(row, ctx):
@@ -397,6 +402,12 @@ def test_streaming_cep_matches_batch_modulo_pending_tail(spark, tmp_path, events
                 "c_id": int(vars_map["C"].iloc[0]["event_id"])}
 
     d = write_chunks(events_pdf, str(tmp_path / "in"), 4)
+    # streaming_cep tracks its horizon per key, not via the query
+    # watermark: one sentinel row per key drains every key's buffer
+    write_finalize_sentinel(
+        d, events_pdf, "ts",
+        key_col="user_id", keys=sorted(events_pdf["user_id"].unique()),
+    )
     src = file_stream(spark, d, os.path.join(d, "000.parquet")).select(
         "user_id", "event_id", "ts", "value", "event_type"
     )
@@ -425,14 +436,8 @@ def test_streaming_cep_matches_batch_modulo_pending_tail(spark, tmp_path, events
         output_schema="user_id long, a_id long, a_ts long, c_id long",
         within=f"{within_ms} ms", ts_col="ts",
     ).collect()
-    max_ts_ms = int(events_pdf["ts"].max().value // 1_000_000)
     batch_all = {(r.user_id, r.a_id, r.c_id) for r in batch}
-    batch_settled = {
-        (r.user_id, r.a_id, r.c_id)
-        for r in batch
-        if r.a_ts + within_ms < max_ts_ms
-    }
-    assert batch_settled <= stream_matches <= batch_all
+    assert stream_matches == batch_all
     assert stream_matches  # non-vacuous
 
 
@@ -501,11 +506,16 @@ def test_streaming_windowed_topn_foreach_batch(spark, tmp_path, events_pdf):
     windowEnd+1 == rank rows arriving after the watermark closes the
     window)."""
     from flink_examples_spark.operators.topn import top_n_per_group
+    from flink_examples_spark.streaming.finalize import (
+        drop_finalize,
+        write_finalize_sentinel,
+    )
 
     d = write_chunks(events_pdf, str(tmp_path / "in"), 3)
+    write_finalize_sentinel(d, events_pdf, "ts")
     src = file_stream(spark, d, os.path.join(d, "000.parquet"))
     agg = (
-        src.withWatermark("ts", "0 seconds")
+        drop_finalize(src.withWatermark("ts", "0 seconds"), "ts")
         .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.end").alias("window_end"), "event_type", "n")
@@ -542,10 +552,9 @@ def test_streaming_windowed_topn_foreach_batch(spark, tmp_path, events_pdf):
         ).collect()
     }
     got = set(collected)
-    # append mode emits each closed window exactly once; windows still
-    # open at end-of-input (end > final watermark) never emit
-    assert got <= batch_top
-    assert len(got) >= len(batch_top) - 4  # at most the tail windows pending
+    # append mode emits each closed window exactly once; the finalize
+    # sentinel closes the tail windows too (D1) — exact equality
+    assert got == batch_top
 
 
 def test_rolling_file_sink_buckets_by_hour(spark, tmp_path, events_pdf):
@@ -2421,23 +2430,30 @@ def test_streaming_banded_range_join_matches_batch(spark, tmp_path):
     assert (6, 102) in got and not any(p == 7 for p, _ in got)
 
 
-def test_streaming_hot_items_matches_batch_on_closed_windows(
+def test_streaming_hot_items_matches_batch_exactly(
     spark, tmp_path, events_pdf
 ):
     """Flagship streaming parity: sliding-window counts under
     availableNow replay + the batch top-N rank over finalized windows
-    equal hot_items_sliding_topn for every window the watermark closed
-    (open tail windows stay pending in append mode — same divergence
-    note as the session-window twin)."""
+    equal hot_items_sliding_topn EXACTLY — the finalize sentinel (a
+    copied 'view' template row, so it survives the operator's pushed
+    pre-filter and drives the watermark) closes the tail windows that
+    previously stayed pending (D1)."""
     from flink_examples_spark.operators.topn import (
         hot_items,
         top_n_per_group,
+    )
+    from flink_examples_spark.streaming.finalize import (
+        write_finalize_sentinel,
     )
     from flink_examples_spark.streaming.stateful import (
         streaming_hot_items_counts,
     )
 
     d = write_chunks(events_pdf, str(tmp_path / "in"), 3)
+    write_finalize_sentinel(
+        d, events_pdf[events_pdf["event_type"] == "view"], "ts"
+    )
     src = file_stream(spark, d, os.path.join(d, "000.parquet"))
     counts = streaming_hot_items_counts(src, duration="60 minutes")
     out = run_to_memory(
@@ -2447,20 +2463,11 @@ def test_streaming_hot_items_matches_batch_on_closed_windows(
         out, ["window_end"], [F.desc("view_count"), F.asc("user_id")], 3
     ).select("window_end", "user_id", "view_count", "rank")
     stream_rows = {tuple(r) for r in ranked.collect()}
-    # the watermark advances on the FILTERED stream, so closed = windows
-    # ending at-or-before the last view's ts, not the global max ts
-    max_ts = (
-        load_table(spark, "events", SF)
-        .filter("event_type = 'view'")
-        .agg(F.max("ts"))
-        .first()[0]
-    )
     batch_rows = {
         tuple(r)
         for r in hot_items(
             load_table(spark, "events", SF), duration="60 minutes"
         ).collect()
-        if r.window_end <= max_ts
     }
     assert stream_rows == batch_rows
     assert len(batch_rows) > 0
@@ -2474,23 +2481,36 @@ def test_streaming_outer_interval_join_emits_unmatched(
     emit a NULL-extended row once the watermark closes the window (the
     timeout-emission semantics J4 implements imperatively with
     GroupState, here expressed as a native outer join). Matched pairs
-    must equal the batch join; unmatched clicks must equal the batch
-    anti set, minus clicks whose window the end-of-input watermark
-    never closed."""
+    must equal the batch join; with finalize sentinels advancing BOTH
+    streams' watermarks (the global watermark is their min), unmatched
+    clicks equal the batch anti set EXACTLY (D1)."""
+    from flink_examples_spark.streaming.finalize import (
+        drop_finalize,
+        write_finalize_sentinel,
+    )
+
     clicks_pdf = events_pdf[events_pdf["event_type"] == "click"]
     purch_pdf = events_pdf[events_pdf["event_type"] == "purchase"]
     d1 = write_chunks(clicks_pdf, str(tmp_path / "c"), 2)
     d2 = write_chunks(purch_pdf, str(tmp_path / "p"), 2)
+    write_finalize_sentinel(d1, clicks_pdf, "ts")
+    write_finalize_sentinel(d2, purch_pdf, "ts")
     clicks = (
-        file_stream(spark, d1, os.path.join(d1, "000.parquet"))
-        .withWatermark("ts", "0 seconds")
+        drop_finalize(
+            file_stream(spark, d1, os.path.join(d1, "000.parquet"))
+            .withWatermark("ts", "0 seconds"),
+            "ts",
+        )
         .select(F.col("user_id").alias("cu"),
                 F.col("event_id").alias("click_id"),
                 F.col("ts").alias("cts"))
     )
     purchases = (
-        file_stream(spark, d2, os.path.join(d2, "000.parquet"))
-        .withWatermark("ts", "0 seconds")
+        drop_finalize(
+            file_stream(spark, d2, os.path.join(d2, "000.parquet"))
+            .withWatermark("ts", "0 seconds"),
+            "ts",
+        )
         .select(F.col("user_id").alias("pu"),
                 F.col("event_id").alias("purchase_id"),
                 F.col("ts").alias("pts"))
@@ -2522,23 +2542,14 @@ def test_streaming_outer_interval_join_emits_unmatched(
     batch_matched = {(r.click_id, r.purchase_id) for r in batch
                      if r.purchase_id is not None}
     assert stream_matched == batch_matched
-    # unmatched emission needs the GLOBAL watermark (min across both
-    # streams — Spark's multipleWatermarkPolicy default) past
-    # cts+30min; compare only clicks whose window provably closed
-    wm = (
-        ev.filter(F.col("event_type").isin("purchase", "click"))
-        .groupBy("event_type").agg(F.max("ts").alias("m"))
-        .agg(F.min("m")).first()[0]
-    )
-    import datetime
-    closed = {
-        r.click_id for r in batch
-        if r.purchase_id is None
-        and r.cts + datetime.timedelta(minutes=30) < wm
+    # sentinels on both streams push the global min watermark past every
+    # click's window end — the unmatched set equals the batch anti set
+    batch_unmatched = {
+        r.click_id for r in batch if r.purchase_id is None
     }
-    assert closed <= stream_unmatched
+    assert stream_unmatched == batch_unmatched
     assert stream_unmatched.isdisjoint({m[0] for m in batch_matched})
-    assert len(stream_matched) > 0 and len(closed) > 0
+    assert len(stream_matched) > 0 and len(batch_unmatched) > 0
 
 
 def test_streaming_cep_concurrent_partials_agree_with_batch(
@@ -2830,3 +2841,151 @@ def test_spark_round6_helper_matches_engine_round(spark):
     assert any(
         builtins.round(v, 6) != _spark_round6(v) for v in vals
     )
+
+
+def test_streaming_cep_sentinel_drains_timeout_partials(spark, tmp_path):
+    """D1 closure for the CEP timeout side output: the a/b/bc prefix
+    never completes and NO later data row arrives — only the finalize
+    sentinel. Both concurrent partials must still emit through
+    timeout_measures (the reference's end-of-stream MAX watermark
+    firing processTimedOutMatch; cep/CEPTimeout.java:59-103), and the
+    sentinel row itself must never appear in any match buffer."""
+    from flink_examples_spark.operators.cep import Pat
+    from flink_examples_spark.streaming.finalize import (
+        write_finalize_sentinel,
+    )
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    data = pd.DataFrame({
+        "k": ["k"] * 3,
+        "action": ["a", "b", "bc"],
+        "ts": [base, base + m, base + 2 * m],
+    })
+    data.to_parquet(os.path.join(d, "000.parquet"), index=False)
+    os.utime(os.path.join(d, "000.parquet"), (now, now))
+    write_finalize_sentinel(d, data, "ts", key_col="k", keys=["k"])
+
+    pattern = [
+        Pat("A", lambda r, c: r["action"] == "a", contiguity="strict"),
+        Pat("B", lambda r, c: r["action"] in ("b", "bc"),
+            quantifier="plus", contiguity="strict"),
+        Pat("C", lambda r, c: r["action"] in ("bc", "c"),
+            contiguity="strict"),
+        Pat("D", lambda r, c: r["action"] == "d", contiguity="strict"),
+    ]
+
+    def timeout_measures(v, pdf):
+        return {"n_b": len(v.get("B", [])),
+                "c_action": (v["C"].iloc[0]["action"]
+                             if "C" in v else None)}
+
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_cep(
+            src, key="k", ts_col="ts", pattern=pattern,
+            measures=lambda v, p: {"n_b": -1, "c_action": "MATCH"},
+            output_schema="k string, n_b int, c_action string",
+            within_ms=10 * 60 * 1000,
+            order_cols=["ts"],
+            timeout_measures=timeout_measures,
+        ),
+        spark, "cep_sentinel_drain", "append", str(tmp_path / "ck"),
+    )
+    rows = sorted(
+        ((r.n_b, r.c_action) for r in out.collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    # identical pair to the batch golden: [A,B=b,C=bc] and [A,B=b,B=bc]
+    assert rows == [(1, "bc"), (2, None)], rows
+
+
+def test_streaming_cep_sentinel_drains_held_greedy_match(spark, tmp_path):
+    """D1 closure for the D10 hold: a pattern ENDING in greedy B+ whose
+    complete-but-extendable match sits at the buffer edge on a key that
+    NEVER receives another data row — exactly the residual VERDICT r6
+    named. The sentinel closes the horizon; the held match emits once,
+    maximal, identical to the batch run."""
+    from flink_examples_spark.operators.cep import Pat
+    from flink_examples_spark.streaming.finalize import (
+        write_finalize_sentinel,
+    )
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    base = pd.Timestamp("2020-01-01 00:00:00")
+    s = pd.Timedelta(seconds=1)
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    data = pd.DataFrame({
+        "k": ["k"] * 3, "action": ["a", "b", "b"],
+        "ts": [base, base + s, base + 2 * s],
+    })
+    data.to_parquet(os.path.join(d, "000.parquet"), index=False)
+    os.utime(os.path.join(d, "000.parquet"), (now, now))
+    write_finalize_sentinel(d, data, "ts", key_col="k", keys=["k"])
+
+    pattern = [
+        Pat("A", lambda r, c: r["action"] == "a", contiguity="strict"),
+        Pat("B", lambda r, c: r["action"] == "b",
+            quantifier="plus", contiguity="strict"),
+    ]
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_cep(
+            src, key="k", ts_col="ts", pattern=pattern,
+            measures=lambda v, p: {"n_b": len(v["B"])},
+            output_schema="k string, n_b int",
+            within_ms=10 * 60 * 1000,
+            order_cols=["ts"],
+        ),
+        spark, "cep_sentinel_hold", "append", str(tmp_path / "ck"),
+    )
+    rows = [(r.k, r.n_b) for r in out.collect()]
+    assert rows == [("k", 2)], rows  # ONE maximal match, not fragments
+
+
+def test_write_finalize_sentinel_contract(tmp_path):
+    """Unit contract: sentinel copies row-0 values, preserves dtypes,
+    fans out per key, mtime sorts last, and validates its inputs."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from flink_examples_spark.streaming.finalize import (
+        FINALIZE_TS,
+        write_finalize_sentinel,
+    )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pdf = pd.DataFrame({
+        "k": pd.array([7, 8], dtype="int64"),
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        "v": [1.5, 2.5],
+    })
+    early = os.path.join(d, "000.parquet")
+    pdf.to_parquet(early, index=False)
+    t0 = time.time() - 100
+    os.utime(early, (t0, t0))
+
+    path = write_finalize_sentinel(d, pdf, "ts", key_col="k", keys=[7, 8, 9])
+    got = pd.read_parquet(path)
+    assert list(got["k"]) == [7, 8, 9]
+    assert got["k"].dtype == pdf["k"].dtype
+    assert (got["ts"] == FINALIZE_TS).all()
+    assert (got["v"] == 1.5).all()  # template row-0 payload
+    assert os.path.getmtime(path) > os.path.getmtime(early)
+    # schema must match the chunk files (same column order + types)
+    assert [f.name for f in pq.read_schema(path)] == \
+        [f.name for f in pq.read_schema(early)]
+
+    with pytest.raises(ValueError, match="empty template"):
+        write_finalize_sentinel(d, pdf.iloc[0:0], "ts")
+    with pytest.raises(ValueError, match="go together"):
+        write_finalize_sentinel(d, pdf, "ts", key_col="k")
+    with pytest.raises(ValueError, match="empty keys"):
+        write_finalize_sentinel(d, pdf, "ts", key_col="k", keys=[])
