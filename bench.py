@@ -161,6 +161,64 @@ def _compute_movers(
     }
 
 
+def _write_mover_ledger(
+    this_round: int,
+    movers: dict[str, dict[str, float]],
+    stall_retries: dict[str, int],
+    stall_rep_count: int,
+) -> None:
+    """Mechanical mover ledger (VERDICT r6 #2): every steady mover
+    >=1.5x in either direction gets a GENERATED line — a mover can't be
+    omitted by hand-transcription. Adjudications go in the hand-written
+    section below the marker; the table is rewritten every bench run."""
+    path = os.path.join(_HERE, "docs",
+                        f"PERF_NOTES_r{this_round}_movers.md")
+    big = {
+        n: m for n, m in sorted(movers.items())
+        if m["ratio"] >= 1.5 or m["ratio"] <= 1 / 1.5
+    }
+    marker = "<!-- hand-written adjudications below; table above is generated -->"
+    hand = ""
+    try:
+        with open(path) as f:
+            old = f.read()
+        if marker in old:
+            hand = old.split(marker, 1)[1]
+    except OSError:
+        pass
+    lines = [
+        f"# Mover ledger — round {this_round} (GENERATED by bench.py)",
+        "",
+        "Rule: every committed steady mover >=1.5x (either direction)",
+        "appears here mechanically. Adjudicate each (solo A/B with",
+        "`SPARK_GRAFT_BENCH_ONLY=<name> python bench.py` on an idle box)",
+        "below the marker.",
+        "",
+        "| query | prev steady (s) | now steady (s) | ratio | stall retries |",
+        "|---|---|---|---|---|",
+    ]
+    for n, m in big.items():
+        lines.append(
+            f"| {n} | {m['prev']} | {m['now']} | {m['ratio']} "
+            f"| {stall_retries.get(n, 0)} |"
+        )
+    if not big:
+        lines.append("| (none >=1.5x) | | | | |")
+    lines += [
+        "",
+        f"Stall reps >5x steady across the whole run: {stall_rep_count}; "
+        f"stall-retried queries: {sorted(stall_retries) or 'none'}.",
+        "",
+        marker,
+    ]
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + (hand or "\n"))
+    except OSError:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -203,7 +261,10 @@ def main() -> None:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
         names = [n for n in names if n in wanted]
     reg = registry()
+    prev = _previous_round_timings(sf)
     runs: dict[str, list[float]] = {}
+    stall_retries: dict[str, int] = {}
+    max_stall_retries = int(os.environ.get("SPARK_GRAFT_STALL_RETRIES", "2"))
     # reps are CONSECUTIVE per query (inner loop), not interleaved
     # across the registry: interleaving put ~160 other queries between
     # a query's reps, evicting its generated code from the JVM code
@@ -214,13 +275,36 @@ def main() -> None:
     # measure the docstring's claim: how fast the plan goes.
     for name in names:
         q = reg[name]
-        for _ in range(reps):
+        ts: list[float] = []
+
+        def one_rep() -> None:
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             # force full materialization (not just count pushdown)
             n = df.collect()
-            runs.setdefault(name, []).append(time.perf_counter() - t0)
+            ts.append(time.perf_counter() - t0)
             del n
+
+        for _ in range(reps):
+            one_rep()
+        # stall self-heal (VERDICT r6 #3): this box produces rare
+        # multi-second one-off stalls (×14.9 observed between idle
+        # sessions) that can swallow EVERY rep of one query. When the
+        # steady min lands >=5x the previous round's committed steady
+        # — far outside the ±20% noise band and the 1.5x mover bar —
+        # re-measure up to $SPARK_GRAFT_STALL_RETRIES extra reps and
+        # let min-of-all paper over the stall; the artifact records
+        # how often this fired so stalls stay visible, not hidden.
+        prev_t = prev.get(name)
+        while (
+            prev_t
+            and len(ts) > 1
+            and min(ts[1:]) > 5 * prev_t
+            and stall_retries.get(name, 0) < max_stall_retries
+        ):
+            stall_retries[name] = stall_retries.get(name, 0) + 1
+            one_rep()
+        runs[name] = ts
         # drop RDD blocks the query pinned (localCheckpoint in the
         # iterative/range-partitioned operators): left in place they
         # accumulate across the ~180-query session and push LATER
@@ -250,8 +334,16 @@ def main() -> None:
         name: round((max(ts) - min(ts)) / min(ts), 3) if min(ts) > 0 else 0.0
         for name, ts in runs.items()
     }
-    prev = _previous_round_timings(sf)
     movers = _compute_movers(steady, prev)
+    # stall visibility: reps that exceeded 5x their query's own final
+    # steady (the one-off box stalls min-of-N papers over)
+    stall_rep_count = sum(
+        1
+        for ts in runs.values()
+        if len(ts) > 1 and min(ts[1:]) > 0
+        for t in ts
+        if t > 5 * min(ts[1:])
+    )
 
     total = round(sum(timings.values()), 3)
     full = {
@@ -261,6 +353,10 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "prev_queries_recovered": len(prev),
+        "stalls": {
+            "reps_over_5x_steady": stall_rep_count,
+            "retries": stall_retries,
+        },
         "spread": spread,
         "movers": movers,
         "compile": compile_cost,
@@ -282,6 +378,8 @@ def main() -> None:
                 f.write("\n")
         except OSError:
             pass
+        _write_mover_ledger(this_round, movers, stall_retries,
+                            stall_rep_count)
 
     # compact FINAL line: always inside the driver's 2000-char tail so
     # `parsed` is never null; movers capped so the line stays short

@@ -82,3 +82,30 @@ def test_compute_movers_flags_both_directions():
     assert set(movers) == {"a", "b"}
     assert movers["a"]["ratio"] == 1.5
     assert movers["b"]["ratio"] == 0.5
+
+
+def test_mover_ledger_generated_and_preserves_adjudications(tmp_path, monkeypatch):
+    """r7 (VERDICT #2): the >=1.5x mover ledger is GENERATED — every
+    qualifying mover gets a line mechanically, sub-threshold movers are
+    excluded, and hand-written adjudications below the marker survive a
+    regeneration."""
+    import bench
+
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    movers = {
+        "q_up": {"prev": 0.2, "now": 0.9, "ratio": 4.5},
+        "q_noise": {"prev": 0.2, "now": 0.25, "ratio": 1.25},
+        "q_down": {"prev": 1.0, "now": 0.5, "ratio": 0.5},
+    }
+    bench._write_mover_ledger(7, movers, {"q_up": 2}, 3)
+    path = tmp_path / "docs" / "PERF_NOTES_r7_movers.md"
+    txt = path.read_text()
+    assert "| q_up | 0.2 | 0.9 | 4.5 | 2 |" in txt
+    assert "q_down" in txt and "q_noise" not in txt
+    assert "reps >5x steady" in txt
+
+    with open(path, "a") as f:
+        f.write("\nq_up: solo A/B flat — box stall.\n")
+    bench._write_mover_ledger(7, {"q_up": movers["q_up"]}, {}, 0)
+    txt2 = path.read_text()
+    assert "box stall" in txt2 and "q_down" not in txt2

@@ -11,6 +11,14 @@ queries without an oracle get the driver's weaker rows-only shape
 ({rows_only: true, spark_rows, err}). Committed per round so the judge
 can diff instead of re-running.
 
+Fresh-session rotation (VERDICT r6 #5): the main sweep runs one warm
+session, which can hide load-time conf dependencies (a query that only
+works because an earlier query set a conf). Each round a DETERMINISTIC
+50-query window of the sorted registry — rotated by round number, so
+every query is periodically covered — re-runs in a BRAND-NEW subprocess
+(fresh JVM, fresh SparkSession, plain driver-style conf). Results land
+in the artifact under "fresh_session".
+
 Run: python tools/gen_correctness.py   [SPARK_GRAFT_SF_DIR to override]
 """
 
@@ -20,10 +28,13 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+FRESH_SUBSET_SIZE = 50
 
 
 def current_round() -> int:
@@ -35,10 +46,7 @@ def current_round() -> int:
     return best + 1
 
 
-def main() -> None:
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
-    )
+def _make_spark():
     from pyspark.sql import SparkSession
 
     # plain session, like the driver (catches load-time conf we forgot)
@@ -50,14 +58,18 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    import __spark_entry__ as E
+
+def run_queries(
+    spark, names, qs, osql, sf_dir
+) -> tuple[dict[str, dict], int]:
     from tests.oracle import compare
 
-    qs, osql = E.queries(), E.oracle_sql()
     out: dict[str, dict] = {}
     n_fail = 0
-    for name, fn in sorted(qs.items()):
+    for name in names:
+        fn = qs[name]
         try:
             if name in osql:
                 r = compare(name, fn(spark, sf_dir), osql[name], sf_dir)
@@ -81,8 +93,93 @@ def main() -> None:
             n_fail += 1
         out[name] = row
         print(("OK  " if ok else "FAIL") + f" {name}", flush=True)
+    return out, n_fail
 
+
+def rotated_subset(names: list[str], n_round: int,
+                   size: int = FRESH_SUBSET_SIZE) -> list[str]:
+    """Deterministic round-rotated window of the sorted registry: round
+    N covers names[(N-1)*size % len :][:size] (wrapping), so every
+    query gets a fresh-session re-check every ceil(len/size) rounds."""
+    if len(names) <= size:
+        return list(names)
+    off = ((n_round - 1) * size) % len(names)
+    return [names[(off + i) % len(names)] for i in range(size)]
+
+
+def _fresh_subset_main() -> None:
+    """Subprocess entry: brand-new JVM + SparkSession, run the listed
+    queries, write rows JSON to $SPARK_GRAFT_FRESH_OUT."""
+    names = [
+        n for n in os.environ["SPARK_GRAFT_FRESH_SUBSET"].split(",") if n
+    ]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = _make_spark()
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    out, n_fail = run_queries(spark, names, qs, osql, sf_dir)
+    with open(os.environ["SPARK_GRAFT_FRESH_OUT"], "w") as f:
+        json.dump({"rows": out, "n_fail": n_fail}, f)
+    spark.stop()
+    sys.exit(0)
+
+
+def main() -> None:
+    if os.environ.get("SPARK_GRAFT_FRESH_SUBSET"):
+        _fresh_subset_main()
+        return
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    spark = _make_spark()
+
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    names = sorted(qs.keys())
+    out, n_fail = run_queries(spark, names, qs, osql, sf_dir)
     n = current_round()
+
+    # fresh-session rotation: re-check this round's window in a new
+    # process so load-order/warm-session conf dependencies can't hide
+    subset = rotated_subset(names, n)
+    fresh_out = os.path.join(ROOT, ".fresh_subset_tmp.json")
+    fresh: dict = {"names": subset, "err": None}
+    try:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_FRESH_SUBSET=",".join(subset),
+            SPARK_GRAFT_FRESH_OUT=fresh_out,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, cwd=ROOT, timeout=1800,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+        with open(fresh_out) as f:
+            res = json.load(f)
+        fresh["rows"] = res["rows"]
+        fresh["n_fail"] = res["n_fail"]
+        n_fail += res["n_fail"]
+        print(
+            f"fresh-session subset ({len(subset)} queries, rotation "
+            f"round {n}): {res['n_fail']} failures",
+            flush=True,
+        )
+        del proc
+    except Exception as e:  # missing output == the subprocess died
+        fresh["err"] = f"{type(e).__name__}: {e}"[:500]
+        fresh["n_fail"] = len(subset)
+        n_fail += len(subset)
+        print(f"fresh-session subset FAILED to run: {fresh['err']}")
+    finally:
+        try:
+            os.remove(fresh_out)
+        except OSError:
+            pass
+
     path = os.path.join(ROOT, f"CORRECTNESS_local_r{n:02d}.json")
     with open(path, "w") as f:
         json.dump(
@@ -92,6 +189,7 @@ def main() -> None:
                 "n_oracle": sum(1 for v in out.values()
                                 if "hash_match" in v),
                 "n_fail": n_fail,
+                "fresh_session": fresh,
                 "rows": out,
             },
             f,
