@@ -1303,3 +1303,113 @@ def compact_hll_registers(
         .load(os.path.join(staging, "batch=compacted"))
         .count(),
     )
+
+
+def bitmap_ingest_foreach_batch(
+    bitmap_path: str,
+    key_col: str,
+    group_cols: list[str],
+    fmt: str = "parquet",
+    compact_every_n_batches: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming face of the exact presence bitmaps
+    (operators/bitmap.py ``presence_bitmaps``) — the set-EXACT
+    counterpart of :func:`hll_ingest_foreach_batch`, completing the
+    symmetry the SURVEY §2.14 engagement-analytics row advertises: each
+    micro-batch writes ITS OWN sparse packed-word bitmap table under
+    ``bitmap_path/batch=<id>`` (at most keyspace/64 words per group per
+    batch); readers fold subdirs by ``bit_or``
+    (:func:`read_presence_bitmaps`), so DAU/retention/stickiness reads
+    touch kilobytes of words, never re-scanning events.
+
+    Replay/compaction contract — the HLL side, not the Count-Min side:
+    ``bit_or`` is IDEMPOTENT (a ∪ a = a), so
+    :func:`compact_presence_bitmaps` may fold EVERY subdir including
+    the newest; a replayed batch recreates its subdir and the or-fold
+    of (compacted ∪ recreated) equals the pre-replay fold exactly.
+    """
+    from flink_examples_spark.operators.bitmap import presence_bitmaps
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(bitmap_path)
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            compact_presence_bitmaps(spark, bitmap_path, group_cols,
+                                     fmt=fmt)
+        presence_bitmaps(batch_df, group_cols, key_col).write.mode(
+            "overwrite"
+        ).format(fmt).save(os.path.join(bitmap_path, f"batch={batch_id}"))
+
+    return apply
+
+
+def read_presence_bitmaps(
+    spark,
+    bitmap_path: str,
+    group_cols: list[str],
+    fmt: str = "parquet",
+    group_schema: str = "day date",
+) -> DataFrame:
+    """Fold every staged subdir into the current bitmap table via
+    ``bit_or`` — words-sized however long the ingest has run. A missing
+    path reads as an empty bitmap table (``group_schema`` supplies the
+    group column types for that case)."""
+    _recover_swap(bitmap_path)
+    subs = [
+        os.path.join(bitmap_path, n)
+        for n in os.listdir(bitmap_path)
+        if not n.startswith((".", "_"))
+    ] if os.path.isdir(bitmap_path) else []
+    if not subs:
+        return spark.createDataFrame(
+            [], f"{group_schema}, word_idx long, word long"
+        )
+    return (
+        spark.read.format(fmt).load(subs)
+        .groupBy(*group_cols, "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
+def compact_presence_bitmaps(
+    spark,
+    bitmap_path: str,
+    group_cols: list[str],
+    fmt: str = "parquet",
+) -> int:
+    """Fold ALL batch subdirs — newest included, ``bit_or`` is
+    idempotent (see :func:`bitmap_ingest_foreach_batch`) — into one
+    ``batch=compacted`` bitmap table, crash-safe via the staging swap.
+    Returns words in the compacted table, 0 if nothing to fold."""
+    _recover_swap(bitmap_path)
+    if not os.path.isdir(bitmap_path):
+        return 0
+    subs = [
+        n for n in os.listdir(bitmap_path) if not n.startswith((".", "_"))
+    ]
+    if not any(n != "batch=compacted" for n in subs):
+        return 0
+    folded = (
+        spark.read.format(fmt)
+        .load([os.path.join(bitmap_path, n) for n in subs])
+        .groupBy(*group_cols, "word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .localCheckpoint()
+    )
+
+    def write_to(staging: str) -> None:
+        folded.write.mode("overwrite").format(fmt).save(
+            os.path.join(staging, "batch=compacted")
+        )
+
+    return _swap_in_rewrite(
+        bitmap_path,
+        write_to,
+        count=lambda staging: spark.read.format(fmt)
+        .load(os.path.join(staging, "batch=compacted"))
+        .count(),
+    )

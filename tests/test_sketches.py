@@ -392,3 +392,76 @@ def test_presence_bitmap_exact_and_mergeable(spark):
     with_null = spark.createDataFrame(
         [("g", None), ("g", 5)], "g string, k long")
     assert card(presence_bitmaps(with_null, ["g"], "k")) == 1
+
+
+def test_bitmap_ingest_fold_equals_whole_and_replay_idempotent(
+    spark, tmp_path
+):
+    """r7 (VERDICT #6): per-batch presence bitmaps folded by bit_or ==
+    bitmaps over the concatenated stream EXACTLY (set-exact, unlike the
+    HLL twin's estimate); replaying a batch — even one already
+    compacted away — changes nothing (a ∪ a = a); compaction folds
+    everything including the newest subdir and is itself idempotent."""
+    import os as _os
+
+    from flink_examples_spark.operators.bitmap import presence_bitmaps
+    from flink_examples_spark.streaming.sinks import (
+        bitmap_ingest_foreach_batch,
+        compact_presence_bitmaps,
+        read_presence_bitmaps,
+    )
+
+    root = str(tmp_path / "bm")
+    frames = [
+        spark.createDataFrame(
+            [("d1" if k % 2 else "d2", k) for k in range(lo, hi)],
+            "day string, user_key long",
+        )
+        for lo, hi in [(0, 90), (50, 170), (160, 260)]
+    ]
+    apply = bitmap_ingest_foreach_batch(root, "user_key", ["day"])
+    for i, f in enumerate(frames):
+        apply(f, i)
+
+    whole_df = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    whole = {(r.day, r.word_idx): r.word for r in presence_bitmaps(
+        whole_df, ["day"], "user_key").collect()}
+
+    def folded():
+        return {(r.day, r.word_idx): r.word for r in
+                read_presence_bitmaps(
+                    spark, root, ["day"], group_schema="day string"
+                ).collect()}
+
+    assert folded() == whole
+    # the folded table answers the exact distinct census
+    n_distinct = (
+        read_presence_bitmaps(spark, root, ["day"],
+                              group_schema="day string")
+        .agg(F.sum(F.bit_count("word"))).collect()[0][0]
+    )
+    assert n_distinct == whole_df.select("day", "user_key").distinct().count()
+
+    # compaction folds EVERYTHING (newest included) into one subdir
+    assert compact_presence_bitmaps(spark, root, ["day"]) > 0
+    assert sorted(
+        n for n in _os.listdir(root) if n.startswith("batch=")
+    ) == ["batch=compacted"]
+    assert folded() == whole
+
+    # compaction is idempotent: nothing new to fold -> no-op
+    assert compact_presence_bitmaps(spark, root, ["day"]) == 0
+    assert folded() == whole
+
+    # replay of an already-compacted batch: subdir recreated, fold
+    # unchanged (idempotent bit_or)
+    apply(frames[1], 1)
+    assert folded() == whole
+    # and compacting the replayed subdir back in changes nothing
+    assert compact_presence_bitmaps(spark, root, ["day"]) > 0
+    assert folded() == whole
+
+    # missing path -> empty bitmap table, not a crash
+    assert read_presence_bitmaps(
+        spark, str(tmp_path / "nope"), ["day"],
+        group_schema="day string").count() == 0
