@@ -9121,3 +9121,469 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: market concentration, token concentration, path trigrams, churn census
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH sup_rev AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))),
+                          2) * 100 AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+    ),
+    by_nation AS (
+        SELECT n.n_name, s.s_suppkey, r.rev_cents
+        FROM sup_rev r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    shares AS (
+        SELECT n_name, rev_cents,
+               (rev_cents * 1000000)
+                   // CAST(SUM(rev_cents) OVER (PARTITION BY n_name)
+                           AS BIGINT) AS share_ppm
+        FROM by_nation
+    )
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(rev_cents) AS BIGINT) AS nation_rev_cents,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT)
+               AS hhi_ppm
+    FROM shares GROUP BY 1
+    """,
+    doc="Market-concentration census: Herfindahl-Hirschman index of "
+        "supplier revenue per nation, INTEGER-EXACT end to end — "
+        "revenue folds in DECIMAL(18,2) arithmetic, rounds to cents "
+        "once, and every share/HHI step is BIGINT multiply-then-"
+        "integer-divide (the repo's float-free oracle discipline: no "
+        "POWER, no double division anywhere). Plan shape: lineitem "
+        "aggregates per suppkey FIRST (one map-side-combinable "
+        "shuffle; the fact table is touched exactly once), then "
+        "broadcast-joins the supplier/nation dims; the nation-total "
+        "window runs over the ALREADY-AGGREGATED supplier table "
+        "(dim-sized, aggregate-first discipline) — at 100 TB the "
+        "window input is |suppliers| rows, never |lineitem|.",
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    sup_rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            (
+                F.round(
+                    F.sum(_dec("l_extendedprice")
+                          * (F.lit(1) - _dec("l_discount"))), 2
+                ) * 100
+            ).cast("bigint").alias("rev_cents")
+        )
+    )
+    by_nation = (
+        sup_rev.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            sup_rev["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "rev_cents")
+    )
+    shares = by_nation.withColumn(
+        "share_ppm",
+        F.expr(
+            "(rev_cents * 1000000) "
+            "div sum(rev_cents) over (partition by n_name)"
+        ),
+    )
+    return shares.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev_cents").alias("nation_rev_cents"),
+        F.expr("sum(share_ppm * share_ppm) div 1000000").alias("hhi_ppm"),
+    )
+
+
+@register(
+    "doc_token_simpson_ppm",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+                   AS toks
+        FROM documents
+    ), e AS (
+        SELECT doc_id, unnest(toks) AS tok FROM t
+    ), c AS (
+        SELECT doc_id, tok, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           CAST((SUM(cnt * cnt) * 1000000)
+                // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS simpson_ppm
+    FROM c GROUP BY doc_id
+    """,
+    doc="Token-concentration quality signal: the exact Simpson index "
+        "sum(p_i^2) per document, scaled to ppm with BIGINT multiply-"
+        "then-integer-divide — 1e6/n_distinct for perfectly diverse "
+        "text, approaching 1e6 for degenerate repetition; the "
+        "integer-exact complement of doc_repetition_quality's n-gram "
+        "heuristics (a Simpson spike catches single-token spam that "
+        "distinct n-gram ratios can miss). Two-level aggregate — "
+        "(doc, token) counts then per-doc moments — both map-side "
+        "combinable on the same doc_id-prefixed keys, so the explode "
+        "never shuffles raw tokens twice; zero-token and NULL docs "
+        "drop in both engines (no rows after explode).",
+)
+def doc_token_simpson_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    c = (
+        _fan_out(spark, docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.expr("sum(cnt * cnt) * 1000000 div (sum(cnt) * sum(cnt))")
+        .alias("simpson_ppm"),
+    )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+    WITH o AS (
+        SELECT event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 AS t1, p1 AS t2, event_type AS t3, COUNT(*) AS n
+    FROM o WHERE p2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 20
+    """,
+    doc="Behavioral k-gram mining: the top-20 event-type TRIGRAMS "
+        "across all user streams — the length-3 extension of "
+        "session_path_transitions' transition matrix (pair counts "
+        "can't distinguish view>click>purchase from click>view>"
+        "purchase; trigrams can). Both lags share the user_id window "
+        "partition, so the fact table takes ONE keyed exchange; the "
+        "trigram rollup is at most |types|^3 rows and the final "
+        "ORDER BY ... LIMIT plans as TakeOrderedAndProject (no global "
+        "sort). Ties break on the full trigram for a total order.",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    )
+    return (
+        o.filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+@register(
+    "user_churn_gap_census",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 1 DAY THEN 1 ELSE 0 END AS churn
+        FROM events
+    ), per_user AS (
+        SELECT user_id, CAST(SUM(churn) AS BIGINT) AS n_episodes
+        FROM g GROUP BY 1
+    )
+    SELECT n_episodes, COUNT(*) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+    doc="Churn-episode census: per user, count inactivity gaps longer "
+        "than one day between consecutive events (each gap = one churn-"
+        "and-return episode), then histogram users by episode count — "
+        "the retention-analysis complement of event_interarrival_stats "
+        "(that reports gap magnitudes; this counts threshold "
+        "crossings per user). Gap test uses exact MICROSECOND integer "
+        "arithmetic (unix_micros), matching the oracle's full-"
+        "precision interval comparison on the boundary (the "
+        "session_path_transitions rule). One user_id exchange for the "
+        "lag + per-user sum (same key, no second shuffle); the "
+        "histogram aggregates a user-count-sized table.",
+)
+def user_churn_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.when(
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 86400 * 1_000_000,
+            1,
+        ).otherwise(0).alias("churn"),
+    )
+    per_user = g.groupBy("user_id").agg(F.sum("churn").alias("n_episodes"))
+    return per_user.groupBy("n_episodes").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "customer_rfm_grid",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         (SELECT mx FROM anchor)) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    graded AS (
+        SELECT CASE WHEN recency_days <= 365 THEN 1
+                    WHEN recency_days <= 1095 THEN 2 ELSE 3 END AS r,
+               CASE WHEN frequency <= 5 THEN 1
+                    WHEN frequency <= 12 THEN 2 ELSE 3 END AS f,
+               CASE WHEN monetary_cents <= 150000000 THEN 1
+                    WHEN monetary_cents <= 350000000 THEN 2
+                    ELSE 3 END AS m,
+               monetary_cents
+        FROM per_cust
+    )
+    SELECT r, f, m, COUNT(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS cell_rev_cents
+    FROM graded GROUP BY 1, 2, 3
+    """,
+    doc="RFM segmentation grid: recency (days since last order, "
+        "anchored at the table's max order date so the census is "
+        "deterministic), frequency (order count), monetary (EXACT "
+        "integer cents via DECIMAL(18,2) fold) — each graded 1-3 by "
+        "fixed thresholds, then the 27-cell census. One custkey "
+        "exchange builds the per-customer profile (map-side "
+        "combinable); the anchor is a 1-row broadcast scalar; the "
+        "grid aggregate runs over a customer-count-sized table. Day "
+        "arithmetic is date-part exact in both engines (order dates "
+        "are midnight timestamps).",
+)
+def customer_rfm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            (F.sum(_dec("o_totalprice")) * 100)
+            .cast("bigint").alias("monetary_cents"),
+        )
+        .join(F.broadcast(anchor))
+        .withColumn(
+            "recency_days", F.datediff(F.col("mx"), F.col("last_order"))
+        )
+    )
+    graded = per_cust.select(
+        F.when(F.col("recency_days") <= 365, 1)
+        .when(F.col("recency_days") <= 1095, 2)
+        .otherwise(3).alias("r"),
+        F.when(F.col("frequency") <= 5, 1)
+        .when(F.col("frequency") <= 12, 2)
+        .otherwise(3).alias("f"),
+        F.when(F.col("monetary_cents") <= 150_000_000, 1)
+        .when(F.col("monetary_cents") <= 350_000_000, 2)
+        .otherwise(3).alias("m"),
+        "monetary_cents",
+    )
+    return graded.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").alias("cell_rev_cents"),
+    )
+
+
+@register(
+    "nation_revenue_pareto_n80",
+    oracle="""
+    WITH sup_rev AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))),
+                          2) * 100 AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+    ),
+    by_nation AS (
+        SELECT n.n_name, s.s_suppkey, r.rev_cents
+        FROM sup_rev r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    ranked AS (
+        SELECT n_name, rev_cents,
+               ROW_NUMBER() OVER w AS rk,
+               SUM(rev_cents) OVER (
+                   PARTITION BY n_name ORDER BY rev_cents DESC, s_suppkey
+                   ROWS UNBOUNDED PRECEDING) AS cum_cents,
+               SUM(rev_cents) OVER (PARTITION BY n_name) AS total_cents
+        FROM by_nation
+        WINDOW w AS (PARTITION BY n_name
+                     ORDER BY rev_cents DESC, s_suppkey)
+    )
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           CAST(MIN(CASE WHEN cum_cents * 5 >= total_cents * 4
+                         THEN rk END) AS BIGINT) AS n_for_80pct
+    FROM ranked GROUP BY 1
+    """,
+    doc="Pareto coverage: per nation, the minimum number of top "
+        "suppliers whose revenue reaches 80% of the nation's total — "
+        "the concentration HEAD-COUNT companion to "
+        "nation_supplier_hhi's index. The 80% test is the integer "
+        "cross-multiplication cum*5 >= total*4 on exact cents (no "
+        "ratio, no float); suppkey tiebreaks make the running sum a "
+        "total order. The fact table aggregates per suppkey FIRST "
+        "(one shuffle); all three windows share the n_name partition "
+        "over the supplier-sized table (aggregate-first — at 100 TB "
+        "the window input is |suppliers| rows).",
+)
+def nation_revenue_pareto_n80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    sup_rev = li.groupBy("l_suppkey").agg(
+        (
+            F.round(
+                F.sum(_dec("l_extendedprice")
+                      * (F.lit(1) - _dec("l_discount"))), 2
+            ) * 100
+        ).cast("bigint").alias("rev_cents")
+    )
+    by_nation = (
+        sup_rev.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            sup_rev["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "s_suppkey", "rev_cents")
+    )
+    w_ord = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_cents"), F.asc("s_suppkey")
+    )
+    ranked = by_nation.select(
+        "n_name", "rev_cents",
+        F.row_number().over(w_ord).alias("rk"),
+        F.sum("rev_cents").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_cents"),
+        F.sum("rev_cents").over(Window.partitionBy("n_name"))
+        .alias("total_cents"),
+    )
+    return ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.min(
+            F.when(
+                F.col("cum_cents") * 5 >= F.col("total_cents") * 4,
+                F.col("rk"),
+            )
+        ).cast("bigint").alias("n_for_80pct"),
+    )
+
+
+@register(
+    "ab_split_conversion",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                         1, 15))::BIGINT % 100 < 50
+                    THEN 'A' ELSE 'B' END AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purchases
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.variant, c.c_mktsegment,
+           COUNT(*) AS n_users,
+           CAST(SUM(a.converted) AS BIGINT) AS n_converters,
+           CAST((SUM(a.converted) * 1000000) // COUNT(*) AS BIGINT)
+               AS conv_ppm,
+           CAST(SUM(a.n_purchases) AS BIGINT) AS n_purchases
+    FROM assigned a
+    JOIN customer c ON c.c_custkey = a.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Deterministic experiment bucketing + conversion readout: "
+        "users hash into 50/50 variants via the repo's md5-derived "
+        "hash60 (NEVER rand(), never raw-key multiplication that "
+        "overflows int64 on realistic 64-bit ids — identical "
+        "assignment in both engines, across retries, and across the "
+        "training-data ablations this pattern also buckets), then "
+        "per variant x market segment: users, converters, exact "
+        "integer-ppm conversion. The per-user fold runs BEFORE the "
+        "dimension join (one user_id exchange over events, map-side "
+        "combinable; the customer dim joins the user-count-sized "
+        "profile, broadcastable), so the fact table is touched once.",
+)
+def ab_split_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import hash60
+
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    assigned = ev.groupBy(
+        "user_id",
+        F.when(
+            F.pmod(hash60(F.col("user_id").cast("string")), 100) < 50, "A"
+        ).otherwise("B").alias("variant"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("n_purchases"),
+    )
+    return (
+        assigned.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            assigned["user_id"] == F.col("c_custkey"),
+        )
+        .groupBy("variant", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").alias("n_converters"),
+            F.expr("sum(converted) * 1000000 div count(*)")
+            .alias("conv_ppm"),
+            F.sum("n_purchases").alias("n_purchases"),
+        )
+    )

@@ -171,21 +171,25 @@ def test_streaming_double_stream_match(spark, tmp_path):
     rows.append(("only_big", "big", base + pd.Timedelta(seconds=10)))
     rows.append(("only_small", "small", base + pd.Timedelta(seconds=11)))
     data = pd.DataFrame(rows, columns=["order_id", "side", "ts"])
-    # sentinel far in the future: advances the watermark so timeouts fire
-    sentinel = pd.DataFrame(
-        [("sentinel", "big", base + pd.Timedelta(hours=2))],
-        columns=["order_id", "side", "ts"],
-    )
     d = str(tmp_path / "in")
     os.makedirs(d)
     now = time.time() - 10
     data.to_parquet(os.path.join(d, "000.parquet"), index=False)
     os.utime(os.path.join(d, "000.parquet"), (now, now))
-    sentinel.to_parquet(os.path.join(d, "001.parquet"), index=False)
-    os.utime(os.path.join(d, "001.parquet"), (now + 2, now + 2))
+    # finalize sentinel (D1): advances the watermark so every pending
+    # timeout fires; dropped before the match state, so the output is
+    # EXACTLY the expected set — no sentinel artifacts
+    from flink_examples_spark.streaming.finalize import (
+        drop_finalize,
+        write_finalize_sentinel,
+    )
 
-    src = file_stream(spark, d, os.path.join(d, "000.parquet")).withWatermark(
-        "ts", "5 seconds"
+    write_finalize_sentinel(d, data, "ts")
+
+    src = drop_finalize(
+        file_stream(spark, d, os.path.join(d, "000.parquet"))
+        .withWatermark("ts", "5 seconds"),
+        "ts",
     )
     out = run_to_memory(
         streaming_double_stream_match(src, timeout_ms=60_000),
@@ -202,7 +206,7 @@ def test_streaming_double_stream_match(spark, tmp_path):
         ("only_big", "unmatched_big"),
         ("only_small", "unmatched_small"),
     }
-    assert expected <= got, got
+    assert got == expected, got
 
 
 def test_streaming_dedup_ttl_first_occurrence(spark, tmp_path):
