@@ -9587,3 +9587,44 @@ def ab_split_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_purchases").alias("n_purchases"),
         )
     )
+
+
+@register(
+    "embedding_dim_range_census",
+    oracle="""
+    SELECT dim,
+           CAST(MIN(x) AS DOUBLE) AS min_val,
+           CAST(MAX(x) AS DOUBLE) AS max_val,
+           CAST(SUM(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           COUNT(*) AS n_values
+    FROM (SELECT unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings WHERE embedding IS NOT NULL)
+    GROUP BY dim
+    """,
+    doc="Per-dimension range census over the embedding array column — "
+        "the calibration statistics int8 quantization "
+        "(embedding_quantize_int8) scales against, as a first-class "
+        "auditable query: min/max (exact — float32 widens to double "
+        "losslessly, and MIN/MAX are order-free unlike float sums), "
+        "negative count, population per dimension. posexplode keeps "
+        "the dimension index so the census needs NO per-dim column "
+        "pivoting; one map-side-combinable aggregate over |rows| x "
+        "|dims| exploded values, output is |dims| rows. Dimension "
+        "index is 1-based to match the oracle's generate_subscripts.",
+)
+def embedding_dim_range_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    exploded = (
+        _fan_out(spark, emb.filter(F.col("embedding").isNotNull())
+                 .select("embedding"))
+        .select(F.posexplode("embedding").alias("pos", "x"))
+        .select((F.col("pos") + 1).alias("dim"), "x")
+    )
+    return exploded.groupBy("dim").agg(
+        F.min("x").cast("double").alias("min_val"),
+        F.max("x").cast("double").alias("max_val"),
+        F.sum(F.when(F.col("x") < 0, 1).otherwise(0)).alias("n_negative"),
+        F.count(F.lit(1)).alias("n_values"),
+    )

@@ -2993,3 +2993,66 @@ def test_write_finalize_sentinel_contract(tmp_path):
         write_finalize_sentinel(d, pdf, "ts", key_col="k")
     with pytest.raises(ValueError, match="empty keys"):
         write_finalize_sentinel(d, pdf, "ts", key_col="k", keys=[])
+
+
+def test_finalize_sentinel_property_random_chunking(spark, tmp_path):
+    """r7 D1 property: for randomized per-key event sequences split
+    into a randomized number of replay chunks, the availableNow
+    session-window aggregation WITH the finalize sentinel equals the
+    batch aggregation EXACTLY — the sentinel never leaks rows into the
+    output and never changes a closed window, only drains the tail.
+    (Deterministic multi-seed loop rather than @given: each replay
+    costs a streaming query, so examples are budgeted explicitly.)"""
+    import random
+
+    from flink_examples_spark.streaming.finalize import (
+        drop_finalize,
+        write_finalize_sentinel,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        base = pd.Timestamp("2024-03-01 00:00:00")
+        rows = []
+        eid = 0
+        for user in range(6):
+            t = base + pd.Timedelta(minutes=rng.randint(0, 90))
+            for _ in range(rng.randint(1, 25)):
+                rows.append((eid, user, t))
+                eid += 1
+                # mix of intra-session steps and session-breaking gaps
+                t = t + pd.Timedelta(
+                    minutes=rng.choice([1, 3, 9, 27, 45, 120])
+                )
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"]) \
+            .sort_values(["ts", "event_id"])
+        d = write_chunks(
+            pdf, str(tmp_path / f"in{seed}"), rng.randint(1, 5)
+        )
+        write_finalize_sentinel(d, pdf, "ts")
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        agg = (
+            drop_finalize(src.withWatermark("ts", "0 seconds"), "ts")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "user_id", "n")
+        )
+        out = run_to_memory(
+            agg, spark, f"fin_prop_{seed}", "append",
+            str(tmp_path / f"ck{seed}"),
+        )
+        stream_rows = {(r.ws, r.user_id): r.n for r in out.collect()}
+        batch_rows = {
+            (r.ws, r.user_id): r.n
+            for r in spark.createDataFrame(pdf)
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "user_id", "n")
+            .collect()
+        }
+        assert stream_rows == batch_rows, seed
+        assert stream_rows  # non-vacuous
