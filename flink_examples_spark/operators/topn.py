@@ -79,7 +79,7 @@ def skyline_2d(
     df: DataFrame,
     min_col: str,
     max_col: str,
-    broadcast_threshold: int = 2_000_000,
+    broadcast_threshold: int | None = None,
 ) -> DataFrame:
     """Pareto frontier (skyline) over two criteria: keep every row no
     OTHER row dominates, where a dominator is <= on ``min_col``, >= on
@@ -106,13 +106,19 @@ def skyline_2d(
     Broadcast guard: frontier size is DATA-DEPENDENT. For typical
     (correlated or discrete-valued) criteria it is tiny, but on
     ANTI-CORRELATED continuous criteria the Pareto frontier approaches
-    the full distinct-pair set — unconditionally broadcasting it would
-    OOM the driver at scale. The frontier is counted first (one cheap
-    aggregate over the already-deduped pairs); at or below
-    ``broadcast_threshold`` rows it broadcasts, above it the semi-join
-    runs as a plain shuffle join. The count recomputes the frontier
-    once — two passes over the (small) distinct-pair set, never over
-    ``df`` — deliberately cheaper than pinning cache blocks.
+    the full distinct-pair set — FORCE-broadcasting it (an
+    unconditional ``F.broadcast`` hint, the pre-r7 behavior) would OOM
+    the driver at scale. Default (``broadcast_threshold=None``): no
+    hint — AQE size-gates the semi-join at runtime from the frontier's
+    actual shuffle bytes, broadcasting the usual tiny frontier and
+    falling back to a shuffle join for a pathological one, at ZERO
+    extra cost (a counted guard was measured 2x the whole query at
+    sf0.1 — the count re-runs the frontier build). Pass an integer
+    ``broadcast_threshold`` to opt into the deterministic counted
+    guard instead: the frontier is counted first (one extra pass over
+    the deduped pairs, never over ``df``) and the broadcast hint is
+    applied only at or below the threshold — for callers that need a
+    plan decided before execution (e.g. AQE disabled).
     """
     from flink_examples_spark.operators.skew import (
         range_partitioned_running_max,
@@ -128,6 +134,7 @@ def skyline_2d(
     frontier = ranked.filter(
         F.col("__rm").isNull() | (F.col(max_col) > F.col("__rm"))
     ).drop("__rm")
-    if frontier.count() <= broadcast_threshold:
+    if broadcast_threshold is not None \
+            and frontier.count() <= broadcast_threshold:
         frontier = F.broadcast(frontier)
     return df.join(frontier, on=[min_col, max_col], how="left_semi")
