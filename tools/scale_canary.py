@@ -114,7 +114,8 @@ def _prefix_jaccard(docs):
 def _skyline(events):
     """2-D skyline over (value-as-cost, event_id-mod-as-benefit) — the
     range-partitioned running-max path; must stay linear (the frontier
-    semi-join is broadcast-sized by construction)."""
+    semi-join is AQE size-gated since r7 — broadcast when the frontier
+    is small, shuffle join for a pathological one)."""
     from flink_examples_spark.operators.topn import skyline_2d
 
     pts = events.select(
