@@ -9628,3 +9628,151 @@ def embedding_dim_range_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("x") < 0, 1).otherwise(0)).alias("n_negative"),
         F.count(F.lit(1)).alias("n_values"),
     )
+
+
+@register(
+    "order_totals_reconcile_audit",
+    oracle="""
+    WITH line_sums AS (
+        SELECT l_orderkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(18,2)))),
+                          2) * 100 AS BIGINT) AS line_cents
+        FROM lineitem GROUP BY 1
+    ),
+    audited AS (
+        SELECT o.o_orderstatus,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS total_cents,
+               ls.line_cents
+        FROM orders o LEFT JOIN line_sums ls
+          ON o.o_orderkey = ls.l_orderkey
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_lines,
+           CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                          AND ABS(total_cents - line_cents) * 100
+                              <= total_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_1pct,
+           CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                          AND ABS(total_cents - line_cents) * 100
+                              > total_cents
+                          AND ABS(total_cents - line_cents) * 10
+                              <= total_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_10pct,
+           CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                          AND ABS(total_cents - line_cents) * 10
+                              > total_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_beyond_10pct
+    FROM audited GROUP BY 1
+    """,
+    doc="Cross-table reconciliation audit: does each order's header "
+        "total match the sum of its line net amounts? Per order "
+        "status: orders with NO lines at all (LEFT-join null count — "
+        "referential coverage), within 1%%, within 10%%, beyond — "
+        "every band test is an integer cents CROSS-MULTIPLICATION "
+        "(|delta|*100 <= total), no ratio, no float. Aggregate-first: "
+        "lineitem folds to per-order cents (one orderkey shuffle, "
+        "map-side combinable), joins the orders header on the SAME "
+        "key it just hashed on, and the status census aggregates an "
+        "order-count-sized table. The fixture's synthetic totals "
+        "reconcile to NOTHING — exactly what this audit exists to "
+        "catch on a real ingest.",
+)
+def order_totals_reconcile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    line_sums = li.groupBy("l_orderkey").agg(
+        (
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1) - _dec("l_discount"))
+                    * (F.lit(1) + _dec("l_tax"))
+                ), 2
+            ) * 100
+        ).cast("bigint").alias("line_cents")
+    )
+    audited = (
+        orders.select(
+            "o_orderstatus", "o_orderkey",
+            (_dec("o_totalprice") * 100).cast("bigint")
+            .alias("total_cents"),
+        )
+        .join(line_sums, F.col("o_orderkey") == F.col("l_orderkey"),
+              "left")
+    )
+    delta = F.abs(F.col("total_cents") - F.col("line_cents"))
+    has = F.col("line_cents").isNotNull()
+    return audited.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(~has, 1).otherwise(0)).alias("n_no_lines"),
+        F.sum(
+            F.when(has & (delta * 100 <= F.col("total_cents")), 1)
+            .otherwise(0)
+        ).alias("n_within_1pct"),
+        F.sum(
+            F.when(
+                has & (delta * 100 > F.col("total_cents"))
+                & (delta * 10 <= F.col("total_cents")), 1
+            ).otherwise(0)
+        ).alias("n_within_10pct"),
+        F.sum(
+            F.when(has & (delta * 10 > F.col("total_cents")), 1)
+            .otherwise(0)
+        ).alias("n_beyond_10pct"),
+    )
+
+
+@register(
+    "returnflag_quantity_mode",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, qty AS mode_qty, cnt AS mode_count
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY l_returnflag
+            ORDER BY cnt DESC, qty ASC
+        ) AS rk
+        FROM c
+    ) t WHERE rk = 1
+    """,
+    doc="Exact MODE per group (the argmax-of-counts relational "
+        "pattern, absent from the registry until now): the most "
+        "frequent order quantity per return flag, smallest-quantity "
+        "tiebreak for a total order. Two-level: (flag, qty) counts "
+        "fold map-side on the fact scan (one shuffle over at most "
+        "|flags|x|quantities| groups), then the argmax window runs "
+        "over that TINY counted table — never a data-sized sort; "
+        "at 100 TB the window input is a few hundred rows.",
+)
+def returnflag_quantity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    c = (
+        li.select(
+            "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty")
+        )
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("qty")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

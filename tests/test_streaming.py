@@ -3056,3 +3056,90 @@ def test_finalize_sentinel_property_random_chunking(spark, tmp_path):
         }
         assert stream_rows == batch_rows, seed
         assert stream_rows  # non-vacuous
+
+
+def test_streaming_cep_with_sentinel_fuzz_equals_batch(spark, tmp_path):
+    """r7 D1 fuzz: randomized event tapes on multiple keys, randomized
+    replay chunking, a quantified pattern with mixed contiguity — the
+    streaming NFA WITH per-key finalize sentinels must produce EXACTLY
+    the batch match_recognize output INCLUDING the timeout side output
+    (batch end-of-input acts as the final MAX watermark; the sentinel
+    is that watermark for the stream). Three seeded cases (each costs
+    a streaming query) on top of the 300-case batch-side fuzz."""
+    import random
+
+    from flink_examples_spark.operators.cep import Pat, match_recognize
+    from flink_examples_spark.streaming.finalize import (
+        write_finalize_sentinel,
+    )
+    from flink_examples_spark.streaming.stateful import streaming_cep
+
+    for seed in (101, 202, 303):
+        rng = random.Random(seed)
+        base = pd.Timestamp("2021-06-01 00:00:00")
+        rows = []
+        eid = 0
+        for key in (1, 2):
+            t = base
+            for _ in range(rng.randint(8, 18)):
+                rows.append(
+                    (key, eid, rng.choice(["a", "b", "bc", "c", "x"]), t)
+                )
+                eid += 1
+                t = t + pd.Timedelta(minutes=rng.choice([1, 2, 5]))
+        pdf = pd.DataFrame(rows, columns=["k", "event_id", "sym", "ts"])
+
+        pattern = [
+            Pat("A", lambda r, c: "a" in r["sym"], contiguity="strict"),
+            Pat("B", lambda r, c: "b" in r["sym"],
+                quantifier="plus",
+                contiguity=rng.choice(["strict", "relaxed"]),
+                internal_contiguity=rng.choice(["strict", "relaxed"])),
+            Pat("C", lambda r, c: r["sym"] == "c", contiguity="relaxed"),
+        ]
+        within_ms = rng.choice([4, 7]) * 60 * 1000
+
+        def measures(v, pdf_):
+            return {"a_id": int(v["A"].iloc[0]["event_id"]),
+                    "n_b": len(v["B"]),
+                    "c_id": int(v["C"].iloc[0]["event_id"]),
+                    "timed_out": False}
+
+        def timeout_measures(v, pdf_):
+            return {"a_id": int(v["A"].iloc[0]["event_id"]),
+                    "n_b": len(v.get("B", [])),
+                    "c_id": -1, "timed_out": True}
+
+        schema = "k long, a_id long, n_b int, c_id long, timed_out boolean"
+        batch = match_recognize(
+            spark.createDataFrame(pdf),
+            partition_by=["k"], order_by=["ts", "event_id"],
+            pattern=pattern, measures=measures, output_schema=schema,
+            within=f"{within_ms} ms", ts_col="ts",
+            timeout_measures=timeout_measures,
+        ).collect()
+        batch_set = sorted(
+            (r.k, r.a_id, r.n_b, r.c_id, r.timed_out) for r in batch
+        )
+
+        d = write_chunks(
+            pdf.sort_values(["ts", "event_id"]),
+            str(tmp_path / f"fz{seed}"), rng.randint(2, 4),
+        )
+        write_finalize_sentinel(d, pdf, "ts", key_col="k", keys=[1, 2])
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        out = run_to_memory(
+            streaming_cep(
+                src, key="k", ts_col="ts", pattern=pattern,
+                measures=measures, output_schema=schema,
+                within_ms=within_ms, order_cols=["ts", "event_id"],
+                timeout_measures=timeout_measures,
+            ),
+            spark, f"cep_fuzz_{seed}", "append",
+            str(tmp_path / f"fzck{seed}"),
+        )
+        stream_set = sorted(
+            (r.k, r.a_id, r.n_b, r.c_id, r.timed_out)
+            for r in out.collect()
+        )
+        assert stream_set == batch_set, (seed, stream_set, batch_set)
