@@ -548,3 +548,62 @@ def test_round6_new_operator_plan_shapes(spark, sf_dir):
     for line in exec_plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "doc_id" in line, line   # doc-bounded, never global
+
+
+def test_round7_new_query_plan_shapes(spark, sf_dir):
+    """r7 queries keep the house discipline: no cartesian products, no
+    Python boundary anywhere; the HHI/Pareto fact table aggregates per
+    suppkey BEFORE any join with a map-side partial; the trigram top-20
+    plans as TakeOrderedAndProject (no global sort); the reconcile
+    audit folds lineitem per order before the same-key header join;
+    the mode query's argmax window is partitioned (never global); and
+    every scan is column-pruned to what the query reads."""
+    from flink_examples_spark.queries import registry
+
+    reg = registry()
+    for name in [
+        "nation_supplier_hhi",
+        "nation_revenue_pareto_n80",
+        "customer_rfm_grid",
+        "ab_split_conversion",
+        "doc_token_simpson_ppm",
+        "event_path_trigrams",
+        "user_churn_gap_census",
+        "embedding_dim_range_census",
+        "order_totals_reconcile_audit",
+        "returnflag_quantity_mode",
+    ]:
+        df = reg[name].spark_fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert not python_eval_nodes(df), name
+
+    # HHI: lineitem reads exactly 3 columns; the per-suppkey aggregate
+    # carries a partial_sum below its exchange (map-side combine on the
+    # fact scan); dims arrive by broadcast
+    hhi = reg["nation_supplier_hhi"].spark_fn(spark, sf_dir)
+    cols = read_schema_columns(hhi)
+    assert cols <= {"l_suppkey", "l_extendedprice", "l_discount",
+                    "s_suppkey", "s_nationkey", "n_nationkey", "n_name"}
+    hhi_plan = hhi._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in hhi_plan
+    assert has_broadcast_join(hhi)
+
+    # trigrams: top-20 must be TakeOrderedAndProject, not a global Sort
+    tri = reg["event_path_trigrams"].spark_fn(spark, sf_dir)
+    tri_plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in tri_plan
+
+    # mode: the only Window is partitioned by the group key over the
+    # counted table — no unpartitioned (global) window anywhere
+    mode = reg["returnflag_quantity_mode"].spark_fn(spark, sf_dir)
+    mode_plan = mode._jdf.queryExecution().executedPlan().toString()
+    for line in mode_plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "l_returnflag" in line, line
+
+    # reconcile: lineitem folds per order (partial_sum under the
+    # orderkey exchange) before meeting the header
+    rec = reg["order_totals_reconcile_audit"].spark_fn(spark, sf_dir)
+    rec_plan = rec._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in rec_plan

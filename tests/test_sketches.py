@@ -465,3 +465,77 @@ def test_bitmap_ingest_fold_equals_whole_and_replay_idempotent(
     assert read_presence_bitmaps(
         spark, str(tmp_path / "nope"), ["day"],
         group_schema="day string").count() == 0
+
+
+def test_bitmap_ingest_through_real_stream(spark, tmp_path):
+    """r7: the bitmap ingest driven by an ACTUAL availableNow streaming
+    query (readStream -> foreachBatch), with in-flight compaction every
+    2 batches — the folded table equals the whole-log batch bitmaps
+    exactly, and a checkpointed RESTART over new files keeps it exact
+    (replay-safe bit_or)."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from flink_examples_spark.operators.bitmap import presence_bitmaps
+    from flink_examples_spark.streaming.sinks import (
+        bitmap_ingest_foreach_batch,
+        read_presence_bitmaps,
+    )
+    from flink_examples_spark.streaming.sources import file_stream
+
+    d = str(tmp_path / "in")
+    _os.makedirs(d)
+    now = _time.time() - 10
+    frames = [
+        pd.DataFrame({
+            "day": ["d1" if k % 2 else "d2" for k in range(lo, hi)],
+            "user_key": list(range(lo, hi)),
+        })
+        for lo, hi in [(0, 80), (40, 150), (140, 220)]
+    ]
+    for i, f in enumerate(frames[:2]):
+        p = _os.path.join(d, f"{i:03d}.parquet")
+        f.to_parquet(p, index=False)
+        _os.utime(p, (now + i, now + i))
+
+    root = str(tmp_path / "bm")
+    ck = str(tmp_path / "ck")
+    apply = bitmap_ingest_foreach_batch(
+        root, "user_key", ["day"], compact_every_n_batches=2
+    )
+
+    def run():
+        q = (
+            file_stream(spark, d, _os.path.join(d, "000.parquet"))
+            .writeStream.foreachBatch(apply)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+
+    def folded():
+        return {(r.day, r.word_idx): r.word for r in
+                read_presence_bitmaps(
+                    spark, root, ["day"], group_schema="day string"
+                ).collect()}
+
+    two = pd.concat(frames[:2], ignore_index=True)
+    whole2 = {(r.day, r.word_idx): r.word for r in presence_bitmaps(
+        spark.createDataFrame(two), ["day"], "user_key").collect()}
+    assert folded() == whole2
+
+    # restart on the same checkpoint with one new file: only the new
+    # file is ingested, the fold advances to the 3-frame whole
+    p = _os.path.join(d, "002.parquet")
+    frames[2].to_parquet(p, index=False)
+    _os.utime(p, (now + 5, now + 5))
+    run()
+    three = pd.concat(frames, ignore_index=True)
+    whole3 = {(r.day, r.word_idx): r.word for r in presence_bitmaps(
+        spark.createDataFrame(three), ["day"], "user_key").collect()}
+    assert folded() == whole3
