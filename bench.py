@@ -161,6 +161,20 @@ def _compute_movers(
     }
 
 
+def _stall_rep_count(runs: dict[str, list[float]]) -> int:
+    """Reps that exceeded 5x their query's own final steady. ts[0] is
+    the compile rep (reported separately in "compile") — a codegen-heavy
+    first rep is not a stall, so only post-compile reps count
+    (ADVICE r7)."""
+    return sum(
+        1
+        for ts in runs.values()
+        if len(ts) > 1 and min(ts[1:]) > 0
+        for t in ts[1:]
+        if t > 5 * min(ts[1:])
+    )
+
+
 def _write_mover_ledger(
     this_round: int,
     movers: dict[str, dict[str, float]],
@@ -337,13 +351,7 @@ def main() -> None:
     movers = _compute_movers(steady, prev)
     # stall visibility: reps that exceeded 5x their query's own final
     # steady (the one-off box stalls min-of-N papers over)
-    stall_rep_count = sum(
-        1
-        for ts in runs.values()
-        if len(ts) > 1 and min(ts[1:]) > 0
-        for t in ts
-        if t > 5 * min(ts[1:])
-    )
+    stall_rep_count = _stall_rep_count(runs)
 
     total = round(sum(timings.values()), 3)
     full = {

@@ -43,16 +43,18 @@ def presence_bitmaps(
     (a negative ``word_idx`` plus a negative shift amount would corrupt
     the packed words silently otherwise); NULL keys are excluded
     (COUNT(DISTINCT) semantics). One map-side-combinable ``bit_or``
-    aggregate. The key column name is backtick-quoted, so names with
-    special characters are safe."""
-    k = f"`{key_col}`"
+    aggregate. The key column name is backtick-quoted with internal
+    backticks doubled, and the error message carries only the VALUE
+    (not the raw name), so names with special characters — including
+    backticks and single quotes — are safe (ADVICE r7)."""
+    k = "`" + key_col.replace("`", "``") + "`"
     return (
-        df.filter(F.col(key_col).isNotNull())
+        df.filter(F.expr(f"{k} IS NOT NULL"))
         .select(
             *group_cols,
             F.expr(
                 f"CASE WHEN {k} < 0 THEN raise_error(concat("
-                f"'presence_bitmaps: negative key in {key_col}: ', "
+                f"'presence_bitmaps: negative key: ', "
                 f"cast({k} as string))) ELSE {k} div 64 END"
             ).alias("word_idx"),
             F.expr(f"shiftleft(1L, int({k} % 64))").alias("_bit"),

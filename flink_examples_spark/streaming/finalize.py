@@ -82,6 +82,11 @@ def write_finalize_sentinel(
 
     The file's mtime is set to now, after every already-written chunk,
     so mtime-ordered file sources replay it LAST. Returns the path.
+
+    HAZARD: the sentinel persists in the shared directory — batch
+    readers of the same path must glob-exclude ``filename`` or apply
+    :func:`drop_finalize`; call :func:`remove_finalize_sentinel` once
+    the finalized run has drained (ADVICE r7).
     """
     if template.empty:
         raise ValueError("write_finalize_sentinel: empty template frame")
@@ -105,6 +110,26 @@ def write_finalize_sentinel(
     now = time.time()
     os.utime(path, (now, now))
     return path
+
+
+def remove_finalize_sentinel(
+    directory: str, filename: str = "zzz-finalize.parquet"
+) -> bool:
+    """Delete the sentinel file after the finalized run completes.
+
+    ``write_finalize_sentinel`` leaves its year-2200 row in the SHARED
+    input directory; any other consumer — a batch ``spark.read`` of the
+    same directory, or a second streaming query that forgets
+    :func:`drop_finalize` — would silently ingest sentinel rows
+    (ADVICE r7). Call this once the finalized query has drained, or
+    have batch readers glob-exclude the distinctive default filename.
+    Returns True if a sentinel was removed, False if none existed."""
+    path = os.path.join(directory, filename)
+    try:
+        os.remove(path)
+        return True
+    except FileNotFoundError:
+        return False
 
 
 def finalize_filter(ts_col: str = "ts") -> Column:

@@ -109,3 +109,47 @@ def test_mover_ledger_generated_and_preserves_adjudications(tmp_path, monkeypatc
     bench._write_mover_ledger(7, {"q_up": movers["q_up"]}, {}, 0)
     txt2 = path.read_text()
     assert "box stall" in txt2 and "q_down" not in txt2
+
+
+def test_stall_rep_count_excludes_compile_rep():
+    """ADVICE r7: ts[0] is the compile rep, reported separately — a
+    codegen-heavy first rep must not be tallied as a box stall."""
+    # compile rep 10x steady, post-compile reps clean -> 0 stalls
+    assert bench._stall_rep_count({"q": [5.0, 0.5, 0.5, 0.5]}) == 0
+    # one genuine post-compile stall -> 1
+    assert bench._stall_rep_count({"q": [5.0, 0.5, 3.0, 0.5]}) == 1
+    # both queries contribute; single-rep and zero-steady rows skipped
+    runs = {
+        "a": [9.9, 1.0, 6.0, 1.0],   # 1 stall
+        "b": [0.4, 0.1, 0.1, 0.9],   # 1 stall
+        "c": [4.0],                  # no post-compile reps
+        "d": [1.0, 0.0, 0.0],        # zero steady guarded
+    }
+    assert bench._stall_rep_count(runs) == 2
+
+
+def test_gen_correctness_failing_names_union():
+    """ADVICE r7: the headline n_fail counts the UNION of failing query
+    names across warm + fresh runs, not the sum."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_correctness",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "gen_correctness.py"),
+    )
+    gc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gc)
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    bad_hash = dict(ok, hash_match=False)
+    err = {"err": "Boom"}
+    rows_only = {"rows_only": True, "spark_rows": 3, "err": None}
+    warm = {"q1": ok, "q2": bad_hash, "q3": err, "q4": rows_only}
+    fresh = {"q2": bad_hash, "q4": rows_only, "q5": err}
+    assert gc.failing_names(warm) == {"q2", "q3"}
+    assert gc.failing_names(fresh) == {"q2", "q5"}
+    # union: q2 failing in both runs is ONE failure
+    assert len(gc.failing_names(warm) | gc.failing_names(fresh)) == 3

@@ -393,6 +393,18 @@ def test_presence_bitmap_exact_and_mergeable(spark):
         [("g", None), ("g", 5)], "g string, k long")
     assert card(presence_bitmaps(with_null, ["g"], "k")) == 1
 
+    # special-character key names parse (ADVICE r7: quote/backtick in
+    # the name must not break the raise_error expression) and the
+    # negative-key guard still fires through the quoted identifier
+    import pytest
+
+    weird = spark.createDataFrame(
+        [("g", 3), ("g", 64)], "g string, `it's a ``key``` long")
+    assert card(presence_bitmaps(weird, ["g"], "it's a `key`")) == 2
+    neg = spark.createDataFrame([("g", -1)], "g string, `it's a ``key``` long")
+    with pytest.raises(Exception, match="negative key"):
+        presence_bitmaps(neg, ["g"], "it's a `key`").collect()
+
 
 def test_bitmap_ingest_fold_equals_whole_and_replay_idempotent(
     spark, tmp_path

@@ -2994,6 +2994,19 @@ def test_write_finalize_sentinel_contract(tmp_path):
     with pytest.raises(ValueError, match="empty keys"):
         write_finalize_sentinel(d, pdf, "ts", key_col="k", keys=[])
 
+    # cleanup helper (ADVICE r7): removes exactly the sentinel file,
+    # leaves data chunks intact, idempotent when nothing remains
+    from flink_examples_spark.streaming.finalize import (
+        remove_finalize_sentinel,
+    )
+
+    assert remove_finalize_sentinel(d) is True
+    assert not os.path.exists(path)
+    assert os.path.exists(early)  # real chunks untouched
+    assert remove_finalize_sentinel(d) is False
+    # a batch read of the directory now sees only real rows
+    assert len(pd.read_parquet(d)) == len(pdf)
+
 
 def test_finalize_sentinel_property_random_chunking(spark, tmp_path):
     """r7 D1 property: for randomized per-key event sequences split

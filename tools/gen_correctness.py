@@ -96,6 +96,22 @@ def run_queries(
     return out, n_fail
 
 
+def failing_names(rows: dict[str, dict]) -> set[str]:
+    """Names whose row records a failure (error, or any oracle
+    mismatch). Mirrors the ok/fail decision in run_queries."""
+    bad = set()
+    for name, row in rows.items():
+        if row.get("err") is not None:
+            bad.add(name)
+        elif not row.get("rows_only") and not (
+            row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        ):
+            bad.add(name)
+    return bad
+
+
 def rotated_subset(names: list[str], n_round: int,
                    size: int = FRESH_SUBSET_SIZE) -> list[str]:
     """Deterministic round-rotated window of the sorted registry: round
@@ -162,7 +178,9 @@ def main() -> None:
             res = json.load(f)
         fresh["rows"] = res["rows"]
         fresh["n_fail"] = res["n_fail"]
-        n_fail += res["n_fail"]
+        # headline = |union of failing names| across both runs — a
+        # query failing in BOTH is one failure, not two (ADVICE r7)
+        n_fail = len(failing_names(out) | failing_names(res["rows"]))
         print(
             f"fresh-session subset ({len(subset)} queries, rotation "
             f"round {n}): {res['n_fail']} failures",
@@ -172,7 +190,7 @@ def main() -> None:
     except Exception as e:  # missing output == the subprocess died
         fresh["err"] = f"{type(e).__name__}: {e}"[:500]
         fresh["n_fail"] = len(subset)
-        n_fail += len(subset)
+        n_fail = len(failing_names(out) | set(subset))
         print(f"fresh-session subset FAILED to run: {fresh['err']}")
     finally:
         try:
