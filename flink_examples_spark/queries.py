@@ -9776,3 +9776,478 @@ def returnflag_quantity_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: remaining faithful TPC-H shapes + corpus/statistics additions
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_change_scan",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))), 2) * 100
+                AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01'
+      AND l_shipdate <  DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (scan-only filter-aggregate): discount-band "
+        "revenue delta for one ship year. The whole query is ONE "
+        "parquet scan with every predicate pushed to the reader "
+        "(PushedFilters carries the date range, discount band, and "
+        "quantity cap; ReadSchema is 4 columns) and a map-side-"
+        "combined single-row aggregate — no join, no shuffle of data "
+        "rows, the canonical 100 TB 'touch only what the filter "
+        "keeps' plan. Exact money via the DECIMAL(18,2)-cents idiom.",
+)
+def revenue_change_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+             * 100).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "customer_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1
+    )
+    SELECT order_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape (distribution of customers by order count, "
+        "zero-order customers included): orders fold to per-custkey "
+        "counts FIRST (map-side-combined, order-key cardinality never "
+        "crosses the wire), the customer dim LEFT-joins the counted "
+        "table so never-ordered customers surface as count 0, then "
+        "the histogram groups a customer-sized table. Aggregate-"
+        "before-join: the join input is |customers| + |customers-"
+        "with-orders| rows, not |orders| rows.",
+)
+def customer_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        cust.join(per_cust, "c_custkey", "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("order_count"))
+        .groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "capped_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT *,
+               CAST(SUM(new_session) OVER w2 AS BIGINT) AS session_id,
+               MAX(CASE WHEN new_session = 1 THEN epoch_us(ts) END)
+                   OVER w2 AS start_us
+        FROM marked
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, session_id,
+           (epoch_us(ts) - start_us) // 1200000000 AS sub_idx,
+           MIN(ts) AS window_start,
+           MAX(ts) AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY 1, 2, 3
+    """,
+    doc="Max-duration-capped sessionization (the Amplitude/GA rule "
+        "session_windows lacks): 30-min-gap sessions additionally "
+        "split into 20-minute sub-windows anchored at the session start, "
+        "so a day-long bot stream can never hold one session open "
+        "forever — the state-size bound that matters for streaming "
+        "sessionization at 100 TB. The gap marker, the running "
+        "session counter, and the running session-start (a running "
+        "MAX over the marker rows — avoiding a second partitioning "
+        "by (user, session) for a min-over-session) all share ONE "
+        "user_id exchange; the sub-window index is integer "
+        "microsecond arithmetic (exact boundary, the "
+        "user_churn_gap_census convention); the final rollup "
+        "map-side-combines on (user, session, sub).",
+)
+def capped_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    gap_us = 30 * 60 * 1_000_000
+    cap_us = 20 * 60 * 1_000_000
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.when(
+            lag_us.isNull() | (F.unix_micros("ts") - lag_us > gap_us), 1
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id", "ts", "value",
+        F.sum("new_session").over(w2).alias("session_id"),
+        F.max(
+            F.when(F.col("new_session") == 1, F.unix_micros("ts"))
+        ).over(w2).alias("start_us"),
+    )
+    return (
+        numbered.withColumn(
+            "sub_idx",
+            F.expr(f"(unix_micros(ts) - start_us) div {cap_us}"),
+        )
+        .groupBy("user_id", "session_id", "sub_idx")
+        .agg(
+            F.min("ts").alias("window_start"),
+            F.max("ts").alias("window_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "phrase_search_positions",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS tl
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, i AS p
+        FROM toks, UNNEST(range(len(tl) - 1)) AS t(i)
+        WHERE tl[i + 1] = 'table' AND tl[i + 2] = 'scan'
+    )
+    SELECT doc_id, COUNT(*) AS n_hits, MIN(p) AS first_pos
+    FROM hits GROUP BY 1
+    """,
+    doc="Exact phrase search ('table scan') with 0-based match "
+        "positions. The Spark side is a pure ARRAY expression — "
+        "tokenize once, scan adjacent pairs with "
+        "transform+filter inside whole-stage codegen, explode only "
+        "the (rare) match positions — so the corpus is read once "
+        "with ZERO data-sized shuffles and no positional index "
+        "materialization; the only exchange carries match rows. The "
+        "oracle takes the classical positional-index route "
+        "(unnest positions, predicate join) — a genuinely different "
+        "algorithm agreeing bit-for-bit. Counts overlapping "
+        "occurrences, the inverted-index contract.",
+)
+def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    positions = (
+        docs.select(
+            "doc_id", tokens("text").alias("_toks")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(_toks) >= 2 THEN "
+                "filter(transform(sequence(0, size(_toks) - 2), "
+                "i -> CASE WHEN _toks[i] = 'table' "
+                "AND _toks[i + 1] = 'scan' THEN i END), "
+                "x -> x IS NOT NULL) ELSE array() END"
+            ).alias("pos_list"),
+        )
+        .filter(F.size("pos_list") > 0)
+    )
+    return positions.select(
+        "doc_id",
+        F.size("pos_list").cast("bigint").alias("n_hits"),
+        F.element_at("pos_list", 1).cast("bigint").alias("first_pos"),
+    )
+
+
+@register(
+    "source_token_tv_drift",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), st AS (
+        SELECT source, token, COUNT(*) AS c_st FROM toks GROUP BY 1, 2
+    ), ns AS (
+        SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1
+    ), ct AS (
+        SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1
+    ), nn AS (
+        SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct
+    ), j AS (
+        SELECT st.source,
+               CAST(SUM(abs(st.c_st * nn.n - ct.c_t * ns.n_s))
+                    AS BIGINT) AS sum_present,
+               CAST(SUM(ct.c_t) AS BIGINT) AS ct_present
+        FROM st JOIN ct USING (token) JOIN ns USING (source), nn
+        GROUP BY 1
+    )
+    SELECT j.source, ns.n_s AS n_tokens,
+           (1000000 * (j.sum_present + ns.n_s * (nn.n - j.ct_present)))
+               // (2 * ns.n_s * nn.n) AS tv_drift_ppm
+    FROM j JOIN ns USING (source), nn
+    """,
+    doc="Token-distribution drift census: exact total-variation "
+        "distance (in ppm) between each source's unigram distribution "
+        "and the whole-corpus distribution — the data-mixing monitor "
+        "that flags a crawl snapshot whose language suddenly shifts. "
+        "INTEGER-exact: TV = sum_t |c_st*N - c_t*n_s| / (2*n_s*N) is "
+        "computed by cross-multiplication over the common denominator "
+        "(no floating division per token); tokens ABSENT from a "
+        "source contribute n_s*(N - sum of present c_t) in closed "
+        "form, so the join only ever touches (source, token) pairs "
+        "that exist. Two token-keyed exchanges (the per-source and "
+        "global count folds are map-side-combined), then everything "
+        "collapses to source cardinality.",
+)
+def source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    st = (
+        _fan_out(spark, docs.select("source", "text"))
+        .select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    # st feeds ns, ct, AND the join probe — a lazy localCheckpoint cuts
+    # the shared (source, token) fold to one execution (the
+    # vocab_oov/corpus_datacard convention; lazy so building the
+    # DataFrame never runs a job)
+    st = st.localCheckpoint(eager=False)
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    ct = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    nn = ct.agg(F.sum("c_t").alias("n"))
+    j = (
+        st.join(ct, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("source")
+        .agg(
+            F.sum(F.abs(F.col("c_st") * F.col("n")
+                        - F.col("c_t") * F.col("n_s"))).alias("sum_present"),
+            F.sum("c_t").alias("ct_present"),
+        )
+    )
+    return (
+        j.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.expr(
+                "(1000000 * (sum_present + n_s * (n - ct_present))) "
+                "div (2 * n_s * n)"
+            ).alias("tv_drift_ppm"),
+        )
+    )
+
+
+@register(
+    "source_hapax_vocab_census",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ), st AS (
+        SELECT source, token, COUNT(*) AS c_st FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           CAST(SUM(CASE WHEN c_st = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           (COUNT(*) * 1000000) // CAST(SUM(c_st) AS BIGINT) AS ttr_ppm,
+           (CAST(SUM(CASE WHEN c_st = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000) // COUNT(*) AS hapax_ppm
+    FROM st GROUP BY 1
+    """,
+    doc="Per-source lexical-richness census: token count, type count, "
+        "hapax legomena (types occurring once in the source), "
+        "type/token ratio and hapax share in integer ppm — the "
+        "classic corpus-linguistics health screen (synthetic/looped "
+        "text craters TTR; OCR noise inflates hapax share). Distinct "
+        "from vocab_oov_by_source (coverage vs a FIXED top vocab) and "
+        "token_zipf_stats (one global row): this is the per-source "
+        "open-vocabulary view. One (source, token) fold (map-side-"
+        "combined), then a source-cardinality rollup; integer "
+        "div-ppm, no floats anywhere.",
+)
+def source_hapax_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    st = (
+        _fan_out(spark, docs.select("source", "text"))
+        .select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    return (
+        st.groupBy("source")
+        .agg(
+            F.sum("c_st").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c_st") == 1, 1).otherwise(0))
+            .alias("n_hapax"),
+        )
+        .select(
+            "source", "n_tokens", "n_types", "n_hapax",
+            F.expr("(n_types * 1000000) div n_tokens").alias("ttr_ppm"),
+            F.expr("(n_hapax * 1000000) div n_types").alias("hapax_ppm"),
+        )
+    )
+
+
+@register(
+    "ann_cosine_topk_filtered",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_COSINE_SQL}, 6) AS cosine
+        FROM e a JOIN e b
+          ON a.vec_id < 10 AND a.vec_id <> b.vec_id AND b.label = 3
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+        ) AS rank FROM scored
+    ) t WHERE rank <= 5
+    """,
+    doc="Filtered vector search (the production ANN variant every "
+        "vector store ships): cosine top-5 restricted to corpus "
+        "vectors with label = 3, PRE-filtered — the predicate prunes "
+        "the corpus scan BEFORE any distance is computed (pushed to "
+        "the parquet reader), so selectivity cuts compute "
+        "proportionally; post-filtering a top-k would instead return "
+        "fewer than k survivors. Same broadcast-queries/corpus-scan "
+        "shape as ann_cosine_topk — at 100 TB the filter rides the "
+        "column statistics and only matching row groups are scored.",
+)
+def ann_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(
+        emb.filter(F.col("label") == 3), emb.filter(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+@register(
+    "embedding_dim_ablation_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e16 AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v
+            FROM embeddings),
+    full_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round({_COSINE_SQL}, 6) DESC, b.vec_id ASC
+                   ) AS rank
+            FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        ) t WHERE rank <= 10
+    ),
+    low_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round({_COSINE_SQL}, 6) DESC, b.vec_id ASC
+                   ) AS rank
+            FROM e16 a JOIN e16 b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        ) t WHERE rank <= 10
+    ),
+    hits AS (
+        SELECT f.query_id, COUNT(*) AS n
+        FROM full_topk f JOIN low_topk l
+          ON f.query_id = l.query_id AND f.neighbor_id = l.neighbor_id
+        GROUP BY 1
+    )
+    SELECT q.query_id,
+           COALESCE(hits.n, 0) AS overlap_at_10,
+           COALESCE(hits.n, 0) * 100000 AS recall_ppm
+    FROM (SELECT DISTINCT query_id FROM full_topk) q
+    LEFT JOIN hits USING (query_id)
+    """,
+    doc="Matryoshka-style dimension-ablation audit: for each query "
+        "vector, how many of the full-64-dim cosine top-10 survive "
+        "when distances use only the FIRST 16 dimensions — the "
+        "recall@10 a truncated-embedding index would achieve, "
+        "measured exactly (recall_ppm = overlap * 1e6/10). Both "
+        "top-10s run the broadcast-queries brute-force scan (the "
+        "16-dim pass scores 4x cheaper per row); output is "
+        "query-cardinality. The ablation decides whether a "
+        "short-vector prefilter index is safe BEFORE building it — "
+        "run it on a sample at 100 TB, not the full corpus.",
+)
+def embedding_dim_ablation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    full = cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    emb16 = emb.withColumn(
+        "embedding", F.slice(F.col("embedding").cast("array<double>"), 1, 16)
+    )
+    low = cosine_topk(emb16, emb16.filter(F.col("vec_id") < 10), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        full.join(low, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        full.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("overlap_at_10"),
+            (F.coalesce(F.col("n"), F.lit(0)) * 100000).alias("recall_ppm"),
+        )
+    )
