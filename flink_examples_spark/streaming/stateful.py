@@ -21,6 +21,11 @@ state and timeouts:
   streaming_dedup_ttl          — keyed first-occurrence dedup with state
                                  TTL (ST6, StateTtl.java:15-22)
   streaming_dfa_alerts         — StateMachineExample.java:133-166 (ST7)
+  streaming_capped_sessions    — gap sessions split by a max-duration
+                                 cap (W4+; state = ONE open sub-window
+                                 per key, bounded regardless of key
+                                 lifetime; twin of the registered
+                                 capped_session_windows query)
 
 State values are kept as flat tuples (SURVEY.md §7.4.9): GroupState is
 Arrow-serialized every trigger, so compact state is what survives a
@@ -903,6 +908,129 @@ def streaming_series_pattern_scan(
         fn,
         out_schema,
         "tail array<string>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_capped_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_us: int = 30 * 60 * 1_000_000,
+    cap_us: int = 20 * 60 * 1_000_000,
+) -> DataFrame:
+    """Gap sessions split by a max-duration cap, as a stream (W4+).
+
+    The streaming twin of the registered ``capped_session_windows``
+    batch query: 30-min-gap sessions additionally break into fixed
+    ``cap_us`` sub-windows anchored at the session start. Spark's
+    native ``session_window`` cannot express the cap, so this is a
+    per-key GroupState fold — and the cap is exactly what BOUNDS that
+    state at 100 TB: state per key is ONE open sub-window (8 scalars),
+    never a buffer, and a bot key streaming events forever still
+    closes a window every ``cap_us``.
+
+    A sub-window emits when its session ends (gap exceeded), when the
+    cap rolls it over, or at end-of-input: a finalize sentinel row
+    (ts at/past ``finalize.FINALIZE_TS``, written per key by
+    ``write_finalize_sentinel(..., key_col=key, keys=...)``) flushes
+    the open sub-window without entering any session — the
+    end-of-stream MAX watermark as data (D1, the streaming_cep
+    convention). Money parity with the batch DECIMAL(18,2) sum: values
+    fold as exact integer cents via the shortest-repr decimal of each
+    double (Spark's own double->decimal cast semantics), emitted as
+    cents/100 double.
+
+    Replay contract: rows are processed in (ts, id) order within each
+    trigger; feed ts-ordered chunks for exact batch parity (module
+    header note).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flink_examples_spark.streaming.finalize import FINALIZE_TS_MS
+
+    fin_us = FINALIZE_TS_MS * 1000
+
+    def _cents(v: float) -> int:
+        return int(
+            Decimal(repr(float(v))).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            ).scaleb(2)
+        )
+
+    def fn(key_t, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (sess_id, sess_start, last_ts, sub_idx,
+             wmin, wmax, n, cents) = state.get
+        else:
+            sess_id = 0
+            sess_start = last_ts = sub_idx = wmin = wmax = n = cents = 0
+        out = []
+
+        def emit():
+            out.append((key_t[0], sess_id, sub_idx,
+                        pd.Timestamp(wmin * 1000),
+                        pd.Timestamp(wmax * 1000),
+                        n, cents / 100.0))
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                ts_us = int(getattr(row, ts_col).value // 1000)
+                if ts_us >= fin_us:
+                    # finalize sentinel: flush, never open a session
+                    if n > 0:
+                        emit()
+                        n = 0
+                    continue
+                c = _cents(getattr(row, value_col))
+                if n == 0:
+                    sess_id += 1
+                    sess_start = ts_us
+                    sub_idx = 0
+                    wmin = wmax = ts_us
+                    n, cents = 1, c
+                elif ts_us - last_ts > gap_us:
+                    emit()
+                    sess_id += 1
+                    sess_start = ts_us
+                    sub_idx = 0
+                    wmin = wmax = ts_us
+                    n, cents = 1, c
+                else:
+                    new_sub = (ts_us - sess_start) // cap_us
+                    if new_sub != sub_idx:
+                        emit()
+                        sub_idx = new_sub
+                        wmin = wmax = ts_us
+                        n, cents = 1, c
+                    else:
+                        wmax = max(wmax, ts_us)
+                        n += 1
+                        cents += c
+                last_ts = ts_us
+        state.update((sess_id, sess_start, last_ts, sub_idx,
+                      wmin, wmax, n, cents))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[key_col, "session_id", "sub_idx", "window_start",
+                         "window_end", "n_events", "sum_value"],
+            )
+
+    key_type = {
+        f.name: f.dataType.simpleString() for f in events.schema.fields
+    }[key_col]
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        f"{key_col} {key_type}, session_id long, sub_idx long, "
+        "window_start timestamp, window_end timestamp, "
+        "n_events long, sum_value double",
+        "sess_id long, sess_start long, last_ts long, sub_idx long, "
+        "wmin long, wmax long, n long, cents long",
         "append",
         GroupStateTimeout.NoTimeout,
     )

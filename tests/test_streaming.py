@@ -3156,3 +3156,41 @@ def test_streaming_cep_with_sentinel_fuzz_equals_batch(spark, tmp_path):
             for r in out.collect()
         )
         assert stream_set == batch_set, (seed, stream_set, batch_set)
+
+
+def test_streaming_capped_sessions_matches_batch(spark, tmp_path, events_pdf):
+    """r8 W4+: the capped-session GroupState fold under availableNow
+    replay (3 ts-ordered chunks + per-key finalize sentinels) equals
+    the registered capped_session_windows batch query EXACTLY — open
+    tail sub-windows included, no subtraction (the D1 finalize
+    contract). Money folds as integer cents, so the double sums are
+    bit-identical to the batch DECIMAL(18,2) path."""
+    from flink_examples_spark.streaming.finalize import (
+        write_finalize_sentinel,
+    )
+    from flink_examples_spark.streaming.stateful import (
+        streaming_capped_sessions,
+    )
+    import __spark_entry__ as E
+
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 3)
+    write_finalize_sentinel(
+        d, events_pdf, "ts",
+        key_col="user_id", keys=sorted(events_pdf["user_id"].unique()),
+    )
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_capped_sessions(src), spark, "capped_sess", "append",
+        str(tmp_path / "ck"),
+    )
+    stream_rows = {
+        (r.user_id, r.session_id, r.sub_idx):
+            (r.window_start, r.window_end, r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_id, r.sub_idx):
+            (r.window_start, r.window_end, r.n_events, r.sum_value)
+        for r in E.queries()["capped_session_windows"](spark, SF).collect()
+    }
+    assert stream_rows == batch_rows
