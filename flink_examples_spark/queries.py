@@ -9961,7 +9961,9 @@ def capped_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform+filter inside whole-stage codegen, explode only "
         "the (rare) match positions — so the corpus is read once "
         "with ZERO data-sized shuffles and no positional index "
-        "materialization; the only exchange carries match rows. The "
+        "materialization; the only exchange carries match rows "
+        "(plus the local single-file fan-out, skipped on wide scans "
+        "— the _fan_out contract). The "
         "oracle takes the classical positional-index route "
         "(unnest positions, predicate join) — a genuinely different "
         "algorithm agreeing bit-for-bit. Counts overlapping "
@@ -9971,26 +9973,31 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.functions.text import tokens
 
     docs = load_table(spark, "documents", sf_dir)
-    positions = (
-        docs.select(
-            "doc_id", tokens("text").alias("_toks")
-        )
+    # explode(Generate) evaluates the match expression exactly ONCE per
+    # document — downstream selects referencing a pos_list column would
+    # instead COLLAPSE into it and re-run the tokenize per reference
+    # (measured 5-10x at sf0.1); non-matching docs emit nothing, so the
+    # groupBy exchange carries only match positions
+    return (
+        _fan_out(spark, docs.select("doc_id", "text"))
+        .select("doc_id", tokens("text").alias("_toks"))
         .select(
             "doc_id",
-            F.expr(
-                "CASE WHEN size(_toks) >= 2 THEN "
-                "filter(transform(sequence(0, size(_toks) - 2), "
-                "i -> CASE WHEN _toks[i] = 'table' "
-                "AND _toks[i + 1] = 'scan' THEN i END), "
-                "x -> x IS NOT NULL) ELSE array() END"
-            ).alias("pos_list"),
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_toks) >= 2 THEN "
+                    "filter(transform(sequence(0, size(_toks) - 2), "
+                    "i -> CASE WHEN _toks[i] = 'table' "
+                    "AND _toks[i + 1] = 'scan' THEN i END), "
+                    "x -> x IS NOT NULL) ELSE array() END"
+                )
+            ).alias("p"),
         )
-        .filter(F.size("pos_list") > 0)
-    )
-    return positions.select(
-        "doc_id",
-        F.size("pos_list").cast("bigint").alias("n_hits"),
-        F.element_at("pos_list", 1).cast("bigint").alias("first_pos"),
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("p").cast("bigint").alias("first_pos"),
+        )
     )
 
 
