@@ -3194,3 +3194,101 @@ def test_streaming_capped_sessions_matches_batch(spark, tmp_path, events_pdf):
         for r in E.queries()["capped_session_windows"](spark, SF).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_capped_sessions_property_random_chunking(spark, tmp_path):
+    """r8 fuzz: for randomized per-user event tapes (mixed intra-window
+    steps, cap-crossing runs, and session-breaking gaps; 2-decimal
+    values) split into a randomized number of replay chunks, the
+    streaming_capped_sessions GroupState fold with per-key finalize
+    sentinels equals the declarative batch formulation (window
+    functions + groupBy, the registered query's shape) EXACTLY —
+    session ordinals, sub-window indices, bounds, counts, and money."""
+    import random
+
+    from pyspark.sql import Window
+
+    from flink_examples_spark.streaming.finalize import (
+        write_finalize_sentinel,
+    )
+    from flink_examples_spark.streaming.stateful import (
+        streaming_capped_sessions,
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+    cap_us = 20 * 60 * 1_000_000
+
+    def batch_ref(pdf):
+        ev = spark.createDataFrame(pdf)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        w2 = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lag_us = F.unix_micros(F.lag("ts").over(w))
+        marked = ev.select(
+            "user_id", "event_id", "ts", "value",
+            F.when(
+                lag_us.isNull()
+                | (F.unix_micros("ts") - lag_us > gap_us), 1
+            ).otherwise(0).alias("new_session"),
+        )
+        return (
+            marked.select(
+                "user_id", "ts", "value",
+                F.sum("new_session").over(w2).alias("session_id"),
+                F.max(
+                    F.when(F.col("new_session") == 1, F.unix_micros("ts"))
+                ).over(w2).alias("start_us"),
+            )
+            .withColumn(
+                "sub_idx",
+                F.expr(f"(unix_micros(ts) - start_us) div {cap_us}"),
+            )
+            .groupBy("user_id", "session_id", "sub_idx")
+            .agg(
+                F.min("ts").alias("window_start"),
+                F.max("ts").alias("window_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double").alias("sum_value"),
+            )
+        )
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        base = pd.Timestamp("2024-03-01 00:00:00")
+        rows = []
+        eid = 0
+        for user in range(5):
+            t = base + pd.Timedelta(minutes=rng.randint(0, 90))
+            for _ in range(rng.randint(1, 30)):
+                rows.append(
+                    (eid, user, t, round(rng.uniform(0.01, 200.0), 2))
+                )
+                eid += 1
+                # steps that stay in a sub-window, cross the 20-min
+                # cap, and break the 30-min session gap
+                t = t + pd.Timedelta(
+                    minutes=rng.choice([1, 4, 12, 19, 21, 29, 31, 95])
+                )
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "ts", "value"]
+        ).sort_values(["ts", "event_id"])
+        d = write_chunks(
+            pdf, str(tmp_path / f"cin{seed}"), rng.randint(1, 5)
+        )
+        write_finalize_sentinel(
+            d, pdf, "ts",
+            key_col="user_id", keys=sorted(pdf["user_id"].unique()),
+        )
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        out = run_to_memory(
+            streaming_capped_sessions(src), spark,
+            f"capped_prop_{seed}", "append", str(tmp_path / f"cck{seed}"),
+        )
+        key = lambda r: (r.user_id, r.session_id, r.sub_idx)
+        val = lambda r: (r.window_start, r.window_end, r.n_events,
+                         r.sum_value)
+        stream_rows = {key(r): val(r) for r in out.collect()}
+        batch_rows = {key(r): val(r) for r in batch_ref(pdf).collect()}
+        assert stream_rows == batch_rows, seed
+        # non-vacuous: the tape must actually exercise cap rollovers
+        assert any(k[2] > 0 for k in batch_rows), seed
