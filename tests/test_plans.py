@@ -607,3 +607,85 @@ def test_round7_new_query_plan_shapes(spark, sf_dir):
     rec = reg["order_totals_reconcile_audit"].spark_fn(spark, sf_dir)
     rec_plan = rec._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in rec_plan
+
+
+def test_round8_new_query_plan_shapes(spark, sf_dir):
+    """r8 queries keep the house discipline: no cartesian products, no
+    Python boundary; the Q6 scan reads 4 columns with every predicate
+    in the scan; Q13 folds orders per custkey BEFORE the customer
+    join; capped sessions run all three window expressions over ONE
+    user_id exchange; phrase search evaluates its match expression
+    inside a single Generate (no pos_list re-projection); Benford's
+    fact scan reads one column; the attribution window runs over pair
+    rows with a partitioned (never global) frame."""
+    from flink_examples_spark.queries import registry
+
+    reg = registry()
+    for name in [
+        "revenue_change_scan",
+        "customer_order_count_distribution",
+        "capped_session_windows",
+        "phrase_search_positions",
+        "source_token_tv_drift",
+        "source_hapax_vocab_census",
+        "ann_cosine_topk_filtered",
+        "embedding_dim_ablation_recall",
+        "orders_benford_digit_audit",
+        "purchase_attribution_time_decay",
+    ]:
+        df = reg[name].spark_fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert not python_eval_nodes(df), name
+
+    # Q6: 4-column ReadSchema, all three predicates reach the scan,
+    # and the only exchange carries the single-row partial aggregate
+    q6 = reg["revenue_change_scan"].spark_fn(spark, sf_dir)
+    assert read_schema_columns(q6) <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    q6_plan = q6._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in q6_plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in pushed_filters(q6) or [""]) or \
+            col in q6_plan.split("DataFilters")[1][:400], col
+
+    # Q13: the orders side aggregates per custkey (map-side partial)
+    # BEFORE any join with customer
+    q13 = reg["customer_order_count_distribution"].spark_fn(spark, sf_dir)
+    q13_plan = q13._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in q13_plan
+
+    # capped sessions: exactly ONE user_id hash exchange feeds the
+    # Window stack (lag + running sum + running max share it); the
+    # rollup reuses the same partitioning (no (user, session, sub)
+    # exchange)
+    cs = reg["capped_session_windows"].spark_fn(spark, sf_dir)
+    cs_plan = cs._jdf.queryExecution().executedPlan().toString()
+    win_exchanges = [
+        line for line in cs_plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(win_exchanges) == 1, cs_plan[:2000]
+    assert "user_id" in win_exchanges[0]
+
+    # phrase search: the match expression lives in ONE Generate node —
+    # no pos_list column survives into a downstream projection (the
+    # projection-collapse recompute hazard, PERF_NOTES_r8)
+    ph = reg["phrase_search_positions"].spark_fn(spark, sf_dir)
+    ph_plan = ph._jdf.queryExecution().executedPlan().toString()
+    assert ph_plan.count("Generate explode") == 1
+    assert "pos_list" not in ph_plan
+
+    # Benford: the orders scan reads exactly one column
+    bf = reg["orders_benford_digit_audit"].spark_fn(spark, sf_dir)
+    assert "o_totalprice" in read_schema_columns(bf)
+    assert not (read_schema_columns(bf)
+                & {"o_orderkey", "o_custkey", "o_orderdate"})
+
+    # time-decay attribution: every Window is partitioned by
+    # purchase_id over pair rows — no global frame
+    td = reg["purchase_attribution_time_decay"].spark_fn(spark, sf_dir)
+    td_plan = td._jdf.queryExecution().executedPlan().toString()
+    for line in td_plan.splitlines():
+        if "Window" in line and "sum" in line:
+            assert "purchase_id" in line, line
