@@ -3292,3 +3292,33 @@ def test_capped_sessions_property_random_chunking(spark, tmp_path):
         assert stream_rows == batch_rows, seed
         # non-vacuous: the tape must actually exercise cap rollovers
         assert any(k[2] > 0 for k in batch_rows), seed
+
+
+def test_capped_sessions_sentinel_only_key_emits_nothing(spark, tmp_path):
+    """A finalize sentinel fanned out to a key that never produced data
+    (the keys= superset case — e.g. a roster wider than the tape) must
+    not emit a window or poison state; keys WITH data still drain."""
+    from flink_examples_spark.streaming.finalize import (
+        write_finalize_sentinel,
+    )
+    from flink_examples_spark.streaming.stateful import (
+        streaming_capped_sessions,
+    )
+
+    pdf = pd.DataFrame({
+        "event_id": [1, 2],
+        "user_id": [7, 7],
+        "ts": pd.to_datetime(["2024-03-01 00:00:00", "2024-03-01 00:05:00"]),
+        "value": [1.25, 2.50],
+    })
+    d = write_chunks(pdf, str(tmp_path / "in"), 1)
+    write_finalize_sentinel(d, pdf, "ts", key_col="user_id", keys=[7, 99])
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_capped_sessions(src), spark, "capped_sentinel_only",
+        "append", str(tmp_path / "ck"),
+    )
+    rows = out.collect()
+    assert {r.user_id for r in rows} == {7}
+    assert len(rows) == 1
+    assert rows[0].n_events == 2 and rows[0].sum_value == 3.75
