@@ -1,0 +1,139 @@
+"""Bench-artifact ownership (VERDICT r8 #1).
+
+Three rounds running, a later full bench run — the round driver's
+finalize, or a second builder session — silently clobbered the
+committed min-of-N fold in BENCH_local_r{N}.json, needing a manual git
+restore each round. Pins the structural fix: bench.py writes session
+drafts and never overwrites an existing canonical; tools/fold_bench.py
+owns the canonical, folding drafts elementwise-min and regenerating
+the mover ledger.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import bench
+
+
+def _load_fold_bench():
+    spec = importlib.util.spec_from_file_location(
+        "fold_bench",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "fold_bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _result(value, queries, steady=None, stalls=None):
+    return {
+        "metric": "total_query_seconds", "value": value, "unit": "sec",
+        "sf": "0.1", "reps": 3, "prev_queries_recovered": len(queries),
+        "stalls": stalls or {"reps_over_5x_steady": 0, "retries": {}},
+        "spread": {k: 0.1 for k in queries},
+        "movers": {},
+        "compile": {k: v * 3 for k, v in queries.items()},
+        "steady": steady or dict(queries),
+        "queries": dict(queries),
+    }
+
+
+def test_bench_never_overwrites_existing_canonical(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    # driver artifact for round 8 -> this_round = 9
+    (tmp_path / "BENCH_r08.json").write_text("{}")
+    canonical = tmp_path / "BENCH_local_r09.json"
+    committed = json.dumps(_result(153.94, {"a": 0.5}))
+    canonical.write_text(committed)
+
+    full = _result(170.16, {"a": 0.9})
+    draft = bench._persist_full_result(full, {}, {}, 0)
+
+    # the committed fold is byte-identical — no manual git restore needed
+    assert canonical.read_text() == committed
+    # the run landed in a session draft instead
+    assert os.path.basename(draft) == "BENCH_session_r09_s1.json"
+    assert json.loads((tmp_path / "BENCH_session_r09_s1.json").read_text()) == full
+    # no ledger written by a non-canonical run
+    assert not (tmp_path / "docs" / "PERF_NOTES_r9_movers.md").exists()
+
+
+def test_bench_bootstraps_canonical_when_absent(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text("{}")
+    full = _result(100.0, {"a": 0.5})
+    bench._persist_full_result(full, {}, {}, 0)
+    assert json.loads((tmp_path / "BENCH_local_r09.json").read_text()) == full
+    # bootstrap owner also writes the ledger
+    assert (tmp_path / "docs" / "PERF_NOTES_r9_movers.md").exists()
+
+
+def test_bench_session_drafts_sequence(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text("{}")
+    p1 = bench._persist_full_result(_result(1.0, {"a": 1.0}), {}, {}, 0)
+    p2 = bench._persist_full_result(_result(2.0, {"a": 2.0}), {}, {}, 0)
+    assert os.path.basename(p1) == "BENCH_session_r09_s1.json"
+    assert os.path.basename(p2) == "BENCH_session_r09_s2.json"
+
+
+def test_fold_elementwise_min_and_stall_sum():
+    fb = _load_fold_bench()
+    d1 = _result(
+        3.0, {"a": 1.0, "b": 2.0}, steady={"a": 0.9, "b": 1.8},
+        stalls={"reps_over_5x_steady": 1, "retries": {"a": 1}},
+    )
+    d2 = _result(
+        2.5, {"a": 1.5, "b": 1.0}, steady={"a": 1.4, "b": 0.9},
+        stalls={"reps_over_5x_steady": 2, "retries": {"a": 1, "b": 2}},
+    )
+    out = fb.fold([d1, d2])
+    assert out["queries"] == {"a": 1.0, "b": 1.0}
+    assert out["steady"] == {"a": 0.9, "b": 0.9}
+    assert out["value"] == 2.0
+    assert out["stalls"]["reps_over_5x_steady"] == 3
+    assert out["stalls"]["retries"] == {"a": 2, "b": 2}
+    # spread folds as MAX so the worst observed noise stays visible
+    assert out["spread"] == {"a": 0.1, "b": 0.1}
+
+
+def test_fold_bench_main_owns_canonical_and_ledger(tmp_path, monkeypatch):
+    fb = _load_fold_bench()
+    monkeypatch.setattr(fb, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    # previous round's committed fold (movers baseline)
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": "0.1", "parsed": None})
+    )
+    (tmp_path / "BENCH_local_r08.json").write_text(
+        json.dumps(_result(2.0, {"a": 1.0, "b": 1.0}))
+    )
+    # two round-9 session drafts; `b` genuinely doubled in both
+    (tmp_path / "BENCH_session_r09_s1.json").write_text(
+        json.dumps(_result(3.1, {"a": 1.1, "b": 2.0}))
+    )
+    (tmp_path / "BENCH_session_r09_s2.json").write_text(
+        json.dumps(_result(3.0, {"a": 0.95, "b": 2.05}))
+    )
+    # a stale bootstrap canonical holding an older (better) minimum for a
+    monkeypatch.setattr(
+        "sys.argv", ["fold_bench.py", "--round", "9", "--note", "unit test"]
+    )
+    (tmp_path / "BENCH_local_r09.json").write_text(
+        json.dumps(_result(2.9, {"a": 0.9, "b": 2.0}))
+    )
+    fb.main()
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    assert out["sessions"] == 2
+    # min across drafts AND the prior canonical (hand-merged minima kept)
+    assert out["queries"] == {"a": 0.9, "b": 2.0}
+    assert out["value"] == 2.9
+    assert "unit test" in out["note"]
+    # movers recomputed from folded steady vs r8 committed fold
+    assert "b" in out["movers"] and out["movers"]["b"]["ratio"] == 2.0
+    ledger = (tmp_path / "docs" / "PERF_NOTES_r9_movers.md").read_text()
+    assert "| b | 1.0 | 2.0 | 2.0 | 0 |" in ledger

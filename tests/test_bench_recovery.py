@@ -149,7 +149,16 @@ def test_gen_correctness_failing_names_union():
     rows_only = {"rows_only": True, "spark_rows": 3, "err": None}
     warm = {"q1": ok, "q2": bad_hash, "q3": err, "q4": rows_only}
     fresh = {"q2": bad_hash, "q4": rows_only, "q5": err}
+    # pre-r9 rows (no persisted ok bit) — predicate re-derived
     assert gc.failing_names(warm) == {"q2", "q3"}
     assert gc.failing_names(fresh) == {"q2", "q5"}
     # union: q2 failing in both runs is ONE failure
     assert len(gc.failing_names(warm) | gc.failing_names(fresh)) == 3
+    # r9+ rows persist `ok` from run_queries' single decision point
+    # (ADVICE r8) and failing_names reads it verbatim
+    with_ok = {
+        "q1": dict(ok, ok=True),
+        "q2": dict(bad_hash, ok=False),
+        "q6": {"rows_only": True, "spark_rows": 3, "err": None, "ok": False},
+    }
+    assert gc.failing_names(with_ok) == {"q2", "q6"}

@@ -1,0 +1,187 @@
+"""Fold bench session drafts into the canonical BENCH_local_r{N}.json.
+
+Owns the canonical artifact (VERDICT r8 #1): `bench.py` writes one
+BENCH_session_r{N}_s{K}.json per full run and never overwrites an
+existing canonical; this tool folds all session drafts for the round
+(plus, with --include-canonical, the current canonical so earlier
+minima are never lost) elementwise:
+
+  - queries / steady / compile: per-query MIN across sessions
+  - spread: per-query MAX (worst observed noise stays visible)
+  - stalls: retries summed per query, reps_over_5x_steady summed
+  - movers: recomputed from the FOLDED steady vs the previous round's
+    committed artifact (same rule as bench.py: ratio outside [1/1.3, 1.3])
+  - value: sum of folded per-query queries minima
+  - note: generated fold provenance (session count + raw totals);
+    pass --note to append hand context
+
+Also regenerates docs/PERF_NOTES_r{N}_movers.md (the >=1.5x ledger),
+preserving hand adjudications below the marker.
+
+Usage:
+    python tools/fold_bench.py              # fold newest round's sessions
+    python tools/fold_bench.py --round 9
+    python tools/fold_bench.py --note "session C ran on a degraded box"
+    python tools/fold_bench.py --no-include-canonical   # sessions only
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+
+import bench  # noqa: E402  (reuse mover/ledger logic — one rule, one place)
+
+
+def _session_paths(rnd: int) -> list[str]:
+    return sorted(
+        glob.glob(os.path.join(_HERE, f"BENCH_session_r{rnd:02d}_s*.json")),
+        key=lambda p: int(re.search(r"_s(\d+)\.json$", p).group(1)),
+    )
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def fold(docs: list[dict]) -> dict:
+    """Elementwise fold of bench result documents (see module doc)."""
+    queries: dict[str, float] = {}
+    steady: dict[str, float] = {}
+    compile_cost: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    retries: dict[str, int] = {}
+    stall_reps = 0
+    for d in docs:
+        for name, t in (d.get("queries") or {}).items():
+            queries[name] = min(queries.get(name, t), t)
+        for name, t in (d.get("steady") or d.get("queries") or {}).items():
+            steady[name] = min(steady.get(name, t), t)
+        for name, t in (d.get("compile") or {}).items():
+            compile_cost[name] = min(compile_cost.get(name, t), t)
+        for name, s in (d.get("spread") or {}).items():
+            spread[name] = max(spread.get(name, s), s)
+        st = d.get("stalls") or {}
+        stall_reps += int(st.get("reps_over_5x_steady", 0) or 0)
+        for name, k in (st.get("retries") or {}).items():
+            retries[name] = retries.get(name, 0) + int(k)
+    base = docs[0]
+    return {
+        "metric": base.get("metric", "total_query_seconds"),
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "sf": base.get("sf"),
+        "reps": base.get("reps"),
+        "prev_queries_recovered": max(
+            int(d.get("prev_queries_recovered", 0) or 0) for d in docs
+        ),
+        "sessions": len(docs),
+        "stalls": {
+            "reps_over_5x_steady": stall_reps,
+            "retries": retries,
+            "healed_by_fold": True,
+        },
+        "spread": spread,
+        "compile": compile_cost,
+        "steady": steady,
+        "queries": queries,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("--round", type=int, default=None,
+                    help="round number (default: newest with sessions)")
+    ap.add_argument("--note", default="",
+                    help="hand context appended to the generated note")
+    ap.add_argument("--no-include-canonical", action="store_true",
+                    help="fold session drafts only, ignore existing canonical")
+    args = ap.parse_args()
+
+    rnd = args.round
+    if rnd is None:
+        rounds = sorted(
+            {
+                int(re.search(r"_r(\d+)_s\d+\.json$", p).group(1))
+                for p in glob.glob(
+                    os.path.join(_HERE, "BENCH_session_r*_s*.json")
+                )
+            }
+        )
+        if not rounds:
+            sys.exit("fold_bench: no BENCH_session_r*_s*.json drafts found")
+        rnd = rounds[-1]
+
+    paths = _session_paths(rnd)
+    if not paths:
+        sys.exit(f"fold_bench: no session drafts for round {rnd}")
+    docs = [_load(p) for p in paths]
+    raw_totals = [d.get("value") for d in docs]
+    canonical = os.path.join(_HERE, f"BENCH_local_r{rnd:02d}.json")
+    folded_prior = False
+    if not args.no_include_canonical and os.path.exists(canonical):
+        try:
+            docs.append(_load(canonical))
+            folded_prior = True
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    out = fold(docs)
+    # session drafts persist on disk, so every refold sees all of them:
+    # the draft count IS the session count, and stalls are re-summed from
+    # drafts alone (the prior canonical already holds summed stalls — the
+    # canonical is folded only so hand-merged minima are never lost)
+    out["sessions"] = len(paths)
+    out["stalls"] = fold(docs[: len(paths)])["stalls"]
+    note = (
+        f"elementwise min over {len(paths)} session draft(s) "
+        f"(raw totals {'/'.join(str(t) for t in raw_totals)} s)"
+        + (", folded into the prior canonical" if folded_prior else "")
+        + "; movers recomputed from folded steady vs previous round"
+    )
+    if args.note:
+        note += "; " + args.note
+    out["note"] = note
+
+    sf = str(out.get("sf")) if out.get("sf") is not None else None
+    prev = bench._previous_round_timings(sf)
+    out["movers"] = bench._compute_movers(out["steady"], prev)
+    # place big dicts after scalars/note so a truncated view stays readable
+    ordered = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "sf", "reps",
+            "prev_queries_recovered", "sessions", "note", "stalls",
+            "movers", "spread", "compile", "steady", "queries",
+        )
+        if k in out
+    }
+    with open(canonical, "w") as f:
+        json.dump(ordered, f)
+        f.write("\n")
+    bench._write_mover_ledger(
+        rnd,
+        out["movers"],
+        out["stalls"]["retries"],
+        out["stalls"]["reps_over_5x_steady"],
+    )
+    big = {n: m for n, m in out["movers"].items()
+           if m["ratio"] >= 1.5 or m["ratio"] <= 1 / 1.5}
+    print(
+        f"fold_bench: wrote {os.path.basename(canonical)} — "
+        f"{out['value']} s over {len(out['queries'])} queries, "
+        f"{len(paths)} session(s), {len(big)} >=1.5x mover(s); "
+        f"ledger docs/PERF_NOTES_r{rnd}_movers.md regenerated"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,10 +20,22 @@ every query is periodically covered — re-runs in a BRAND-NEW subprocess
 in the artifact under "fresh_session".
 
 Run: python tools/gen_correctness.py   [SPARK_GRAFT_SF_DIR to override]
+
+Flags (VERDICT r8 #4 — one harness for builder AND judge, no per-round
+copies):
+  --out PATH    write the artifact to PATH instead of
+                CORRECTNESS_local_r{N}.json (the judge passes
+                CORRECTNESS_judge_r{N}.json and runs the exact builder
+                harness)
+  --no-fresh    skip the fresh-session rotation subprocess (the judge's
+                single-session sweep)
+  --round N     override the round number used for output naming and
+                the rotation window (default: newest driver round + 1)
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
@@ -89,6 +101,7 @@ def run_queries(
         except Exception as e:
             row = {"err": f"{type(e).__name__}: {e}"[:500]}
             ok = False
+        row["ok"] = ok  # the single decision point; failing_names reads it
         if not ok:
             n_fail += 1
         out[name] = row
@@ -97,11 +110,15 @@ def run_queries(
 
 
 def failing_names(rows: dict[str, dict]) -> set[str]:
-    """Names whose row records a failure (error, or any oracle
-    mismatch). Mirrors the ok/fail decision in run_queries."""
+    """Names whose row records a failure. Reads the persisted per-row
+    `ok` bit (the one decision point, ADVICE r8); rows from pre-r9
+    artifacts without it fall back to re-deriving the same predicate."""
     bad = set()
     for name, row in rows.items():
-        if row.get("err") is not None:
+        if "ok" in row:
+            if not row["ok"]:
+                bad.add(name)
+        elif row.get("err") is not None:
             bad.add(name)
         elif not row.get("rows_only") and not (
             row.get("rows_match")
@@ -145,6 +162,14 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_FRESH_SUBSET"):
         _fresh_subset_main()
         return
+    ap = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    ap.add_argument("--out", default=None,
+                    help="artifact path (default CORRECTNESS_local_r{N}.json)")
+    ap.add_argument("--no-fresh", action="store_true",
+                    help="skip the fresh-session rotation subprocess")
+    ap.add_argument("--round", type=int, default=None,
+                    help="round number override for naming + rotation")
+    args = ap.parse_args()
     sf_dir = os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
@@ -155,64 +180,65 @@ def main() -> None:
     qs, osql = E.queries(), E.oracle_sql()
     names = sorted(qs.keys())
     out, n_fail = run_queries(spark, names, qs, osql, sf_dir)
-    n = current_round()
+    n = args.round if args.round is not None else current_round()
 
     # fresh-session rotation: re-check this round's window in a new
     # process so load-order/warm-session conf dependencies can't hide
-    subset = rotated_subset(names, n)
-    fresh_out = os.path.join(ROOT, ".fresh_subset_tmp.json")
-    fresh: dict = {"names": subset, "err": None}
-    try:
-        env = dict(
-            os.environ,
-            SPARK_GRAFT_FRESH_SUBSET=",".join(subset),
-            SPARK_GRAFT_FRESH_OUT=fresh_out,
-            SPARK_GRAFT_SF_DIR=sf_dir,
-        )
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, cwd=ROOT, timeout=1800,
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-        )
-        with open(fresh_out) as f:
-            res = json.load(f)
-        fresh["rows"] = res["rows"]
-        fresh["n_fail"] = res["n_fail"]
-        # headline = |union of failing names| across both runs — a
-        # query failing in BOTH is one failure, not two (ADVICE r7)
-        n_fail = len(failing_names(out) | failing_names(res["rows"]))
-        print(
-            f"fresh-session subset ({len(subset)} queries, rotation "
-            f"round {n}): {res['n_fail']} failures",
-            flush=True,
-        )
-        del proc
-    except Exception as e:  # missing output == the subprocess died
-        fresh["err"] = f"{type(e).__name__}: {e}"[:500]
-        fresh["n_fail"] = len(subset)
-        n_fail = len(failing_names(out) | set(subset))
-        print(f"fresh-session subset FAILED to run: {fresh['err']}")
-    finally:
+    fresh: dict | None = None
+    if args.no_fresh:
+        n_fail = len(failing_names(out))
+    else:
+        subset = rotated_subset(names, n)
+        fresh_out = os.path.join(ROOT, ".fresh_subset_tmp.json")
+        fresh = {"names": subset, "err": None}
         try:
-            os.remove(fresh_out)
-        except OSError:
-            pass
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_FRESH_SUBSET=",".join(subset),
+                SPARK_GRAFT_FRESH_OUT=fresh_out,
+                SPARK_GRAFT_SF_DIR=sf_dir,
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, cwd=ROOT, timeout=1800,
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            )
+            with open(fresh_out) as f:
+                res = json.load(f)
+            fresh["rows"] = res["rows"]
+            fresh["n_fail"] = res["n_fail"]
+            # headline = |union of failing names| across both runs — a
+            # query failing in BOTH is one failure, not two (ADVICE r7)
+            n_fail = len(failing_names(out) | failing_names(res["rows"]))
+            print(
+                f"fresh-session subset ({len(subset)} queries, rotation "
+                f"round {n}): {res['n_fail']} failures",
+                flush=True,
+            )
+            del proc
+        except Exception as e:  # missing output == the subprocess died
+            fresh["err"] = f"{type(e).__name__}: {e}"[:500]
+            fresh["n_fail"] = len(subset)
+            n_fail = len(failing_names(out) | set(subset))
+            print(f"fresh-session subset FAILED to run: {fresh['err']}")
+        finally:
+            try:
+                os.remove(fresh_out)
+            except OSError:
+                pass
 
-    path = os.path.join(ROOT, f"CORRECTNESS_local_r{n:02d}.json")
+    path = args.out or os.path.join(ROOT, f"CORRECTNESS_local_r{n:02d}.json")
+    doc = {
+        "sf_dir": sf_dir,
+        "n_queries": len(out),
+        "n_oracle": sum(1 for v in out.values() if "hash_match" in v),
+        "n_fail": n_fail,
+    }
+    if fresh is not None:
+        doc["fresh_session"] = fresh
+    doc["rows"] = out  # the big dict last, headline stays readable
     with open(path, "w") as f:
-        json.dump(
-            {
-                "sf_dir": sf_dir,
-                "n_queries": len(out),
-                "n_oracle": sum(1 for v in out.values()
-                                if "hash_match" in v),
-                "n_fail": n_fail,
-                "fresh_session": fresh,
-                "rows": out,
-            },
-            f,
-            indent=1,
-        )
+        json.dump(doc, f, indent=1)
         f.write("\n")
     print(f"wrote {path}: {len(out)} queries, {n_fail} failures")
     spark.stop()
