@@ -10019,15 +10019,19 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct
     ), j AS (
         SELECT st.source,
-               CAST(SUM(abs(st.c_st * nn.n - ct.c_t * ns.n_s))
-                    AS BIGINT) AS sum_present,
-               CAST(SUM(ct.c_t) AS BIGINT) AS ct_present
+               SUM(abs(CAST(st.c_st AS HUGEINT) * nn.n
+                       - CAST(ct.c_t AS HUGEINT) * ns.n_s))
+                   AS sum_present,
+               CAST(SUM(ct.c_t) AS HUGEINT) AS ct_present
         FROM st JOIN ct USING (token) JOIN ns USING (source), nn
         GROUP BY 1
     )
     SELECT j.source, ns.n_s AS n_tokens,
-           (1000000 * (j.sum_present + ns.n_s * (nn.n - j.ct_present)))
-               // (2 * ns.n_s * nn.n) AS tv_drift_ppm
+           CAST((1000000 * (j.sum_present
+                            + CAST(ns.n_s AS HUGEINT)
+                              * (nn.n - j.ct_present)))
+               // (2 * CAST(ns.n_s AS HUGEINT) * nn.n)
+               AS BIGINT) AS tv_drift_ppm
     FROM j JOIN ns USING (source), nn
     """,
     doc="Token-distribution drift census: exact total-variation "
@@ -10036,7 +10040,12 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "that flags a crawl snapshot whose language suddenly shifts. "
         "INTEGER-exact: TV = sum_t |c_st*N - c_t*n_s| / (2*n_s*N) is "
         "computed by cross-multiplication over the common denominator "
-        "(no floating division per token); tokens ABSENT from a "
+        "(no floating division per token); the products run in "
+        "decimal(38,0) (Spark) / HUGEINT (DuckDB) so c_st*N stays "
+        "exact at any realistic corpus size (a long*long would "
+        "silently wrap under Spark's non-ANSI mode at ~1e19; "
+        "1e6*(2.5e13)^2 ~ 1e33 fits 38 digits — ADVICE r8); tokens "
+        "ABSENT from a "
         "source contribute n_s*(N - sum of present c_t) in closed "
         "form, so the join only ever touches (source, token) pairs "
         "that exist. Two token-keyed exchanges (the per-source and "
@@ -10061,14 +10070,16 @@ def source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     ct = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
     nn = ct.agg(F.sum("c_t").alias("n"))
+    dec = "decimal(38,0)"  # exact 38-digit products (HUGEINT twin)
     j = (
         st.join(ct, "token")
         .join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(nn))
         .groupBy("source")
         .agg(
-            F.sum(F.abs(F.col("c_st") * F.col("n")
-                        - F.col("c_t") * F.col("n_s"))).alias("sum_present"),
+            F.sum(F.abs(F.col("c_st").cast(dec) * F.col("n")
+                        - F.col("c_t").cast(dec) * F.col("n_s")))
+            .alias("sum_present"),
             F.sum("c_t").alias("ct_present"),
         )
     )
@@ -10079,8 +10090,9 @@ def source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("n_s").alias("n_tokens"),
             F.expr(
-                "(1000000 * (sum_present + n_s * (n - ct_present))) "
-                "div (2 * n_s * n)"
+                "(CAST(1000000 AS decimal(38,0)) * (sum_present "
+                "+ CAST(n_s AS decimal(38,0)) * (n - ct_present))) "
+                "div (CAST(2 AS decimal(38,0)) * n_s * n)"
             ).alias("tv_drift_ppm"),
         )
     )

@@ -646,8 +646,12 @@ def test_round8_new_query_plan_shapes(spark, sf_dir):
     q6_plan = q6._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in q6_plan
     for col in ("l_shipdate", "l_discount", "l_quantity"):
-        assert any(col in f for f in pushed_filters(q6) or [""]) or \
-            col in q6_plan.split("DataFilters")[1][:400], col
+        # guard the DataFilters fallback so a plan with no such section
+        # reports a clean assertion failure, not IndexError (ADVICE r8)
+        assert any(col in f for f in pushed_filters(q6) or [""]) or (
+            "DataFilters" in q6_plan
+            and col in q6_plan.split("DataFilters")[1][:400]
+        ), col
 
     # Q13: the orders side aggregates per custkey (map-side partial)
     # BEFORE any join with customer
