@@ -25,7 +25,11 @@ state and timeouts:
                                  cap (W4+; state = ONE open sub-window
                                  per key, bounded regardless of key
                                  lifetime; twin of the registered
-                                 capped_session_windows query)
+                                 capped_session_windows query; with
+                                 watermark= set, quiet keys flush via
+                                 event-time timeout at the gap deadline
+                                 — no sentinel needed on unbounded
+                                 streams)
 
 State values are kept as flat tuples (SURVEY.md §7.4.9): GroupState is
 Arrow-serialized every trigger, so compact state is what survives a
@@ -921,6 +925,7 @@ def streaming_capped_sessions(
     value_col: str = "value",
     gap_us: int = 30 * 60 * 1_000_000,
     cap_us: int = 20 * 60 * 1_000_000,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Gap sessions split by a max-duration cap, as a stream (W4+).
 
@@ -934,25 +939,40 @@ def streaming_capped_sessions(
     closes a window every ``cap_us``.
 
     A sub-window emits when its session ends (gap exceeded), when the
-    cap rolls it over, or at end-of-input: a finalize sentinel row
+    cap rolls it over, at end-of-input via a finalize sentinel row
     (ts at/past ``finalize.FINALIZE_TS``, written per key by
-    ``write_finalize_sentinel(..., key_col=key, keys=...)``) flushes
-    the open sub-window without entering any session — the
-    end-of-stream MAX watermark as data (D1, the streaming_cep
-    convention). Money parity with the batch DECIMAL(18,2) sum: values
-    fold as exact integer cents via the shortest-repr decimal of each
-    double (Spark's own double->decimal cast semantics), emitted as
-    cents/100 double.
+    ``write_finalize_sentinel(..., key_col=key, keys=...)``, which
+    flushes the open sub-window without entering any session — the
+    end-of-stream MAX watermark as data, D1, the streaming_cep
+    convention) — or, with ``watermark`` set, WHEN THE WATERMARK
+    PASSES THE GAP DEADLINE: the operator applies
+    ``withWatermark(ts_col, watermark)`` and registers an event-time
+    timeout at ``last_ts + gap_us`` (VERDICT r8 #2; the reference's
+    session semantics fire on watermark, SessionWindow.java:52-56), so
+    on a genuinely unbounded stream a key that goes quiet emits its
+    final sub-window without any sentinel. No divergence from the
+    sentinel path is possible: the timer fires only once wm >
+    last_ts + gap, and any non-late later event has ts >= wm >
+    last_ts + gap — it would have opened a NEW session anyway. After a
+    timer flush the key's state stays (8 scalars, n=0) so session
+    ordinals keep counting if the key returns. Money parity with the
+    batch DECIMAL(18,2) sum: values fold as exact integer cents via
+    the shortest-repr decimal of each double (Spark's own
+    double->decimal cast semantics), emitted as cents/100 double.
 
     Replay contract: rows are processed in (ts, id) order within each
     trigger; feed ts-ordered chunks for exact batch parity (module
-    header note).
+    header note). Cross-chunk disorder inside one trigger is a
+    contract violation and raises ValueError instead of silently
+    producing wrong sessions (ADVICE r8: the per-chunk sort must not
+    mask out-of-order input).
     """
     from decimal import ROUND_HALF_UP, Decimal
 
     from flink_examples_spark.streaming.finalize import FINALIZE_TS_MS
 
     fin_us = FINALIZE_TS_MS * 1000
+    use_timer = watermark is not None
 
     def _cents(v: float) -> int:
         return int(
@@ -976,8 +996,37 @@ def streaming_capped_sessions(
                         pd.Timestamp(wmax * 1000),
                         n, cents / 100.0))
 
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the session is
+            # definitively closed — flush the open sub-window and keep
+            # the (bounded) scalars so sess_id keeps counting
+            if n > 0:
+                emit()
+                n = 0
+            state.update((sess_id, sess_start, last_ts, sub_idx,
+                          wmin, wmax, n, cents))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[key_col, "session_id", "sub_idx",
+                             "window_start", "window_end",
+                             "n_events", "sum_value"],
+                )
+            return
+
+        prev_chunk_max = None
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            if len(pdf):
+                first_us = int(pdf[ts_col].iloc[0].value // 1000)
+                if prev_chunk_max is not None and first_us < prev_chunk_max:
+                    raise ValueError(
+                        "streaming_capped_sessions: ts-ordered-chunk "
+                        f"replay contract violated for key {key_t[0]!r}: "
+                        f"chunk starts at {first_us} us, before the "
+                        f"previous chunk's max {prev_chunk_max} us"
+                    )
+                prev_chunk_max = int(pdf[ts_col].iloc[-1].value // 1000)
             for row in pdf.itertuples(index=False):
                 ts_us = int(getattr(row, ts_col).value // 1000)
                 if ts_us >= fin_us:
@@ -1014,6 +1063,16 @@ def streaming_capped_sessions(
                 last_ts = ts_us
         state.update((sess_id, sess_start, last_ts, sub_idx,
                       wmin, wmax, n, cents))
+        if use_timer and n > 0:
+            # flush when the watermark passes the gap deadline; +1 ms
+            # so a row AT last_ts + gap (still in-session) can't race
+            # the timer, clamped past the current watermark (Spark
+            # rejects a timeout at-or-behind it — the
+            # streaming_double_stream_match rule)
+            deadline_ms = (last_ts + gap_us) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+            )
         if out:
             yield pd.DataFrame(
                 out,
@@ -1024,6 +1083,8 @@ def streaming_capped_sessions(
     key_type = {
         f.name: f.dataType.simpleString() for f in events.schema.fields
     }[key_col]
+    if use_timer:
+        events = events.withWatermark(ts_col, watermark)
     return events.groupBy(key_col).applyInPandasWithState(
         fn,
         f"{key_col} {key_type}, session_id long, sub_idx long, "
@@ -1032,5 +1093,6 @@ def streaming_capped_sessions(
         "sess_id long, sess_start long, last_ts long, sub_idx long, "
         "wmin long, wmax long, n long, cents long",
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout if use_timer
+        else GroupStateTimeout.NoTimeout,
     )

@@ -3294,6 +3294,129 @@ def test_capped_sessions_property_random_chunking(spark, tmp_path):
         assert any(k[2] > 0 for k in batch_rows), seed
 
 
+def test_capped_sessions_watermark_flush_without_sentinel(spark, tmp_path):
+    """r9 (VERDICT #2): with watermark= set, a key that stops sending
+    mid-stream emits its final sub-window when the watermark (advanced
+    by OTHER keys' events) passes its gap deadline — no finalize
+    sentinel anywhere in the input. The still-open tail of the key
+    that keeps sending is NOT emitted (its deadline is past the final
+    watermark), exactly the unbounded-stream semantics."""
+    from flink_examples_spark.streaming.stateful import (
+        streaming_capped_sessions,
+    )
+
+    t = lambda s: pd.Timestamp(f"2024-03-01 {s}")
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "user_id":  [1, 1, 2, 2, 2],
+        "ts": [t("00:00:00"), t("00:05:00"),   # user 1, then quiet
+               t("00:10:00"), t("01:30:00"), t("01:40:00")],
+        "value": [1.25, 2.50, 4.00, 8.00, 16.00],
+    })
+    # three single-file triggers: c0 = both users' early events,
+    # c1/c2 = user 2 alone. After c1 the watermark (0s delay) is
+    # 01:30 > user 1's gap deadline 00:35, so user 1's timer fires
+    # during c2's batch.
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    for i, idx in enumerate([[0, 1, 2], [3], [4]]):
+        p = os.path.join(d, f"{i:03d}.parquet")
+        pdf.iloc[idx].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_capped_sessions(src, watermark="0 seconds"), spark,
+        "capped_wm_flush", "append", str(tmp_path / "ck"),
+    )
+    rows = {
+        (r.user_id, r.session_id, r.sub_idx):
+            (r.window_start, r.window_end, r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert rows == {
+        # user 1's whole session: flushed by the event-time timer
+        (1, 1, 0): (t("00:00:00"), t("00:05:00"), 2, 3.75),
+        # user 2's first session: closed by its own 80-min gap
+        (2, 1, 0): (t("00:10:00"), t("00:10:00"), 1, 4.00),
+        # user 2's open second session is correctly absent
+    }
+
+
+def test_capped_sessions_watermark_mode_sentinel_batch_parity(
+    spark, tmp_path, events_pdf
+):
+    """r9: watermark mode + finalize sentinels together still equal the
+    batch query EXACTLY — a window flushed early by a timer must not
+    re-emit at the sentinel (the n=0 guard), and the sentinel still
+    drains deadlines the final watermark never passes."""
+    from flink_examples_spark.streaming.finalize import (
+        write_finalize_sentinel,
+    )
+    from flink_examples_spark.streaming.stateful import (
+        streaming_capped_sessions,
+    )
+    import __spark_entry__ as E
+
+    d = write_chunks(events_pdf, str(tmp_path / "in"), 4)
+    write_finalize_sentinel(
+        d, events_pdf, "ts",
+        key_col="user_id", keys=sorted(events_pdf["user_id"].unique()),
+    )
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_capped_sessions(src, watermark="0 seconds"), spark,
+        "capped_wm_sentinel", "append", str(tmp_path / "ck"),
+    )
+    stream_rows = {
+        (r.user_id, r.session_id, r.sub_idx):
+            (r.window_start, r.window_end, r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_id, r.sub_idx):
+            (r.window_start, r.window_end, r.n_events, r.sum_value)
+        for r in E.queries()["capped_session_windows"](spark, SF).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_capped_sessions_out_of_order_chunk_raises(spark, tmp_path):
+    """ADVICE r8: cross-chunk ts disorder inside one trigger is a
+    replay-contract violation and must fail LOUDLY (ValueError in the
+    state function -> StreamingQueryException), not be masked by the
+    per-chunk sort."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_examples_spark.streaming.stateful import (
+        streaming_capped_sessions,
+    )
+
+    pdf = pd.DataFrame({
+        "event_id": [1, 2],
+        "user_id": [7, 7],
+        # ts DESCENDING within one file: with a 1-row Arrow batch the
+        # key's trigger delivers two chunks out of order
+        "ts": pd.to_datetime(["2024-03-01 00:10:00", "2024-03-01 00:00:00"]),
+        "value": [1.0, 2.0],
+    })
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pdf.to_parquet(os.path.join(d, "000.parquet"), index=False)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        with pytest.raises(StreamingQueryException) as exc:
+            run_to_memory(
+                streaming_capped_sessions(src), spark, "capped_ooo",
+                "append", str(tmp_path / "ck"),
+            )
+        assert "replay contract violated" in str(exc.value)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
 def test_capped_sessions_sentinel_only_key_emits_nothing(spark, tmp_path):
     """A finalize sentinel fanned out to a key that never produced data
     (the keys= superset case — e.g. a roster wider than the tape) must
