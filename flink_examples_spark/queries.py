@@ -10053,49 +10053,19 @@ def phrase_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "collapses to source cardinality.",
 )
 def source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_examples_spark.functions.text import tokens
+    # the TV algebra is shared VERBATIM with the streaming ingest
+    # reader (sinks.read_token_tv_drift) via operators/drift.py, so
+    # batch/ingest parity is structural (VERDICT r8 #3)
+    from flink_examples_spark.operators.drift import (
+        token_count_partials,
+        tv_drift_from_counts,
+    )
 
     docs = load_table(spark, "documents", sf_dir)
-    st = (
+    st = token_count_partials(
         _fan_out(spark, docs.select("source", "text"))
-        .select("source", F.explode(tokens("text")).alias("token"))
-        .groupBy("source", "token")
-        .agg(F.count(F.lit(1)).alias("c_st"))
     )
-    # st feeds ns, ct, AND the join probe — a lazy localCheckpoint cuts
-    # the shared (source, token) fold to one execution (the
-    # vocab_oov/corpus_datacard convention; lazy so building the
-    # DataFrame never runs a job)
-    st = st.localCheckpoint(eager=False)
-    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
-    ct = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
-    nn = ct.agg(F.sum("c_t").alias("n"))
-    dec = "decimal(38,0)"  # exact 38-digit products (HUGEINT twin)
-    j = (
-        st.join(ct, "token")
-        .join(F.broadcast(ns), "source")
-        .crossJoin(F.broadcast(nn))
-        .groupBy("source")
-        .agg(
-            F.sum(F.abs(F.col("c_st").cast(dec) * F.col("n")
-                        - F.col("c_t").cast(dec) * F.col("n_s")))
-            .alias("sum_present"),
-            F.sum("c_t").alias("ct_present"),
-        )
-    )
-    return (
-        j.join(F.broadcast(ns), "source")
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "source",
-            F.col("n_s").alias("n_tokens"),
-            F.expr(
-                "(CAST(1000000 AS decimal(38,0)) * (sum_present "
-                "+ CAST(n_s AS decimal(38,0)) * (n - ct_present))) "
-                "div (CAST(2 AS decimal(38,0)) * n_s * n)"
-            ).alias("tv_drift_ppm"),
-        )
-    )
+    return tv_drift_from_counts(st)
 
 
 @register(
