@@ -136,6 +136,62 @@ def pack_stats(
     )
 
 
+def pack_window_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: int,
+    partition_col: str | Sequence[str],
+) -> DataFrame:
+    """Which fixed-length training windows does each packed document
+    TOUCH — the per-doc span the contamination census needs.
+
+    ``sequence_pack`` assigns a doc to the bin its prefix STARTS in;
+    the trainer, though, consumes the concatenated token stream as
+    fixed ``target``-token windows, and a doc occupying stream range
+    ``[prefix, prefix + n_tokens)`` leaks attention into every window
+    ``floor(prefix/target) .. floor((prefix+n_tokens-1)/target)``.
+    Output: one row per NON-EMPTY doc — ``<partition cols>, <id_col>,
+    n_tokens, win_first, win_last`` (empty docs occupy no tokens and
+    are excluded: their degenerate [b, b-1] span would otherwise read
+    as a descending sequence()). Same integer-only prefix-sum window
+    as ``sequence_pack`` — hash-exact in any engine, shard-
+    parallelizable the same way.
+    """
+    if target < 1:
+        raise ValueError(
+            f"pack_window_spans: target must be >= 1, got {target}"
+        )
+    parts = _cols(partition_col)
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = token_count(text_col)
+    return (
+        df.select(
+            *[F.col(c) for c in parts],
+            F.col(id_col),
+            n.alias("n_tokens"),
+        )
+        .withColumn(
+            "_prefix",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .select(
+            *parts,
+            id_col,
+            "n_tokens",
+            F.expr(f"_prefix div {int(target)}").alias("win_first"),
+            F.expr(
+                f"(_prefix + n_tokens - 1) div {int(target)}"
+            ).alias("win_last"),
+        )
+    )
+
+
 def chunk_documents_strided(
     df: DataFrame,
     id_col: str,

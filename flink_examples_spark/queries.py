@@ -10386,3 +10386,202 @@ def purchase_attribution_time_decay(
             F.sum(F.expr("(w * 1000000) div sum_w")).alias("credit_ppm"),
         )
     )
+
+
+# --- r9: crawl pre-text stage (URL dedup + host census) ---------------
+# the documents table has no URL column; the synthetic raw URL and its
+# normalization live in functions/url.py with term-for-term DuckDB
+# mirrors (SYNTH_URL_SQL / NORMALIZE_URL_SQL), so both engines see the
+# identical crawl-like URL space
+from flink_examples_spark.functions.url import (  # noqa: E402
+    NORMALIZE_URL_SQL,
+    SYNTH_URL_SQL,
+    normalize_url,
+    synthetic_crawl_url,
+    url_host,
+)
+
+_SYNTH_URL = SYNTH_URL_SQL.format(d="doc_id", s="source")
+_URL_NORM = NORMALIZE_URL_SQL.format(u=_SYNTH_URL)
+
+
+@register(
+    "url_dedup_canonical",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, {_URL_NORM} AS url_norm
+        FROM documents
+    )
+    SELECT url_norm, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM u GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+    doc="URL-level dedup, the RefinedWeb/C4 stage that runs BEFORE any "
+        "text is read: normalize each document's crawl URL (scheme + "
+        "www strip, query/fragment strip, trailing-slash strip, "
+        "lowercase — functions/url.py, pure codegen regexes) and keep "
+        "the minimum doc_id per canonical URL; output the duplicate "
+        "groups (canonical url, group size, survivor). At 100 TB this "
+        "is one narrow (doc_id, url) projection + one url-keyed "
+        "map-side-combined aggregation — no text ever moves, which is "
+        "the entire point of URL-dedup-first.",
+)
+def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    u = docs.select(
+        "doc_id",
+        normalize_url(
+            synthetic_crawl_url("doc_id", "source")
+        ).alias("url_norm"),
+    )
+    return (
+        u.groupBy("url_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "host_boilerplate_census",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, n_chars, {_URL_NORM} AS url_norm
+        FROM documents
+    ), h AS (
+        SELECT split_part(url_norm, '/', 1) AS host, url_norm, n_chars
+        FROM u
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT url_norm) AS n_pages,
+           ((COUNT(*) - COUNT(DISTINCT url_norm)) * 1000000)
+               // COUNT(*) AS dup_page_ppm,
+           CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS chars_per_doc
+    FROM h GROUP BY 1
+    """,
+    doc="Boilerplate-host census, the second crawl pre-text stage: per "
+        "host, document count, distinct canonical pages, the re-crawl "
+        "duplication share in integer ppm (a link-farm/template host "
+        "shows most of its crawl volume collapsing onto few pages), "
+        "and mean document size — the host-level kill list RefinedWeb "
+        "applies before text processing. COUNT(DISTINCT url) is the "
+        "two-level exact-distinct shuffle of (host, url) pairs — the "
+        "same discipline as count_distinct_daily; at 100 TB hosts are "
+        "the natural partition key and no text column is touched.",
+)
+def host_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select(
+        "n_chars",
+        normalize_url(
+            synthetic_crawl_url("doc_id", "source")
+        ).alias("url_norm"),
+    ).withColumn("host", url_host("url_norm"))
+    return h.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("url_norm").alias("n_pages"),
+        F.expr(
+            "((count(1) - count(DISTINCT url_norm)) * 1000000) "
+            "div count(1)"
+        ).alias("dup_page_ppm"),
+        F.expr("sum(n_chars) div count(1)").alias("chars_per_doc"),
+    )
+
+
+@register(
+    "pack_contamination_census",
+    oracle="""
+    WITH t AS (
+        SELECT source, doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS n_tokens
+        FROM documents
+    ), p AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS pfx
+        FROM t
+    ), d AS (
+        SELECT source, n_tokens,
+               pfx // 256 AS win_first,
+               (pfx + n_tokens - 1) // 256 AS win_last
+        FROM p WHERE n_tokens > 0
+    ), inc AS (
+        SELECT source, unnest(range(win_first, win_last + 1)) AS win
+        FROM d
+    ), wins AS (
+        SELECT source, win, COUNT(*) AS n_docs_in
+        FROM inc GROUP BY 1, 2
+    ), census AS (
+        SELECT source, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN n_docs_in > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mixed_windows
+        FROM wins GROUP BY 1
+    ), sp AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN win_last > win_first THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_spanning_docs
+        FROM d GROUP BY 1
+    )
+    SELECT census.source, n_docs, n_spanning_docs, n_windows,
+           n_mixed_windows,
+           (n_mixed_windows * 1000000) // n_windows AS mixed_ppm
+    FROM census JOIN sp ON census.source = sp.source
+    """,
+    doc="Pack-boundary contamination census over the seq_pack_bins "
+        "token stream: the trainer consumes each source's packed "
+        "stream as fixed 256-token windows, and every window touched "
+        "by more than one document leaks cross-document attention "
+        "unless the collator masks it — this is that telemetry "
+        "(windows, mixed windows, integer-ppm mixing share, plus docs "
+        "spanning a boundary). Each non-empty doc expands to its "
+        "touched-window range via one explode(sequence(first,last)) — "
+        "incidence rows are bounded by n_docs + total_tokens/256, "
+        "never quadratic — then two source-keyed folds; the census "
+        "joins at source cardinality. Same integer prefix-sum "
+        "discipline as seq_pack_bins, shard-parallelizable the same "
+        "way (operators/packing.py pack_window_spans).",
+)
+def pack_contamination_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.operators.packing import pack_window_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    spans = pack_window_spans(
+        _fan_out(spark, docs.select("source", "doc_id", "text")),
+        "doc_id", "text", target=256, partition_col="source",
+    )
+    # spans feeds the incidence explode AND the per-doc span fold —
+    # one execution via the lazy-localCheckpoint convention
+    spans = spans.localCheckpoint(eager=False)
+    wins = (
+        spans.select(
+            "source",
+            F.explode(F.sequence("win_first", "win_last")).alias("win"),
+        )
+        .groupBy("source", "win")
+        .agg(F.count(F.lit(1)).alias("n_docs_in"))
+    )
+    census = wins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            F.when(F.col("n_docs_in") > 1, 1).otherwise(0)
+        ).alias("n_mixed_windows"),
+    )
+    sp = spans.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("win_last") > F.col("win_first"), 1).otherwise(0)
+        ).alias("n_spanning_docs"),
+    )
+    return census.join(F.broadcast(sp), "source").select(
+        "source", "n_docs", "n_spanning_docs", "n_windows",
+        "n_mixed_windows",
+        F.expr("(n_mixed_windows * 1000000) div n_windows")
+        .alias("mixed_ppm"),
+    )

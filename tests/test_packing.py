@@ -168,3 +168,40 @@ def test_length_bucket_cap_boundaries_and_degenerates(spark):
     assert got[2048] == (1, 3000, -952)    # clamped: pad goes negative,
     #                                        the signal "chunk these first"
     assert got[None] == (2, 0, None)       # degenerate rows stay visible
+
+
+def test_pack_window_spans_brute_force(spark):
+    """pack_window_spans vs a hand-computed token stream: docs occupy
+    [prefix, prefix+n) in id order; win range = floor-div endpoints;
+    empty docs are excluded (no tokens, and their degenerate span would
+    be a descending sequence)."""
+    from flink_examples_spark.operators.packing import pack_window_spans
+
+    rows = [
+        (1, "s", "a b c"),          # [0,3)  -> wins 0..0
+        (2, "s", "d e f g"),        # [3,7)  -> wins 0..1 (crosses 5)
+        (3, "s", ""),               # empty: excluded
+        (4, "s", "h i j k l m"),    # [7,13) -> wins 1..2
+        (5, "t", "x y z w v u t s r q p o"),  # [0,12) -> wins 0..2
+    ]
+    out = {
+        r.doc_id: (r.n_tokens, r.win_first, r.win_last)
+        for r in pack_window_spans(
+            _docs(spark, rows), "doc_id", "text", 5, "source"
+        ).collect()
+    }
+    assert out == {
+        1: (3, 0, 0),
+        2: (4, 0, 1),
+        4: (6, 1, 2),
+        5: (12, 0, 2),
+    }
+
+
+def test_pack_window_spans_rejects_bad_target(spark):
+    import pytest
+
+    from flink_examples_spark.operators.packing import pack_window_spans
+
+    with pytest.raises(ValueError):
+        pack_window_spans(_docs(spark, []), "doc_id", "text", 0, "source")

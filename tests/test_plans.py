@@ -693,3 +693,51 @@ def test_round8_new_query_plan_shapes(spark, sf_dir):
     for line in td_plan.splitlines():
         if "Window" in line and "sum" in line:
             assert "purchase_id" in line, line
+
+
+def test_round9_new_query_plan_shapes(spark, sf_dir):
+    """r9 queries keep the house discipline: the URL-dedup scan never
+    reads the text column (URL-dedup-first exists so no text moves),
+    url-dedup carries exactly ONE exchange (the url_norm fold), the
+    host census runs the two-level exact-distinct, and the pack
+    contamination census evaluates its window-range expansion inside a
+    single Generate; no cartesian products or Python nodes anywhere."""
+    from flink_examples_spark.queries import registry
+
+    reg = registry()
+    for name in [
+        "url_dedup_canonical",
+        "host_boilerplate_census",
+        "pack_contamination_census",
+    ]:
+        df = reg[name].spark_fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert not python_eval_nodes(df), name
+
+    # URL dedup: text never scanned, one url_norm exchange
+    ud = reg["url_dedup_canonical"].spark_fn(spark, sf_dir)
+    assert "text" not in read_schema_columns(ud)
+    ud_plan = ud._jdf.queryExecution().executedPlan().toString()
+    assert sum(
+        1 for line in ud_plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ) == 1
+
+    # host census: text never scanned; (host, url_norm) partial then
+    # host — the exact-distinct two-phase
+    hc = reg["host_boilerplate_census"].spark_fn(spark, sf_dir)
+    assert "text" not in read_schema_columns(hc)
+    hc_plan = hc._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "Exchange hashpartitioning(host" in line and "url_norm" in line
+        for line in hc_plan.splitlines()
+    )
+
+    # pack census: the window-range expansion is ONE Generate (the
+    # projection-collapse hazard guard, like phrase_search_positions)
+    pc = reg["pack_contamination_census"].spark_fn(spark, sf_dir)
+    pc_plan = pc._jdf.queryExecution().executedPlan().toString()
+    assert sum(
+        1 for line in pc_plan.splitlines() if "Generate explode" in line
+    ) == 1
