@@ -10473,20 +10473,36 @@ def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def host_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    h = docs.select(
-        "n_chars",
-        normalize_url(
-            synthetic_crawl_url("doc_id", "source")
-        ).alias("url_norm"),
-    ).withColumn("host", url_host("url_norm"))
-    return h.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("url_norm").alias("n_pages"),
-        F.expr(
-            "((count(1) - count(DISTINCT url_norm)) * 1000000) "
-            "div count(1)"
-        ).alias("dup_page_ppm"),
-        F.expr("sum(n_chars) div count(1)").alias("chars_per_doc"),
+    # fold per canonical URL FIRST: the url chain (md5 + regexes) is
+    # evaluated exactly once per row as the grouping key — deriving
+    # host from a url_norm projection column instead would re-inline
+    # the whole chain per reference (the projection-collapse hazard,
+    # PERF_NOTES_r8) — and the host fold then runs over ~#urls rows,
+    # which also subsumes the exact-distinct page count
+    per_url = (
+        docs.select(
+            "n_chars",
+            normalize_url(
+                synthetic_crawl_url("doc_id", "source")
+            ).alias("url_norm"),
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_u"),
+            F.sum("n_chars").alias("chars_u"),
+        )
+    )
+    return (
+        per_url.withColumn("host", url_host("url_norm"))
+        .groupBy("host")
+        .agg(
+            F.sum("n_docs_u").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.expr(
+                "((sum(n_docs_u) - count(1)) * 1000000) div sum(n_docs_u)"
+            ).alias("dup_page_ppm"),
+            F.expr("sum(chars_u) div sum(n_docs_u)").alias("chars_per_doc"),
+        )
     )
 
 

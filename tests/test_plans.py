@@ -724,15 +724,19 @@ def test_round9_new_query_plan_shapes(spark, sf_dir):
         if "Exchange hashpartitioning" in line
     ) == 1
 
-    # host census: text never scanned; (host, url_norm) partial then
-    # host — the exact-distinct two-phase
+    # host census: text never scanned; url_norm fold first (the url
+    # chain evaluates ONCE as a grouping key — projection-collapse
+    # guard), then the host fold over the aggregated table
     hc = reg["host_boilerplate_census"].spark_fn(spark, sf_dir)
     assert "text" not in read_schema_columns(hc)
     hc_plan = hc._jdf.queryExecution().executedPlan().toString()
-    assert any(
-        "Exchange hashpartitioning(host" in line and "url_norm" in line
-        for line in hc_plan.splitlines()
-    )
+    ex_lines = [
+        line for line in hc_plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(ex_lines) == 2
+    assert any("url_norm" in line for line in ex_lines)
+    assert any("host" in line for line in ex_lines)
 
     # pack census: the window-range expansion is ONE Generate (the
     # projection-collapse hazard guard, like phrase_search_positions)
