@@ -15,6 +15,12 @@ Order matters:
      the current round is already fresh -- gen_correctness takes ~10min)
   3. python -m pytest tests/ -q -- must be fully green
 
+Benchmarks are separate (they need an IDLE box): run `python bench.py`
+2+ times (each writes a BENCH_session_r{N}_s{K}.json draft; the
+committed canonical is never overwritten), then
+`python tools/fold_bench.py` to fold the drafts into
+BENCH_local_r{N}.json + the mover ledger (since r9).
+
 Run:  python tools/finalize_round.py
 """
 

@@ -38,6 +38,7 @@ Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
     merge_apply_partnd     1.2s    0.9s    1.0s  -0.11   n/a (delta 313)
     ngram_containment      2.2s    2.2s    2.8s   0.17   1.00 (r5)
     event_walk_mass        1.9s    2.0s    2.0s   0.02   n/a (100 nodes, r5)
+    pack_contamination     0.4s    0.5s    0.6s   0.19   n/a (20 sources, r9)
     jaccard_prefix_filter  3.7s    6.2s    8.1s   0.56   1.00 (r6, uncapped exact)
     skyline_2d             0.7s    0.7s    0.7s  -0.03   1.00 (r6, frontier ~12)
 
@@ -140,6 +141,33 @@ def _walk(events):
     return walk_mass(edges, iterations=3)
 
 
+def _pack_contamination(docs):
+    """Window-touch census over the packed stream (canary twin of
+    pack_contamination_census without the sf_dir loader): per-doc
+    window spans, explode to incidences, two source folds."""
+    from flink_examples_spark.operators.packing import pack_window_spans
+
+    spans = pack_window_spans(
+        docs, "doc_id", "text", 256, "source"
+    ).localCheckpoint(eager=False)
+    wins = (
+        spans.select(
+            "source",
+            F.explode(F.sequence("win_first", "win_last")).alias("win"),
+        )
+        .groupBy("source", "win")
+        .agg(F.count(F.lit(1)).alias("n_docs_in"))
+    )
+    census = wins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            F.when(F.col("n_docs_in") > 1, 1).otherwise(0)
+        ).alias("n_mixed"),
+    )
+    sp = spans.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return census.join(F.broadcast(sp), "source")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_canary")
@@ -157,6 +185,9 @@ def main() -> None:
     )
 
     docs1 = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs_src1 = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
     emb1 = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding"
     )
@@ -271,6 +302,15 @@ def main() -> None:
         "skyline_2d": (
             events1, "event_id",
             lambda d: _skyline(d),
+        ),
+        # r9: pack contamination — window prefix per source + one
+        # explode(sequence) whose incidence is docs + tokens/target;
+        # curve must stay linear in corpus tokens (sources constant,
+        # per-source window partitions grow — the serialize-per-key
+        # cost the sharded packing variant exists to split)
+        "pack_contamination": (
+            docs_src1, "doc_id",
+            lambda d: _pack_contamination(d),
         ),
     }
 
