@@ -10601,3 +10601,235 @@ def pack_contamination_census(
         F.expr("(n_mixed_windows * 1000000) div n_windows")
         .alias("mixed_ppm"),
     )
+
+
+@register(
+    "host_token_budget_cap",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id,
+               split_part({_URL_NORM}, '/', 1) AS host,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS n_tokens
+        FROM documents
+    ), w AS (
+        SELECT host, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY host ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS pfx,
+               CAST(SUM(n_tokens) OVER (PARTITION BY host) AS BIGINT)
+                   AS tot
+        FROM u
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pfx < tot // 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           MAX(tot) AS total_tokens,
+           CAST(SUM(CASE WHEN pfx < tot // 2 THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST((CAST(SUM(CASE WHEN pfx < tot // 2 THEN n_tokens
+                               ELSE 0 END) AS HUGEINT) * 1000000)
+                // MAX(tot) AS BIGINT) AS kept_ppm
+    FROM w
+    GROUP BY 1
+    HAVING MAX(tot) > 0
+    """,
+    doc="Per-host token-budget cap, the RefinedWeb/CommonCrawl domain "
+        "rebalancing stage: a handful of hosts dominate any crawl, so "
+        "the mixer caps each host's contribution — here the greedy "
+        "deterministic rule 'walk the host's pages in doc_id order, "
+        "keep while the tokens admitted so far are under half the "
+        "host's total token mass' (a relative cap binds at every sf; "
+        "a production absolute cap is the same plan with a constant). "
+        "Output per host: page count, pages kept, total/kept token "
+        "mass, kept share in integer ppm (numerator routed through "
+        "decimal(38,0)/HUGEINT — 1e13 tokens * 1e6 wraps a BIGINT, "
+        "the ADVICE-r8 rule). ONE hashpartitioning(host) exchange "
+        "serves both window frames (running prefix + host total) AND "
+        "the final fold — budget-capped greedy selection is a window "
+        "shape, not a join, which is why it survives 100 TB: tokens "
+        "never move twice and no text column ever shuffles (token "
+        "counts are computed in the scan projection). Cited against "
+        "the reference's keyed running aggregates "
+        "(HourlyTips.java:60-79).",
+)
+def host_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_examples_spark.functions.text import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = _fan_out(spark, docs.select("doc_id", "source", "text")).select(
+        "doc_id",
+        url_host(
+            normalize_url(synthetic_crawl_url("doc_id", "source"))
+        ).alias("host"),
+        token_count("text").alias("n_tokens"),
+    )
+    run = (
+        Window.partitionBy("host")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    whole = Window.partitionBy("host")
+    w = base.select(
+        "host",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(run), F.lit(0))
+        .cast("long")
+        .alias("pfx"),
+        F.sum("n_tokens").over(whole).cast("long").alias("tot"),
+    )
+    kept = F.col("pfx") < F.expr("tot div 2")
+    return (
+        w.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.max("tot").alias("total_tokens"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .where(F.col("total_tokens") > 0)
+        .select(
+            "host",
+            "n_docs",
+            "n_kept",
+            "total_tokens",
+            "kept_tokens",
+            F.expr(
+                "CAST(kept_tokens AS decimal(38,0)) * 1000000 "
+                "div total_tokens"
+            ).alias("kept_ppm"),
+        )
+    )
+
+
+def _host_span_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped twin of ``_span_synth``: each doc becomes the
+    '. '-join of itself and its four doc_id successors WITHIN THE SAME
+    SOURCE, so every text recurs as a line in up to 5 documents of one
+    host (the synthetic URL space maps source -> host 1:1) — the
+    within-host recurrence the line-dedup stage exists to strip.
+    ``_span_synth``'s global-order leads would spread recurrences
+    across hosts and the host-scoped census would see nothing."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "text"
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            ". ", "text",
+            *[F.lead("text", i).over(w) for i in range(1, 5)],
+        ).alias("text"),
+    )
+
+
+@register(
+    "host_line_dedup_census",
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id, source,
+               concat_ws('. ', text,
+                   lead(text, 1) OVER (PARTITION BY source
+                                       ORDER BY doc_id),
+                   lead(text, 2) OVER (PARTITION BY source
+                                       ORDER BY doc_id),
+                   lead(text, 3) OVER (PARTITION BY source
+                                       ORDER BY doc_id),
+                   lead(text, 4) OVER (PARTITION BY source
+                                       ORDER BY doc_id)) AS text
+        FROM documents
+    ), l AS (
+        SELECT split_part({_URL_NORM}, '/', 1) AS host,
+               unnest(string_split(text, '. ')) AS line
+        FROM synth
+    ), c AS (
+        SELECT host, line, COUNT(*) AS cnt FROM l GROUP BY 1, 2
+    )
+    SELECT host,
+           COUNT(*) AS n_lines,
+           CAST(SUM(cnt) AS BIGINT) AS n_line_instances,
+           CAST(SUM(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler_lines,
+           CAST(SUM(len(line) * cnt) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN cnt >= 3 THEN len(line) * cnt ELSE 0 END)
+                AS BIGINT) AS removed_chars,
+           CAST((CAST(SUM(CASE WHEN cnt >= 3 THEN len(line) * cnt
+                               ELSE 0 END) AS HUGEINT) * 1000000)
+                // SUM(len(line) * cnt) AS BIGINT) AS removed_ppm
+    FROM c
+    GROUP BY 1
+    HAVING SUM(len(line) * cnt) > 0
+    """,
+    doc="Host-scoped exact line dedup census, the RefinedWeb "
+        "line-wise-deduplication stage: a line occurring in >= 3 "
+        "documents of the SAME host is template boilerplate (nav "
+        "bars, footers, cookie banners) and is struck from every "
+        "occurrence; per host this reports distinct lines, line "
+        "instances, boilerplate lines, and the struck character mass "
+        "in integer ppm (HUGEINT/decimal(38,0)-routed numerator). "
+        "Distinct from corpus_paragraph_dedup (global key, keep-first "
+        "semantics): the key scope here is (host, line) and a "
+        "boilerplate line dies everywhere. Aggregate-first discipline "
+        "— the census is two folds (host,line) -> host over the "
+        "exploded lines with NO join back to documents; the strip "
+        "pass a production pipeline would add is the same (host,line) "
+        "shuffle this plan already proves out. Recurrence is "
+        "synthesized host-scoped (_host_span_synth) because the word- "
+        "soup corpus has no natural repeated lines. Cited against the "
+        "reference's keyed two-level folds (WordCount.java:80-91).",
+)
+def host_line_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    synth = _fan_out(spark, _host_span_synth(spark, sf_dir))
+    # materialize host BEFORE the explode: computed in its own Project
+    # under the Generate, the url chain (md5 + regexes) runs once per
+    # DOC; computed alongside the explode it would re-run per line row
+    # (the projection-collapse hazard, PERF_NOTES_r8/r9)
+    pre = synth.select(
+        url_host(
+            normalize_url(synthetic_crawl_url("doc_id", "source"))
+        ).alias("host"),
+        "text",
+    )
+    lines = pre.select(
+        "host", F.explode(F.split("text", r"\. ")).alias("line")
+    )
+    per_line = lines.groupBy("host", "line").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    boiler = F.col("cnt") >= 3
+    chars = F.length("line").cast("long") * F.col("cnt")
+    return (
+        per_line.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("cnt").cast("long").alias("n_line_instances"),
+            F.sum(F.when(boiler, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_lines"),
+            F.sum(chars).alias("total_chars"),
+            F.sum(F.when(boiler, chars).otherwise(0))
+            .alias("removed_chars"),
+        )
+        .where(F.col("total_chars") > 0)
+        .select(
+            "host",
+            "n_lines",
+            "n_line_instances",
+            "n_boiler_lines",
+            "total_chars",
+            "removed_chars",
+            F.expr(
+                "CAST(removed_chars AS decimal(38,0)) * 1000000 "
+                "div total_chars"
+            ).alias("removed_ppm"),
+        )
+    )

@@ -745,3 +745,49 @@ def test_round9_new_query_plan_shapes(spark, sf_dir):
     assert sum(
         1 for line in pc_plan.splitlines() if "Generate explode" in line
     ) == 1
+
+
+def test_round9_crawl_cap_and_line_dedup_plan_shapes(spark, sf_dir):
+    """The two crawl-stage additions keep the house discipline.
+
+    host_token_budget_cap: budget-capped greedy selection is a WINDOW
+    shape — exactly ONE hashpartitioning exchange (on host) serves the
+    running prefix, the host total, and the final fold; no join, no
+    second shuffle of the token mass.
+
+    host_line_dedup_census: the url chain materializes once per DOC in
+    a Project below the Generate (requiredChildOutput is [host], not
+    the raw doc_id/source — the projection-collapse hazard guard), one
+    explode, then the (host,line) -> host two-level fold.
+    """
+    from flink_examples_spark.queries import registry
+
+    reg = registry()
+
+    cap = reg["host_token_budget_cap"].spark_fn(spark, sf_dir)
+    cap_plan = cap._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in cap_plan
+    assert not python_eval_nodes(cap)
+    cap_hash_ex = [
+        line for line in cap_plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(cap_hash_ex) == 1 and "host" in cap_hash_ex[0]
+
+    ld = reg["host_line_dedup_census"].spark_fn(spark, sf_dir)
+    ld_plan = ld._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ld_plan
+    assert not python_eval_nodes(ld)
+    gens = [
+        line for line in ld_plan.splitlines() if "Generate explode" in line
+    ]
+    assert len(gens) == 1
+    # host computed below the Generate: the generate passes [host]
+    # through and does NOT carry raw doc_id/source upward
+    assert "host" in gens[0]
+    assert "doc_id" not in gens[0] and "source" not in gens[0]
+    ld_hash_ex = [
+        line for line in ld_plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(ld_hash_ex) == 3

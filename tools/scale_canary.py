@@ -168,6 +168,47 @@ def _pack_contamination(docs):
     return census.join(F.broadcast(sp), "source")
 
 
+def _host_budget_cap(docs):
+    """Per-host token-budget cap (canary twin of host_token_budget_cap
+    without the sf_dir loader): url-chain host, running-prefix +
+    host-total windows over ONE exchange, final fold."""
+    from pyspark.sql import Window
+
+    from flink_examples_spark.functions.text import token_count
+    from flink_examples_spark.functions.url import (
+        normalize_url,
+        synthetic_crawl_url,
+        url_host,
+    )
+
+    base = docs.select(
+        "doc_id",
+        url_host(
+            normalize_url(synthetic_crawl_url("doc_id", "source"))
+        ).alias("host"),
+        token_count("text").alias("n_tokens"),
+    )
+    run = (
+        Window.partitionBy("host")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    whole = Window.partitionBy("host")
+    w = base.select(
+        "host",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(run), F.lit(0))
+        .cast("long")
+        .alias("pfx"),
+        F.sum("n_tokens").over(whole).cast("long").alias("tot"),
+    )
+    kept = F.col("pfx") < F.expr("tot div 2")
+    return w.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale_canary")
@@ -311,6 +352,14 @@ def main() -> None:
         "pack_contamination": (
             docs_src1, "doc_id",
             lambda d: _pack_contamination(d),
+        ),
+        # r9 s5: budget-capped greedy selection — a pure window shape
+        # (one host exchange, prefix + total frames); curve must stay
+        # linear in docs (hosts constant under doubling — same
+        # serialize-per-key caveat as pack_contamination)
+        "host_budget_cap": (
+            docs_src1, "doc_id",
+            lambda d: _host_budget_cap(d),
         ),
     }
 
