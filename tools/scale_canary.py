@@ -39,6 +39,7 @@ Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
     ngram_containment      2.2s    2.2s    2.8s   0.17   1.00 (r5)
     event_walk_mass        1.9s    2.0s    2.0s   0.02   n/a (100 nodes, r5)
     pack_contamination     0.4s    0.5s    0.6s   0.19   n/a (20 sources, r9)
+    host_budget_cap        0.35s   0.21s   0.28s  -0.15  n/a (20 hosts, r9 s5)
     jaccard_prefix_filter  3.7s    6.2s    8.1s   0.56   1.00 (r6, uncapped exact)
     skyline_2d             0.7s    0.7s    0.7s  -0.03   1.00 (r6, frontier ~12)
 
