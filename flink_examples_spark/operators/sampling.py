@@ -400,3 +400,55 @@ def materialize_repeat_plan(
     return copies.filter(
         (F.col("copy_idx") < n_full) | (bucket < frac)
     ).select(*df.columns, "copy_idx")
+
+
+def budget_admission_flags(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    id_col: str,
+    text_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-row admission verdicts under an ABSOLUTE per-key token
+    budget: walking each key's rows in ``id_col`` order, a row is
+    admitted while the token mass BEFORE it is under ``cap`` — the row
+    crossing the cap is still admitted, everything after is not, so
+    the admitted set is an id-prefix per key.
+
+    This is the streamable variant of the relative cap in
+    ``queries.host_token_budget_cap`` (which also needs the key TOTAL,
+    a second frame on the same exchange); an ingest gate can't know
+    the total, so production admission runs with a constant — and the
+    GroupState twin ``streaming.stateful.streaming_budget_admission``
+    carries exactly this prefix across micro-batches (parity pinned in
+    tests/test_streaming.py). ONE hashpartitioning exchange; NULL text
+    yields NULL n_tokens and does not advance the prefix (the
+    sequence_pack convention).
+
+    Output: ``<key cols>, <id_col>, n_tokens, kept``.
+    """
+    from pyspark.sql import Window
+
+    from flink_examples_spark.functions.text import token_count
+
+    parts = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if cap < 0:
+        raise ValueError(f"budget_admission_flags: cap must be >= 0, got {cap}")
+    run = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.select(
+        *[F.col(c) for c in parts],
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+    ).select(
+        *parts,
+        id_col,
+        "n_tokens",
+        (
+            F.coalesce(F.sum("n_tokens").over(run), F.lit(0)).cast("long")
+            < F.lit(int(cap))
+        ).alias("kept"),
+    )

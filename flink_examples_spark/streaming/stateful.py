@@ -1096,3 +1096,87 @@ def streaming_capped_sessions(
         GroupStateTimeout.EventTimeTimeout if use_timer
         else GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_budget_admission(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    cap: int,
+    partition_col: str | Sequence[str],
+) -> DataFrame:
+    """Streaming twin of ``operators.sampling.budget_admission_flags``:
+    the crawl ingest admission gate — one running token prefix per key
+    in GroupState, a row admitted while the prefix (token mass of ALL
+    earlier rows, admitted or not) is under the absolute ``cap``.
+
+    State is a single ``(prefix, last_id)`` pair per key — bounded for
+    immortal keys BY CONSTRUCTION (a counter, no buffered rows), which
+    is the property that lets this run forever on a crawl firehose.
+
+    Replay contract and its enforcement: rows must arrive in
+    increasing ``id_col`` order per key ACROSS triggers (the shape of
+    an append-only ingest). Within one trigger all Arrow chunks are
+    concatenated before a single sort (the sequence_pack rule — chunk
+    order inside a trigger is arbitrary and legal); ACROSS triggers the
+    state carries the last id seen and a trigger whose minimum id does
+    not exceed it raises ValueError (the capped-sessions loud-failure
+    rule, ADVICE r8 — a masked disorder would silently diverge from
+    the batch window's ORDER BY).
+
+    NULL text mirrors the batch side: NULL n_tokens, prefix unchanged,
+    the admission predicate still evaluated. Cited against the
+    reference's keyed running-aggregate state (HourlyTips.java:60-79).
+    """
+    parts = [partition_col] if isinstance(partition_col, str) \
+        else list(partition_col)
+    types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    key_ddl = ", ".join(f"{c} {types[c]}" for c in parts)
+    cap = int(cap)
+
+    def fn(
+        key_t, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prefix, last_id = state.get if state.exists else (0, None)
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1 else (chunks[0] if chunks else None)
+        )
+        out = []
+        if whole is not None:
+            whole = whole.sort_values(id_col)
+            first = int(whole[id_col].iloc[0])
+            if last_id is not None and first <= last_id:
+                raise ValueError(
+                    "streaming_budget_admission: id-ordered replay "
+                    f"contract violated for key {key_t!r}: trigger "
+                    f"starts at id {first}, not after the previous "
+                    f"trigger's max id {last_id}"
+                )
+            for row in whole.itertuples(index=False):
+                txt = getattr(row, text_col)
+                rid = getattr(row, id_col)
+                kept = prefix < cap
+                if txt is None or (
+                    isinstance(txt, float) and pd.isna(txt)
+                ):
+                    out.append((*key_t, rid, None, kept))
+                    continue
+                toks = [t for t in str(txt).lower().split(" ") if t]
+                out.append((*key_t, rid, len(toks), kept))
+                prefix += len(toks)
+            last_id = int(whole[id_col].iloc[-1])
+        state.update((prefix, last_id))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[*parts, id_col, "n_tokens", "kept"]
+            )
+
+    return docs.groupBy(*parts).applyInPandasWithState(
+        fn,
+        f"{key_ddl}, {id_col} {types[id_col]}, n_tokens int, kept boolean",
+        "prefix long, last_id long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

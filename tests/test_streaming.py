@@ -3445,3 +3445,151 @@ def test_capped_sessions_sentinel_only_key_emits_nothing(spark, tmp_path):
     assert {r.user_id for r in rows} == {7}
     assert len(rows) == 1
     assert rows[0].n_events == 2 and rows[0].sum_value == 3.75
+
+
+def test_streaming_budget_admission_matches_batch(spark, tmp_path):
+    """Streaming twin of budget_admission_flags: the per-key token
+    prefix lives in GroupState across micro-batches, so an append-only
+    id-ordered ingest admits row-for-row identically to the batch
+    window formulation — and the admitted set is an id-prefix per
+    key."""
+    from flink_examples_spark.operators.sampling import (
+        budget_admission_flags,
+    )
+    from flink_examples_spark.streaming.stateful import (
+        streaming_budget_admission,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    batch = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["kept"])
+        for r in budget_admission_flags(
+            docs, "source", "doc_id", "text", 700
+        ).collect()
+    }
+
+    pdf = docs.select("source", "doc_id", "text").toPandas() \
+        .sort_values("doc_id")  # append-only id-ordered ingest
+    d = write_chunks(pdf, str(tmp_path / "in"), 4)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_budget_admission(src, "doc_id", "text", 700, "source"),
+        spark, "budget_adm", "append", str(tmp_path / "ck"),
+    )
+    got = {r.doc_id: (r.source, r.n_tokens, r.kept) for r in out.collect()}
+    assert got == batch
+    # the cap actually bit (both verdicts present) ...
+    verdicts = {k for _, _, k in got.values()}
+    assert verdicts == {True, False}
+    # ... and per key the admitted set is an id-prefix
+    by_src = {}
+    for doc_id, (s, _, kept) in sorted(got.items()):
+        by_src.setdefault(s, []).append(kept)
+    for s, flags in by_src.items():
+        assert flags == sorted(flags, reverse=True), s
+
+
+def test_streaming_budget_admission_out_of_order_trigger_raises(
+    spark, tmp_path
+):
+    """A trigger whose min id does not exceed the previous trigger's
+    max id violates the id-ordered replay contract and must fail
+    LOUDLY (ValueError -> StreamingQueryException), not silently admit
+    against a stale prefix."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_examples_spark.streaming.stateful import (
+        streaming_budget_admission,
+    )
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    now = time.time() - 10
+    a = pd.DataFrame({"source": ["h", "h"], "doc_id": [10, 11],
+                      "text": ["a b", "c"]})
+    b = pd.DataFrame({"source": ["h"], "doc_id": [5], "text": ["d"]})
+    a.to_parquet(os.path.join(d, "000.parquet"), index=False)
+    b.to_parquet(os.path.join(d, "001.parquet"), index=False)
+    os.utime(os.path.join(d, "000.parquet"), (now, now))
+    os.utime(os.path.join(d, "001.parquet"), (now + 1, now + 1))
+
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    with pytest.raises(StreamingQueryException) as exc:
+        run_to_memory(
+            streaming_budget_admission(src, "doc_id", "text", 100, "source"),
+            spark, "budget_adm_ooo", "append", str(tmp_path / "ck"),
+        )
+    assert "replay contract violated" in str(exc.value)
+
+
+def test_streaming_budget_admission_fuzz_equals_batch(spark, tmp_path):
+    """Differential fuzz: random tapes (random token counts, NULL
+    texts, a zero-cap key never admitting) x random chunkings must
+    equal the batch window formulation row-for-row."""
+    import random
+
+    from flink_examples_spark.operators.sampling import (
+        budget_admission_flags,
+    )
+    from flink_examples_spark.streaming.stateful import (
+        streaming_budget_admission,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        rows = []
+        for doc_id in range(rng.randrange(40, 80)):
+            src = f"h{rng.randrange(3)}"
+            if rng.random() < 0.1:
+                text = None
+            else:
+                text = " ".join("w%d" % rng.randrange(9)
+                                for _ in range(rng.randrange(0, 10)))
+            rows.append((src, doc_id, text))
+        pdf = pd.DataFrame(rows, columns=["source", "doc_id", "text"])
+        cap = rng.randrange(10, 40)
+
+        sdf = spark.createDataFrame(
+            pdf, "source string, doc_id long, text string"
+        )
+        batch = {
+            r["doc_id"]: (r["source"], r["n_tokens"], r["kept"])
+            for r in budget_admission_flags(
+                sdf, "source", "doc_id", "text", cap
+            ).collect()
+        }
+
+        d = write_chunks(pdf, str(tmp_path / f"in{seed}"),
+                         rng.randrange(1, 6))
+        src_stream = file_stream(spark, d, os.path.join(d, "000.parquet"))
+        out = run_to_memory(
+            streaming_budget_admission(
+                src_stream, "doc_id", "text", cap, "source"
+            ),
+            spark, f"budget_adm_fuzz_{seed}", "append",
+            str(tmp_path / f"ck{seed}"),
+        )
+        got = {
+            r.doc_id: (r.source, r.n_tokens, r.kept) for r in out.collect()
+        }
+        assert got == batch, f"seed {seed}"
+
+    # cap = 0 admits nothing, in both formulations
+    zp = pd.DataFrame(
+        [("z", 1, "a b"), ("z", 2, "c")],
+        columns=["source", "doc_id", "text"],
+    )
+    zdf = spark.createDataFrame(zp, "source string, doc_id long, text string")
+    assert all(
+        not r["kept"]
+        for r in budget_admission_flags(
+            zdf, "source", "doc_id", "text", 0
+        ).collect()
+    )
+    d = write_chunks(zp, str(tmp_path / "in_zero"), 1)
+    src_stream = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    out = run_to_memory(
+        streaming_budget_admission(src_stream, "doc_id", "text", 0, "source"),
+        spark, "budget_adm_zero", "append", str(tmp_path / "ck_zero"),
+    )
+    assert [r.kept for r in out.collect()] == [False, False]
