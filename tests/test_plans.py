@@ -791,3 +791,21 @@ def test_round9_crawl_cap_and_line_dedup_plan_shapes(spark, sf_dir):
         if "Exchange hashpartitioning" in line
     ]
     assert len(ld_hash_ex) == 3
+
+
+def test_subexpression_elimination_is_on(spark):
+    """The registry's multi-metric projections (doc_stats, gopher
+    rules, curriculum phases, seq_length_bucket_waste, ...) repeat the
+    tokenize chain up to 13 times inside ONE Project and rely on
+    whole-stage-codegen subexpression elimination to evaluate it once
+    per row (measured r9 s5: 6 distinct token metrics over 300k docs,
+    SE on 0.40 s vs off 0.57 s). Spark has defaulted this to true
+    forever, but a silent default flip (or a conf override leaking in
+    from a test) would quietly multiply the hot path's tokenize cost —
+    pin it. Cross-OPERATOR repetition is the hazard SE does NOT cover;
+    that is the projection-collapse rule (PERF_NOTES_r8/r9) enforced
+    per-query by the Generate/grouping-key plan pins above."""
+    assert (
+        spark.conf.get("spark.sql.subexpressionElimination.enabled")
+        == "true"
+    )
