@@ -10661,7 +10661,11 @@ def host_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.functions.text import token_count
 
     docs = load_table(spark, "documents", sf_dir)
-    base = _fan_out(spark, docs.select("doc_id", "source", "text")).select(
+    # deliberately NO _fan_out: the scan projection reduces each doc to
+    # (doc_id, host, n_tokens) before the host exchange, so only narrow
+    # columns ever shuffle — an A/B at sf0.1 measured the round-robin
+    # text pre-shuffle strictly slower (0.68 vs 0.44 s; PERF_NOTES_r9)
+    base = docs.select("doc_id", "source", "text").select(
         "doc_id",
         url_host(
             normalize_url(synthetic_crawl_url("doc_id", "source"))
@@ -10788,7 +10792,11 @@ def _host_span_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reference's keyed two-level folds (WordCount.java:80-91).",
 )
 def host_line_dedup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    synth = _fan_out(spark, _host_span_synth(spark, sf_dir))
+    # deliberately NO _fan_out: the source-window exchange already
+    # spreads the synthesis across the cluster, and a round-robin
+    # pre-shuffle of the 5x-concatenated text measured strictly slower
+    # at sf0.1 (0.96 vs 0.60 s A/B; PERF_NOTES_r9)
+    synth = _host_span_synth(spark, sf_dir)
     # materialize host BEFORE the explode: computed in its own Project
     # under the Generate, the url chain (md5 + regexes) runs once per
     # DOC; computed alongside the explode it would re-run per line row
