@@ -70,7 +70,17 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     faithful stand-in: a 100 TB scan has thousands of files (skip), a
     local single-file scan has one (fan out); broadcast-join- and
     filter-derived frames inherit the probe side's scan width, so the
-    rule stays right for them too."""
+    rule stays right for them too.
+
+    WHEN to call it (r9 s5 audit — alternating same-session A/B over
+    all 40 call-site queries, PERF_NOTES_r9): only where the work
+    between the scan and the first exchange is CPU-heavy PER-DOC
+    EXPANSION — shingle/minhash/fingerprint paths computing many md5s
+    per doc (load-bearing up to x6.0 there). Where the scan side is a
+    cheap projection, or the first downstream operator is itself an
+    exchange (a keyed window/aggregate), the round-robin pre-shuffle
+    moves full text for nothing and measured strictly SLOWER
+    (x0.37-0.85) — those 16 sites were removed."""
     parallelism = spark.sparkContext.defaultParallelism
     try:
         if len(df.inputFiles()) >= parallelism:
@@ -1437,7 +1447,8 @@ def doc_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.functions.text import tokens
 
-    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    # no _fan_out: narrow-projection path, A/B'd x0.64 without (r9 s5)
+    docs = load_table(spark, "documents", sf_dir)
     t = docs.select("doc_id", "source", tokens("text").alias("toks"))
     bigram_expr = F.expr(
         "transform(sequence(0, size(toks) - 2), "
@@ -1968,8 +1979,10 @@ def media_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
+    # no _fan_out (x0.76 without, r9 s5); the audio twin keeps its
+    # fan-out — its fingerprint stage measured x1.53 slower without
     images = encode_fake_images(
-        _fan_out(spark, docs), "doc_id", "text",
+        docs, "doc_id", "text",
         width_expr="4 + doc_id % 4",
         height_expr="4 + n_chars % 4",
     )
@@ -3978,7 +3991,8 @@ def corpus_repeat_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan_repeat_factors,
     )
 
-    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    # no _fan_out: aggregate-first path, A/B'd x0.75 without (r9 s5)
+    docs = load_table(spark, "documents", sf_dir)
     per_source = docs.groupBy("source").agg(
         F.sum(token_count("text")).alias("tokens")
     )
@@ -4229,7 +4243,8 @@ def doc_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.dedup import substring_dedup_strip
 
-    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    # no _fan_out: A/B'd x0.84 without (r9 s5)
+    docs = load_table(spark, "documents", sf_dir)
     return substring_dedup_strip(docs, "doc_id", "text", k=16)
 
 
@@ -4561,7 +4576,8 @@ def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_examples_spark.functions.text import tokens
 
-    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    # no _fan_out: explode feeds a token fold, A/B'd x0.78 without (r9 s5)
+    docs = load_table(spark, "documents", sf_dir)
     tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("tk"))
         .groupBy("doc_id", "tk")
@@ -4775,7 +4791,7 @@ def _hygiene_v2_stages(spark: SparkSession, sf_dir: str,
     if checkpoint:
         gk = gk.localCheckpoint(eager=False)
     nb_good = (
-        nb_token_evidence(_fan_out(spark, gk), "doc_id", "text",
+        nb_token_evidence(gk, "doc_id", "text",
                           dup_pct_threshold=55)
         .filter(F.col("verdict") == "good")
         .select("doc_id")
@@ -4783,8 +4799,10 @@ def _hygiene_v2_stages(spark: SparkSession, sf_dir: str,
     kept = gk.join(nb_good, "doc_id")
     if checkpoint:
         kept = kept.localCheckpoint(eager=False)
+    # no _fan_out on either stage input: the pipeline A/B'd x0.69-0.70
+    # without them for both downstream queries (r9 s5)
     stripped = substring_dedup_strip(
-        _fan_out(spark, kept), "doc_id", "text", k=16
+        kept, "doc_id", "text", k=16
     )
     dd = stripped.join(kept.select("doc_id", "source"), "doc_id").select(
         "doc_id",
@@ -4879,13 +4897,14 @@ def corpus_substring_strip_incremental(
         load_table(spark, "documents", sf_dir), "doc_id",
         weights=(("corpus", 0.9), ("delta", 0.1)), salt="incr",
     )
+    # no _fan_out on either side: A/B'd x0.61 without (r9 s5)
     idx = substring_chunk_index(
-        _fan_out(spark, docs.filter(F.col("split") == "corpus")),
+        docs.filter(F.col("split") == "corpus"),
         "doc_id", "text", k=16,
     )
     return incremental_substring_strip(
         idx,
-        _fan_out(spark, docs.filter(F.col("split") == "delta")),
+        docs.filter(F.col("split") == "delta"),
         "doc_id", "text", k=16,
     )
 
@@ -4973,8 +4992,9 @@ def corpus_paragraph_dedup_incremental(
         synth, "doc_id",
         weights=(("corpus", 0.9), ("delta", 0.1)), salt="pincr",
     )
+    # no _fan_out: A/B'd x0.83 without (r9 s5)
     idx = paragraph_fp_index(
-        _fan_out(spark, split.filter(F.col("split") == "corpus")),
+        split.filter(F.col("split") == "corpus"),
         "doc_id", "text",
     )
     return incremental_paragraph_dedup(
@@ -5080,8 +5100,9 @@ def corpus_span_dedup_incremental(
         _span_synth(spark, sf_dir), "doc_id",
         weights=(("corpus", 0.9), ("delta", 0.1)), salt="sincr",
     )
+    # no _fan_out: A/B'd x0.84 without (r9 s5)
     idx = span_fp_index(
-        _fan_out(spark, split.filter(F.col("split") == "corpus")),
+        split.filter(F.col("split") == "corpus"),
         "doc_id", "text",
     )
     return incremental_span_dedup(
@@ -6755,11 +6776,9 @@ def split_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.decontam import ngram_novelty
     from flink_examples_spark.operators.sampling import hash_split
 
-    docs = _fan_out(
-        spark,
-        load_table(spark, "documents", sf_dir).select(
-            "doc_id", "text", "source"
-        ),
+    # no _fan_out: A/B'd x0.85 without (r9 s5)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source"
     )
     split = hash_split(docs, "doc_id")
     return ngram_novelty(
@@ -6786,8 +6805,9 @@ def split_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.operators.similarity import pca_project
 
+    # no _fan_out: moment-pass path, A/B'd x0.52 without (r9 s5)
     return pca_project(
-        _fan_out(spark, load_table(spark, "embeddings", sf_dir)),
+        load_table(spark, "embeddings", sf_dir),
         "vec_id",
         "embedding",
         k=4,
@@ -8770,7 +8790,8 @@ def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_encode_stats,
     )
 
-    docs = _fan_out(spark, load_table(spark, "documents", sf_dir))
+    # no _fan_out: A/B'd x0.59 without (r9 s5)
+    docs = load_table(spark, "documents", sf_dir)
     vocab = train_unigram_vocab(docs, vocab_size=200, em_iters=3)
     return unigram_encode_stats(docs, vocab)
 
@@ -9616,9 +9637,11 @@ def ab_split_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_dim_range_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
+    # no _fan_out: posexplode feeds a dim fold, A/B'd x0.37 without
+    # (r9 s5 — the largest win in the sweep)
     exploded = (
-        _fan_out(spark, emb.filter(F.col("embedding").isNotNull())
-                 .select("embedding"))
+        emb.filter(F.col("embedding").isNotNull())
+        .select("embedding")
         .select(F.posexplode("embedding").alias("pos", "x"))
         .select((F.col("pos") + 1).alias("dim"), "x")
     )
@@ -10062,9 +10085,9 @@ def source_token_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    st = token_count_partials(
-        _fan_out(spark, docs.select("source", "text"))
-    )
+    # no _fan_out: the partial fold is map-side-combined off the scan,
+    # A/B'd x0.69 without (r9 s5)
+    st = token_count_partials(docs.select("source", "text"))
     return tv_drift_from_counts(st)
 
 
@@ -10104,8 +10127,9 @@ def source_hapax_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.functions.text import tokens
 
     docs = load_table(spark, "documents", sf_dir)
+    # no _fan_out: A/B'd x0.72 without (r9 s5)
     st = (
-        _fan_out(spark, docs.select("source", "text"))
+        docs.select("source", "text")
         .select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c_st"))
@@ -10568,8 +10592,10 @@ def pack_contamination_census(
     from flink_examples_spark.operators.packing import pack_window_spans
 
     docs = load_table(spark, "documents", sf_dir)
+    # no _fan_out: the source window already spreads the work,
+    # A/B'd x0.63 without (r9 s5)
     spans = pack_window_spans(
-        _fan_out(spark, docs.select("source", "doc_id", "text")),
+        docs.select("source", "doc_id", "text"),
         "doc_id", "text", target=256, partition_col="source",
     )
     # spans feeds the incidence explode AND the per-doc span fold —
