@@ -10682,11 +10682,19 @@ def pack_contamination_census(
         "(HourlyTips.java:60-79).",
 )
 def host_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return host_token_budget_cap_over(docs)
+
+
+def host_token_budget_cap_over(docs: DataFrame) -> DataFrame:
+    """The windowed core of ``host_token_budget_cap`` over an explicit
+    documents frame (doc_id, source, text) — ONE body shared with
+    tools/scale_canary.py so the scaling certification always measures
+    the shipped plan (r9 s5 review)."""
     from pyspark.sql import Window
 
     from flink_examples_spark.functions.text import token_count
 
-    docs = load_table(spark, "documents", sf_dir)
     # deliberately NO _fan_out: the scan projection reduces each doc to
     # (doc_id, host, n_tokens) before the host exchange, so only narrow
     # columns ever shuffle — an A/B at sf0.1 measured the round-robin

@@ -691,6 +691,34 @@ def streaming_funnel_first_times(
     )
 
 
+def _concat_trigger_chunks(pdfs: Iterator[pd.DataFrame]):
+    """Concatenate ALL Arrow chunks of one trigger before any sort: a
+    key whose micro-batch exceeds arrow.maxRecordsPerBatch arrives as
+    several chunks in arbitrary order, and per-chunk processing would
+    advance running state for a high-id row in an early chunk before
+    low-id rows in a later one — diverging from the batch window's
+    global ORDER BY. Returns None for an empty trigger."""
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if not chunks:
+        return None
+    return (
+        pd.concat(chunks, ignore_index=True)
+        if len(chunks) > 1 else chunks[0]
+    )
+
+
+def _token_len(txt) -> int | None:
+    """Whitespace token count mirroring functions.text.tokens
+    (lowercase, split on single spaces, empties dropped); None for
+    NULL/NaN text — batch parity: token_count(NULL) is NULL and must
+    not advance any running prefix (str(None) would count 'none' as
+    1). ONE definition for every streamed token-prefix operator so the
+    convention can't drift between twins."""
+    if txt is None or (isinstance(txt, float) and pd.isna(txt)):
+        return None
+    return len([t for t in str(txt).lower().split(" ") if t])
+
+
 def streaming_sequence_pack(
     docs: DataFrame,
     id_col: str,
@@ -729,35 +757,12 @@ def streaming_sequence_pack(
     ) -> Iterator[pd.DataFrame]:
         (prefix,) = state.get if state.exists else (0,)
         out = []
-        # concatenate ALL Arrow chunks before the single sort: a key
-        # whose micro-batch exceeds arrow.maxRecordsPerBatch arrives as
-        # several chunks in arbitrary order, and per-chunk sorting
-        # would advance the prefix for a high-id row in an early chunk
-        # before low-id rows in a later one — diverging from the batch
-        # window's global ORDER BY id
-        chunks = [pdf for pdf in pdfs if not pdf.empty]
-        whole = (
-            pd.concat(chunks, ignore_index=True)
-            if len(chunks) > 1 else (chunks[0] if chunks else None)
-        )
+        whole = _concat_trigger_chunks(pdfs)
         if whole is not None:
             for _, row in whole.sort_values(id_col).iterrows():
-                txt = row[text_col]
-                if txt is None or (
-                    isinstance(txt, float) and pd.isna(txt)
-                ):
-                    # batch parity: token_count(NULL) is NULL — the row
-                    # appears with NULL n_tokens and does NOT advance
-                    # the prefix (str(None) would count 'none' as 1)
-                    out.append(
-                        (*key_t, row[id_col], None, prefix // target)
-                    )
-                    continue
-                toks = [t for t in str(txt).lower().split(" ") if t]
-                out.append(
-                    (*key_t, row[id_col], len(toks), prefix // target)
-                )
-                prefix += len(toks)
+                n = _token_len(row[text_col])
+                out.append((*key_t, row[id_col], n, prefix // target))
+                prefix += n or 0
         state.update((prefix,))
         if out:
             yield pd.DataFrame(
@@ -1133,16 +1138,18 @@ def streaming_budget_admission(
     types = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
     key_ddl = ", ".join(f"{c} {types[c]}" for c in parts)
     cap = int(cap)
+    if cap < 0:
+        # same fail-fast as the batch twin (sampling.budget_admission_
+        # flags) — a negative cap must not be masked on the ingest side
+        raise ValueError(
+            f"streaming_budget_admission: cap must be >= 0, got {cap}"
+        )
 
     def fn(
         key_t, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         prefix, last_id = state.get if state.exists else (0, None)
-        chunks = [pdf for pdf in pdfs if not pdf.empty]
-        whole = (
-            pd.concat(chunks, ignore_index=True)
-            if len(chunks) > 1 else (chunks[0] if chunks else None)
-        )
+        whole = _concat_trigger_chunks(pdfs)
         out = []
         if whole is not None:
             whole = whole.sort_values(id_col)
@@ -1154,18 +1161,22 @@ def streaming_budget_admission(
                     f"starts at id {first}, not after the previous "
                     f"trigger's max id {last_id}"
                 )
+            if whole[id_col].duplicated().any():
+                # a duplicate id WITHIN the trigger would inflate the
+                # prefix and silently diverge from the batch window —
+                # the same loud-failure rule as the cross-trigger check
+                dup = int(whole[id_col][whole[id_col].duplicated()].iloc[0])
+                raise ValueError(
+                    "streaming_budget_admission: id-ordered replay "
+                    f"contract violated for key {key_t!r}: id {dup} "
+                    "appears more than once in one trigger"
+                )
             for row in whole.itertuples(index=False):
-                txt = getattr(row, text_col)
                 rid = getattr(row, id_col)
                 kept = prefix < cap
-                if txt is None or (
-                    isinstance(txt, float) and pd.isna(txt)
-                ):
-                    out.append((*key_t, rid, None, kept))
-                    continue
-                toks = [t for t in str(txt).lower().split(" ") if t]
-                out.append((*key_t, rid, len(toks), kept))
-                prefix += len(toks)
+                n = _token_len(getattr(row, text_col))
+                out.append((*key_t, rid, n, kept))
+                prefix += n or 0
             last_id = int(whole[id_col].iloc[-1])
         state.update((prefix, last_id))
         if out:

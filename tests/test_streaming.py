@@ -3593,3 +3593,45 @@ def test_streaming_budget_admission_fuzz_equals_batch(spark, tmp_path):
         spark, "budget_adm_zero", "append", str(tmp_path / "ck_zero"),
     )
     assert [r.kept for r in out.collect()] == [False, False]
+
+
+def test_streaming_budget_admission_duplicate_id_in_trigger_raises(
+    spark, tmp_path
+):
+    """A duplicate id WITHIN one trigger would silently inflate the
+    prefix (the within-trigger sort masks it) — it must fail loudly
+    like the cross-trigger check (r9 s5 review)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from flink_examples_spark.streaming.stateful import (
+        streaming_budget_admission,
+    )
+
+    pdf = pd.DataFrame({"source": ["h", "h"], "doc_id": [7, 7],
+                        "text": ["a b", "a b"]})
+    d = write_chunks(pdf, str(tmp_path / "in"), 1)
+    src = file_stream(spark, d, os.path.join(d, "000.parquet"))
+    with pytest.raises(StreamingQueryException) as exc:
+        run_to_memory(
+            streaming_budget_admission(src, "doc_id", "text", 100, "source"),
+            spark, "budget_adm_dup", "append", str(tmp_path / "ck"),
+        )
+    assert "appears more than once" in str(exc.value)
+
+
+def test_streaming_budget_admission_negative_cap_raises(spark):
+    """Negative cap fails fast on BOTH twins (parity of the guard)."""
+    from flink_examples_spark.operators.sampling import (
+        budget_admission_flags,
+    )
+    from flink_examples_spark.streaming.stateful import (
+        streaming_budget_admission,
+    )
+
+    df = spark.createDataFrame(
+        [("h", 1, "a")], "source string, doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="cap must be >= 0"):
+        budget_admission_flags(df, "source", "doc_id", "text", -1)
+    with pytest.raises(ValueError, match="cap must be >= 0"):
+        streaming_budget_admission(df, "doc_id", "text", -1, "source")

@@ -170,44 +170,12 @@ def _pack_contamination(docs):
 
 
 def _host_budget_cap(docs):
-    """Per-host token-budget cap (canary twin of host_token_budget_cap
-    without the sf_dir loader): url-chain host, running-prefix +
-    host-total windows over ONE exchange, final fold."""
-    from pyspark.sql import Window
+    """Per-host token-budget cap — the REGISTERED query's own windowed
+    core (queries.host_token_budget_cap_over), not a hand copy, so the
+    scaling certification always measures the shipped plan."""
+    from flink_examples_spark.queries import host_token_budget_cap_over
 
-    from flink_examples_spark.functions.text import token_count
-    from flink_examples_spark.functions.url import (
-        normalize_url,
-        synthetic_crawl_url,
-        url_host,
-    )
-
-    base = docs.select(
-        "doc_id",
-        url_host(
-            normalize_url(synthetic_crawl_url("doc_id", "source"))
-        ).alias("host"),
-        token_count("text").alias("n_tokens"),
-    )
-    run = (
-        Window.partitionBy("host")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    whole = Window.partitionBy("host")
-    w = base.select(
-        "host",
-        "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(run), F.lit(0))
-        .cast("long")
-        .alias("pfx"),
-        F.sum("n_tokens").over(whole).cast("long").alias("tot"),
-    )
-    kept = F.col("pfx") < F.expr("tot div 2")
-    return w.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("kept"),
-    )
+    return host_token_budget_cap_over(docs)
 
 
 def main() -> None:
