@@ -112,18 +112,33 @@ def _same_sf(doc: dict, sf: str | None) -> bool:
         return True
 
 
-def _previous_round_timings(sf: str | None = None) -> dict[str, float]:
+def _previous_round_timings(
+    sf: str | None = None, baseline_round: int | None = None
+) -> dict[str, float]:
     """Per-query seconds from the previous round's committed artifacts.
 
     Prefers this script's own full BENCH_local_r{N}.json (complete, never
-    truncated) at the round of the newest driver BENCH_r{N}.json; falls
-    back to the driver file itself — its `parsed` dict when non-null,
-    else whatever the truncated `tail` yields. Artifacts from a different
-    scale factor are skipped (movers must compare like with like).
+    truncated); falls back to the driver file — its `parsed` dict when
+    non-null, else whatever the truncated `tail` yields. Artifacts from a
+    different scale factor are skipped (movers must compare like with
+    like).
+
+    ``baseline_round`` pins WHICH round counts as previous — fold_bench
+    passes the folded round minus one. The default infers it from the
+    newest driver BENCH_r{N}.json, which is the prior round while a
+    round is in progress but would SELF-compare on a refold after this
+    round's own driver artifact lands (every ratio ~1.0, the genuine
+    mover ledger silently erased — r9 s5 review).
     """
-    driver_n, driver_path = _latest_round("BENCH_r*.json")
-    if driver_path is None:
-        return {}
+    if baseline_round is None:
+        driver_n, driver_path = _latest_round("BENCH_r*.json")
+        if driver_path is None:
+            return {}
+    else:
+        driver_n = baseline_round
+        driver_path = os.path.join(_HERE, f"BENCH_r{driver_n:02d}.json")
+        if not os.path.exists(driver_path):
+            driver_path = None
     local_path = os.path.join(_HERE, f"BENCH_local_r{driver_n:02d}.json")
     if os.path.exists(local_path):
         try:
@@ -139,6 +154,8 @@ def _previous_round_timings(sf: str | None = None) -> dict[str, float]:
                     return {k: float(v) for k, v in doc[key].items()}
         except (OSError, json.JSONDecodeError, TypeError, ValueError):
             pass
+    if driver_path is None:
+        return {}
     try:
         with open(driver_path) as f:
             doc = json.load(f)
@@ -258,37 +275,43 @@ def _persist_full_result(
     """
     driver_n, _ = _latest_round("BENCH_r*.json")
     this_round = max(driver_n + 1, 1)
+    # exclusive-create with retry: a check-then-write loop would let two
+    # concurrent sessions pick the same draft slot and silently clobber
+    # one run's minima — the exact scenario the ownership split exists
+    # to protect (r9 s5 review)
+    session_path = None
     seq = 1
-    while os.path.exists(
-        os.path.join(_HERE, f"BENCH_session_r{this_round:02d}_s{seq}.json")
-    ):
-        seq += 1
-    session_path = os.path.join(
-        _HERE, f"BENCH_session_r{this_round:02d}_s{seq}.json"
-    )
+    while session_path is None:
+        candidate = os.path.join(
+            _HERE, f"BENCH_session_r{this_round:02d}_s{seq}.json"
+        )
+        try:
+            with open(candidate, "x") as f:
+                json.dump(full, f)
+                f.write("\n")
+            session_path = candidate
+        except FileExistsError:
+            seq += 1
+        except OSError:
+            session_path = candidate  # unwritable dir: keep prior behavior
+    local = os.path.join(_HERE, f"BENCH_local_r{this_round:02d}.json")
     try:
-        with open(session_path, "w") as f:
+        # same exclusive-create: bootstrap the canonical only if we WIN
+        # the creation race; a loser leaves it untouched
+        with open(local, "x") as f:
             json.dump(full, f)
             f.write("\n")
-    except OSError:
-        pass
-    local = os.path.join(_HERE, f"BENCH_local_r{this_round:02d}.json")
-    if os.path.exists(local):
+        _write_mover_ledger(this_round, movers, stall_retries,
+                            stall_rep_count)
+    except FileExistsError:
         print(
             f"bench: canonical {os.path.basename(local)} exists — left "
             f"untouched; this run saved as {os.path.basename(session_path)} "
             f"(fold with tools/fold_bench.py)",
             file=sys.stderr,
         )
-    else:
-        try:
-            with open(local, "w") as f:
-                json.dump(full, f)
-                f.write("\n")
-        except OSError:
-            pass
-        _write_mover_ledger(this_round, movers, stall_retries,
-                            stall_rep_count)
+    except OSError:
+        pass
     return session_path
 
 

@@ -68,7 +68,8 @@ SYNTH_URL_SQL = (
     "CASE WHEN {d} % 3 = 0 THEN 'www.' ELSE '' END || {s} || "
     "'.example.com/p/' || "
     "CAST(('0x' || substr(md5(CAST({d} AS VARCHAR) || '#upath'), 1, 15))"
-    "::BIGINT % 40 AS VARCHAR) || "
+    # single-sourced from SYNTH_PATH_BUCKETS so the mirror can't drift
+    f"::BIGINT % {SYNTH_PATH_BUCKETS} AS VARCHAR) || "
     "CASE WHEN {d} % 5 = 0 THEN '/' ELSE '' END || "
     "CASE WHEN {d} % 4 = 0 THEN '?utm_source=feed&cid=' || "
     "CAST({d} AS VARCHAR) ELSE '' END || "
@@ -78,27 +79,28 @@ SYNTH_URL_SQL = (
 
 
 def normalize_url(url: Column | str) -> Column:
-    """Canonical URL: strip ``http(s)://`` and a leading ``www.``,
-    drop everything from the first ``?`` or ``#`` (query/fragment),
-    strip trailing slashes, lowercase. The regexes are in the
-    Java-regex/RE2 common subset so DuckDB computes the identical
-    canonical form."""
+    """Canonical URL: lowercase, strip ``http(s)://`` and a leading
+    ``www.``, drop everything from the first ``?`` or ``#``
+    (query/fragment), strip trailing slashes. Lowercasing runs FIRST so
+    uppercase schemes/hosts ('HTTP://WWW.Example.com' — common in crawl
+    metadata) canonicalize with everything else (r9 s5 review: with
+    lower() applied last the case-sensitive scheme regex never fired on
+    them). The regexes are in the Java-regex/RE2 common subset so
+    DuckDB computes the identical canonical form."""
     u = F.col(url) if isinstance(url, str) else url
-    return F.lower(
+    return F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(u, r"^https?://(www\.)?", ""),
-                r"[?#].*$", "",
-            ),
-            r"/+$", "",
-        )
+            F.regexp_replace(F.lower(u), r"^https?://(www\.)?", ""),
+            r"[?#].*$", "",
+        ),
+        r"/+$", "",
     )
 
 
 #: the oracle-side mirror of :func:`normalize_url` ({u} = url expr)
 NORMALIZE_URL_SQL = (
-    "lower(regexp_replace(regexp_replace(regexp_replace({u}, "
-    "'^https?://(www\\.)?', ''), '[?#].*$', ''), '/+$', ''))"
+    "regexp_replace(regexp_replace(regexp_replace(lower({u}), "
+    "'^https?://(www\\.)?', ''), '[?#].*$', ''), '/+$', '')"
 )
 
 

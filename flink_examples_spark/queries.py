@@ -10589,9 +10589,17 @@ def host_boilerplate_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_contamination_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_contamination_census_over(docs)
+
+
+def pack_contamination_census_over(docs: DataFrame) -> DataFrame:
+    """The census body of ``pack_contamination_census`` over an explicit
+    documents frame — ONE body shared with tools/scale_canary.py so the
+    scaling certification always measures the shipped plan (r9 s5
+    review)."""
     from flink_examples_spark.operators.packing import pack_window_spans
 
-    docs = load_table(spark, "documents", sf_dir)
     # no _fan_out: the source window already spreads the work,
     # A/B'd x0.63 without (r9 s5)
     spans = pack_window_spans(

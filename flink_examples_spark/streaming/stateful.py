@@ -931,6 +931,7 @@ def streaming_capped_sessions(
     gap_us: int = 30 * 60 * 1_000_000,
     cap_us: int = 20 * 60 * 1_000_000,
     watermark: str | None = None,
+    clear_state_on_timeout: bool = False,
 ) -> DataFrame:
     """Gap sessions split by a max-duration cap, as a stream (W4+).
 
@@ -959,10 +960,19 @@ def streaming_capped_sessions(
     sentinel path is possible: the timer fires only once wm >
     last_ts + gap, and any non-late later event has ts >= wm >
     last_ts + gap — it would have opened a NEW session anyway. After a
-    timer flush the key's state stays (8 scalars, n=0) so session
-    ordinals keep counting if the key returns. Money parity with the
-    batch DECIMAL(18,2) sum: values fold as exact integer cents via
-    the shortest-repr decimal of each double (Spark's own
+    timer flush the key's state stays by default (8 scalars, n=0) so
+    session ordinals keep counting if the key returns — batch parity
+    requires it (the batch query numbers a key's sessions over ALL its
+    data). The price is one tiny tombstone per lifetime key: on an
+    unbounded stream with unbounded KEY CHURN (every key seen once,
+    then quiet) total state grows with distinct keys. Deployments with
+    that shape and no need for cross-return ordinals pass
+    ``clear_state_on_timeout=True``: the timer flush removes the
+    key's state entirely (Flink's clear-on-fire, SessionWindow.java),
+    and a returning key restarts at session_id 1 — a DOCUMENTED
+    divergence from the batch ordinals, tested both ways. Money parity
+    with the batch DECIMAL(18,2) sum: values fold as exact integer
+    cents via the shortest-repr decimal of each double (Spark's own
     double->decimal cast semantics), emitted as cents/100 double.
 
     Replay contract: rows are processed in (ts, id) order within each
@@ -1004,12 +1014,16 @@ def streaming_capped_sessions(
         if state.hasTimedOut:
             # watermark passed last_ts + gap: the session is
             # definitively closed — flush the open sub-window and keep
-            # the (bounded) scalars so sess_id keeps counting
+            # the (bounded) scalars so sess_id keeps counting, unless
+            # the caller opted into clear-on-fire (key-churn bound)
             if n > 0:
                 emit()
                 n = 0
-            state.update((sess_id, sess_start, last_ts, sub_idx,
-                          wmin, wmax, n, cents))
+            if clear_state_on_timeout:
+                state.remove()
+            else:
+                state.update((sess_id, sess_start, last_ts, sub_idx,
+                              wmin, wmax, n, cents))
             if out:
                 yield pd.DataFrame(
                     out,

@@ -3635,3 +3635,68 @@ def test_streaming_budget_admission_negative_cap_raises(spark):
         budget_admission_flags(df, "source", "doc_id", "text", -1)
     with pytest.raises(ValueError, match="cap must be >= 0"):
         streaming_budget_admission(df, "doc_id", "text", -1, "source")
+
+
+def test_capped_sessions_timeout_state_retention_both_modes(
+    spark, tmp_path
+):
+    """A key whose timer FIRES and that then RETURNS: by default its
+    state survives the timer flush so session ordinals keep counting
+    (batch parity — the batch query numbers a key's sessions over all
+    its data); with clear_state_on_timeout=True the flush removes
+    state entirely (Flink's clear-on-fire — bounds total state under
+    unbounded key churn) and the returning key restarts at
+    session_id 1 (r9 s5 review). The tape isolates the TIMER path:
+    user 1's timer fires in a trigger where it has no data (u2-only
+    events advance the watermark), and the return arrives two triggers
+    later."""
+    from flink_examples_spark.streaming.stateful import (
+        streaming_capped_sessions,
+    )
+
+    t = lambda s: pd.Timestamp(f"2024-03-01 {s}")
+    rows = [
+        # c0: u1 session + u2 baseline          wm(after) = 00:10
+        [(1, 1, "00:00:00", 1.0), (2, 1, "00:05:00", 2.0),
+         (3, 2, "00:10:00", 4.0)],
+        # c1: u2 advances wm to 01:30 (> u1 deadline 00:35)
+        [(4, 2, "01:30:00", 8.0)],
+        # c2: u1 TIMER fires here (no u1 data; wm in effect 01:30)
+        [(5, 2, "01:35:00", 8.0)],
+        # c3: u1 returns -> new session (deadline 02:30)
+        [(6, 1, "02:00:00", 16.0)],
+        # c4: u2 pushes wm to 05:00
+        [(7, 2, "05:00:00", 32.0)],
+        # c5: u1's second timer fires (wm in effect 05:00 > 02:30)
+        [(8, 2, "05:05:00", 32.0)],
+    ]
+    d0 = str(tmp_path / "in")
+    os.makedirs(d0)
+    now = time.time() - 10
+    for i, chunk in enumerate(rows):
+        pdf = pd.DataFrame(
+            chunk, columns=["event_id", "user_id", "ts", "value"]
+        )
+        pdf["ts"] = pdf["ts"].map(t)
+        p = os.path.join(d0, f"{i:03d}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    def run(clear, name):
+        src = file_stream(spark, d0, os.path.join(d0, "000.parquet"))
+        out = run_to_memory(
+            streaming_capped_sessions(
+                src, watermark="0 seconds",
+                clear_state_on_timeout=clear,
+            ),
+            spark, name, "append", str(tmp_path / f"ck_{name}"),
+        )
+        return sorted(
+            (r.session_id, r.sub_idx, r.n_events)
+            for r in out.collect() if r.user_id == 1
+        )
+
+    # default: ordinal continuity across the timer flush
+    assert run(False, "capped_keep_state") == [(1, 0, 2), (2, 0, 1)]
+    # clear-on-fire: the returning key restarts at session_id 1
+    assert run(True, "capped_clear_state") == [(1, 0, 1), (1, 0, 2)]

@@ -28,6 +28,10 @@ def test_normalize_url_strips_each_noise_class(spark):
         "https://h.com/www.keep": "h.com/www.keep",
         # root URL collapses to bare host
         "https://www.h.com/": "h.com",
+        # uppercase scheme/WWW canonicalize too (lowercase runs FIRST;
+        # r9 s5 review — these never stripped when lower() ran last)
+        "HTTP://WWW.H.com/p": "h.com/p",
+        "HtTpS://Example.com/A?Q=1": "example.com/a",
     }
     df = spark.createDataFrame([(k,) for k in cases], "raw string")
     got = {

@@ -152,7 +152,10 @@ def main() -> None:
     out["note"] = note
 
     sf = str(out.get("sf")) if out.get("sf") is not None else None
-    prev = bench._previous_round_timings(sf)
+    # baseline pinned to the folded round minus one: inferring it from
+    # the newest driver artifact self-compares on any refold after this
+    # round's own BENCH_r{N}.json lands (r9 s5 review)
+    prev = bench._previous_round_timings(sf, baseline_round=rnd - 1)
     out["movers"] = bench._compute_movers(out["steady"], prev)
     # place big dicts after scalars/note so a truncated view stays readable
     ordered = {

@@ -143,30 +143,13 @@ def _walk(events):
 
 
 def _pack_contamination(docs):
-    """Window-touch census over the packed stream (canary twin of
-    pack_contamination_census without the sf_dir loader): per-doc
-    window spans, explode to incidences, two source folds."""
-    from flink_examples_spark.operators.packing import pack_window_spans
+    """Window-touch census over the packed stream — the REGISTERED
+    query's own census body (queries.pack_contamination_census_over),
+    not a hand copy, so the scaling certification always measures the
+    shipped plan."""
+    from flink_examples_spark.queries import pack_contamination_census_over
 
-    spans = pack_window_spans(
-        docs, "doc_id", "text", 256, "source"
-    ).localCheckpoint(eager=False)
-    wins = (
-        spans.select(
-            "source",
-            F.explode(F.sequence("win_first", "win_last")).alias("win"),
-        )
-        .groupBy("source", "win")
-        .agg(F.count(F.lit(1)).alias("n_docs_in"))
-    )
-    census = wins.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(
-            F.when(F.col("n_docs_in") > 1, 1).otherwise(0)
-        ).alias("n_mixed"),
-    )
-    sp = spans.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    return census.join(F.broadcast(sp), "source")
+    return pack_contamination_census_over(docs)
 
 
 def _host_budget_cap(docs):
