@@ -183,6 +183,31 @@ def _compute_movers(
     }
 
 
+_PLAN_VOLATILE_RE = re.compile(r"#\d+|plan_id=\d+|\bid=\d+")
+
+
+def _plan_fingerprint(df) -> str | None:
+    """Stable 12-hex fingerprint of a DataFrame's OPTIMIZED logical
+    plan, with the per-session volatile tokens (expression ids,
+    plan/RDD ids) stripped: the same source at the same sf produces
+    the same fingerprint in any session (verified across fresh
+    sessions, incl. localCheckpoint- and mapInPandas-backed plans).
+    Session drafts carry one per query so tools/fold_bench.py can
+    refuse to fold minima measured on plans that no longer exist —
+    the r9 stale-minimum hole (VERDICT r9 'What's wrong' #1: two
+    crawl-cap queries changed shape mid-round and the committed fold
+    kept pre-change minima no shipped plan could reproduce)."""
+    try:
+        import hashlib
+
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return hashlib.sha1(
+            _PLAN_VOLATILE_RE.sub("", s).encode()
+        ).hexdigest()[:12]
+    except Exception:
+        return None
+
+
 def _stall_rep_count(runs: dict[str, list[float]]) -> int:
     """Reps that exceeded 5x their query's own final steady. ts[0] is
     the compile rep (reported separately in "compile") — a codegen-heavy
@@ -255,6 +280,43 @@ def _write_mover_ledger(
         pass
 
 
+def _exclusive_write_json(path: str, doc: dict) -> str:
+    """Atomically create ``path`` holding ``doc`` as one JSON line.
+
+    Returns ``"created"``, ``"exists"`` (path already there — left
+    untouched), or ``"error"`` (unwritable dir / ENOSPC). The content
+    is fully written to a temp file first and hard-linked into place:
+    a ``json.dump`` that dies partway (ENOSPC) after a bare
+    ``open(path, "x")`` would leave a TRUNCATED canonical that every
+    later session refuses to replace — the round's fold then silently
+    never bootstraps (ADVICE r9). ``os.link`` keeps the exclusive-
+    create semantics (fails if the target exists) while making the
+    content all-or-nothing."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.write("\n")
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return "error"
+    try:
+        os.link(tmp, path)
+        return "created"
+    except FileExistsError:
+        return "exists"
+    except OSError:
+        return "error"
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def _persist_full_result(
     full: dict,
     movers: dict[str, dict[str, float]],
@@ -285,33 +347,27 @@ def _persist_full_result(
         candidate = os.path.join(
             _HERE, f"BENCH_session_r{this_round:02d}_s{seq}.json"
         )
-        try:
-            with open(candidate, "x") as f:
-                json.dump(full, f)
-                f.write("\n")
-            session_path = candidate
-        except FileExistsError:
+        wrote = _exclusive_write_json(candidate, full)
+        if wrote == "exists":
             seq += 1
-        except OSError:
-            session_path = candidate  # unwritable dir: keep prior behavior
+        else:
+            # created — or unwritable dir: keep prior give-up behavior
+            session_path = candidate
     local = os.path.join(_HERE, f"BENCH_local_r{this_round:02d}.json")
-    try:
-        # same exclusive-create: bootstrap the canonical only if we WIN
-        # the creation race; a loser leaves it untouched
-        with open(local, "x") as f:
-            json.dump(full, f)
-            f.write("\n")
+    # same exclusive-create: bootstrap the canonical only if we WIN
+    # the creation race; a loser leaves it untouched — and atomically,
+    # so a torn write can never persist a truncated canonical
+    wrote = _exclusive_write_json(local, full)
+    if wrote == "created":
         _write_mover_ledger(this_round, movers, stall_retries,
                             stall_rep_count)
-    except FileExistsError:
+    elif wrote == "exists":
         print(
             f"bench: canonical {os.path.basename(local)} exists — left "
             f"untouched; this run saved as {os.path.basename(session_path)} "
             f"(fold with tools/fold_bench.py)",
             file=sys.stderr,
         )
-    except OSError:
-        pass
     return session_path
 
 
@@ -369,16 +425,20 @@ def main() -> None:
     # as the registry grew (r4→r5 'movers' on codegen-heavy queries
     # were exactly this; docs/PERF_NOTES_r5.md). Consecutive reps
     # measure the docstring's claim: how fast the plan goes.
+    plan_fps: dict[str, str] = {}
     for name in names:
         q = reg[name]
         ts: list[float] = []
+        last_df = None
 
         def one_rep() -> None:
+            nonlocal last_df
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             # force full materialization (not just count pushdown)
             n = df.collect()
             ts.append(time.perf_counter() - t0)
+            last_df = df
             del n
 
         for _ in range(reps):
@@ -401,6 +461,14 @@ def main() -> None:
             stall_retries[name] = stall_retries.get(name, 0) + 1
             one_rep()
         runs[name] = ts
+        # plan fingerprint from the last rep's (already-optimized)
+        # DataFrame — fold_bench uses these to exclude minima measured
+        # on plans that no longer exist (outside the timers; the
+        # optimized plan is cached in QueryExecution, so this is a
+        # toString + sha1, no planning work)
+        fp = _plan_fingerprint(last_df)
+        if fp:
+            plan_fps[name] = fp
         # drop RDD blocks the query pinned (localCheckpoint in the
         # iterative/range-partitioned operators): left in place they
         # accumulate across the ~180-query session and push LATER
@@ -449,6 +517,12 @@ def main() -> None:
         },
         "spread": spread,
         "movers": movers,
+        # per-query optimized-plan fingerprints: fold_bench's staleness
+        # key. Placed BEFORE the queries dict — the driver's 2000-char
+        # tail always ends inside `queries` (it alone is ~5k chars), so
+        # hex fingerprints can never be misread as timings by the tail
+        # recovery parser
+        "plans": plan_fps,
         "compile": compile_cost,
         "steady": steady,
         # queries LAST: a front-truncated tail still ends with timings

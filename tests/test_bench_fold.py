@@ -81,6 +81,40 @@ def test_bench_session_drafts_sequence(tmp_path, monkeypatch):
     assert os.path.basename(p2) == "BENCH_session_r09_s2.json"
 
 
+def test_torn_canonical_write_leaves_nothing_behind(tmp_path, monkeypatch):
+    """ADVICE r9: a json.dump that dies partway (ENOSPC) after winning
+    the exclusive create used to persist a TRUNCATED canonical that
+    every later session refused to replace — the round's fold then
+    silently never bootstrapped. The tmp+hardlink write is
+    all-or-nothing: on failure no canonical (and no draft) exists, and
+    the next healthy run bootstraps normally."""
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text("{}")
+
+    real_dump = json.dump
+    calls = {"n": 0}
+
+    def failing_dump(obj, fh, **kw):
+        calls["n"] += 1
+        fh.write('{"metric": "total_query_se')  # partial bytes, then die
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(bench.json, "dump", failing_dump)
+    bench._persist_full_result(_result(1.0, {"a": 1.0}), {}, {}, 0)
+    assert calls["n"] >= 1
+    # neither a truncated canonical nor a truncated draft survives
+    assert not (tmp_path / "BENCH_local_r09.json").exists()
+    assert not (tmp_path / "BENCH_session_r09_s1.json").exists()
+    assert not list(tmp_path.glob("*.tmp.*"))
+
+    # a later healthy run bootstraps the canonical as usual
+    monkeypatch.setattr(bench.json, "dump", real_dump)
+    full = _result(1.0, {"a": 1.0})
+    draft = bench._persist_full_result(full, {}, {}, 0)
+    assert os.path.basename(draft) == "BENCH_session_r09_s1.json"
+    assert json.loads((tmp_path / "BENCH_local_r09.json").read_text()) == full
+
+
 def test_fold_elementwise_min_and_stall_sum():
     fb = _load_fold_bench()
     d1 = _result(
@@ -99,6 +133,68 @@ def test_fold_elementwise_min_and_stall_sum():
     assert out["stalls"]["retries"] == {"a": 2, "b": 2}
     # spread folds as MAX so the worst observed noise stays visible
     assert out["spread"] == {"a": 0.1, "b": 0.1}
+
+
+def test_fold_excludes_stale_plan_minima():
+    """VERDICT r9 #1: a query whose plan changed mid-round must not
+    fold minima measured on the OLD plan. The newest session's
+    fingerprint is the reference; mismatching entries are excluded,
+    unverifiable (no-plans) entries are excluded once a reference
+    exists, and queries without a reference fold unguarded."""
+    fb = _load_fold_bench()
+    # s1 measured `a` on the old plan (fp OLD) — faster, but dead
+    d1 = _result(2.4, {"a": 0.4, "b": 2.0}, steady={"a": 0.38, "b": 1.9})
+    d1["plans"] = {"a": "OLD", "b": "BBB"}
+    # s2 measured the shipped plan
+    d2 = _result(2.65, {"a": 0.55, "b": 2.1}, steady={"a": 0.53, "b": 2.0})
+    d2["plans"] = {"a": "NEW", "b": "BBB"}
+    out = fb.fold([d1, d2], ref_plans=d2["plans"])
+    # `a`: the 0.4 stale minimum is excluded; only the current plan counts
+    assert out["queries"]["a"] == 0.55
+    assert out["steady"]["a"] == 0.53
+    assert out["compile"]["a"] == d2["compile"]["a"]
+    # `b` (unchanged fingerprint) still folds the cross-session min
+    assert out["queries"]["b"] == 2.0
+    assert out["steady"]["b"] == 1.9
+    assert out["stale_dropped"] == {"a": 1}
+
+    # a pre-guard draft with NO plans map is unverifiable once a
+    # reference exists — excluded for every referenced query
+    d0 = _result(2.2, {"a": 0.3, "b": 1.8})
+    out = fb.fold([d0, d1, d2], ref_plans=d2["plans"])
+    assert out["queries"] == {"a": 0.55, "b": 2.0}
+
+    # no reference at all (legacy round): everything folds as before
+    out = fb.fold([d0, d1, d2])
+    assert out["queries"] == {"a": 0.3, "b": 1.8}
+
+
+def test_fold_bench_main_drops_stale_canonical_minima(tmp_path, monkeypatch):
+    """End-to-end: a stale bootstrap canonical (old-plan minima) plus a
+    post-change session — the refolded canonical keeps only times the
+    shipped plan can reproduce, records the exclusion in the note, and
+    stores the reference fingerprints for future refolds."""
+    fb = _load_fold_bench()
+    monkeypatch.setattr(fb, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": "0.1", "parsed": None})
+    )
+    s1 = _result(2.4, {"a": 0.4, "b": 2.0})
+    s1["plans"] = {"a": "OLD", "b": "BBB"}
+    s2 = _result(2.65, {"a": 0.55, "b": 2.1})
+    s2["plans"] = {"a": "NEW", "b": "BBB"}
+    (tmp_path / "BENCH_session_r09_s1.json").write_text(json.dumps(s1))
+    (tmp_path / "BENCH_session_r09_s2.json").write_text(json.dumps(s2))
+    # bootstrap canonical = s1 (the old plan's numbers)
+    (tmp_path / "BENCH_local_r09.json").write_text(json.dumps(s1))
+    monkeypatch.setattr("sys.argv", ["fold_bench.py", "--round", "9"])
+    fb.main()
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    assert out["queries"] == {"a": 0.55, "b": 2.0}
+    assert out["plans"] == {"a": "NEW", "b": "BBB"}
+    assert "stale-plan minima excluded" in out["note"]
+    assert "a" in out["note"]
 
 
 def test_fold_bench_main_owns_canonical_and_ledger(tmp_path, monkeypatch):

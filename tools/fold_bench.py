@@ -15,6 +15,19 @@ minima are never lost) elementwise:
   - note: generated fold provenance (session count + raw totals);
     pass --note to append hand context
 
+Staleness guard (VERDICT r9 #1): every session draft carries per-query
+optimized-plan fingerprints (bench._plan_fingerprint). The NEWEST
+session's fingerprint per query is the reference; a draft (or prior
+canonical) entry whose fingerprint differs — or is absent while a
+reference exists — is EXCLUDED from that query's fold, so a query
+whose plan changed mid-round can only contribute minima measured on
+the CURRENT plan (r9's crawl-cap minima were folded from
+pre-_fan_out-removal drafts no shipped plan could reproduce). The
+folded canonical stores the reference fingerprints, so refolds keep
+validating its minima too. Drafts from before this guard (no `plans`
+map at all, r9 and earlier) fold unguarded only when NO draft in the
+round carries fingerprints.
+
 Also regenerates docs/PERF_NOTES_r{N}_movers.md (the >=1.5x ledger),
 preserving hand adjudications below the marker.
 
@@ -52,8 +65,23 @@ def _load(path: str) -> dict:
         return json.load(f)
 
 
-def fold(docs: list[dict]) -> dict:
-    """Elementwise fold of bench result documents (see module doc)."""
+def fold(docs: list[dict], ref_plans: dict[str, str] | None = None) -> dict:
+    """Elementwise fold of bench result documents (see module doc).
+
+    ``ref_plans`` (query -> plan fingerprint, normally the newest
+    session draft's ``plans`` map) gates the fold per query: a doc's
+    timing entries for a query fold only when the doc's fingerprint
+    for it MATCHES the reference — a mismatching or missing
+    fingerprint means the timing was measured on a plan that no longer
+    exists (or can't be verified) and is excluded. Queries absent from
+    ``ref_plans`` fold unguarded (legacy drafts)."""
+    ref_plans = ref_plans or {}
+    stale: dict[str, int] = {}
+
+    def fresh(d: dict, name: str) -> bool:
+        ref = ref_plans.get(name)
+        return ref is None or ((d.get("plans") or {}).get(name)) == ref
+
     queries: dict[str, float] = {}
     steady: dict[str, float] = {}
     compile_cost: dict[str, float] = {}
@@ -62,13 +90,19 @@ def fold(docs: list[dict]) -> dict:
     stall_reps = 0
     for d in docs:
         for name, t in (d.get("queries") or {}).items():
+            if not fresh(d, name):
+                stale[name] = stale.get(name, 0) + 1
+                continue
             queries[name] = min(queries.get(name, t), t)
         for name, t in (d.get("steady") or d.get("queries") or {}).items():
-            steady[name] = min(steady.get(name, t), t)
+            if fresh(d, name):
+                steady[name] = min(steady.get(name, t), t)
         for name, t in (d.get("compile") or {}).items():
-            compile_cost[name] = min(compile_cost.get(name, t), t)
+            if fresh(d, name):
+                compile_cost[name] = min(compile_cost.get(name, t), t)
         for name, s in (d.get("spread") or {}).items():
-            spread[name] = max(spread.get(name, s), s)
+            if fresh(d, name):
+                spread[name] = max(spread.get(name, s), s)
         st = d.get("stalls") or {}
         stall_reps += int(st.get("reps_over_5x_steady", 0) or 0)
         for name, k in (st.get("retries") or {}).items():
@@ -89,6 +123,9 @@ def fold(docs: list[dict]) -> dict:
             "retries": retries,
             "healed_by_fold": True,
         },
+        # stale-plan exclusions: query -> number of doc entries dropped
+        # because their fingerprint didn't match the reference plan
+        "stale_dropped": stale,
         "spread": spread,
         "compile": compile_cost,
         "steady": steady,
@@ -134,19 +171,42 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             pass
 
-    out = fold(docs)
+    # reference plan fingerprints: the NEWEST session draft carrying a
+    # plans map defines what "the current plan" is per query — a fold
+    # therefore requires >=1 post-change full session before a changed
+    # query's older minima could matter, and those older minima are
+    # excluded (the VERDICT r9 #1 gate). The finalize protocol runs a
+    # full bench session immediately before folding, so the newest
+    # draft reflects HEAD.
+    ref_plans: dict[str, str] = {}
+    for d in reversed(docs[: len(paths)]):
+        if isinstance(d.get("plans"), dict) and d["plans"]:
+            ref_plans = d["plans"]
+            break
+
+    out = fold(docs, ref_plans=ref_plans)
     # session drafts persist on disk, so every refold sees all of them:
     # the draft count IS the session count, and stalls are re-summed from
     # drafts alone (the prior canonical already holds summed stalls — the
     # canonical is folded only so hand-merged minima are never lost)
     out["sessions"] = len(paths)
-    out["stalls"] = fold(docs[: len(paths)])["stalls"]
+    out["stalls"] = fold(docs[: len(paths)], ref_plans=ref_plans)["stalls"]
+    if ref_plans:
+        # stored so refolds can validate THIS canonical's minima too
+        out["plans"] = ref_plans
+    stale = out.pop("stale_dropped", {})
     note = (
         f"elementwise min over {len(paths)} session draft(s) "
         f"(raw totals {'/'.join(str(t) for t in raw_totals)} s)"
         + (", folded into the prior canonical" if folded_prior else "")
         + "; movers recomputed from folded steady vs previous round"
     )
+    if stale:
+        note += (
+            f"; stale-plan minima excluded for {len(stale)} query(ies): "
+            + ", ".join(sorted(stale)[:8])
+            + ("..." if len(stale) > 8 else "")
+        )
     if args.note:
         note += "; " + args.note
     out["note"] = note
@@ -163,13 +223,17 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "sf", "reps",
             "prev_queries_recovered", "sessions", "note", "stalls",
-            "movers", "spread", "compile", "steady", "queries",
+            "movers", "spread", "plans", "compile", "steady", "queries",
         )
         if k in out
     }
-    with open(canonical, "w") as f:
+    # temp + atomic rename: a torn write (ENOSPC mid-dump) must never
+    # leave a truncated canonical on disk (ADVICE r9)
+    tmp = f"{canonical}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(ordered, f)
         f.write("\n")
+    os.replace(tmp, canonical)
     bench._write_mover_ledger(
         rnd,
         out["movers"],
