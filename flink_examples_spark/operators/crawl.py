@@ -1,0 +1,188 @@
+"""Crawl pre-text stage algebra, shared by batch, incremental and
+ingest paths.
+
+The registered crawl queries (``queries.url_dedup_canonical``,
+``queries.host_boilerplate_census``) and the streaming ingest readers
+(``streaming.sinks.read_url_dedup_canonical`` /
+``read_host_boilerplate_census``) assemble from ONE mergeable per-URL
+partial: ``(url_norm, n_docs_u, chars_u, min_doc_id)``. Counts and
+char sums are additive and the survivor id folds by MIN, so per-batch
+partials folded by (sum, sum, min) equal one pass over the union —
+the same property the token-drift ingest twin rests on
+(operators/drift.py), making batch/ingest parity structural, not
+coincidental.
+
+``incremental_url_dedup`` is the delta path: every new crawl dump is
+URL-deduped against the STAGED canonical-URL index before any text is
+read, with only delta-sized exchanges — the 100 TB index is probed
+with the broadcast delta URL set and never reshuffled (the
+operators/dedup.py incremental discipline).
+
+Scale: the partial is URL-cardinality and narrow — no text column
+ever enters this stage, which is the entire point of URL-dedup-first.
+Cited against the reference's enrichment/normalization map stage
+(IpToLocation.java:24-38) and keyed two-level folds
+(WordCount.java:80-91).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_examples_spark.functions.url import (
+    normalize_url,
+    synthetic_crawl_url,
+    url_host,
+)
+
+
+def _url_norm(docs: DataFrame, id_col: str, source_col: str,
+              url: Column | str | None) -> Column:
+    """Canonical URL column: the caller's crawl-metadata URL when one
+    exists, else the deterministic synthetic URL space the testdata
+    documents table uses (functions/url.py module doc)."""
+    if url is not None:
+        return normalize_url(url)
+    return normalize_url(synthetic_crawl_url(id_col, source_col))
+
+
+def url_dedup_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    url: Column | str | None = None,
+) -> DataFrame:
+    """Canonical-URL index ``(url_norm, n_docs, keep_doc_id)`` over a
+    corpus, singletons INCLUDED — the staged artifact
+    [[incremental_url_dedup]] probes (a delta URL matching ONE corpus
+    doc creates a brand-new duplicate group of two, so the index must
+    keep singletons; the batch dedup view is this with ``n_docs >= 2``).
+    One narrow (doc_id, url) projection + one map-side-combined
+    url-keyed fold; the url chain (md5 + regexes) evaluates once per
+    row as the grouping key (the projection-collapse guard,
+    PERF_NOTES_r8/r9)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _url_norm(docs, id_col, source_col, url).alias("url_norm"),
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def incremental_url_dedup(index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Daily-dump twin of ``queries.url_dedup_canonical``: dedup a
+    small delta crawl dump against the STAGED canonical-URL index.
+    Output: the UPDATED duplicate groups among URLs the delta touches —
+    ``(url_norm, n_docs, keep_doc_id)`` with combined counts and the
+    min-doc_id survivor across corpus + delta (exactly what a batch
+    re-run over the union would report for those URLs, the pinned
+    parity) — so the index stays maintainable by upsert without ever
+    re-scanning the corpus.
+
+    ``index``: ``(url_norm, n_docs, keep_doc_id)`` incl. singletons
+    ([[url_dedup_index]]); ``delta``: ``(doc_id, url_norm)`` rows.
+
+    Shuffle discipline (the reason this exists): the index is probed
+    with the BROADCAST delta URL set and the hit list (<= |delta URLs|)
+    broadcasts back — the 100 TB index is never reshuffled; the only
+    exchange is the delta-sized url fold. URL dedup is the stage that
+    runs on EVERY new crawl dump, so its incremental form is the one a
+    production pipeline actually executes daily."""
+    dg = delta.groupBy("url_norm").agg(
+        F.count(F.lit(1)).alias("_n_d"),
+        F.min("doc_id").alias("_min_d"),
+    )
+    # the probe set is dg itself — already one row per url_norm after
+    # the fold (and the identical exchange subtree lets ReuseExchange
+    # compute it once). PRECONDITION: ``index`` holds ONE row per
+    # url_norm, as url_dedup_index / read_url_partials produce — a
+    # multi-snapshot index must be folded first (sum counts, min ids:
+    # streaming.sinks.read_url_partials), since duplicate index rows
+    # would multiply delta rows through the rejoin
+    hits = (
+        index.join(F.broadcast(dg.select("url_norm")), "url_norm")
+        .select("url_norm", "n_docs", "keep_doc_id")
+    )
+    return (
+        dg.join(F.broadcast(hits), "url_norm", "left")
+        .select(
+            "url_norm",
+            (F.col("_n_d") + F.coalesce(F.col("n_docs"), F.lit(0)))
+            .alias("n_docs"),
+            F.least(
+                F.col("_min_d"),
+                F.coalesce(F.col("keep_doc_id"), F.col("_min_d")),
+            ).alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def url_partials(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+    url: Column | str | None = None,
+) -> DataFrame:
+    """Fold a document frame to the mergeable per-URL partial
+    ``(url_norm, n_docs_u, chars_u, min_doc_id)`` — additive counts and
+    char mass plus a min-foldable survivor id, so per-batch partials
+    folded by (sum, sum, min) equal one pass over the union (the
+    ingest property; see module doc)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(chars_col).alias("n_chars"),
+            _url_norm(docs, id_col, source_col, url).alias("url_norm"),
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_u"),
+            F.sum("n_chars").alias("chars_u"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def host_census_from_url_partials(per_url: DataFrame) -> DataFrame:
+    """The host-census assembly of ``queries.host_boilerplate_census``
+    over a ``(url_norm, n_docs_u, chars_u)`` per-URL table — ONE body
+    shared by the batch query and the streaming ingest reader
+    (``streaming.sinks.read_host_boilerplate_census``), so parity
+    between the two paths is structural (the operators/drift.py
+    convention). Host folds over ~#urls rows, which also subsumes the
+    exact-distinct page count."""
+    return (
+        per_url.withColumn("host", url_host("url_norm"))
+        .groupBy("host")
+        .agg(
+            F.sum("n_docs_u").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.expr(
+                "((sum(n_docs_u) - count(1)) * 1000000) div sum(n_docs_u)"
+            ).alias("dup_page_ppm"),
+            F.expr("sum(chars_u) div sum(n_docs_u)").alias("chars_per_doc"),
+        )
+    )
+
+
+def url_dedup_from_partials(per_url: DataFrame) -> DataFrame:
+    """The duplicate-group assembly of ``queries.url_dedup_canonical``
+    over a ``(url_norm, n_docs_u, min_doc_id)`` per-URL table — the
+    ingest reader's view (``streaming.sinks.read_url_dedup_canonical``):
+    groups of >= 2 with the min-doc_id survivor."""
+    return (
+        per_url.select(
+            "url_norm",
+            F.col("n_docs_u").alias("n_docs"),
+            F.col("min_doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

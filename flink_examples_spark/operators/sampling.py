@@ -425,6 +425,15 @@ def budget_admission_flags(
     yields NULL n_tokens and does not advance the prefix (the
     sequence_pack convention).
 
+    ``id_col`` values must be UNIQUE per key (the shape of an
+    append-only ingest, and what the streaming twin's replay contract
+    already enforces): the running prefix is a window frame over the
+    ``id_col`` sort, and tied ids would make which duplicate "comes
+    first" — and therefore the kept verdicts — nondeterministic
+    run-to-run. A duplicate raises loudly at execution (a lag over the
+    SAME window sort, so the check costs no extra exchange), mirroring
+    the streaming twin's intra-trigger duplicate check (ADVICE r9).
+
     Output: ``<key cols>, <id_col>, n_tokens, kept``.
     """
     from pyspark.sql import Window
@@ -434,10 +443,16 @@ def budget_admission_flags(
     parts = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if cap < 0:
         raise ValueError(f"budget_admission_flags: cap must be >= 0, got {cap}")
-    run = (
-        Window.partitionBy(*parts)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    order = Window.partitionBy(*parts).orderBy(id_col)
+    run = order.rowsBetween(Window.unboundedPreceding, -1)
+    prev_id = F.lag(id_col).over(order)
+    # the duplicate guard lives INSIDE the kept expression (a pruned
+    # side column would be optimized away and never fire); CaseWhen
+    # branches evaluate lazily per row, so unique-id data never pays
+    # more than the lag itself
+    admitted = (
+        F.coalesce(F.sum("n_tokens").over(run), F.lit(0)).cast("long")
+        < F.lit(int(cap))
     )
     return df.select(
         *[F.col(c) for c in parts],
@@ -447,8 +462,23 @@ def budget_admission_flags(
         *parts,
         id_col,
         "n_tokens",
-        (
-            F.coalesce(F.sum("n_tokens").over(run), F.lit(0)).cast("long")
-            < F.lit(int(cap))
-        ).alias("kept"),
+        F.when(
+            prev_id.isNotNull() & (prev_id == F.col(id_col)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "budget_admission_flags: duplicate "
+                        f"{id_col} within a key: id "
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        " appears more than once — tied ids make the "
+                        "admission prefix nondeterministic (the "
+                        "streaming twin's replay contract)"
+                    ),
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(admitted)
+        .alias("kept"),
     )

@@ -1543,3 +1543,160 @@ def compact_token_counts(spark, counts_path: str,
         .load(os.path.join(staging, "batch=compacted"))
         .count(),
     )
+
+
+def url_partials_ingest_foreach_batch(
+    partials_path: str,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+    fmt: str = "parquet",
+    compact_every_n_batches: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming ingest for the crawl pre-text stage (VERDICT r9 #4):
+    each micro-batch of documents folds to its own per-URL partial
+    ``(url_norm, n_docs_u, chars_u, min_doc_id)`` under
+    ``partials_path/batch=<id>`` — counts/char mass are additive and
+    the survivor id folds by min, so the readers' (sum, sum, min) fold
+    equals one pass over the whole corpus. ONE staged partial serves
+    BOTH crawl monitors: :func:`read_host_boilerplate_census` (the
+    host kill list drifts as the crawl grows) and
+    :func:`read_url_dedup_canonical` (the duplicate-group ledger) —
+    each check costs URL-cardinality partials, never a corpus re-scan.
+    The fold body is ``operators.crawl.url_partials`` — the batch
+    queries' own algebra.
+
+    Replay safety: ``mode("overwrite")`` into the batch's own subdir,
+    so a replayed batch REPLACES its partial rather than
+    double-counting (the :func:`token_counts_ingest_foreach_batch`
+    rule); compaction (:func:`compact_url_partials`) spares the newest
+    numbered subdir for the same reason.
+    """
+    from flink_examples_spark.operators.crawl import url_partials
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(partials_path)
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            compact_url_partials(spark, partials_path, fmt=fmt)
+        url_partials(batch_df, id_col, source_col, chars_col).write.mode(
+            "overwrite"
+        ).format(fmt).save(os.path.join(partials_path, f"batch={batch_id}"))
+
+    return apply
+
+
+def _fold_url_partials(df: DataFrame) -> DataFrame:
+    """(sum, sum, min) fold of staged per-URL partials — the merge that
+    makes them equal one pass over the union."""
+    return df.groupBy("url_norm").agg(
+        F.sum("n_docs_u").alias("n_docs_u"),
+        F.sum("chars_u").alias("chars_u"),
+        F.min("min_doc_id").alias("min_doc_id"),
+    )
+
+
+def read_url_partials(spark, partials_path: str,
+                      fmt: str = "parquet") -> DataFrame:
+    """Fold every staged partial into the current per-URL table. A
+    missing or not-yet-committed path reads as an EMPTY table rather
+    than crashing — monitoring readers race the stream's first
+    micro-batch (the read_token_counts rule)."""
+    _recover_swap(partials_path)
+    subs = [
+        os.path.join(partials_path, n)
+        for n in os.listdir(partials_path)
+        if not n.startswith((".", "_"))
+    ] if os.path.isdir(partials_path) else []
+    if not subs:
+        return spark.createDataFrame(
+            [], "url_norm string, n_docs_u long, chars_u long, "
+                "min_doc_id long"
+        )
+    return _fold_url_partials(spark.read.format(fmt).load(subs))
+
+
+def read_host_boilerplate_census(spark, partials_path: str,
+                                 fmt: str = "parquet") -> DataFrame:
+    """Assemble the EXACT host census of the registered
+    ``host_boilerplate_census`` query from staged per-URL partials:
+    same assembly body (``operators.crawl.host_census_from_url_
+    partials``), same output schema ``(host, n_docs, n_pages,
+    dup_page_ppm, chars_per_doc)`` — hash-identical to the batch query
+    over the same documents, at partial-fold cost."""
+    from flink_examples_spark.operators.crawl import (
+        host_census_from_url_partials,
+    )
+
+    return host_census_from_url_partials(
+        read_url_partials(spark, partials_path, fmt)
+    )
+
+
+def read_url_dedup_canonical(spark, partials_path: str,
+                             fmt: str = "parquet") -> DataFrame:
+    """Assemble the EXACT duplicate-group ledger of the registered
+    ``url_dedup_canonical`` query from the same staged partials:
+    ``(url_norm, n_docs, keep_doc_id)`` groups of >= 2 with the
+    min-doc_id survivor (``operators.crawl.url_dedup_from_partials``)."""
+    from flink_examples_spark.operators.crawl import url_dedup_from_partials
+
+    return url_dedup_from_partials(
+        read_url_partials(spark, partials_path, fmt)
+    )
+
+
+def compact_url_partials(spark, partials_path: str,
+                         fmt: str = "parquet") -> int:
+    """Fold all committed batch subdirs into one ``batch=compacted``
+    per-URL table, sparing the newest numbered batch (sums are
+    ADDITIVE: only the in-flight batch can replay, and folding it
+    would double-count on replay — the :func:`compact_token_counts`
+    rule; the min fold alone would be safe, the count/char sums are
+    not). Crash-safe via the staging swap. Returns rows in the
+    compacted table, 0 if nothing to fold."""
+    _recover_swap(partials_path)
+    if not os.path.isdir(partials_path):
+        return 0
+    subs = [
+        n for n in os.listdir(partials_path) if not n.startswith((".", "_"))
+    ]
+    numbered = sorted(
+        (int(n.split("=", 1)[1]), n)
+        for n in subs
+        if n.startswith("batch=") and n.split("=", 1)[1].isdigit()
+    )
+    spare = numbered[-1][1] if numbered else None
+    fold = [n for n in subs if n != spare]
+    if not any(n != "batch=compacted" for n in fold):
+        return 0
+    folded = _fold_url_partials(
+        spark.read.format(fmt)
+        .load([os.path.join(partials_path, n) for n in fold])
+    ).localCheckpoint()
+    spared_df = (
+        spark.read.format(fmt).load(os.path.join(partials_path, spare))
+        .localCheckpoint()
+        if spare else None
+    )
+
+    def write_to(staging: str) -> None:
+        folded.write.mode("overwrite").format(fmt).save(
+            os.path.join(staging, "batch=compacted")
+        )
+        if spared_df is not None:
+            spared_df.write.mode("overwrite").format(fmt).save(
+                os.path.join(staging, spare)
+            )
+
+    return _swap_in_rewrite(
+        partials_path,
+        write_to,
+        count=lambda staging: spark.read.format(fmt)
+        .load(os.path.join(staging, "batch=compacted"))
+        .count(),
+    )

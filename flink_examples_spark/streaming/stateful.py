@@ -1158,6 +1158,17 @@ def streaming_budget_admission(
         raise ValueError(
             f"streaming_budget_admission: cap must be >= 0, got {cap}"
         )
+    if types.get(id_col) not in ("tinyint", "smallint", "int", "bigint"):
+        # the replay contract carries last_id as LONG state and the
+        # int(...) casts below assume integral ids; a string id would
+        # otherwise die mid-stream with an unrelated ValueError instead
+        # of the contract message (ADVICE r9). The batch twin accepts
+        # any orderable id — map or cast ids upstream to use this one.
+        raise TypeError(
+            f"streaming_budget_admission: id column {id_col!r} must be "
+            f"an integral type (last_id replay state is a long); got "
+            f"{types.get(id_col)}"
+        )
 
     def fn(
         key_t, pdfs: Iterator[pd.DataFrame], state: GroupState

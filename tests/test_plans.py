@@ -793,6 +793,64 @@ def test_round9_crawl_cap_and_line_dedup_plan_shapes(spark, sf_dir):
     assert len(ld_hash_ex) == 3
 
 
+def test_round10_line_dedup_strip_plan_shape(spark, sf_dir):
+    """host_line_dedup_strip (the census's apply stage) keeps the house
+    discipline: the boilerplate verdict is a de-skewed (host,line)
+    aggregate joined back by BROADCAST (the probe side's exploded text
+    never shuffles for the join — no content-keyed Window, no SMJ over
+    the full line set), the probe Generate carries host+doc_id computed
+    per-doc below it (projection-collapse guard), and the only other
+    exchanges are the synth source windows and the doc_id reassembly."""
+    from flink_examples_spark.queries import registry
+
+    st = registry()["host_line_dedup_strip"].spark_fn(spark, sf_dir)
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not python_eval_nodes(st)
+    # verdict rejoin is a broadcast left-outer, not a probe-side shuffle
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    ex = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    # 2x synth source windows (verdict side recomputes the synth — the
+    # substring-strip recompute convention, cheaper than materializing
+    # exploded text), 1x (host,line) verdict fold, 1x doc_id reassembly
+    assert len(ex) == 4
+    assert sum(1 for line in ex if "host" in line and "line" in line) == 1
+    assert sum(1 for line in ex if "doc_id" in line and "host" in line) == 1
+    # probe generate passes host (computed once per doc) + doc_id, and
+    # does NOT drag raw source upward
+    probe_gens = [
+        line for line in plan.splitlines()
+        if "Generate posexplode" in line and "doc_id" in line
+    ]
+    assert probe_gens and all("source" not in g for g in probe_gens)
+
+
+def test_round10_url_dedup_incremental_plan_shape(spark, sf_dir):
+    """url_dedup_incremental keeps the URL-dedup-first discipline: the
+    scans never read text (narrow doc_id/source projections only), the
+    staged-index probe and the hit rejoin are both BROADCAST joins (the
+    index is never reshuffled against the delta), and every
+    hashpartitioning exchange keys on url_norm (the url folds) — no
+    cartesian products, no Python nodes."""
+    from flink_examples_spark.queries import registry
+
+    inc = registry()["url_dedup_incremental"].spark_fn(spark, sf_dir)
+    assert "text" not in read_schema_columns(inc)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not python_eval_nodes(inc)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    ex = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert ex and all("url_norm" in line for line in ex)
+
+
 def test_subexpression_elimination_is_on(spark):
     """The registry's multi-metric projections (doc_stats, gopher
     rules, curriculum phases, seq_length_bucket_waste, ...) repeat the

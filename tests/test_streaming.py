@@ -3637,6 +3637,52 @@ def test_streaming_budget_admission_negative_cap_raises(spark):
         streaming_budget_admission(df, "doc_id", "text", -1, "source")
 
 
+def test_batch_budget_admission_duplicate_id_raises(spark):
+    """ADVICE r9: the batch twin's window frame over tied ids is
+    nondeterministic — which duplicate 'comes first' (and so the kept
+    verdicts near the cap) could flip run-to-run while the streaming
+    twin raises. The batch side now raises the same loud failure, via
+    a lag over the SAME window sort (no extra exchange)."""
+    from flink_examples_spark.operators.sampling import (
+        budget_admission_flags,
+    )
+
+    dup = spark.createDataFrame(
+        [("h", 7, "a b"), ("h", 7, "c")],
+        "source string, doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="appears more than once"):
+        budget_admission_flags(dup, "source", "doc_id", "text", 100).collect()
+
+    # unique ids are unaffected (the guard branch never evaluates)
+    ok = spark.createDataFrame(
+        [("h", 1, "a b"), ("h", 2, "c"), ("g", 1, "d e f")],
+        "source string, doc_id long, text string",
+    )
+    rows = {
+        (r.source, r.doc_id): r.kept
+        for r in budget_admission_flags(
+            ok, "source", "doc_id", "text", 3
+        ).collect()
+    }
+    assert rows == {("h", 1): True, ("h", 2): True, ("g", 1): True}
+
+
+def test_streaming_budget_admission_non_integral_id_raises(spark):
+    """ADVICE r9: a string id column used to die mid-stream with an
+    unrelated ValueError from the int(...) casts; it must fail at
+    construction with the contract message (last_id state is a long)."""
+    from flink_examples_spark.streaming.stateful import (
+        streaming_budget_admission,
+    )
+
+    df = spark.createDataFrame(
+        [("h", "k1", "a")], "source string, doc_id string, text string"
+    )
+    with pytest.raises(TypeError, match="must be an integral type"):
+        streaming_budget_admission(df, "doc_id", "text", 10, "source")
+
+
 def test_capped_sessions_timeout_state_retention_both_modes(
     spark, tmp_path
 ):

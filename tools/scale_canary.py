@@ -152,6 +152,28 @@ def _pack_contamination(docs):
     return pack_contamination_census_over(docs)
 
 
+def _host_line_strip(docs):
+    """Calls the registered strip query's own operator
+    (operators.dedup.host_line_dedup_strip) with the per-doc host the
+    query derives, so the canary measures the shipped (host,line)
+    fold + broadcast verdict join + doc_id reassembly."""
+    from flink_examples_spark.functions.url import (
+        normalize_url,
+        synthetic_crawl_url,
+        url_host,
+    )
+    from flink_examples_spark.operators.dedup import host_line_dedup_strip
+
+    pre = docs.select(
+        "doc_id",
+        url_host(
+            normalize_url(synthetic_crawl_url("doc_id", "source"))
+        ).alias("host"),
+        "text",
+    )
+    return host_line_dedup_strip(pre, "doc_id", "host", "text")
+
+
 def _host_budget_cap(docs):
     """Per-host token-budget cap — the REGISTERED query's own windowed
     core (queries.host_token_budget_cap_over), not a hand copy, so the
@@ -312,6 +334,14 @@ def main() -> None:
         "host_budget_cap": (
             docs_src1, "doc_id",
             lambda d: _host_budget_cap(d),
+        ),
+        # r10: line-dedup strip — (host,line) fold (map-side combined)
+        # + broadcast verdict rejoin + doc_id reassembly; curve must
+        # stay linear in line instances (the substring_dedup_strip
+        # family shape with a per-host key scope)
+        "host_line_strip": (
+            docs_src1, "doc_id",
+            lambda d: _host_line_strip(d),
         ),
     }
 
