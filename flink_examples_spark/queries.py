@@ -10997,3 +10997,141 @@ def url_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url_norm"),
     )
     return incremental_url_dedup(index, delta)
+
+
+@register(
+    "url_dedup_keep",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, {_URL_NORM} AS url_norm FROM documents
+    ), v AS (
+        SELECT url_norm, MIN(doc_id) AS keep_id
+        FROM u GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT u.doc_id, u.url_norm,
+           (v.keep_id IS NULL OR u.doc_id = v.keep_id) AS kept
+    FROM u LEFT JOIN v USING (url_norm)
+    """,
+    doc="The APPLY stage of URL dedup — the per-document verdict a "
+        "pipeline actually filters on (url_dedup_canonical reports the "
+        "duplicate GROUPS; this marks every doc kept/dropped: "
+        "singletons and min-doc_id survivors keep, re-crawl duplicates "
+        "drop). The verdict table holds ONLY duplicated URLs (the "
+        "_keep_first_verdicts de-skew discipline — map-side-combined "
+        "min before the exchange, broadcastable rejoin), so the probe "
+        "side pays one narrow url fold and no text column is ever "
+        "scanned. Completes the census->apply symmetry the line-dedup "
+        "family has (host_line_dedup_census -> host_line_dedup_strip).",
+)
+def url_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    u = docs.select(
+        "doc_id",
+        normalize_url(
+            synthetic_crawl_url("doc_id", "source")
+        ).alias("url_norm"),
+    )
+    v = (
+        u.groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("_keep_id"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    return u.join(v, "url_norm", "left").select(
+        "doc_id",
+        "url_norm",
+        (
+            F.col("_keep_id").isNull()
+            | (F.col("doc_id") == F.col("_keep_id"))
+        ).alias("kept"),
+    )
+
+
+@register(
+    "crawl_pretext_pipeline",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, source, text, {_URL_NORM} AS url_norm
+        FROM documents
+    ), v AS (
+        SELECT url_norm, MIN(doc_id) AS keep_id
+        FROM u GROUP BY 1 HAVING COUNT(*) >= 2
+    ), s AS (
+        SELECT u.doc_id, u.url_norm, u.text
+        FROM u LEFT JOIN v USING (url_norm)
+        WHERE v.keep_id IS NULL OR u.doc_id = v.keep_id
+    ), t AS (
+        SELECT doc_id,
+               split_part(url_norm, '/', 1) AS host,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS n_tokens
+        FROM s
+    ), w AS (
+        SELECT host, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY host ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS pfx,
+               CAST(SUM(n_tokens) OVER (PARTITION BY host) AS BIGINT)
+                   AS tot
+        FROM t
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pfx < tot // 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           MAX(tot) AS total_tokens,
+           CAST(SUM(CASE WHEN pfx < tot // 2 THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS kept_tokens,
+           CAST((CAST(SUM(CASE WHEN pfx < tot // 2 THEN n_tokens
+                               ELSE 0 END) AS HUGEINT) * 1000000)
+                // MAX(tot) AS BIGINT) AS kept_ppm
+    FROM w
+    GROUP BY 1
+    HAVING MAX(tot) > 0
+    """,
+    doc="The crawl pre-text stage composed END-TO-END in RefinedWeb's "
+        "stage order: URL dedup FIRST (keep singletons + min-doc_id "
+        "survivors — the cheapest cut, no text read for the verdict), "
+        "then the per-host token-budget cap over the survivors only. "
+        "Tokenization happens AFTER the keep filter, so re-crawl "
+        "duplicates are never tokenized — the cost ordering that makes "
+        "a 100 TB crawl pipeline feasible; the url verdict table "
+        "(duplicated URLs only, bounded by the canonical URL space) "
+        "broadcasts, and the cap remains the single host-keyed window "
+        "exchange of host_token_budget_cap over narrow (doc_id, host, "
+        "n_tokens) rows. Composes url_dedup_keep with "
+        "host_token_budget_cap_over — one body each, shared with the "
+        "standalone queries.",
+)
+def crawl_pretext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    u = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        normalize_url(
+            synthetic_crawl_url("doc_id", "source")
+        ).alias("url_norm"),
+    )
+    v = (
+        u.groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("_keep_id"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+    survivors = (
+        u.join(v, "url_norm", "left")
+        .filter(
+            F.col("_keep_id").isNull()
+            | (F.col("doc_id") == F.col("_keep_id"))
+        )
+        .select("doc_id", "source", "text")
+    )
+    return host_token_budget_cap_over(survivors)

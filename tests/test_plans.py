@@ -851,6 +851,52 @@ def test_round10_url_dedup_incremental_plan_shape(spark, sf_dir):
     assert ex and all("url_norm" in line for line in ex)
 
 
+def test_round10_url_keep_and_pipeline_plan_shapes(spark, sf_dir):
+    """url_dedup_keep: per-doc verdicts without ever scanning text —
+    the duplicated-URL verdict table (min before the exchange)
+    broadcasts back onto a text-free probe scan.
+
+    crawl_pretext_pipeline: RefinedWeb stage order in ONE plan — the
+    URL verdict comes off a text-free scan and BROADCASTS onto the
+    probe (the only text scan), tokenization runs after the keep
+    filter (duplicates are never tokenized), and the budget cap keeps
+    host_token_budget_cap's single host-keyed window exchange."""
+    from flink_examples_spark.queries import registry
+
+    reg = registry()
+    keep = reg["url_dedup_keep"].spark_fn(spark, sf_dir)
+    assert "text" not in read_schema_columns(keep)
+    kplan = keep._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in kplan
+    assert not python_eval_nodes(keep)
+    assert "BroadcastHashJoin" in kplan and "SortMergeJoin" not in kplan
+    kex = [
+        line for line in kplan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(kex) == 1 and "url_norm" in kex[0]
+
+    pipe = reg["crawl_pretext_pipeline"].spark_fn(spark, sf_dir)
+    pplan = pipe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pplan
+    assert not python_eval_nodes(pipe)
+    assert "BroadcastHashJoin" in pplan and "SortMergeJoin" not in pplan
+    pex = [
+        line for line in pplan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    # exactly two: the url verdict fold (text-free side) + the single
+    # host window/fold exchange
+    assert len(pex) == 2
+    assert sum(1 for line in pex if "url_norm" in line) == 1
+    assert sum(1 for line in pex if "host" in line) == 1
+    # the verdict side's scan never reads text — only the probe does
+    scans = [
+        line.strip() for line in pplan.splitlines() if "FileScan" in line
+    ]
+    assert sum(1 for s in scans if "text" in s) == 1
+
+
 def test_subexpression_elimination_is_on(spark):
     """The registry's multi-metric projections (doc_stats, gopher
     rules, curriculum phases, seq_length_bucket_waste, ...) repeat the
