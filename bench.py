@@ -183,27 +183,51 @@ def _compute_movers(
     }
 
 
-_PLAN_VOLATILE_RE = re.compile(r"#\d+|plan_id=\d+|\bid=\d+")
+# volatile plan tokens, all session-history-dependent: expression ids
+# (#123), plan/RDD ids, higher-order-function lambda variable names
+# (lambda x_7 — the counter advances with every lambda ANALYZED earlier
+# in the session, so warm-ups shift it), and the grouping-id literals
+# the distinct-aggregate rewrite emits (gid = 2 vs gid = 4 for the
+# same query, also counter-driven). Verified registry-wide: with these
+# stripped, two sessions with different warm-up/ordering histories
+# produce identical normalized plans for every registered query.
+_PLAN_VOLATILE_RE = re.compile(
+    r"#\d+|plan_id=\d+|\bid=\d+|\b[a-z]+_\d+(?=\b)|\bgid = \d+"
+)
 
 
 def _plan_fingerprint(df) -> str | None:
-    """Stable 12-hex fingerprint of a DataFrame's OPTIMIZED logical
+    """Stable 12-hex fingerprint of a DataFrame's ANALYZED logical
     plan, with the per-session volatile tokens (expression ids,
-    plan/RDD ids) stripped: the same source at the same sf produces
-    the same fingerprint in any session (verified across fresh
-    sessions, incl. localCheckpoint- and mapInPandas-backed plans).
-    Session drafts carry one per query so tools/fold_bench.py can
-    refuse to fold minima measured on plans that no longer exist —
-    the r9 stale-minimum hole (VERDICT r9 'What's wrong' #1: two
-    crawl-cap queries changed shape mid-round and the committed fold
-    kept pre-change minima no shipped plan could reproduce)."""
+    plan/RDD ids, lambda variable counters) stripped: the same source
+    at the same sf produces the same fingerprint in any session
+    (verified registry-wide across sessions with divergent warm-up and
+    ordering histories, incl. localCheckpoint- and mapInPandas-backed
+    plans). The ANALYZED plan — not the optimized one — because two
+    optimizer rewrites print session-history-dependent text that no
+    token-level normalization fixes (the distinct-aggregate rewrite
+    orders grouping keys by expression-id hash; FileScan metadata
+    truncates DataFilters at a fixed width, so shifted lambda names
+    move the cut); every SOURCE change to a query still lands in its
+    analyzed plan, which is what staleness means. Session drafts carry
+    one per query so tools/fold_bench.py can refuse to fold minima
+    measured on plans that no longer exist — the r9 stale-minimum hole
+    (VERDICT r9 'What's wrong' #1: two crawl-cap queries changed shape
+    mid-round and the committed fold kept pre-change minima no shipped
+    plan could reproduce)."""
     try:
         import hashlib
 
-        s = df._jdf.queryExecution().optimizedPlan().toString()
-        return hashlib.sha1(
-            _PLAN_VOLATILE_RE.sub("", s).encode()
-        ).hexdigest()[:12]
+        s = df._jdf.queryExecution().analyzed().toString()
+        # sub to a FIXPOINT: stripping an expression id can EXPOSE a
+        # volatile token the same pass already skipped ("gid#123 = 0"
+        # -> "gid = 0", which only a second pass removes)
+        while True:
+            s2 = _PLAN_VOLATILE_RE.sub("", s)
+            if s2 == s:
+                break
+            s = s2
+        return hashlib.sha1(s.encode()).hexdigest()[:12]
     except Exception:
         return None
 
