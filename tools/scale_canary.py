@@ -42,6 +42,7 @@ Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
     host_budget_cap        0.35s   0.21s   0.28s  -0.15  n/a (20 hosts, r9 s5)
     jaccard_prefix_filter  3.7s    6.2s    8.1s   0.56   1.00 (r6, uncapped exact)
     skyline_2d             0.7s    0.7s    0.7s  -0.03   1.00 (r6, frontier ~12)
+    host_line_strip        0.43s   0.40s   0.45s  0.03   1.00 (r10)
 
 The merge row is the partition-scoped MERGE (2026-08-14): the staged
 corpus quadruples (shard count grows, constant rows per shard) while
