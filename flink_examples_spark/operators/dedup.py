@@ -892,15 +892,7 @@ def host_line_dedup_strip(
     driver state; at a real deployment the verdict table is the
     stageable per-host kill list. Cited against the reference's keyed
     two-level folds (WordCount.java:80-91)."""
-    import re as _re
-
-    lines = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(host_col).alias("host"),
-        F.posexplode(
-            F.split(F.col(text_col), _re.escape(sep))
-        ).alias("pos", "line"),
-    )
+    lines = _host_lines(df, id_col, host_col, text_col, sep)
     verdicts = (
         lines.groupBy("host", "line")
         .agg(F.count(F.lit(1)).alias("_n_occ"))
@@ -915,6 +907,124 @@ def host_line_dedup_strip(
         "line",
         F.col("_boiler").isNotNull().alias("drop"),
     )
+    return _reassemble_host_lines(marked, sep).select(
+        F.col("doc_id").alias(id_col),
+        F.col("host").alias(host_col),
+        "n_lines",
+        "n_removed",
+        "removed_chars",
+        "kept_text",
+    )
+
+
+def _host_lines(
+    df: DataFrame, id_col: str, host_col: str, text_col: str, sep: str
+) -> DataFrame:
+    """(doc_id, host, pos, line): per-doc line explode with order.
+    Shared by the batch and incremental host-line-strip paths."""
+    import re as _re
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
+    )
+
+
+def host_line_fp_index(
+    df: DataFrame,
+    id_col: str,
+    host_col: str,
+    text_col: str,
+    sep: str = ". ",
+) -> DataFrame:
+    """Host-scoped line-occurrence index ``(host, lfp, n_occ)`` over a
+    corpus — the staged artifact [[incremental_host_line_strip]]
+    probes (16 bytes + a count per distinct (host, line); write once
+    per snapshot, reuse across daily strip runs). Counts, not mere
+    existence, because the kill-all rule is a THRESHOLD: a delta line
+    is boilerplate when corpus occurrences + delta occurrences reach
+    ``min_count``, so the index must carry how many the corpus already
+    holds."""
+    return (
+        _host_lines(df, id_col, host_col, text_col, sep)
+        .groupBy("host", F.md5("line").alias("lfp"))
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+
+
+def incremental_host_line_strip(
+    index: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    host_col: str,
+    text_col: str,
+    sep: str = ". ",
+    min_count: int = 3,
+) -> DataFrame:
+    """Daily-ingest twin of [[host_line_dedup_strip]]: strip a small
+    delta crawl dump against the STAGED host-line index. A delta line
+    is struck when its host-scoped occurrence count across corpus +
+    delta reaches ``min_count`` — exactly the verdict a full batch
+    strip over the union would give for the delta's documents (the
+    pinned parity). Already-shipped corpus documents stay untouched
+    even where the delta newly pushes a line over the threshold — the
+    immutability asymmetry every incremental in this module documents
+    ([[incremental_paragraph_dedup]]).
+
+    Shuffle discipline: the corpus index is probed with the BROADCAST
+    delta (host, lfp) key set and the hit counts (<= |delta lines|)
+    broadcast back — the 100 TB index is never reshuffled; the only
+    exchanges are the delta-sized (host, lfp) count fold and the
+    doc_id reassembly. Output shape matches the batch op:
+    ``<id_col>, <host_col>, n_lines, n_removed, removed_chars,
+    kept_text``."""
+    d_lines = _host_lines(delta, id_col, host_col, text_col, sep) \
+        .withColumn("lfp", F.md5("line"))
+    d_counts = d_lines.groupBy("host", "lfp").agg(
+        F.count(F.lit(1)).alias("_n_d")
+    )
+    # distinct hit rows by construction: the index is one row per
+    # (host, lfp) as host_line_fp_index produces; a multi-snapshot
+    # index must be count-folded first (sums are additive), since
+    # duplicate index rows would multiply delta rows through the rejoin
+    hits = index.join(
+        F.broadcast(d_counts.select("host", "lfp")), ["host", "lfp"]
+    ).select("host", "lfp", "n_occ")
+    boiler = (
+        d_counts.join(F.broadcast(hits), ["host", "lfp"], "left")
+        .filter(
+            F.coalesce(F.col("n_occ"), F.lit(0)) + F.col("_n_d")
+            >= int(min_count)
+        )
+        .select("host", "lfp")
+        .withColumn("_boiler", F.lit(1))
+    )
+    marked = d_lines.join(
+        F.broadcast(boiler), ["host", "lfp"], "left"
+    ).select(
+        "doc_id",
+        "host",
+        "pos",
+        "line",
+        F.col("_boiler").isNotNull().alias("drop"),
+    )
+    return _reassemble_host_lines(marked, sep).select(
+        F.col("doc_id").alias(id_col),
+        F.col("host").alias(host_col),
+        "n_lines",
+        "n_removed",
+        "removed_chars",
+        "kept_text",
+    )
+
+
+def _reassemble_host_lines(marked: DataFrame, sep: str) -> DataFrame:
+    """Fold (doc_id, host, pos, line, drop) back into per-doc strip
+    accounting + the surviving text in line order. Shared by the batch
+    and incremental host-line-strip paths."""
     return marked.groupBy("doc_id", "host").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("drop").cast("long")).alias("n_removed"),
@@ -936,13 +1046,6 @@ def host_line_dedup_strip(
                 lambda s: s["line"],
             ),
         ).alias("kept_text"),
-    ).select(
-        F.col("doc_id").alias(id_col),
-        F.col("host").alias(host_col),
-        "n_lines",
-        "n_removed",
-        "removed_chars",
-        "kept_text",
     )
 
 

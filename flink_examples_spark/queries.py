@@ -11135,3 +11135,94 @@ def crawl_pretext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
     )
     return host_token_budget_cap_over(survivors)
+
+
+@register(
+    "host_line_dedup_strip_incremental",
+    oracle=f"""
+    WITH synth AS (
+        SELECT doc_id, source,
+               concat_ws('. ', text,
+                   lead(text, 1) OVER (PARTITION BY source
+                                       ORDER BY doc_id),
+                   lead(text, 2) OVER (PARTITION BY source
+                                       ORDER BY doc_id),
+                   lead(text, 3) OVER (PARTITION BY source
+                                       ORDER BY doc_id),
+                   lead(text, 4) OVER (PARTITION BY source
+                                       ORDER BY doc_id)) AS text
+        FROM documents
+    ), s AS (
+        SELECT doc_id, source, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#lincr'),
+                               1, 15))::BIGINT % 10000 AS b
+        FROM synth
+    ), l AS (
+        SELECT doc_id, b,
+               split_part({_URL_NORM}, '/', 1) AS host,
+               unnest(string_split(text, '. ')) AS line,
+               unnest(range(len(string_split(text, '. ')))) AS pos
+        FROM s
+    ), c AS (
+        SELECT host, line, COUNT(*) AS cnt FROM l GROUP BY 1, 2
+    ), m AS (
+        SELECT l.doc_id, l.host, l.pos, l.line, (c.cnt >= 3) AS dropped
+        FROM l JOIN c ON l.host = c.host AND l.line = c.line
+        WHERE l.b >= 9000
+    )
+    SELECT doc_id, host,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(CASE WHEN dropped THEN len(line) ELSE 0 END)
+                AS BIGINT) AS removed_chars,
+           COALESCE(string_agg(line, '. ' ORDER BY pos)
+                        FILTER (WHERE NOT dropped), '') AS kept_text
+    FROM m GROUP BY 1, 2
+    """,
+    doc="Daily-ingest twin of host_line_dedup_strip, completing the "
+        "incremental discipline for the line-dedup family (every other "
+        "dedup family ships one — dedup/paragraph/span/substring/URL): "
+        "the 10% newest slice of the host-synth corpus is stripped "
+        "against the STAGED (host, line-md5, count) index. The kill "
+        "rule is a THRESHOLD, so the index carries corpus occurrence "
+        "COUNTS and a delta line is struck when corpus + within-delta "
+        "occurrences reach 3 — exactly the verdict a full batch strip "
+        "over the union gives for the delta docs (the oracle states "
+        "that equivalence directly); already-shipped corpus docs stay "
+        "untouched even where the delta newly crosses the threshold "
+        "(the immutability asymmetry of every incremental here). The "
+        "index is probed with the BROADCAST delta (host, lfp) key set "
+        "and the hit counts broadcast back — the corpus is never "
+        "re-exploded or reshuffled; every exchange is delta-sized.",
+)
+def host_line_dedup_strip_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.operators.dedup import (
+        host_line_fp_index,
+        incremental_host_line_strip,
+    )
+    from flink_examples_spark.operators.sampling import hash_split
+
+    synth = _host_span_synth(spark, sf_dir)
+    pre = synth.select(
+        "doc_id",
+        url_host(
+            normalize_url(synthetic_crawl_url("doc_id", "source"))
+        ).alias("host"),
+        "text",
+    )
+    split = hash_split(
+        pre, "doc_id",
+        weights=(("corpus", 0.9), ("delta", 0.1)), salt="lincr",
+    )
+    idx = host_line_fp_index(
+        split.filter(F.col("split") == "corpus"),
+        "doc_id", "host", "text",
+    )
+    return incremental_host_line_strip(
+        idx,
+        split.filter(F.col("split") == "delta"),
+        "doc_id", "host", "text",
+    )

@@ -897,6 +897,34 @@ def test_round10_url_keep_and_pipeline_plan_shapes(spark, sf_dir):
     assert sum(1 for s in scans if "text" in s) == 1
 
 
+def test_round10_host_line_strip_incremental_plan_shape(spark, sf_dir):
+    """The line-dedup incremental keeps the module's incremental
+    discipline: the staged index is probed by BROADCAST and the hit
+    counts broadcast back (three BroadcastHashJoins, no SortMergeJoin
+    — the corpus index is never reshuffled against the delta), every
+    hashpartitioning exchange is either a synth source window, a
+    (host,lfp) key fold, or the doc_id reassembly; no cartesian
+    products, no Python nodes."""
+    from flink_examples_spark.queries import registry
+
+    inc = registry()["host_line_dedup_strip_incremental"].spark_fn(
+        spark, sf_dir
+    )
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not python_eval_nodes(inc)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" not in line:
+            continue
+        assert (
+            "source" in line          # synth window
+            or ("lfp" in line or "_groupingexpression" in line)  # key fold
+            or ("doc_id" in line and "host" in line)  # reassembly
+        ), line
+
+
 def test_subexpression_elimination_is_on(spark):
     """The registry's multi-metric projections (doc_stats, gopher
     rules, curriculum phases, seq_length_bucket_waste, ...) repeat the
