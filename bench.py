@@ -333,7 +333,25 @@ def _exclusive_write_json(path: str, doc: dict) -> str:
     except FileExistsError:
         return "exists"
     except OSError:
-        return "error"
+        # filesystem without hard links (exFAT, some overlay/network
+        # mounts): fall back to the plain exclusive create that always
+        # worked there — atomicity is lost but the run is not (r10
+        # review: silently dropping a full session's minima is worse
+        # than the torn-write hazard on such mounts)
+        try:
+            with open(path, "x") as f, open(tmp) as src:
+                f.write(src.read())
+            return "created"
+        except FileExistsError:
+            return "exists"
+        except OSError:
+            print(
+                f"bench: could not persist {os.path.basename(path)} "
+                f"(hard link and exclusive create both failed) — this "
+                f"run's timings are lost to the fold",
+                file=sys.stderr,
+            )
+            return "error"
     finally:
         try:
             os.unlink(tmp)
@@ -485,11 +503,12 @@ def main() -> None:
             stall_retries[name] = stall_retries.get(name, 0) + 1
             one_rep()
         runs[name] = ts
-        # plan fingerprint from the last rep's (already-optimized)
-        # DataFrame — fold_bench uses these to exclude minima measured
-        # on plans that no longer exist (outside the timers; the
-        # optimized plan is cached in QueryExecution, so this is a
-        # toString + sha1, no planning work)
+        # ANALYZED-plan fingerprint from the last rep's DataFrame (see
+        # _plan_fingerprint for why analyzed, NOT optimized) —
+        # fold_bench uses these to exclude minima measured on plans
+        # that no longer exist (outside the timers; the analyzed plan
+        # is cached in QueryExecution, so this is a toString + sha1,
+        # no planning work)
         fp = _plan_fingerprint(last_df)
         if fp:
             plan_fps[name] = fp

@@ -47,6 +47,43 @@ def _url_norm(docs: DataFrame, id_col: str, source_col: str,
     return normalize_url(synthetic_crawl_url(id_col, source_col))
 
 
+def with_doc_host(docs: DataFrame) -> DataFrame:
+    """``(doc_id, host, text)`` projection with the host derived once
+    per DOC from the synthetic URL chain — the projection-collapse
+    discipline the host-scoped line-dedup queries and the scale canary
+    all share (computed below any Generate, the md5+regex chain runs
+    per doc, never per exploded line; PERF_NOTES_r8/r9). ONE body so
+    the discipline can't drift between call sites (r10 review)."""
+    return docs.select(
+        "doc_id",
+        url_host(
+            normalize_url(synthetic_crawl_url("doc_id", "source"))
+        ).alias("host"),
+        "text",
+    )
+
+
+def url_keep_verdicts(u: DataFrame) -> DataFrame:
+    """Duplicated-URL keep verdicts ``(url_norm, _keep_id)`` over a
+    ``(doc_id, url_norm, ...)`` frame: one row per URL with >= 2 docs,
+    carrying the min-doc_id survivor. The verdict table a keep filter
+    LEFT-joins (kept = ``_keep_id IS NULL OR doc_id = _keep_id``) —
+    only duplicated URLs enter it (the _keep_first_verdicts de-skew
+    discipline: map-side-combined min before the exchange,
+    broadcastable rejoin). ONE body shared by ``queries.url_dedup_keep``
+    and ``queries.crawl_pretext_pipeline`` so their keep semantics
+    cannot drift (r10 review)."""
+    return (
+        u.groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("_keep_id"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+        .drop("_n")
+    )
+
+
 def url_dedup_index(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -446,6 +446,16 @@ def budget_admission_flags(
     order = Window.partitionBy(*parts).orderBy(id_col)
     run = order.rowsBetween(Window.unboundedPreceding, -1)
     prev_id = F.lag(id_col).over(order)
+    # null-safe duplicate detection: `prev_id == id` is NULL for tied
+    # NULL ids, which would let them slip past the guard while their
+    # frame stays nondeterministic (r10 review). eqNullSafe treats
+    # NULL==NULL as true, and the row_number()>1 term distinguishes "a
+    # previous row exists with the same (possibly NULL) id" from "this
+    # is the key's first row" — all three functions share the one
+    # window sort.
+    dup = (F.row_number().over(order) > 1) & prev_id.eqNullSafe(
+        F.col(id_col)
+    )
     # the duplicate guard lives INSIDE the kept expression (a pruned
     # side column would be optimized away and never fire); CaseWhen
     # branches evaluate lazily per row, so unique-id data never pays
@@ -463,14 +473,16 @@ def budget_admission_flags(
         id_col,
         "n_tokens",
         F.when(
-            prev_id.isNotNull() & (prev_id == F.col(id_col)),
+            dup,
             F.raise_error(
                 F.concat(
                     F.lit(
                         "budget_admission_flags: duplicate "
                         f"{id_col} within a key: id "
                     ),
-                    F.col(id_col).cast("string"),
+                    F.coalesce(
+                        F.col(id_col).cast("string"), F.lit("NULL")
+                    ),
                     F.lit(
                         " appears more than once — tied ids make the "
                         "admission prefix nondeterministic (the "

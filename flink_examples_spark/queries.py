@@ -10935,18 +10935,14 @@ def host_line_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         host_line_dedup_strip as strip_op,
     )
 
+    from flink_examples_spark.operators.crawl import with_doc_host
+
     synth = _host_span_synth(spark, sf_dir)
     # host materialized per DOC before the explode — the
-    # projection-collapse discipline shared with the census: inlined
-    # into the Generate it would re-run the md5+regex chain per line
-    pre = synth.select(
-        "doc_id",
-        url_host(
-            normalize_url(synthetic_crawl_url("doc_id", "source"))
-        ).alias("host"),
-        "text",
-    )
-    return strip_op(pre, "doc_id", "host", "text")
+    # projection-collapse discipline shared with the census (ONE body,
+    # operators/crawl.py): inlined into the Generate it would re-run
+    # the md5+regex chain per line
+    return strip_op(with_doc_host(synth), "doc_id", "host", "text")
 
 
 @register(
@@ -11024,6 +11020,8 @@ def url_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "family has (host_line_dedup_census -> host_line_dedup_strip).",
 )
 def url_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.crawl import url_keep_verdicts
+
     docs = load_table(spark, "documents", sf_dir)
     u = docs.select(
         "doc_id",
@@ -11031,15 +11029,7 @@ def url_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             synthetic_crawl_url("doc_id", "source")
         ).alias("url_norm"),
     )
-    v = (
-        u.groupBy("url_norm")
-        .agg(
-            F.min("doc_id").alias("_keep_id"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .filter(F.col("_n") >= 2)
-        .drop("_n")
-    )
+    v = url_keep_verdicts(u)
     return u.join(v, "url_norm", "left").select(
         "doc_id",
         "url_norm",
@@ -11108,6 +11098,8 @@ def url_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "standalone queries.",
 )
 def crawl_pretext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.crawl import url_keep_verdicts
+
     docs = load_table(spark, "documents", sf_dir)
     u = docs.select(
         "doc_id",
@@ -11117,15 +11109,7 @@ def crawl_pretext_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             synthetic_crawl_url("doc_id", "source")
         ).alias("url_norm"),
     )
-    v = (
-        u.groupBy("url_norm")
-        .agg(
-            F.min("doc_id").alias("_keep_id"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .filter(F.col("_n") >= 2)
-        .drop("_n")
-    )
+    v = url_keep_verdicts(u)
     survivors = (
         u.join(v, "url_norm", "left")
         .filter(
@@ -11205,16 +11189,11 @@ def host_line_dedup_strip_incremental(
     )
     from flink_examples_spark.operators.sampling import hash_split
 
+    from flink_examples_spark.operators.crawl import with_doc_host
+
     synth = _host_span_synth(spark, sf_dir)
-    pre = synth.select(
-        "doc_id",
-        url_host(
-            normalize_url(synthetic_crawl_url("doc_id", "source"))
-        ).alias("host"),
-        "text",
-    )
     split = hash_split(
-        pre, "doc_id",
+        with_doc_host(synth), "doc_id",
         weights=(("corpus", 0.9), ("delta", 0.1)), salt="lincr",
     )
     idx = host_line_fp_index(

@@ -1158,6 +1158,13 @@ def streaming_budget_admission(
         raise ValueError(
             f"streaming_budget_admission: cap must be >= 0, got {cap}"
         )
+    if id_col not in types:
+        # a typo'd id column must say so, not misdirect toward casting
+        # a column that doesn't exist (r10 review)
+        raise TypeError(
+            f"streaming_budget_admission: id column {id_col!r} not found "
+            f"in the input schema (columns: {sorted(types)})"
+        )
     if types.get(id_col) not in ("tinyint", "smallint", "int", "bigint"):
         # the replay contract carries last_id as LONG state and the
         # int(...) casts below assume integral ids; a string id would

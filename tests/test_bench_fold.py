@@ -233,3 +233,54 @@ def test_fold_bench_main_owns_canonical_and_ledger(tmp_path, monkeypatch):
     assert "b" in out["movers"] and out["movers"]["b"]["ratio"] == 2.0
     ledger = (tmp_path / "docs" / "PERF_NOTES_r9_movers.md").read_text()
     assert "| b | 1.0 | 2.0 | 2.0 | 0 |" in ledger
+
+
+def test_fold_ref_comes_only_from_newest_draft(tmp_path, monkeypatch, capsys):
+    """r10 review: if the NEWEST session draft carries no fingerprints
+    (fingerprinting can legitimately fail — _plan_fingerprint swallows
+    py4j surface moves), an older draft's fingerprints must NOT become
+    the reference: after a plan change that would certify the OLD
+    minima and exclude the current ones — the guard inverted. The fold
+    downgrades to unguarded instead, with a stderr warning."""
+    fb = _load_fold_bench()
+    monkeypatch.setattr(fb, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": "0.1", "parsed": None})
+    )
+    s1 = _result(2.4, {"a": 0.4})
+    s1["plans"] = {"a": "OLD"}
+    s2 = _result(2.65, {"a": 0.55})
+    s2["plans"] = {}  # fingerprinting failed in the newest session
+    (tmp_path / "BENCH_session_r09_s1.json").write_text(json.dumps(s1))
+    (tmp_path / "BENCH_session_r09_s2.json").write_text(json.dumps(s2))
+    monkeypatch.setattr("sys.argv", ["fold_bench.py", "--round", "9"])
+    fb.main()
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    # unguarded fold: both drafts contribute (NOT s1-certified-only)
+    assert out["queries"] == {"a": 0.4}
+    assert "plans" not in out
+    assert "folding UNGUARDED" in capsys.readouterr().err
+
+
+def test_exclusive_write_falls_back_when_hardlinks_unsupported(
+    tmp_path, monkeypatch
+):
+    """r10 review: on a filesystem without hard links (exFAT, some
+    overlay mounts) the atomic link must fall back to the plain
+    exclusive create rather than silently dropping the whole session's
+    minima."""
+    real_link = os.link
+
+    def no_link(src, dst):
+        raise OSError(1, "Operation not permitted")
+
+    monkeypatch.setattr(bench.os, "link", no_link)
+    p = tmp_path / "BENCH_local_r99.json"
+    assert bench._exclusive_write_json(str(p), {"x": 1}) == "created"
+    assert json.loads(p.read_text()) == {"x": 1}
+    # second write: exclusive semantics still hold on the fallback path
+    assert bench._exclusive_write_json(str(p), {"x": 2}) == "exists"
+    assert json.loads(p.read_text()) == {"x": 1}
+    assert not list(tmp_path.glob("*.tmp.*"))
+    monkeypatch.setattr(bench.os, "link", real_link)

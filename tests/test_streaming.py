@@ -3668,6 +3668,46 @@ def test_batch_budget_admission_duplicate_id_raises(spark):
     assert rows == {("h", 1): True, ("h", 2): True, ("g", 1): True}
 
 
+def test_batch_budget_admission_duplicate_null_ids_raise(spark):
+    """r10 review: tied NULL ids slipped the first guard (NULL == NULL
+    is NULL) while their window frame stayed nondeterministic. The
+    null-safe guard (row_number > 1 AND eqNullSafe) catches them; a
+    SINGLE NULL id per key — no tie — still passes."""
+    from flink_examples_spark.operators.sampling import (
+        budget_admission_flags,
+    )
+
+    dup = spark.createDataFrame(
+        [("h", None, "a b"), ("h", None, "c")],
+        "source string, doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="appears more than once"):
+        budget_admission_flags(dup, "source", "doc_id", "text", 100).collect()
+
+    single = spark.createDataFrame(
+        [("h", None, "a b"), ("h", 2, "c")],
+        "source string, doc_id long, text string",
+    )
+    rows = budget_admission_flags(
+        single, "source", "doc_id", "text", 100
+    ).collect()
+    assert len(rows) == 2 and all(r.kept for r in rows)
+
+
+def test_streaming_budget_admission_missing_id_column_raises(spark):
+    """r10 review: a typo'd id column must say 'not found', not
+    misdirect toward casting a column that doesn't exist."""
+    from flink_examples_spark.streaming.stateful import (
+        streaming_budget_admission,
+    )
+
+    df = spark.createDataFrame(
+        [("h", 1, "a")], "source string, doc_id long, text string"
+    )
+    with pytest.raises(TypeError, match="not found in the input schema"):
+        streaming_budget_admission(df, "docid", "text", 10, "source")
+
+
 def test_streaming_budget_admission_non_integral_id_raises(spark):
     """ADVICE r9: a string id column used to die mid-stream with an
     unrelated ValueError from the int(...) casts; it must fail at

@@ -16,7 +16,8 @@ minima are never lost) elementwise:
     pass --note to append hand context
 
 Staleness guard (VERDICT r9 #1): every session draft carries per-query
-optimized-plan fingerprints (bench._plan_fingerprint). The NEWEST
+ANALYZED-plan fingerprints (bench._plan_fingerprint — analyzed, not
+optimized, for cross-session stability; see its docstring). The NEWEST
 session's fingerprint per query is the reference; a draft (or prior
 canonical) entry whose fingerprint differs — or is absent while a
 reference exists — is EXCLUDED from that query's fold, so a query
@@ -24,9 +25,11 @@ whose plan changed mid-round can only contribute minima measured on
 the CURRENT plan (r9's crawl-cap minima were folded from
 pre-_fan_out-removal drafts no shipped plan could reproduce). The
 folded canonical stores the reference fingerprints, so refolds keep
-validating its minima too. Drafts from before this guard (no `plans`
-map at all, r9 and earlier) fold unguarded only when NO draft in the
-round carries fingerprints.
+validating its minima too. Only the newest draft may define the
+reference — an older draft's fingerprints would invert the guard
+after a plan change — so a fingerprint-less newest draft downgrades
+the fold to UNGUARDED with a stderr warning (and legacy rounds with
+no fingerprints anywhere fold unguarded silently).
 
 Also regenerates docs/PERF_NOTES_r{N}_movers.md (the >=1.5x ledger),
 preserving hand adjudications below the marker.
@@ -171,18 +174,33 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             pass
 
-    # reference plan fingerprints: the NEWEST session draft carrying a
-    # plans map defines what "the current plan" is per query — a fold
-    # therefore requires >=1 post-change full session before a changed
-    # query's older minima could matter, and those older minima are
-    # excluded (the VERDICT r9 #1 gate). The finalize protocol runs a
-    # full bench session immediately before folding, so the newest
-    # draft reflects HEAD.
-    ref_plans: dict[str, str] = {}
-    for d in reversed(docs[: len(paths)]):
-        if isinstance(d.get("plans"), dict) and d["plans"]:
-            ref_plans = d["plans"]
-            break
+    # reference plan fingerprints: the NEWEST session draft — and ONLY
+    # it — defines what "the current plan" is per query, so a fold
+    # requires >=1 post-change full session before a changed query's
+    # older minima could matter, and those older minima are excluded
+    # (the VERDICT r9 #1 gate; the finalize protocol runs a full bench
+    # session immediately before folding, so the newest draft reflects
+    # HEAD). Falling back to an OLDER draft's fingerprints when the
+    # newest carries none would INVERT the guard after a plan change
+    # (old minima certified, current ones excluded — r10 review), so a
+    # fingerprint-less newest draft downgrades the whole fold to
+    # unguarded, loudly.
+    newest = docs[len(paths) - 1]
+    ref_plans: dict[str, str] = (
+        dict(newest["plans"])
+        if isinstance(newest.get("plans"), dict) and newest["plans"]
+        else {}
+    )
+    if not ref_plans and any(
+        isinstance(d.get("plans"), dict) and d["plans"]
+        for d in docs[: len(paths)]
+    ):
+        print(
+            "fold_bench: WARNING — newest session draft carries no plan "
+            "fingerprints; folding UNGUARDED (older drafts' fingerprints "
+            "are not a safe reference after a plan change)",
+            file=sys.stderr,
+        )
 
     out = fold(docs, ref_plans=ref_plans)
     # session drafts persist on disk, so every refold sees all of them:

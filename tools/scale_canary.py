@@ -158,21 +158,12 @@ def _host_line_strip(docs):
     (operators.dedup.host_line_dedup_strip) with the per-doc host the
     query derives, so the canary measures the shipped (host,line)
     fold + broadcast verdict join + doc_id reassembly."""
-    from flink_examples_spark.functions.url import (
-        normalize_url,
-        synthetic_crawl_url,
-        url_host,
-    )
+    from flink_examples_spark.operators.crawl import with_doc_host
     from flink_examples_spark.operators.dedup import host_line_dedup_strip
 
-    pre = docs.select(
-        "doc_id",
-        url_host(
-            normalize_url(synthetic_crawl_url("doc_id", "source"))
-        ).alias("host"),
-        "text",
+    return host_line_dedup_strip(
+        with_doc_host(docs), "doc_id", "host", "text"
     )
-    return host_line_dedup_strip(pre, "doc_id", "host", "text")
 
 
 def _host_budget_cap(docs):
