@@ -1700,3 +1700,184 @@ def compact_url_partials(spark, partials_path: str,
         .load(os.path.join(staging, "batch=compacted"))
         .count(),
     )
+
+
+def host_line_partials_ingest_foreach_batch(
+    partials_path: str,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+    fmt: str = "parquet",
+    compact_every_n_batches: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming ingest for the host-scoped LINE stage: each
+    micro-batch of (already host-tagged) documents folds to its own
+    ``(host, lfp, n_occ, line_chars)`` partial under
+    ``partials_path/batch=<id>`` — occurrence counts are additive and
+    a line's length is constant per fingerprint, so the reader's
+    (sum, any) fold equals one pass over the whole corpus. ONE staged
+    partial serves BOTH line-stage consumers:
+    :func:`read_host_line_dedup_census` (the boilerplate monitor,
+    hash-identical to the registered ``host_line_dedup_census`` over
+    the same docs) and :func:`read_host_line_fp_index` (the exact
+    index ``operators.dedup.incremental_host_line_strip`` probes on
+    every new dump — the daily strip never re-explodes the corpus).
+
+    Replay safety: ``mode("overwrite")`` into the batch's own subdir
+    (the :func:`url_partials_ingest_foreach_batch` rule); compaction
+    (:func:`compact_host_line_partials`) spares the newest numbered
+    subdir for the same reason.
+    """
+    from flink_examples_spark.operators.dedup import _host_lines
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(partials_path)
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            compact_host_line_partials(spark, partials_path, fmt=fmt)
+        (
+            _host_lines(batch_df, id_col, host_col, text_col, ". ")
+            .groupBy("host", F.md5("line").alias("lfp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_occ"),
+                # constant per (host, lfp): any representative works,
+                # and min() folds batch partials to the same constant
+                F.min(F.length("line").cast("long")).alias("line_chars"),
+            )
+            .write.mode("overwrite")
+            .format(fmt)
+            .save(os.path.join(partials_path, f"batch={batch_id}"))
+        )
+
+    return apply
+
+
+def _fold_host_line_partials(df: DataFrame) -> DataFrame:
+    """(sum, min) fold of staged host-line partials — counts add,
+    line length is constant per fingerprint."""
+    return df.groupBy("host", "lfp").agg(
+        F.sum("n_occ").alias("n_occ"),
+        F.min("line_chars").alias("line_chars"),
+    )
+
+
+def read_host_line_partials(spark, partials_path: str,
+                            fmt: str = "parquet") -> DataFrame:
+    """Fold every staged partial into the current ``(host, lfp,
+    n_occ, line_chars)`` table; a missing path reads as EMPTY (the
+    read_url_partials rule)."""
+    _recover_swap(partials_path)
+    subs = [
+        os.path.join(partials_path, n)
+        for n in os.listdir(partials_path)
+        if not n.startswith((".", "_"))
+    ] if os.path.isdir(partials_path) else []
+    if not subs:
+        return spark.createDataFrame(
+            [], "host string, lfp string, n_occ long, line_chars long"
+        )
+    return _fold_host_line_partials(spark.read.format(fmt).load(subs))
+
+
+def read_host_line_fp_index(spark, partials_path: str,
+                            fmt: str = "parquet") -> DataFrame:
+    """The staged ``(host, lfp, n_occ)`` index
+    ``operators.dedup.incremental_host_line_strip`` probes — folded
+    from the same partials the census reader consumes, so the daily
+    strip and the monitor share one staged artifact."""
+    return read_host_line_partials(spark, partials_path, fmt).select(
+        "host", "lfp", "n_occ"
+    )
+
+
+def read_host_line_dedup_census(spark, partials_path: str,
+                                fmt: str = "parquet",
+                                min_count: int = 3) -> DataFrame:
+    """Assemble the EXACT per-host census of the registered
+    ``host_line_dedup_census`` query from staged partials: same output
+    schema ``(host, n_lines, n_line_instances, n_boiler_lines,
+    total_chars, removed_chars, removed_ppm)``, hash-identical to the
+    batch query over the same documents, at partial-fold cost — the
+    corpus is never re-exploded for a monitoring check."""
+    per_line = read_host_line_partials(spark, partials_path, fmt)
+    boiler = F.col("n_occ") >= int(min_count)
+    chars = F.col("line_chars") * F.col("n_occ")
+    return (
+        per_line.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("n_occ").cast("long").alias("n_line_instances"),
+            F.sum(F.when(boiler, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler_lines"),
+            F.sum(chars).alias("total_chars"),
+            F.sum(F.when(boiler, chars).otherwise(0))
+            .alias("removed_chars"),
+        )
+        .where(F.col("total_chars") > 0)
+        .select(
+            "host",
+            "n_lines",
+            "n_line_instances",
+            "n_boiler_lines",
+            "total_chars",
+            "removed_chars",
+            F.expr(
+                "CAST(removed_chars AS decimal(38,0)) * 1000000 "
+                "div total_chars"
+            ).alias("removed_ppm"),
+        )
+    )
+
+
+def compact_host_line_partials(spark, partials_path: str,
+                               fmt: str = "parquet") -> int:
+    """Fold committed batch subdirs into ``batch=compacted``, sparing
+    the newest numbered batch (counts are ADDITIVE — the
+    :func:`compact_url_partials` rule). Crash-safe via the staging
+    swap; returns rows in the compacted table, 0 if nothing to fold."""
+    _recover_swap(partials_path)
+    if not os.path.isdir(partials_path):
+        return 0
+    subs = [
+        n for n in os.listdir(partials_path) if not n.startswith((".", "_"))
+    ]
+    numbered = sorted(
+        (int(n.split("=", 1)[1]), n)
+        for n in subs
+        if n.startswith("batch=") and n.split("=", 1)[1].isdigit()
+    )
+    spare = numbered[-1][1] if numbered else None
+    fold = [n for n in subs if n != spare]
+    if not any(n != "batch=compacted" for n in fold):
+        return 0
+    folded = _fold_host_line_partials(
+        spark.read.format(fmt)
+        .load([os.path.join(partials_path, n) for n in fold])
+    ).localCheckpoint()
+    spared_df = (
+        spark.read.format(fmt).load(os.path.join(partials_path, spare))
+        .localCheckpoint()
+        if spare else None
+    )
+
+    def write_to(staging: str) -> None:
+        folded.write.mode("overwrite").format(fmt).save(
+            os.path.join(staging, "batch=compacted")
+        )
+        if spared_df is not None:
+            spared_df.write.mode("overwrite").format(fmt).save(
+                os.path.join(staging, spare)
+            )
+
+    return _swap_in_rewrite(
+        partials_path,
+        write_to,
+        count=lambda staging: spark.read.format(fmt)
+        .load(os.path.join(staging, "batch=compacted"))
+        .count(),
+    )

@@ -533,3 +533,100 @@ def test_host_line_strip_incremental_matches_batch_over_union(spark):
     assert got == {k: v for k, v in batch_all.items() if k in delta_ids}
     # the threshold actually bit inside the delta
     assert any(v[2] > 0 for v in got.values())
+
+
+def test_host_line_partials_ingest_serves_census_and_strip_index(
+    spark, tmp_path
+):
+    """The line-stage ingest twin: per-batch (host, lfp, n_occ,
+    line_chars) partials. ONE staged artifact serves BOTH consumers —
+    read_host_line_dedup_census assembles the EXACT registered census,
+    and read_host_line_fp_index is a drop-in for the index the
+    incremental strip probes (same strip output as the inline index).
+    Replay of the in-flight batch never double-counts; spare-newest
+    compaction changes nothing."""
+    import os
+
+    from flink_examples_spark.operators.crawl import with_doc_host
+    from flink_examples_spark.operators.dedup import (
+        host_line_fp_index,
+        incremental_host_line_strip,
+    )
+    from flink_examples_spark.queries import _host_span_synth, registry
+    from flink_examples_spark.streaming.sinks import (
+        compact_host_line_partials,
+        host_line_partials_ingest_foreach_batch,
+        read_host_line_dedup_census,
+        read_host_line_fp_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tagged = with_doc_host(_host_span_synth(spark, sf))
+    batches = [
+        tagged.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        .localCheckpoint()
+        for i in range(3)
+    ]
+
+    root = str(tmp_path / "line_partials")
+    apply = host_line_partials_ingest_foreach_batch(root)
+
+    def census():
+        return {
+            r.host: (r.n_lines, r.n_line_instances, r.n_boiler_lines,
+                     r.total_chars, r.removed_chars, r.removed_ppm)
+            for r in read_host_line_dedup_census(spark, root).collect()
+        }
+
+    apply(batches[0], 0)
+    apply(batches[1], 1)
+    apply(batches[2], 2)
+    batch_census = {
+        r.host: (r.n_lines, r.n_line_instances, r.n_boiler_lines,
+                 r.total_chars, r.removed_chars, r.removed_ppm)
+        for r in registry()["host_line_dedup_census"]
+        .spark_fn(spark, sf)
+        .collect()
+    }
+    assert census() == batch_census
+
+    # the SAME staged partials are the incremental strip's index: a
+    # small delta (the 3 lowest doc_ids of one host) strips identically
+    # against the staged index and an inline-built one
+    delta = tagged.orderBy("doc_id").limit(3).localCheckpoint()
+
+    def strip_with(index):
+        return {
+            r.doc_id: (r.n_lines, r.n_removed, r.removed_chars,
+                       r.kept_text)
+            for r in incremental_host_line_strip(
+                index, delta, "doc_id", "host", "text"
+            ).collect()
+        }
+
+    inline = strip_with(host_line_fp_index(tagged, "doc_id", "host", "text"))
+    staged = strip_with(read_host_line_fp_index(spark, root))
+    assert staged == inline and len(staged) == 3
+
+    # replay overwrites, never double-counts
+    apply(batches[2], 2)
+    assert census() == batch_census
+
+    # spare-newest compaction: readers unchanged
+    n = compact_host_line_partials(spark, root)
+    assert n > 0
+    subs = sorted(os.listdir(root))
+    assert "batch=compacted" in subs and "batch=2" in subs
+    assert "batch=0" not in subs and "batch=1" not in subs
+    assert census() == batch_census
+    assert strip_with(read_host_line_fp_index(spark, root)) == inline
+
+    # missing path reads empty with the right schema
+    from flink_examples_spark.streaming.sinks import (
+        read_host_line_partials,
+    )
+    empty = read_host_line_partials(spark, str(tmp_path / "nowhere"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "host", "lfp", "n_occ", "line_chars",
+    ]
