@@ -22,6 +22,13 @@ tail still ends with per-query timings, and a final COMPACT line
 always fits inside the tail so the driver's `parsed` field is never
 null.
 
+Load attestation (since r11): every session draft carries start/end
+load snapshots — 1-min loadavg, a concurrent-JVM /proc scan, and a
+fixed ~100 ms calibration probe (same tiny plan every session) — so a
+run inflated by box contention is identifiable from the artifact
+alone; tools/fold_bench.py tags (never excludes) sessions whose
+calibration deviates >1.3x from the round median.
+
 Artifact ownership (since r9): every full run writes a session draft
 BENCH_session_r{N}_s{K}.json; the canonical BENCH_local_r{N}.json is
 created only if absent and NEVER overwritten — `tools/fold_bench.py`
@@ -192,8 +199,30 @@ def _compute_movers(
 # stripped, two sessions with different warm-up/ordering histories
 # produce identical normalized plans for every registered query.
 _PLAN_VOLATILE_RE = re.compile(
-    r"#\d+|plan_id=\d+|\bid=\d+|\b[a-z]+_\d+(?=\b)|\bgid = \d+"
+    r"#\d+|plan_id=\d+|\bid=\d+|\bgid = \d+"
 )
+# identifier counters keep their TEXT, lose only the digits: deleting
+# the whole `word_<digits>` token (the pre-r11 rule) normalized
+# 'Project [p_50, top_10]' to 'Project [, ]' — a source change that
+# only renames/adds such a column kept an identical fingerprint, so
+# the staleness guard could silently pass stale minima, and distinct
+# plans could collide (ADVICE r10). `x_7` still folds to `x_` so the
+# lambda counter stays invisible.
+_PLAN_IDENT_COUNTER_RE = re.compile(r"\b([a-z]+_)\d+\b")
+
+
+def _normalize_plan_text(s: str) -> str:
+    """Strip the session-volatile tokens from a plan string, to a
+    FIXPOINT: stripping an expression id can EXPOSE a volatile token
+    the same pass already skipped ("gid#123 = 0" -> "gid = 0", which
+    only a second pass removes)."""
+    while True:
+        s2 = _PLAN_IDENT_COUNTER_RE.sub(
+            r"\1", _PLAN_VOLATILE_RE.sub("", s)
+        )
+        if s2 == s:
+            return s
+        s = s2
 
 
 def _plan_fingerprint(df) -> str | None:
@@ -218,18 +247,74 @@ def _plan_fingerprint(df) -> str | None:
     try:
         import hashlib
 
-        s = df._jdf.queryExecution().analyzed().toString()
-        # sub to a FIXPOINT: stripping an expression id can EXPOSE a
-        # volatile token the same pass already skipped ("gid#123 = 0"
-        # -> "gid = 0", which only a second pass removes)
-        while True:
-            s2 = _PLAN_VOLATILE_RE.sub("", s)
-            if s2 == s:
-                break
-            s = s2
+        s = _normalize_plan_text(
+            df._jdf.queryExecution().analyzed().toString()
+        )
         return hashlib.sha1(s.encode()).hexdigest()[:12]
     except Exception:
         return None
+
+
+def _count_java_procs() -> int | None:
+    """Number of `java` processes on the box (via /proc comm) — a
+    concurrent-JVM scan for the load attestation. None when /proc is
+    unreadable (non-Linux)."""
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return None
+    n = 0
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if f.read().strip() == "java":
+                    n += 1
+        except OSError:
+            continue  # process exited mid-scan
+    return n
+
+
+def _calibration_probe(spark, reps: int = 3) -> float | None:
+    """Fixed ~100 ms probe (same tiny plan every time): min-of-reps
+    seconds for a range-sum that never touches disk. Run at session
+    start AND end, it turns 'was the box loaded during this session?'
+    into a number the fold can compare across sessions — the same
+    plan on the same box deviates from the round median only under
+    contention (VERDICT r10 'What's wrong' #1: the driver's finalize
+    bench came in ×1.47 uniformly inflated and only a statistical
+    per-query ratio analysis could adjudicate loaded-box vs
+    regression)."""
+    try:
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spark.range(0, 32_000_000, 1, 8).selectExpr(
+                "sum(id * 7) AS s"
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 4)
+    except Exception:
+        return None
+
+
+def _load_attestation(spark) -> dict:
+    """One load snapshot: 1-min loadavg, concurrent java-process count,
+    and the fixed calibration probe. Stamped into every session draft
+    at start and end so an inflated session is identifiable from the
+    artifact alone (fold_bench tags sessions whose calibration
+    deviates >1.3x from the round median — tag, not exclude: minima
+    from a loaded box are still valid lower-bound evidence when they
+    win)."""
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {
+        "loadavg_1m": load1,
+        "java_procs": _count_java_procs(),
+        "calib_s": _calibration_probe(spark),
+    }
 
 
 def _stall_rep_count(runs: dict[str, list[float]]) -> int:
@@ -345,6 +430,18 @@ def _exclusive_write_json(path: str, doc: dict) -> str:
         except FileExistsError:
             return "exists"
         except OSError:
+            # the fallback write died partway (ENOSPC after the
+            # exclusive create succeeded): remove the torn file, or it
+            # re-opens the exact hole this function closes — later
+            # sessions get 'exists' and refuse to replace a TRUNCATED
+            # artifact, and fold_bench crashes loading a torn draft.
+            # Only this process can reach here for `path` (a race loser
+            # returns 'exists' above), so the unlink removes our own
+            # torn write, never another session's artifact (ADVICE r10).
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
             print(
                 f"bench: could not persist {os.path.basename(path)} "
                 f"(hard link and exclusive create both failed) — this "
@@ -444,6 +541,10 @@ def main() -> None:
         ).alias("s")
     ).count()
     r.join(F.broadcast(spark.range(8)), "id", "left").count()
+
+    # load attestation (VERDICT r10 #1): snapshot AFTER the warm-ups so
+    # the calibration probe measures box contention, not JVM cold-start
+    attest_start = _load_attestation(spark)
 
     # min-of-N repetitions: this box shows ±20% run-to-run noise on a
     # few queries, so a single rep can't distinguish a real regression
@@ -558,9 +659,14 @@ def main() -> None:
             "reps_over_5x_steady": stall_rep_count,
             "retries": stall_retries,
         },
+        # start/end load snapshots: loadavg, concurrent-JVM count, and
+        # the fixed calibration probe — fold_bench tags sessions whose
+        # probe deviates >1.3x from the round median, so "loaded box"
+        # is provable from the artifact alone (VERDICT r10 #1)
+        "attest": {"start": attest_start, "end": _load_attestation(spark)},
         "spread": spread,
         "movers": movers,
-        # per-query optimized-plan fingerprints: fold_bench's staleness
+        # per-query ANALYZED-plan fingerprints: fold_bench's staleness
         # key. Placed BEFORE the queries dict — the driver's 2000-char
         # tail always ends inside `queries` (it alone is ~5k chars), so
         # hex fingerprints can never be misread as timings by the tail

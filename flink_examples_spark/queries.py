@@ -18,7 +18,7 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_examples_spark.catalog import load_table
@@ -1889,6 +1889,57 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup_incremental",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#eincr'),
+                               1, 15))::BIGINT % 10000 AS bkt
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COSINE_SQL}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE (a.bkt >= 9000 OR b.bkt >= 9000)
+      AND round({_COSINE_SQL}, 6) >= 0.45
+    """,
+    doc="Incremental (daily-dump) embedding near-dup, VERDICT r10 "
+        "next-round #2 — the embedding family's missing incremental "
+        "twin (every text dedup family already dedups its delta "
+        "against a staged index; embeddings arrive with the same "
+        "dumps): the 10% newest vectors are collected (delta-sized, "
+        "the ANN query-vector-set class of bounded collect) and "
+        "BROADCAST as one normalized matrix; the staged corpus is "
+        "probed by a mapInPandas GEMM inside its own scan partitions "
+        "— ZERO exchanges in the whole plan (pinned), the corpus is "
+        "never reshuffled or re-paired, delta-vs-delta pairs come "
+        "from the delta scanning the same broadcast. Output: exactly "
+        "the pairs a batch embedding_neardup over the union reports "
+        "that TOUCH the delta (the oracle states that equivalence "
+        "directly, hash-exact — unlike the text families this "
+        "incremental is oracle-checked, not rows-only), so the staged "
+        "pair ledger is maintainable by append. Staged-index faces: "
+        "streaming.sinks.embedding_index_ingest_foreach_batch / "
+        "read_embedding_index / compact_embedding_index.",
+)
+def embedding_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.operators.sampling import hash_split
+    from flink_examples_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    emb = hash_split(
+        load_table(spark, "embeddings", sf_dir), "vec_id",
+        weights=(("corpus", 0.9), ("delta", 0.1)), salt="eincr",
+    )
+    corpus = emb.filter(F.col("split") == "corpus").drop("split")
+    delta = emb.filter(F.col("split") == "delta").drop("split")
+    return incremental_embedding_neardup(corpus, delta)
+
+
+@register(
     "wordcount_side_output",
     oracle="""
     SELECT CASE WHEN length(word) > 5 THEN 'rejected' ELSE 'main' END AS channel,
@@ -3191,12 +3242,11 @@ from flink_examples_spark.functions.pii import PII_PATTERNS as _PII
 
 _PII_EMAIL, _PII_PHONE, _PII_IPV4 = (p[1] for p in _PII)
 
-
-@register(
-    "pii_scrub_stats",
-    oracle=f"""
-    WITH raw AS (
-        SELECT doc_id,
+# the synthesized contact line, shared by the census (pii_scrub_stats)
+# and the apply stage (pii_scrub_apply) — ONE body in each engine so
+# the two stages provably scrub the same text (the url/line families'
+# shared-body rule, r10 review)
+_PII_RAW_SQL = """
                text || ' contact user' || CAST(doc_id AS VARCHAR)
                     || '@example.com'
                     || CASE WHEN doc_id % 3 = 0
@@ -3204,7 +3254,34 @@ _PII_EMAIL, _PII_PHONE, _PII_IPV4 = (p[1] for p in _PII)
                     || ' tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
                     || '-0199'
                     || ' from 10.' || CAST(doc_id % 250 AS VARCHAR)
-                    || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS raw
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+"""
+
+
+def _pii_raw_col() -> Column:
+    """The Spark twin of ``_PII_RAW_SQL`` (the parquet corpus carries
+    no PII, so a deterministic contact line is appended per doc)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 3 == 0, " cc admin@test.org").otherwise(""),
+        F.lit(" tel 555-"),
+        (F.col("doc_id") % 900 + 100).cast("string"),
+        F.lit("-0199"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_PII_RAW_SQL} AS raw
         FROM documents
     ), s1 AS (
         SELECT doc_id,
@@ -3235,25 +3312,74 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_examples_spark.functions.pii import pii_counts, pii_scrub
 
     docs = load_table(spark, "documents", sf_dir)
-    raw = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com"),
-        F.when(F.col("doc_id") % 3 == 0, " cc admin@test.org").otherwise(""),
-        F.lit(" tel 555-"),
-        (F.col("doc_id") % 900 + 100).cast("string"),
-        F.lit("-0199"),
-        F.lit(" from 10."),
-        (F.col("doc_id") % 250).cast("string"),
-        F.lit(".0."),
-        (F.col("doc_id") % 100).cast("string"),
-    )
-    with_pii = docs.select("doc_id", raw.alias("raw"))
+    with_pii = docs.select("doc_id", _pii_raw_col().alias("raw"))
     return with_pii.select(
         "doc_id",
         *pii_counts("raw"),
         F.md5(pii_scrub("raw")).alias("scrub_hash"),
+    )
+
+
+@register(
+    "pii_scrub_apply",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_PII_RAW_SQL} AS raw
+        FROM documents
+    ), s1 AS (
+        SELECT doc_id, raw,
+               len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_email,
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+        FROM raw
+    ), s2 AS (
+        SELECT doc_id, raw, n_email,
+               len(regexp_extract_all(t1, '{_PII_PHONE}')) AS n_phone,
+               regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id, raw, n_email, n_phone,
+               len(regexp_extract_all(t2, '{_PII_IPV4}')) AS n_ipv4,
+               regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS t3
+        FROM s2
+    )
+    SELECT doc_id, t3 AS scrubbed,
+           n_email + n_phone + n_ipv4 AS n_redacted,
+           len(raw) - len(t3) AS chars_delta
+    FROM s3
+    """,
+    doc="The APPLY stage of PII scrubbing (VERDICT r10 next-round #3 — "
+        "the family's missing census->apply face, completing the "
+        "symmetry the url/line/substring families have): the REWRITTEN "
+        "text itself per doc, not just its census hash, plus the total "
+        "redaction count and the char-mass delta the redactions "
+        "removed. Same synthesized contact line, same ordered pattern "
+        "chain, and the same order-sensitive counting as "
+        "pii_scrub_stats (ONE body each side: _PII_RAW_SQL / "
+        "_pii_raw_col, functions/pii.py pii_scrub + pii_counts), so "
+        "md5(scrubbed) ties to the census scrub_hash doc-for-doc and "
+        "n_redacted to its per-pattern counts — the stats<->apply "
+        "consistency test pins both. Pure codegen map pass: like the "
+        "census, ZERO exchanges (plan-pinned) — scrubbing 100 TB "
+        "rewrites each scan partition in place, no extra text shuffle "
+        "beyond the census's own scan.",
+)
+def pii_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.functions.pii import pii_counts, pii_scrub
+
+    docs = load_table(spark, "documents", sf_dir)
+    with_pii = docs.select("doc_id", _pii_raw_col().alias("raw"))
+    step = with_pii.select(
+        "doc_id",
+        F.length("raw").alias("_raw_len"),
+        *pii_counts("raw"),
+        pii_scrub("raw").alias("scrubbed"),
+    )
+    return step.select(
+        "doc_id",
+        "scrubbed",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4"))
+        .alias("n_redacted"),
+        (F.col("_raw_len") - F.length("scrubbed")).alias("chars_delta"),
     )
 
 

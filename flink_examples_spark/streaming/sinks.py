@@ -1881,3 +1881,124 @@ def compact_host_line_partials(spark, partials_path: str,
         .load(os.path.join(staging, "batch=compacted"))
         .count(),
     )
+
+
+def embedding_index_ingest_foreach_batch(
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fmt: str = "parquet",
+    compact_every_n_batches: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming ingest for the embedding-dedup stage (VERDICT r10
+    next-round #2): each micro-batch of (vec_id, embedding) rows lands
+    under ``index_path/batch=<id>`` — the staged corpus-vector index
+    that :func:`read_embedding_index` assembles and
+    ``operators.similarity.incremental_embedding_neardup`` probes with
+    the broadcast delta on every new dump, so the corpus is never
+    re-blocked or re-paired.
+
+    Unlike the url/line twins there is NO aggregation fold here:
+    vectors are not additive partials — a batch's rows ARE its
+    partial, and batches are disjoint row sets (each vec_id arrives in
+    exactly one micro-batch; a re-crawled id must be deduped upstream,
+    e.g. by the url stage, before embedding). Replay safety is the
+    same ``mode("overwrite")``-into-own-subdir rule as
+    :func:`url_partials_ingest_foreach_batch`: a replayed batch
+    REPLACES its own rows rather than duplicating them.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(index_path)
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            compact_embedding_index(spark, index_path, fmt=fmt)
+        batch_df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        ).write.mode("overwrite").format(fmt).save(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
+
+    return apply
+
+
+def read_embedding_index(spark, index_path: str,
+                         fmt: str = "parquet") -> DataFrame:
+    """Assemble the staged corpus-vector index ``(vec_id, embedding)``
+    — a plain union of the batch subdirs, deliberately with NO keyed
+    fold: the whole point of the staged index is that the probing
+    plan (``incremental_embedding_neardup``) carries ZERO exchanges,
+    and a groupBy fold here would reshuffle the corpus on every probe.
+    Batches are disjoint by the ingest contract, so the union IS the
+    corpus. A missing or not-yet-committed path reads as EMPTY (the
+    read_url_partials rule)."""
+    _recover_swap(index_path)
+    subs = [
+        os.path.join(index_path, n)
+        for n in os.listdir(index_path)
+        if not n.startswith((".", "_"))
+    ] if os.path.isdir(index_path) else []
+    if not subs:
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+    return spark.read.format(fmt).load(subs).select("vec_id", "embedding")
+
+
+def compact_embedding_index(spark, index_path: str,
+                            fmt: str = "parquet") -> int:
+    """Concatenate committed batch subdirs into ``batch=compacted``,
+    sparing the newest numbered batch — it is the only one that can
+    replay, and its rows folded into the compacted table would
+    DUPLICATE on replay (the :func:`compact_url_partials` rule; with
+    no aggregation in the read path, duplicates would surface as
+    phantom self-pairs in the probe). Crash-safe via the staging swap;
+    returns rows in the compacted table, 0 if nothing to fold."""
+    _recover_swap(index_path)
+    if not os.path.isdir(index_path):
+        return 0
+    subs = [
+        n for n in os.listdir(index_path) if not n.startswith((".", "_"))
+    ]
+    numbered = sorted(
+        (int(n.split("=", 1)[1]), n)
+        for n in subs
+        if n.startswith("batch=") and n.split("=", 1)[1].isdigit()
+    )
+    spare = numbered[-1][1] if numbered else None
+    fold = [n for n in subs if n != spare]
+    if not any(n != "batch=compacted" for n in fold):
+        return 0
+    folded = (
+        spark.read.format(fmt)
+        .load([os.path.join(index_path, n) for n in fold])
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    spared_df = (
+        spark.read.format(fmt).load(os.path.join(index_path, spare))
+        .localCheckpoint()
+        if spare else None
+    )
+
+    def write_to(staging: str) -> None:
+        folded.write.mode("overwrite").format(fmt).save(
+            os.path.join(staging, "batch=compacted")
+        )
+        if spared_df is not None:
+            spared_df.write.mode("overwrite").format(fmt).save(
+                os.path.join(staging, spare)
+            )
+
+    return _swap_in_rewrite(
+        index_path,
+        write_to,
+        count=lambda staging: spark.read.format(fmt)
+        .load(os.path.join(staging, "batch=compacted"))
+        .count(),
+    )

@@ -284,3 +284,176 @@ def test_exclusive_write_falls_back_when_hardlinks_unsupported(
     assert json.loads(p.read_text()) == {"x": 1}
     assert not list(tmp_path.glob("*.tmp.*"))
     monkeypatch.setattr(bench.os, "link", real_link)
+
+
+def test_fallback_torn_write_leaves_nothing_behind(tmp_path, monkeypatch):
+    """ADVICE r10: on the no-hardlink fallback path, a write that dies
+    partway (ENOSPC after the exclusive create succeeded) must not
+    persist a TRUNCATED artifact — later sessions would get 'exists'
+    and refuse to replace it, and fold_bench crashes loading a torn
+    draft. The fallback unlinks its own torn write before reporting
+    the error."""
+    import builtins
+
+    def no_link(src, dst):
+        raise OSError(1, "Operation not permitted")
+
+    monkeypatch.setattr(bench.os, "link", no_link)
+
+    real_open = builtins.open
+    p = tmp_path / "BENCH_session_r99_s1.json"
+
+    class Torn:
+        def __init__(self, fh):
+            self._fh = fh
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            self._fh.close()
+            return False
+
+        def write(self, s):
+            self._fh.write(s[:12])  # partial bytes, then die
+            self._fh.flush()
+            raise OSError(28, "No space left on device")
+
+    def torn_open(file, mode="r", *a, **kw):
+        fh = real_open(file, mode, *a, **kw)
+        if mode == "x" and str(file) == str(p):
+            return Torn(fh)
+        return fh
+
+    monkeypatch.setattr(builtins, "open", torn_open)
+    assert bench._exclusive_write_json(str(p), {"x": 1}) == "error"
+    monkeypatch.setattr(builtins, "open", real_open)
+    # the torn artifact is gone: a later healthy write succeeds
+    assert not p.exists()
+    assert not list(tmp_path.glob("*.tmp.*"))
+    monkeypatch.setattr(bench.os, "link", no_link)
+    assert bench._exclusive_write_json(str(p), {"x": 2}) == "created"
+    assert json.loads(p.read_text()) == {"x": 2}
+
+
+def test_plan_normalization_preserves_identifier_text():
+    """ADVICE r10: the volatile-token strip must not delete whole
+    word_<digits> identifiers — 'Project [p_50#12, top_10#13]' used to
+    normalize to 'Project [, ]', so a source change that only renamed
+    such a column kept an identical fingerprint (staleness guard
+    silently passed stale minima) and distinct plans could collide."""
+    n = bench._normalize_plan_text
+    # identifier TEXT survives; only the digits (and expr ids) go
+    assert n("Project [p_50#12, top_10#13]") == "Project [p_, top_]"
+    # distinct plans no longer collide
+    assert n("Project [p_50#12]") != n("Project [top_10#13]")
+    # lambda counters still fold away: x_7 and x_9 normalize equal
+    assert n("lambdafunction(x_7, x_7)") == n("lambdafunction(x_9, x_9)")
+    # the fixpoint still removes exposed grouping-id literals
+    assert n("gid#123 = 2") == n("gid#456 = 4")
+
+
+def _attested(value, queries, calib_start, calib_end=None):
+    d = _result(value, queries)
+    d["attest"] = {
+        "start": {"loadavg_1m": 4.0, "java_procs": 1,
+                  "calib_s": calib_start},
+        "end": {"loadavg_1m": 4.0, "java_procs": 1,
+                "calib_s": calib_end if calib_end is not None
+                else calib_start},
+    }
+    return d
+
+
+def test_fold_tags_loaded_sessions(tmp_path, monkeypatch):
+    """VERDICT r10 #1: a session whose fixed calibration probe runs
+    >1.3x the round median is TAGGED in the fold (load_tags + note)
+    but its minima still fold — loaded-box minima are valid
+    lower-bound evidence when they win."""
+    fb = _load_fold_bench()
+    monkeypatch.setattr(fb, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": "0.1", "parsed": None})
+    )
+    s1 = _attested(2.0, {"a": 1.0, "b": 1.0}, 0.10)
+    s2 = _attested(2.1, {"a": 1.1, "b": 1.0}, 0.11)
+    # s3 ran on a loaded box (calibration x2.2 the median) but still
+    # holds the best `b`
+    s3 = _attested(2.3, {"a": 1.4, "b": 0.9}, 0.22)
+    for i, s in enumerate((s1, s2, s3), start=1):
+        (tmp_path / f"BENCH_session_r09_s{i}.json").write_text(
+            json.dumps(s)
+        )
+    monkeypatch.setattr("sys.argv", ["fold_bench.py", "--round", "9"])
+    fb.main()
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    assert list(out["load_tags"]) == ["BENCH_session_r09_s3.json"]
+    assert out["load_tags"]["BENCH_session_r09_s3.json"] == 2.0
+    assert "load-tagged session(s)" in out["note"]
+    assert "BENCH_session_r09_s3.json" in out["note"]
+    # tagged, NOT excluded: s3's winning minimum folds
+    assert out["queries"]["b"] == 0.9
+
+
+def test_fold_no_tags_when_calibrations_agree(tmp_path, monkeypatch):
+    fb = _load_fold_bench()
+    monkeypatch.setattr(fb, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": "0.1", "parsed": None})
+    )
+    s1 = _attested(2.0, {"a": 1.0}, 0.10)
+    s2 = _attested(2.1, {"a": 1.1}, 0.12)
+    for i, s in enumerate((s1, s2), start=1):
+        (tmp_path / f"BENCH_session_r09_s{i}.json").write_text(
+            json.dumps(s)
+        )
+    monkeypatch.setattr("sys.argv", ["fold_bench.py", "--round", "9"])
+    fb.main()
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    assert "load_tags" not in out
+    assert "load-tagged" not in out["note"]
+
+
+def test_session_calib_uses_min_of_start_end():
+    fb = _load_fold_bench()
+    d = _attested(1.0, {"a": 1.0}, 0.30, calib_end=0.10)
+    # loaded only at the start: the end probe shows the box's real
+    # capability for this session
+    assert fb._session_calib(d) == 0.10
+    # attest absent (pre-r11 draft): no calibration, never crashes
+    assert fb._session_calib(_result(1.0, {"a": 1.0})) is None
+    # legacy drafts don't suppress tagging of attested ones
+    assert fb.load_tags({}) == {}
+
+
+def test_fold_warns_on_partial_fingerprint_reference(
+    tmp_path, monkeypatch, capsys
+):
+    """ADVICE r10: when the newest draft's plans map is non-empty but
+    MISSING some queries that older drafts fingerprinted, those
+    queries fold unguarded — the downgrade must be loud and name the
+    queries, not silent (the old warning only fired when the newest
+    map was entirely empty)."""
+    fb = _load_fold_bench()
+    monkeypatch.setattr(fb, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": "0.1", "parsed": None})
+    )
+    s1 = _result(2.4, {"a": 0.4, "b": 2.0})
+    s1["plans"] = {"a": "OLD", "b": "BBB"}
+    s2 = _result(2.65, {"a": 0.55, "b": 2.1})
+    s2["plans"] = {"b": "BBB"}  # fingerprinting `a` failed in s2
+    (tmp_path / "BENCH_session_r09_s1.json").write_text(json.dumps(s1))
+    (tmp_path / "BENCH_session_r09_s2.json").write_text(json.dumps(s2))
+    monkeypatch.setattr("sys.argv", ["fold_bench.py", "--round", "9"])
+    fb.main()
+    err = capsys.readouterr().err
+    assert "folding those UNGUARDED" in err
+    assert "a" in err.split("UNGUARDED", 1)[1]
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    # `a` folded unguarded (both drafts contribute); `b` stays guarded
+    assert out["queries"]["a"] == 0.4
+    assert out["queries"]["b"] == 2.0

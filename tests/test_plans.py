@@ -139,13 +139,32 @@ def test_skew_salted_agg_is_two_stage(spark, sf_dir):
 
 
 def test_chunking_and_scrub_are_shuffle_free(spark, sf_dir):
-    """doc_chunks and pii_scrub_stats are pure map passes — any Exchange
-    in their plans means a 100 TB corpus gets shuffled for a per-row
-    transform."""
+    """doc_chunks, pii_scrub_stats, and pii_scrub_apply are pure map
+    passes — any Exchange in their plans means a 100 TB corpus gets
+    shuffled for a per-row transform (the apply stage's contract is
+    'no extra text shuffle beyond what the census already pays', and
+    the census pays none)."""
     import __spark_entry__ as E
 
     assert exchange_count(E.queries()["doc_chunks"](spark, sf_dir)) == 0
     assert exchange_count(E.queries()["pii_scrub_stats"](spark, sf_dir)) == 0
+    apply_df = E.queries()["pii_scrub_apply"](spark, sf_dir)
+    assert exchange_count(apply_df) == 0
+    assert python_eval_nodes(apply_df) == []
+
+
+def test_incremental_embedding_neardup_has_no_exchange(spark, sf_dir):
+    """embedding_neardup_incremental's whole plan must carry ZERO
+    exchanges: the corpus is probed by a mapInPandas GEMM inside its
+    own scan partitions against the broadcast delta matrix — any
+    Exchange means the corpus got reshuffled for a delta-sized probe
+    (the operators/crawl.py incremental discipline; VERDICT r10 #2)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["embedding_neardup_incremental"](spark, sf_dir)
+    assert exchange_count(df) == 0
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
 
 
 def test_repetition_signals_stay_jvm_side(spark, sf_dir):

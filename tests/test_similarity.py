@@ -537,3 +537,123 @@ def test_pca_projection_invariant_to_partitioning(spark, sf_dir):
     assert a.keys() == b.keys()
     for k_ in a:
         assert np.allclose(a[k_], b[k_], atol=1e-8)
+
+
+def test_incremental_neardup_equals_batch_over_union(spark, sf_dir):
+    """VERDICT r10 #2 parity pin: incremental_embedding_neardup over a
+    (corpus, delta) partition must equal the batch exact sweep over
+    the UNION, restricted to pairs that touch the delta — same pair
+    set AND same 6-dp cosines."""
+    from flink_examples_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        incremental_embedding_neardup,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    delta_ids = {r.vec_id for r in delta.select("vec_id").collect()}
+    batch = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_pairs(emb, strategy="gemm").collect()
+        if r.vec_a in delta_ids or r.vec_b in delta_ids
+    }
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in incremental_embedding_neardup(corpus, delta).collect()
+    }
+    assert got == batch and len(got) > 0
+    # ordering contract holds
+    assert all(a < b for a, b in got)
+
+
+def test_incremental_neardup_empty_delta(spark, sf_dir):
+    from flink_examples_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = incremental_embedding_neardup(emb, emb.filter(F.lit(False)))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_a", "vec_b", "cosine",
+    ]
+
+
+def test_embedding_index_ingest_replay_compaction_e2e(spark, sf_dir, tmp_path):
+    """The embedding family's staged-index loop, end-to-end (the
+    tv_drift-twin standard): ingest corpus vectors in micro-batches ->
+    replay the in-flight batch (no duplication) -> spare-newest
+    compaction (readers unchanged) -> incremental probe of a NEW delta
+    from the STAGED index equals the batch exact sweep over the union
+    on delta-touched pairs."""
+    import os
+
+    from flink_examples_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        incremental_embedding_neardup,
+    )
+    from flink_examples_spark.streaming.sinks import (
+        compact_embedding_index,
+        embedding_index_ingest_foreach_batch,
+        read_embedding_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0).localCheckpoint()
+
+    root = str(tmp_path / "emb_index")
+    apply = embedding_index_ingest_foreach_batch(root)
+    for i in range(3):
+        apply(
+            corpus.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+            .localCheckpoint(),
+            i,
+        )
+
+    def index_ids():
+        return sorted(
+            r.vec_id
+            for r in read_embedding_index(spark, root)
+            .select("vec_id").collect()
+        )
+
+    corpus_ids = sorted(r.vec_id for r in corpus.select("vec_id").collect())
+    assert index_ids() == corpus_ids
+
+    # replay of the in-flight batch overwrites, never duplicates
+    apply(
+        corpus.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 2)
+        .localCheckpoint(),
+        2,
+    )
+    assert index_ids() == corpus_ids
+
+    # spare-newest compaction: readers unchanged
+    n = compact_embedding_index(spark, root)
+    assert n > 0
+    subs = sorted(os.listdir(root))
+    assert "batch=compacted" in subs and "batch=2" in subs
+    assert "batch=0" not in subs and "batch=1" not in subs
+    assert index_ids() == corpus_ids
+
+    # e2e: probe the STAGED index with the new delta == batch over union
+    delta_ids = set(r.vec_id for r in delta.select("vec_id").collect())
+    batch = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_neardup_pairs(emb, strategy="gemm").collect()
+        if r.vec_a in delta_ids or r.vec_b in delta_ids
+    }
+    staged = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in incremental_embedding_neardup(
+            read_embedding_index(spark, root), delta
+        ).collect()
+    }
+    assert staged == batch and len(staged) > 0
+
+    # missing path reads empty with the right schema
+    empty = read_embedding_index(spark, str(tmp_path / "nowhere"))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["vec_id", "embedding"]

@@ -630,3 +630,64 @@ def test_host_line_partials_ingest_serves_census_and_strip_index(
     assert [f.name for f in empty.schema.fields] == [
         "host", "lfp", "n_occ", "line_chars",
     ]
+
+
+def test_line_ingest_to_incremental_strip_e2e(spark, tmp_path):
+    """VERDICT r10 #4 — the loop the module docs promise, closed end-
+    to-end: ingest CORPUS docs through the line-stage twin in micro-
+    batches, compact (spare-newest), then strip a NEW delta (docs the
+    staged index has never seen) against the staged index — and the
+    verdicts equal a FULL batch host_line_dedup_strip over the union
+    (corpus + delta), restricted to the delta's documents. The corpus
+    text is touched only at ingest time; the daily strip probes
+    kilobyte (host, lfp, n_occ) partials."""
+    import os
+
+    from flink_examples_spark.operators.crawl import with_doc_host
+    from flink_examples_spark.operators.dedup import (
+        host_line_dedup_strip as strip_op,
+        incremental_host_line_strip,
+    )
+    from flink_examples_spark.queries import _host_span_synth
+    from flink_examples_spark.streaming.sinks import (
+        compact_host_line_partials,
+        host_line_partials_ingest_foreach_batch,
+        read_host_line_fp_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tagged = with_doc_host(_host_span_synth(spark, sf))
+    corpus = tagged.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    delta = tagged.where(
+        F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    ).localCheckpoint()
+
+    root = str(tmp_path / "line_partials_e2e")
+    apply = host_line_partials_ingest_foreach_batch(root)
+    for i in range(3):
+        apply(
+            corpus.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+            .localCheckpoint(),
+            i,
+        )
+    n = compact_host_line_partials(spark, root)
+    assert n > 0 and "batch=compacted" in sorted(os.listdir(root))
+
+    got = {
+        r.doc_id: (r.host, r.n_lines, r.n_removed, r.removed_chars,
+                   r.kept_text)
+        for r in incremental_host_line_strip(
+            read_host_line_fp_index(spark, root), delta,
+            "doc_id", "host", "text",
+        ).collect()
+    }
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    batch_union = {
+        r.doc_id: (r.host, r.n_lines, r.n_removed, r.removed_chars,
+                   r.kept_text)
+        for r in strip_op(tagged, "doc_id", "host", "text").collect()
+        if r.doc_id in delta_ids
+    }
+    assert got == batch_union and len(got) > 0
+    # the threshold actually bit somewhere in the delta
+    assert any(v[2] > 0 for v in got.values())

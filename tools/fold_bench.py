@@ -31,6 +31,16 @@ after a plan change — so a fingerprint-less newest draft downgrades
 the fold to UNGUARDED with a stderr warning (and legacy rounds with
 no fingerprints anywhere fold unguarded silently).
 
+Load attestation (VERDICT r10 #1): every session draft carries start/
+end load snapshots (loadavg, concurrent-JVM count, a fixed ~100 ms
+calibration probe — bench._load_attestation). Sessions whose
+calibration deviates >1.3x from the round median are TAGGED in the
+fold (``load_tags`` + note) but never excluded: minima from a loaded
+box are still valid lower-bound evidence when they win; the tag makes
+"that run was inflated by box load" provable from the artifacts alone
+(the r10 driver finalize came in x1.47 uniformly inflated and only
+per-query ratio statistics could adjudicate it).
+
 Also regenerates docs/PERF_NOTES_r{N}_movers.md (the >=1.5x ledger),
 preserving hand adjudications below the marker.
 
@@ -66,6 +76,40 @@ def _session_paths(rnd: int) -> list[str]:
 def _load(path: str) -> dict:
     with open(path) as f:
         return json.load(f)
+
+
+def _session_calib(doc: dict) -> float | None:
+    """A session's calibration number: the MIN of its start/end probe
+    times (the best the box could do for that session — a session
+    loaded only at one end still shows its unloaded capability, and a
+    session loaded throughout shows inflation at both ends)."""
+    at = doc.get("attest") or {}
+    vals = [
+        (at.get(k) or {}).get("calib_s") for k in ("start", "end")
+    ]
+    vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
+    return min(vals) if vals else None
+
+
+def load_tags(calibs: dict[str, float]) -> dict[str, float]:
+    """Sessions whose calibration probe deviates >1.3x from the round
+    median (VERDICT r10 #1): name -> ratio-to-median. Tagged, never
+    excluded — minima from a loaded box are still valid lower-bound
+    evidence when they win; the tag makes 'that session ran on a
+    loaded box' provable from the artifacts alone instead of argued
+    from per-query ratio statistics."""
+    if not calibs:
+        return {}
+    vals = sorted(calibs.values())
+    n = len(vals)
+    med = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+    if med <= 0:
+        return {}
+    return {
+        name: round(c / med, 2)
+        for name, c in calibs.items()
+        if c > 1.3 * med
+    }
 
 
 def fold(docs: list[dict], ref_plans: dict[str, str] | None = None) -> dict:
@@ -201,8 +245,42 @@ def main() -> None:
             "are not a safe reference after a plan change)",
             file=sys.stderr,
         )
+    elif ref_plans:
+        # partial fingerprint failure in the reference session is NOT
+        # silent (ADVICE r10): a query fingerprinted in older drafts
+        # but absent from the newest's map folds unguarded — warn with
+        # the names so the downgrade is visible per query, not only
+        # when the newest draft's plans map is entirely empty
+        others = docs[: len(paths) - 1] + docs[len(paths):]
+        unguarded = sorted({
+            name
+            for d in others
+            for name in (d.get("plans") or {})
+            if name not in ref_plans
+        })
+        if unguarded:
+            print(
+                "fold_bench: WARNING — newest session draft carries no "
+                f"fingerprint for {len(unguarded)} query(ies) that older "
+                "drafts fingerprinted; folding those UNGUARDED: "
+                + ", ".join(unguarded[:12])
+                + ("..." if len(unguarded) > 12 else ""),
+                file=sys.stderr,
+            )
 
     out = fold(docs, ref_plans=ref_plans)
+    # load attestation fold (VERDICT r10 #1): tag — never exclude —
+    # sessions whose fixed calibration probe deviates >1.3x from the
+    # round median, so an inflated session is identifiable from the
+    # committed artifact alone
+    calibs = {
+        os.path.basename(p): c
+        for p, d in zip(paths, docs[: len(paths)])
+        if (c := _session_calib(d)) is not None
+    }
+    tags = load_tags(calibs)
+    if tags:
+        out["load_tags"] = tags
     # session drafts persist on disk, so every refold sees all of them:
     # the draft count IS the session count, and stalls are re-summed from
     # drafts alone (the prior canonical already holds summed stalls — the
@@ -225,6 +303,12 @@ def main() -> None:
             + ", ".join(sorted(stale)[:8])
             + ("..." if len(stale) > 8 else "")
         )
+    if tags:
+        note += (
+            "; load-tagged session(s) (calibration >1.3x round median; "
+            "minima kept): "
+            + ", ".join(f"{n} (x{r})" for n, r in sorted(tags.items()))
+        )
     if args.note:
         note += "; " + args.note
     out["note"] = note
@@ -241,7 +325,8 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "sf", "reps",
             "prev_queries_recovered", "sessions", "note", "stalls",
-            "movers", "spread", "plans", "compile", "steady", "queries",
+            "load_tags", "movers", "spread", "plans", "compile",
+            "steady", "queries",
         )
         if k in out
     }
