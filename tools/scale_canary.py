@@ -43,6 +43,7 @@ Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
     jaccard_prefix_filter  3.7s    6.2s    8.1s   0.56   1.00 (r6, uncapped exact)
     skyline_2d             0.7s    0.7s    0.7s  -0.03   1.00 (r6, frontier ~12)
     host_line_strip        0.43s   0.40s   0.45s  0.03   1.00 (r10)
+    embedding_neardup_incr 0.67s   0.61s   0.55s  -0.14  1.19* (r11, fixed delta)
 
 The merge row is the partition-scoped MERGE (2026-08-14): the staged
 corpus quadruples (shard count grows, constant rows per shard) while
@@ -164,6 +165,28 @@ def _host_line_strip(docs):
     return host_line_dedup_strip(
         with_doc_host(docs), "doc_id", "host", "text"
     )
+
+
+def _make_incremental_neardup(emb1):
+    """Fixed-delta incremental embedding near-dup: the 10% delta is
+    pinned at its scale-1 membership while the corpus doubles, so the
+    curve measures the probe's cost in CORPUS vectors alone — one
+    streamed broadcast-GEMM pass (zero exchanges), which must stay
+    linear; a corpus re-pairing would show ~2.0."""
+    from flink_examples_spark.operators.similarity import (
+        incremental_embedding_neardup,
+    )
+
+    n1 = emb1.agg(F.max("vec_id")).first()[0] + 1
+    delta = emb1.filter(F.pmod(F.col("vec_id"), 10) == 0).localCheckpoint()
+
+    def run(d):
+        corpus = d.filter(
+            (F.col("vec_id") >= n1) | (F.pmod(F.col("vec_id"), 10) != 0)
+        )
+        return incremental_embedding_neardup(corpus, delta)
+
+    return run
 
 
 def _host_budget_cap(docs):
@@ -335,7 +358,23 @@ def main() -> None:
             docs_src1, "doc_id",
             lambda d: _host_line_strip(d),
         ),
+        # r11: incremental embedding near-dup — fixed broadcast delta
+        # probing the doubling corpus in place (zero exchanges); curve
+        # must stay linear in corpus vectors (one streamed GEMM pass),
+        # never corpus x corpus
+        "embedding_neardup_incr": (
+            emb1, "vec_id",
+            _make_incremental_neardup(emb1),
+        ),
     }
+
+    # SPARK_GRAFT_CANARY_ONLY=<comma names>: re-measure a subset (solo
+    # adjudication or a new op) without paying the full sweep; the
+    # merge section runs only when unfiltered or named
+    only = os.environ.get("SPARK_GRAFT_CANARY_ONLY", "")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        ops = {k: v for k, v in ops.items() if k in wanted}
 
     summary = {}
     total_stall_retries = 0
@@ -385,6 +424,14 @@ def main() -> None:
         # the invariant that must hold: candidates stay FAR below n²
         # (all-pairs at 4x would be ~2e8 for docs / 3.2e7 for vectors)
         assert rows[2] < sizes[2] ** 2 / 1000, (name, rows[2], sizes[2])
+
+    if only and "merge_apply_partitioned" not in only:
+        print(json.dumps(
+            {"summary": summary, "stall_retries_total": total_stall_retries,
+             "filtered": sorted(ops)}
+        ))
+        spark.stop()
+        return
 
     # --- partition-scoped merge: cost must track the DELTA, not the
     # corpus. Stage the doubled corpus as a hive-partitioned table
