@@ -457,3 +457,39 @@ def test_fold_warns_on_partial_fingerprint_reference(
     # `a` folded unguarded (both drafts contribute); `b` stays guarded
     assert out["queries"]["a"] == 0.4
     assert out["queries"]["b"] == 2.0
+
+
+def test_fold_stores_round_calibration_baseline(tmp_path, monkeypatch):
+    """The canonical carries the round's calibration median + the
+    per-session values, so the NEXT round can compare medians — a
+    uniform box-speed shift (all sessions slower, none tagged
+    within-round) becomes mechanically visible round-over-round."""
+    fb = _load_fold_bench()
+    monkeypatch.setattr(fb, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": "0.1", "parsed": None})
+    )
+    s1 = _attested(2.0, {"a": 1.0}, 0.10)
+    s2 = _attested(2.1, {"a": 1.1}, 0.12)
+    for i, s in enumerate((s1, s2), start=1):
+        (tmp_path / f"BENCH_session_r09_s{i}.json").write_text(
+            json.dumps(s)
+        )
+    monkeypatch.setattr("sys.argv", ["fold_bench.py", "--round", "9"])
+    fb.main()
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    assert out["attest"]["calib_median_s"] == 0.11
+    assert out["attest"]["session_calibs"] == {
+        "BENCH_session_r09_s1.json": 0.10,
+        "BENCH_session_r09_s2.json": 0.12,
+    }
+    # legacy drafts (no attest anywhere): no attest block, no crash
+    for i in (1, 2):
+        (tmp_path / f"BENCH_session_r09_s{i}.json").write_text(
+            json.dumps(_result(2.0, {"a": 1.0}))
+        )
+    (tmp_path / "BENCH_local_r09.json").unlink()
+    fb.main()
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    assert "attest" not in out

@@ -281,6 +281,23 @@ def main() -> None:
     tags = load_tags(calibs)
     if tags:
         out["load_tags"] = tags
+    if calibs:
+        # per-session calibrations + their round median, stored in the
+        # canonical: the NEXT round's folds can compare their median
+        # against this one, so a uniform box-speed shift (all sessions
+        # slower, none tagged within-round) is mechanically visible
+        # round-over-round too (PERF_NOTES_r11 adjudicated r11's
+        # uniform x1.12 shift from raw-total statistics; from here on
+        # the artifact itself carries the baseline)
+        vals = sorted(calibs.values())
+        n = len(vals)
+        out["attest"] = {
+            "calib_median_s": round(
+                vals[n // 2] if n % 2
+                else (vals[n // 2 - 1] + vals[n // 2]) / 2, 4
+            ),
+            "session_calibs": calibs,
+        }
     # session drafts persist on disk, so every refold sees all of them:
     # the draft count IS the session count, and stalls are re-summed from
     # drafts alone (the prior canonical already holds summed stalls — the
@@ -325,8 +342,8 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "sf", "reps",
             "prev_queries_recovered", "sessions", "note", "stalls",
-            "load_tags", "movers", "spread", "plans", "compile",
-            "steady", "queries",
+            "attest", "load_tags", "movers", "spread", "plans",
+            "compile", "steady", "queries",
         )
         if k in out
     }
