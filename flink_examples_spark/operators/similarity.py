@@ -353,8 +353,11 @@ def incremental_embedding_neardup(
     partitions — ZERO exchanges anywhere in the plan (pinned in
     tests/test_plans.py), the corpus is never reshuffled, re-blocked,
     or re-paired, and executor memory is one Arrow batch plus the
-    delta matrix. Delta-vs-delta pairs come from the same broadcast
-    probed by the delta scan itself. At 100 TB the corpus-side cost is
+    delta matrix. Delta-vs-delta pairs are computed directly from the
+    collected matrix (a local triangle GEMM unioned in as a
+    LocalRelation) — never a second Spark scan of the delta, which
+    would pay its lineage twice and could diverge from the broadcast
+    under a non-deterministic lineage. At 100 TB the corpus-side cost is
     one streamed BLAS pass (|corpus| x |delta| flops); a multi-GB
     delta chunks into fixed-size probe batches (several passes, same
     plan), and a sub-linear corpus pass composes the staged
@@ -382,41 +385,46 @@ def incremental_embedding_neardup(
     d_mat = d_mat / np.linalg.norm(d_mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((d_ids, d_mat))
 
-    def probe(self_side: bool):
-        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import numpy as np  # noqa: F811 — executor-side import
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: F811 — executor-side import
 
-            ids_d, m_d = bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                b_ids = pdf["vid"].to_numpy()
-                b_mat = np.stack(pdf["v"].to_numpy())
-                b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
-                sims = np.round(b_mat @ m_d.T, 6)
-                if self_side:
-                    # delta scanning itself: each unordered pair once
-                    mask = b_ids[:, None] < ids_d[None, :]
-                else:
-                    # corpus vs delta: ids disjoint, order by min/max
-                    mask = np.ones_like(sims, dtype=bool)
-                i, j = np.nonzero((sims >= threshold) & mask)
-                if len(i):
-                    a, b = b_ids[i], ids_d[j]
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": np.minimum(a, b),
-                            "vec_b": np.maximum(a, b),
-                            "cosine": sims[i, j],
-                        }
-                    )
+        ids_d, m_d = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf["vid"].to_numpy()
+            b_mat = np.stack(pdf["v"].to_numpy())
+            b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+            sims = np.round(b_mat @ m_d.T, 6)
+            i, j = np.nonzero(sims >= threshold)
+            if len(i):
+                a, b = b_ids[i], ids_d[j]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(a, b),
+                        "vec_b": np.maximum(a, b),
+                        "cosine": sims[i, j],
+                    }
+                )
 
-        return score
-
+    # delta-vs-delta pairs come straight from the already-collected,
+    # already-normalized matrix — NOT a second Spark scan of the delta:
+    # re-scanning would pay the delta lineage twice per call and, for a
+    # non-deterministic lineage (un-checkpointed sample, files changing
+    # between the collect and the scan), could diverge from the
+    # broadcast matrix the corpus side probes (round-scope review r11)
+    sims_dd = np.round(d_mat @ d_mat.T, 6)
+    i, j = np.nonzero((sims_dd >= threshold)
+                      & (d_ids[:, None] < d_ids[None, :]))
     schema = "vec_a long, vec_b long, cosine double"
-    return c.mapInPandas(probe(False), schema).unionByName(
-        d.mapInPandas(probe(True), schema)
+    dd_pairs = spark.createDataFrame(
+        [
+            (int(d_ids[a]), int(d_ids[b]), float(sims_dd[a, b]))
+            for a, b in zip(i.tolist(), j.tolist())
+        ],
+        schema,
     )
+    return c.mapInPandas(score, schema).unionByName(dd_pairs)
 
 
 def embedding_neardup_lsh(

@@ -1912,8 +1912,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "BROADCAST as one normalized matrix; the staged corpus is "
         "probed by a mapInPandas GEMM inside its own scan partitions "
         "— ZERO exchanges in the whole plan (pinned), the corpus is "
-        "never reshuffled or re-paired, delta-vs-delta pairs come "
-        "from the delta scanning the same broadcast. Output: exactly "
+        "never reshuffled or re-paired, delta-vs-delta pairs are a "
+        "local triangle GEMM over the collected matrix (no second "
+        "delta scan). Output: exactly "
         "the pairs a batch embedding_neardup over the union reports "
         "that TOUCH the delta (the oracle states that equivalence "
         "directly, hash-exact — unlike the text families this "

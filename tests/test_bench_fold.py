@@ -416,16 +416,44 @@ def test_fold_no_tags_when_calibrations_agree(tmp_path, monkeypatch):
     assert "load-tagged" not in out["note"]
 
 
-def test_session_calib_uses_min_of_start_end():
+def test_load_tags_compare_per_column():
+    """r11 review: start and end probes live on different baselines
+    (start ~2.3x end on an idle box — executor JIT maturation, not
+    load), so tagging compares start-vs-start-median and
+    end-vs-end-median. A session whose END probe merely FAILED must
+    not be tagged by its JIT-cold start value against everyone else's
+    warm end values."""
     fb = _load_fold_bench()
-    d = _attested(1.0, {"a": 1.0}, 0.30, calib_end=0.10)
-    # loaded only at the start: the end probe shows the box's real
-    # capability for this session
-    assert fb._session_calib(d) == 0.10
-    # attest absent (pre-r11 draft): no calibration, never crashes
-    assert fb._session_calib(_result(1.0, {"a": 1.0})) is None
-    # legacy drafts don't suppress tagging of attested ones
+    # attest absent (pre-r11 draft): no probes, never crashes
+    assert fb._session_probes(_result(1.0, {"a": 1.0})) == {}
     assert fb.load_tags({}) == {}
+
+    # three healthy sessions + one whose end probe failed (None):
+    # its start (0.12) is NORMAL for the start column — no tag
+    def probes(start, end):
+        return ({"start": start, "end": end} if end is not None
+                else {"start": start})
+
+    healthy = {
+        "s1": probes(0.12, 0.050),
+        "s2": probes(0.118, 0.044),
+        "s3": probes(0.124, 0.053),
+        "s4": probes(0.12, None),  # end probe failed
+    }
+    assert fb.load_tags(healthy) == {}
+
+    # loaded only at the END: caught by the end column
+    loaded_end = dict(healthy)
+    loaded_end["s4"] = probes(0.12, 0.09)
+    tags = fb.load_tags(loaded_end)
+    assert list(tags) == ["s4"] and tags["s4"] > 1.3
+
+    # loaded only at the START (the r11 s1 case): caught by the start
+    # column even though its end probe recovered
+    loaded_start = dict(healthy)
+    loaded_start["s4"] = probes(0.25, 0.050)
+    tags = fb.load_tags(loaded_start)
+    assert list(tags) == ["s4"] and tags["s4"] > 1.3
 
 
 def test_fold_warns_on_partial_fingerprint_reference(
@@ -479,10 +507,12 @@ def test_fold_stores_round_calibration_baseline(tmp_path, monkeypatch):
     monkeypatch.setattr("sys.argv", ["fold_bench.py", "--round", "9"])
     fb.main()
     out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    # the stored baseline is the END-probe median (the JIT-warm,
+    # cross-round-comparable column)
     assert out["attest"]["calib_median_s"] == 0.11
     assert out["attest"]["session_calibs"] == {
-        "BENCH_session_r09_s1.json": 0.10,
-        "BENCH_session_r09_s2.json": 0.12,
+        "BENCH_session_r09_s1.json": {"start": 0.10, "end": 0.10},
+        "BENCH_session_r09_s2.json": {"start": 0.12, "end": 0.12},
     }
     # legacy drafts (no attest anywhere): no attest block, no crash
     for i in (1, 2):

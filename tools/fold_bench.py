@@ -78,38 +78,49 @@ def _load(path: str) -> dict:
         return json.load(f)
 
 
-def _session_calib(doc: dict) -> float | None:
-    """A session's calibration number: the MIN of its start/end probe
-    times (the best the box could do for that session — a session
-    loaded only at one end still shows its unloaded capability, and a
-    session loaded throughout shows inflation at both ends)."""
+def _session_probes(doc: dict) -> dict[str, float]:
+    """A session's calibration probes by column: {'start': s, 'end': e}
+    with missing/invalid probes omitted."""
     at = doc.get("attest") or {}
-    vals = [
-        (at.get(k) or {}).get("calib_s") for k in ("start", "end")
-    ]
-    vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
-    return min(vals) if vals else None
+    out = {}
+    for k in ("start", "end"):
+        v = (at.get(k) or {}).get("calib_s")
+        if isinstance(v, (int, float)) and v > 0:
+            out[k] = float(v)
+    return out
 
 
-def load_tags(calibs: dict[str, float]) -> dict[str, float]:
+def load_tags(probes: dict[str, dict[str, float]]) -> dict[str, float]:
     """Sessions whose calibration probe deviates >1.3x from the round
-    median (VERDICT r10 #1): name -> ratio-to-median. Tagged, never
-    excluded — minima from a loaded box are still valid lower-bound
-    evidence when they win; the tag makes 'that session ran on a
-    loaded box' provable from the artifacts alone instead of argued
-    from per-query ratio statistics."""
-    if not calibs:
-        return {}
-    vals = sorted(calibs.values())
-    n = len(vals)
-    med = vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
-    if med <= 0:
-        return {}
-    return {
-        name: round(c / med, 2)
-        for name, c in calibs.items()
-        if c > 1.3 * med
-    }
+    median (VERDICT r10 #1): name -> worst ratio-to-median. Tagged,
+    never excluded — minima from a loaded box are still valid
+    lower-bound evidence when they win; the tag makes 'that session
+    ran on a loaded box' provable from the artifacts alone instead of
+    argued from per-query ratio statistics.
+
+    Comparison is PER COLUMN — each session's start probe against the
+    round's start median, end against end median — because the two
+    columns live on different baselines (session-start probes run
+    ~2.3x session-end on an idle box: executor JIT maturation, not
+    load; PERF_NOTES_r11). Min-of-both against a mixed median would
+    falsely tag a session whose end probe merely failed (its JIT-cold
+    start value vs everyone else's warm end values — round-scope
+    review r11), and a session loaded only at one end is still caught
+    by that end's own column."""
+    import statistics
+
+    tags: dict[str, float] = {}
+    for col in ("start", "end"):
+        vals = {n: p[col] for n, p in probes.items() if col in p}
+        if not vals:
+            continue
+        med = statistics.median(vals.values())
+        if med <= 0:
+            continue
+        for name, c in vals.items():
+            if c > 1.3 * med:
+                tags[name] = max(tags.get(name, 0.0), round(c / med, 2))
+    return tags
 
 
 def fold(docs: list[dict], ref_plans: dict[str, str] | None = None) -> dict:
@@ -273,30 +284,32 @@ def main() -> None:
     # sessions whose fixed calibration probe deviates >1.3x from the
     # round median, so an inflated session is identifiable from the
     # committed artifact alone
-    calibs = {
-        os.path.basename(p): c
+    probes = {
+        os.path.basename(p): pr
         for p, d in zip(paths, docs[: len(paths)])
-        if (c := _session_calib(d)) is not None
+        if (pr := _session_probes(d))
     }
-    tags = load_tags(calibs)
+    tags = load_tags(probes)
     if tags:
         out["load_tags"] = tags
-    if calibs:
-        # per-session calibrations + their round median, stored in the
-        # canonical: the NEXT round's folds can compare their median
-        # against this one, so a uniform box-speed shift (all sessions
-        # slower, none tagged within-round) is mechanically visible
+    end_vals = [p["end"] for p in probes.values() if "end" in p]
+    if probes:
+        # per-session calibrations + the round's END-probe median,
+        # stored in the canonical: the NEXT round's folds can compare
+        # medians, so a uniform box-speed shift (all sessions slower,
+        # none tagged within-round) is mechanically visible
         # round-over-round too (PERF_NOTES_r11 adjudicated r11's
         # uniform x1.12 shift from raw-total statistics; from here on
-        # the artifact itself carries the baseline)
-        vals = sorted(calibs.values())
-        n = len(vals)
+        # the artifact itself carries the baseline). END probes are
+        # the JIT-warm, cross-round-comparable column.
+        import statistics
+
         out["attest"] = {
-            "calib_median_s": round(
-                vals[n // 2] if n % 2
-                else (vals[n // 2 - 1] + vals[n // 2]) / 2, 4
+            **(
+                {"calib_median_s": round(statistics.median(end_vals), 4)}
+                if end_vals else {}
             ),
-            "session_calibs": calibs,
+            "session_calibs": probes,
         }
     # session drafts persist on disk, so every refold sees all of them:
     # the draft count IS the session count, and stalls are re-summed from

@@ -177,14 +177,24 @@ def _make_incremental_neardup(emb1):
         incremental_embedding_neardup,
     )
 
-    n1 = emb1.agg(F.max("vec_id")).first()[0] + 1
-    delta = emb1.filter(F.pmod(F.col("vec_id"), 10) == 0).localCheckpoint()
+    # lazy: the max-id job and the delta's localCheckpoint run on the
+    # FIRST invocation, not while the ops dict is being built — a
+    # SPARK_GRAFT_CANARY_ONLY run of some other op must not pay stray
+    # Spark jobs or pin RDD blocks for a filtered-out entry (r11
+    # review; every other ops entry is a lazy lambda)
+    state: dict = {}
 
     def run(d):
+        if not state:
+            state["n1"] = emb1.agg(F.max("vec_id")).first()[0] + 1
+            state["delta"] = emb1.filter(
+                F.pmod(F.col("vec_id"), 10) == 0
+            ).localCheckpoint()
         corpus = d.filter(
-            (F.col("vec_id") >= n1) | (F.pmod(F.col("vec_id"), 10) != 0)
+            (F.col("vec_id") >= state["n1"])
+            | (F.pmod(F.col("vec_id"), 10) != 0)
         )
-        return incremental_embedding_neardup(corpus, delta)
+        return incremental_embedding_neardup(corpus, state["delta"])
 
     return run
 
@@ -370,10 +380,19 @@ def main() -> None:
 
     # SPARK_GRAFT_CANARY_ONLY=<comma names>: re-measure a subset (solo
     # adjudication or a new op) without paying the full sweep; the
-    # merge section runs only when unfiltered or named
+    # merge section runs only when unfiltered or named. Unknown names
+    # fail LOUDLY — a typo'd filter must not print an empty summary
+    # that reads as a clean run which measured nothing (r11 review).
     only = os.environ.get("SPARK_GRAFT_CANARY_ONLY", "")
-    if only:
-        wanted = {n.strip() for n in only.split(",") if n.strip()}
+    wanted = {n.strip() for n in only.split(",") if n.strip()}
+    if wanted:
+        known = set(ops) | {"merge_apply_partitioned"}
+        unknown = sorted(wanted - known)
+        if unknown:
+            sys.exit(
+                f"scale_canary: unknown op(s) in SPARK_GRAFT_CANARY_ONLY: "
+                f"{', '.join(unknown)} (known: {', '.join(sorted(known))})"
+            )
         ops = {k: v for k, v in ops.items() if k in wanted}
 
     summary = {}
@@ -425,7 +444,7 @@ def main() -> None:
         # (all-pairs at 4x would be ~2e8 for docs / 3.2e7 for vectors)
         assert rows[2] < sizes[2] ** 2 / 1000, (name, rows[2], sizes[2])
 
-    if only and "merge_apply_partitioned" not in only:
+    if wanted and "merge_apply_partitioned" not in wanted:
         print(json.dumps(
             {"summary": summary, "stall_retries_total": total_stall_retries,
              "filtered": sorted(ops)}
