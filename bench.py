@@ -208,6 +208,19 @@ _PLAN_VOLATILE_RE = re.compile(
 # the staleness guard could silently pass stale minima, and distinct
 # plans could collide (ADVICE r10). `x_7` still folds to `x_` so the
 # lambda counter stays invisible.
+#
+# Residual collision class (ADVICE r11, accepted tradeoff): ALL digit
+# suffixes fold, so a source edit that changes ONLY a numeric suffix
+# (`p_50` -> `p_51`, a literal-in-name constant bump) keeps the same
+# fingerprint and that query's stale minima survive the guard. The
+# rule can't be scoped to known volatile prefixes: the lambda counter
+# (`x_7`) shares its shape with ordinary snake_case columns, and a
+# prefix allowlist would go stale the first time codegen picks a new
+# name. In practice a suffix-only rename that changes BEHAVIOR also
+# changes the surrounding expression (the new constant appears as a
+# literal elsewhere in the plan), which re-fingerprints; the truly
+# invisible case is a rename with no semantic content, where stale
+# minima are still measured on the identical physical plan.
 _PLAN_IDENT_COUNTER_RE = re.compile(r"\b([a-z]+_)\d+\b")
 
 

@@ -389,7 +389,8 @@ def test_fold_tags_loaded_sessions(tmp_path, monkeypatch):
     fb.main()
     out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
     assert list(out["load_tags"]) == ["BENCH_session_r09_s3.json"]
-    assert out["load_tags"]["BENCH_session_r09_s3.json"] == 2.0
+    # leave-one-out baseline (ADVICE r11): 0.22 / median(0.10, 0.11)
+    assert out["load_tags"]["BENCH_session_r09_s3.json"] == 2.1
     assert "load-tagged session(s)" in out["note"]
     assert "BENCH_session_r09_s3.json" in out["note"]
     # tagged, NOT excluded: s3's winning minimum folds
@@ -454,6 +455,31 @@ def test_load_tags_compare_per_column():
     loaded_start["s4"] = probes(0.25, 0.050)
     tags = fb.load_tags(loaded_start)
     assert list(tags) == ["s4"] and tags["s4"] > 1.3
+
+
+def test_load_tags_leave_one_out_small_rounds():
+    """ADVICE r11: with only two attested sessions, an all-in median
+    sits at the midpoint and a moderately loaded session (x1.5 its
+    peer) escapes the 1.3x line entirely (1.5/1.25 = 1.2). The
+    leave-one-out baseline compares each session against the OTHERS'
+    median, so the loaded one tags at its true x1.5 — and the idle
+    peer (ratio 1/1.5) never does."""
+    fb = _load_fold_bench()
+    two = {
+        "s1": {"start": 0.12, "end": 0.050},
+        "s2": {"start": 0.12, "end": 0.075},  # x1.5 its peer's end
+    }
+    tags = fb.load_tags(two)
+    assert list(tags) == ["s2"] and tags["s2"] == 1.5
+
+    # a single session has no baseline: nothing to tag against
+    assert fb.load_tags({"s1": {"start": 0.12, "end": 0.05}}) == {}
+
+    # agreeing pair: no tags in either direction
+    assert fb.load_tags({
+        "s1": {"start": 0.12, "end": 0.050},
+        "s2": {"start": 0.125, "end": 0.052},
+    }) == {}
 
 
 def test_fold_warns_on_partial_fingerprint_reference(

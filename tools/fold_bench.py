@@ -92,7 +92,8 @@ def _session_probes(doc: dict) -> dict[str, float]:
 
 def load_tags(probes: dict[str, dict[str, float]]) -> dict[str, float]:
     """Sessions whose calibration probe deviates >1.3x from the round
-    median (VERDICT r10 #1): name -> worst ratio-to-median. Tagged,
+    median of the OTHER sessions (leave-one-out, ADVICE r11): name ->
+    worst ratio-to-median. Tagged,
     never excluded — minima from a loaded box are still valid
     lower-bound evidence when they win; the tag makes 'that session
     ran on a loaded box' provable from the artifacts alone instead of
@@ -112,12 +113,20 @@ def load_tags(probes: dict[str, dict[str, float]]) -> dict[str, float]:
     tags: dict[str, float] = {}
     for col in ("start", "end"):
         vals = {n: p[col] for n, p in probes.items() if col in p}
-        if not vals:
-            continue
-        med = statistics.median(vals.values())
-        if med <= 0:
-            continue
         for name, c in vals.items():
+            # leave-one-out median (ADVICE r11): with few sessions a
+            # loaded one raises the all-in median enough to escape its
+            # own tag line (2 sessions: a x1.5 probe vs its peer lands
+            # at the midpoint, ratio 1.22 — never tagged). Comparing
+            # against the OTHER sessions' median keeps the baseline
+            # uncontaminated at any round size; with one session there
+            # is no baseline and nothing to tag against.
+            others = [v for n, v in vals.items() if n != name]
+            if not others:
+                continue
+            med = statistics.median(others)
+            if med <= 0:
+                continue
             if c > 1.3 * med:
                 tags[name] = max(tags.get(name, 0.0), round(c / med, 2))
     return tags
