@@ -223,3 +223,137 @@ def url_dedup_from_partials(per_url: DataFrame) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def incremental_url_keep(url_index: DataFrame, delta: DataFrame) -> DataFrame:
+    """Per-document KEEP verdicts for a delta dump against the staged
+    canonical-URL index — the apply face of [[incremental_url_dedup]]
+    (which reports the updated GROUPS for index upsert; a pipeline
+    filters on verdicts). EPOCH rule, not union-min: an already-shipped
+    corpus document is immutable, so ANY corpus hit drops the delta doc
+    regardless of doc_id order (``incremental_url_dedup``'s min-id
+    survivor is the right value to UPSERT into the index for future
+    dumps, but it cannot un-ship the corpus copy); among delta docs of
+    a corpus-unseen URL, min doc_id wins — together: keep iff the URL
+    has no corpus doc AND doc_id is the delta group's min.
+
+    ``url_index``: one row per corpus canonical URL, singletons
+    included ([[url_dedup_index]] / ``streaming.sinks.read_url_
+    partials``); ``delta``: ``(doc_id, url_norm, ...)`` rows.
+
+    Shuffle discipline (the [[incremental_url_dedup]] shape): ONE
+    delta-sized url fold; the index is probed with the BROADCAST delta
+    URL set and the hit flags broadcast back — the 100 TB index is
+    never reshuffled. Output: the delta frame plus a ``kept`` flag."""
+    dg = delta.groupBy("url_norm").agg(F.min("doc_id").alias("_min_d"))
+    hits = (
+        url_index.join(F.broadcast(dg.select("url_norm")), "url_norm")
+        .select("url_norm")
+        .withColumn("_in_corpus", F.lit(1))
+    )
+    verd = dg.join(F.broadcast(hits), "url_norm", "left")
+    return delta.join(F.broadcast(verd), "url_norm").select(
+        *delta.columns,
+        (
+            F.col("_in_corpus").isNull()
+            & (F.col("doc_id") == F.col("_min_d"))
+        ).alias("kept"),
+    )
+
+
+def incremental_hygiene_pipeline(
+    url_index: DataFrame,
+    line_index: DataFrame,
+    corpus_fps: DataFrame,
+    delta: DataFrame,
+    raw_col: Column | None = None,
+    min_count: int = 3,
+) -> DataFrame:
+    """The composed DAILY-DELTA hygiene job (VERDICT r11 next-round #1):
+    what a 100 TB deployment actually runs nightly, as ONE plan over
+    ONE delta dump — every stage the incremental face of its batch
+    twin, probing staged indexes, never touching the shipped corpus:
+
+      1. URL dedup ([[incremental_url_keep]] vs the staged canonical-
+         URL index — the cheapest cut first; re-crawls die before any
+         text is read),
+      2. host-scoped line strip (``operators.dedup.incremental_host_
+         line_strip`` vs the staged (host, lfp, n_occ) index — corpus +
+         within-delta occurrences reaching ``min_count`` strike the
+         line),
+      3. exact dedup on the REWRITTEN text (the hygiene-v2 stage order:
+         the strip canonicalizes boilerplate-wrapped near-dups into
+         byte-equal docs, which fingerprint dedup then collapses
+         against the staged corpus-fp set and within the delta),
+      4. PII scrub-apply (``functions.pii`` ordered redaction chain)
+         over the surviving rewritten text.
+
+    Inputs: ``url_index`` — one row per corpus canonical URL incl.
+    singletons; ``line_index`` — ``(host, lfp, n_occ)`` over corpus
+    STAGE-1 SURVIVORS (boilerplate is counted on what was kept, not on
+    re-crawl duplicates); ``corpus_fps`` — ``(fp)`` DISTINCT md5s of
+    corpus survivors' nonempty stripped text, stripped under the same
+    staged counts (ship-time state — the immutability asymmetry:
+    corpus docs stay as shipped even where the delta newly crosses a
+    threshold); ``delta`` — ``(doc_id, url_norm, host, text)``;
+    ``raw_col`` — optional expression over (doc_id, text) rewriting
+    the scrub input (the registered query synthesizes contact lines
+    with it; a real corpus scrubs ``kept_text`` directly).
+
+    Shuffle discipline: every exchange is DELTA-sized (url fold,
+    (host,lfp) fold, doc_id reassembly, fp fold); each staged index is
+    probed with a broadcast delta key set and the hits broadcast back
+    — three probe/rejoin families, zero corpus-sized exchanges; the
+    delta's text is scanned ONCE (the line explode) and rewritten
+    in-flight. Plan-pinned in tests/test_plans.py.
+
+    Output: ``(doc_id, host, n_lines, n_removed, removed_chars,
+    n_redacted, scrubbed)`` — the kept, rewritten, scrubbed documents
+    with their strip/redaction accounting.
+    """
+    from flink_examples_spark.functions.pii import pii_counts, pii_scrub
+    from flink_examples_spark.operators.dedup import (
+        incremental_host_line_strip,
+    )
+
+    surv1 = (
+        incremental_url_keep(url_index, delta)
+        .filter(F.col("kept"))
+        .select("doc_id", "host", "text")
+    )
+    stripped = incremental_host_line_strip(
+        line_index, surv1, "doc_id", "host", "text", min_count=min_count
+    )
+    s = stripped.filter(F.length("kept_text") > 0).withColumn(
+        "_fp", F.md5("kept_text")
+    )
+    dmins = s.groupBy("_fp").agg(F.min("doc_id").alias("_min_fp"))
+    fhits = (
+        corpus_fps.select(F.col("fp").alias("_fp"))
+        .join(F.broadcast(dmins.select("_fp")), "_fp")
+        .withColumn("_in_cfp", F.lit(1))
+    )
+    surv3 = (
+        s.join(F.broadcast(dmins), "_fp")
+        .join(F.broadcast(fhits), "_fp", "left")
+        .filter(
+            F.col("_in_cfp").isNull()
+            & (F.col("doc_id") == F.col("_min_fp"))
+        )
+        .select(
+            "doc_id", "host", "n_lines", "n_removed", "removed_chars",
+            F.col("kept_text").alias("text"),
+        )
+    )
+    raw = raw_col if raw_col is not None else F.col("text")
+    step = surv3.select(
+        "doc_id", "host", "n_lines", "n_removed", "removed_chars",
+        *pii_counts(raw),
+        pii_scrub(raw).alias("scrubbed"),
+    )
+    return step.select(
+        "doc_id", "host", "n_lines", "n_removed", "removed_chars",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4"))
+        .alias("n_redacted"),
+        "scrubbed",
+    )

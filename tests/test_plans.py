@@ -960,3 +960,49 @@ def test_subexpression_elimination_is_on(spark):
         spark.conf.get("spark.sql.subexpressionElimination.enabled")
         == "true"
     )
+
+
+def test_round12_incremental_hygiene_pipeline_plan_shape(spark, sf_dir):
+    """The composed daily-delta hygiene flagship (VERDICT r11 #1) keeps
+    every stage's incremental discipline in ONE plan: no cartesian
+    products, no Python nodes, no SortMergeJoin anywhere (every staged-
+    index probe and every verdict rejoin is a BROADCAST join), and
+    every hashpartitioning exchange keys on a stage's contract key —
+    the synth source window, a url_norm fold, a (host,lfp)/(host,line)
+    or grouping-key line fold, a doc_id reassembly, or a fingerprint
+    fold. Checked on the fused (checkpoint=False) lineage so the pin
+    sees through the shared-stage pins the registered query adds."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from flink_examples_spark.operators.crawl import (
+        incremental_hygiene_pipeline as op,
+    )
+    from flink_examples_spark.queries import (
+        _hygiene_corpus_indexes,
+        _hygiene_delta_frames,
+        _pii_raw_col,
+    )
+
+    corpus, delta = _hygiene_delta_frames(spark, sf_dir, checkpoint=False)
+    uidx, lidx, cfps = _hygiene_corpus_indexes(corpus, checkpoint=False)
+    pipe = op(
+        uidx, lidx, cfps,
+        delta.select("doc_id", "url_norm", "host", "text"),
+        raw_col=_pii_raw_col(),
+    )
+    plan = pipe._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert not python_eval_nodes(pipe)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 8
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" not in line:
+            continue
+        assert (
+            "source" in line                      # synth lead window
+            or "url_norm" in line                 # url folds
+            or "lfp" in line or "line" in line    # line-key folds
+            or "_groupingexpression" in line      # strip verdict fold
+            or "doc_id" in line                   # strip reassembly
+            or "fp" in line                       # fingerprint folds
+        ), line
