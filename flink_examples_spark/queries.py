@@ -11596,3 +11596,45 @@ def incremental_hygiene_pipeline(
         delta.select("doc_id", "url_norm", "host", "text"),
         raw_col=_pii_raw_col(),
     )
+
+
+@register(
+    "ann_cosine_topk_ivf_staged",
+    oracle=None,  # approximate by construction; EXACT parity with the
+                  # per-call IVF (same centroids) + the staged-index
+                  # e2e loop asserted in tests/test_similarity.py
+    doc="STAGED-index IVF ANN (VERDICT r11 next-round #5): the coarse "
+        "quantizer is trained once per index lifetime and staged; "
+        "every vector arrives pre-assigned to its cell by the ingest "
+        "twin (streaming.sinks.ivf_index_ingest_foreach_batch — "
+        "assignment only, never retraining, so per-batch subdirs "
+        "union without a fold), and a query probes only its n_probe "
+        "cells. The probe-cell union is a JVM cell IN (...) filter "
+        "BELOW the Python scorer — partition pruning on a "
+        "partitionBy(cell) deployment (plan-pinned), so probe IO, not "
+        "just probe compute, is ~n_probe/n_clusters of the corpus. "
+        "Results are EXACTLY ann_cosine_topk_ivf's given the same "
+        "centroids (parity-pinned), so its measured recall grid "
+        "carries over. Index faces: stage_ivf_centroids / "
+        "ivf_index_ingest_foreach_batch / read_ivf_index / "
+        "compact_ivf_index.",
+)
+def ann_cosine_topk_ivf_staged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_examples_spark.operators.similarity import (
+        cosine_topk_ivf_staged,
+        ivf_assign_cells,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # inline index build (the url_dedup_incremental concession: the
+    # registered query is self-contained; production stages centroids
+    # + assignments once via the sinks twins — the e2e face
+    # tests/test_similarity.py drives)
+    cent = train_ivf_centroids(emb, n_clusters=16)
+    index = ivf_assign_cells(emb, cent)
+    return cosine_topk_ivf_staged(
+        index, cent, emb.filter(F.col("vec_id") < 10), k=5, n_probe=8
+    )

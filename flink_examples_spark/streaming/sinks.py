@@ -2002,3 +2002,174 @@ def compact_embedding_index(spark, index_path: str,
         .load(os.path.join(staging, "batch=compacted"))
         .count(),
     )
+
+
+def stage_ivf_centroids(spark, index_path: str, centroids,
+                        fmt: str = "parquet") -> int:
+    """Write the trained IVF coarse quantizer under
+    ``index_path/_centroids`` — ONCE per index lifetime (VERDICT r11
+    next-round #5): every later ingest batch is assigned against these
+    same centroids, so per-batch subdirs stay unionable without a fold
+    (an assignment drift between batches would corrupt probe masks).
+    The underscore prefix keeps the readers' batch-subdir unions from
+    picking it up. Overwrite-idempotent (re-staging the same centroids
+    replays safely); returns the number of cells staged."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    rows = [(int(i), [float(v) for v in cent[i]]) for i in range(len(cent))]
+    spark.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").format(fmt).save(
+        os.path.join(index_path, "_centroids")
+    )
+    return len(rows)
+
+
+def read_ivf_centroids(spark, index_path: str, fmt: str = "parquet"):
+    """The staged coarse quantizer as an (n_clusters, dim) numpy array
+    ordered by cell — the closure-sized artifact every probe and every
+    ingest assignment loads (kilobytes; never a distributed read
+    path). Missing path reads as an empty (0, 0) array."""
+    import numpy as np
+
+    path = os.path.join(index_path, "_centroids")
+    if not os.path.isdir(path):
+        return np.zeros((0, 0))
+    rows = spark.read.format(fmt).load(path).collect()
+    rows.sort(key=lambda r: r["cell"])
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_index_ingest_foreach_batch(
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fmt: str = "parquet",
+    compact_every_n_batches: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming ingest for the STAGED IVF index (VERDICT r11
+    next-round #5 — the ANN family's answer to the embedding-index
+    twin): each micro-batch of ``(vec_id, embedding)`` rows is
+    assigned to its cell against the STAGED centroids
+    (``operators.similarity.ivf_assign_cells`` — assignment only,
+    never retraining) and lands as ``(vec_id, cell, embedding)`` under
+    ``index_path/batch=<id>``. ``stage_ivf_centroids`` must run before
+    the first batch; a batch arriving with no centroids staged raises
+    rather than silently training its own (drifted assignments would
+    poison every later probe).
+
+    Replay/compaction semantics are the
+    :func:`embedding_index_ingest_foreach_batch` rules verbatim: no
+    aggregation fold (batches are disjoint row sets; a replayed batch
+    REPLACES its own subdir), spare-newest compaction below."""
+    from flink_examples_spark.operators.similarity import ivf_assign_cells
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(index_path)
+        cent = read_ivf_centroids(spark, index_path, fmt=fmt)
+        if cent.size == 0:
+            raise ValueError(
+                f"no centroids staged under {index_path!r}: run "
+                "stage_ivf_centroids before the first ingest batch"
+            )
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            compact_ivf_index(spark, index_path, fmt=fmt)
+        ivf_assign_cells(
+            batch_df, cent, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.col(id_col).alias("vec_id"),
+            "cell",
+            F.col(vec_col).cast("array<double>").alias("embedding"),
+        ).write.mode("overwrite").format(fmt).save(
+            os.path.join(index_path, f"batch={batch_id}")
+        )
+
+    return apply
+
+
+def read_ivf_index(spark, index_path: str,
+                   fmt: str = "parquet") -> DataFrame:
+    """Assemble the staged IVF index ``(vec_id, cell, embedding)`` — a
+    plain union of the batch subdirs with NO keyed fold (the
+    :func:`read_embedding_index` rule: the probe plan must stay
+    fold-free so the corpus is never reshuffled at query time; the
+    ``_centroids`` subdir is skipped by its underscore). Missing path
+    reads as EMPTY."""
+    _recover_swap(index_path)
+    subs = [
+        os.path.join(index_path, n)
+        for n in os.listdir(index_path)
+        if not n.startswith((".", "_"))
+    ] if os.path.isdir(index_path) else []
+    if not subs:
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, embedding array<double>"
+        )
+    return spark.read.format(fmt).load(subs).select(
+        "vec_id", "cell", "embedding"
+    )
+
+
+def compact_ivf_index(spark, index_path: str,
+                      fmt: str = "parquet") -> int:
+    """Concatenate committed batch subdirs into ``batch=compacted``,
+    sparing the newest numbered batch (the
+    :func:`compact_embedding_index` rule — only the in-flight batch
+    can replay, and with no fold in the read path its rows folded
+    would duplicate as phantom neighbors). The staged ``_centroids``
+    are carried INTO the staging copy before the swap — the swap
+    replaces the whole root, and an index without its quantizer is
+    unusable. Crash-safe via the staging swap; returns rows in the
+    compacted table, 0 if nothing to fold."""
+    _recover_swap(index_path)
+    if not os.path.isdir(index_path):
+        return 0
+    subs = [
+        n for n in os.listdir(index_path) if not n.startswith((".", "_"))
+    ]
+    numbered = sorted(
+        (int(n.split("=", 1)[1]), n)
+        for n in subs
+        if n.startswith("batch=") and n.split("=", 1)[1].isdigit()
+    )
+    spare = numbered[-1][1] if numbered else None
+    fold = [n for n in subs if n != spare]
+    if not any(n != "batch=compacted" for n in fold):
+        return 0
+    folded = (
+        spark.read.format(fmt)
+        .load([os.path.join(index_path, n) for n in fold])
+        .select("vec_id", "cell", "embedding")
+        .localCheckpoint()
+    )
+    spared_df = (
+        spark.read.format(fmt).load(os.path.join(index_path, spare))
+        .localCheckpoint()
+        if spare else None
+    )
+
+    def write_to(staging: str) -> None:
+        folded.write.mode("overwrite").format(fmt).save(
+            os.path.join(staging, "batch=compacted")
+        )
+        if spared_df is not None:
+            spared_df.write.mode("overwrite").format(fmt).save(
+                os.path.join(staging, spare)
+            )
+        cdir = os.path.join(index_path, "_centroids")
+        if os.path.isdir(cdir):
+            shutil.copytree(cdir, os.path.join(staging, "_centroids"))
+
+    return _swap_in_rewrite(
+        index_path,
+        write_to,
+        count=lambda staging: spark.read.format(fmt)
+        .load(os.path.join(staging, "batch=compacted"))
+        .count(),
+    )

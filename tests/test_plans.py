@@ -1006,3 +1006,55 @@ def test_round12_incremental_hygiene_pipeline_plan_shape(spark, sf_dir):
             or "doc_id" in line                   # strip reassembly
             or "fp" in line                       # fingerprint folds
         ), line
+
+
+def test_round12_ivf_staged_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The staged-IVF probe's scale claim, proven on the plan: against
+    a partitionBy(cell) index the probe-cell union becomes PARTITION
+    PRUNING in the scan (probe IO, not just probe compute, is
+    ~n_probe/n_clusters of the corpus), the scorer stays one
+    mapInPandas pass, and the only hashpartitioning exchange is the
+    final per-query top-k rank."""
+    from flink_examples_spark.operators.similarity import (
+        cosine_topk_ivf_staged,
+        ivf_assign_cells,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = train_ivf_centroids(emb, n_clusters=16)
+    root = str(tmp_path / "ivf_parquet")
+    ivf_assign_cells(emb, cent).write.partitionBy("cell").parquet(root)
+    index = spark.read.parquet(root)
+    out = cosine_topk_ivf_staged(
+        index, cent, emb.filter(F.col("vec_id") < 3), k=5, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        line for line in plan.splitlines() if "FileScan" in line
+    ]
+    pruned = [
+        s.split("PartitionFilters", 1)[1]
+        for s in scans
+        if "PartitionFilters" in s
+    ]
+    # the probe-cell union lands in PartitionFilters (rendered
+    # `cell IN (..)` small / `cell INSET ..` large) and covers at most
+    # 3 queries x 2 probes = 6 of the 16 cells
+    import re
+
+    def cells_of(p):
+        m = re.search(r"cell#?\d* (?:INSET ([\d, ]+)|IN \(([\d,]+)\))", p)
+        return (m.group(1) or m.group(2)).split(",") if m else None
+
+    assert pruned and any(
+        (cs := cells_of(p)) is not None and 0 < len(cs) <= 6
+        for p in pruned
+    ), scans
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    ex = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(ex) == 1 and "query_id" in ex[0]

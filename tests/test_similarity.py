@@ -697,3 +697,117 @@ def test_embedding_index_ingest_replay_compaction_e2e(spark, sf_dir, tmp_path):
     empty = read_embedding_index(spark, str(tmp_path / "nowhere"))
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["vec_id", "embedding"]
+
+
+def test_ivf_staged_equals_per_call(spark, sf_dir):
+    """VERDICT r11 #5 parity pin: probing the staged (pre-assigned)
+    IVF index with staged centroids returns EXACTLY what the per-call
+    IVF computes with the same centroids — assignment is the same
+    argmax, probe sets the same argsort, scoring the same exact
+    cosine — so the per-call recall grid carries over verbatim."""
+    from flink_examples_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_staged,
+        ivf_assign_cells,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cent = train_ivf_centroids(emb, n_clusters=16)
+    per_call = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_ivf(
+            emb, queries, k=5, n_clusters=16, n_probe=8
+        ).collect()
+    }
+    staged = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_ivf_staged(
+            ivf_assign_cells(emb, cent), cent, queries, k=5, n_probe=8
+        ).collect()
+    }
+    assert staged == per_call and len(staged) > 0
+
+
+def test_ivf_index_ingest_replay_compaction_e2e(spark, sf_dir, tmp_path):
+    """The staged-IVF loop end-to-end (the embedding-index e2e
+    standard): stage centroids once -> ingest corpus vectors in
+    micro-batches (each assigned against the STAGED centroids) ->
+    replay the in-flight batch (no duplication) -> spare-newest
+    compaction (readers unchanged, centroids survive the swap) ->
+    probe the staged index and match the inline build exactly. An
+    ingest before centroids are staged must raise, not train its
+    own."""
+    import os
+
+    import pytest
+
+    from flink_examples_spark.operators.similarity import (
+        cosine_topk_ivf_staged,
+        ivf_assign_cells,
+        train_ivf_centroids,
+    )
+    from flink_examples_spark.streaming.sinks import (
+        compact_ivf_index,
+        ivf_index_ingest_foreach_batch,
+        read_ivf_centroids,
+        read_ivf_index,
+        stage_ivf_centroids,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10).localCheckpoint()
+    cent = train_ivf_centroids(emb, n_clusters=16)
+
+    root = str(tmp_path / "ivf_index")
+    apply = ivf_index_ingest_foreach_batch(root)
+    with pytest.raises(ValueError):
+        apply(emb.limit(5).localCheckpoint(), 0)
+
+    assert stage_ivf_centroids(spark, root, cent) == len(cent)
+    import numpy as np
+    assert np.allclose(read_ivf_centroids(spark, root), cent)
+
+    for i in range(3):
+        apply(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+            .localCheckpoint(),
+            i,
+        )
+
+    def probe():
+        return {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in cosine_topk_ivf_staged(
+                read_ivf_index(spark, root), 
+                read_ivf_centroids(spark, root),
+                queries, k=5, n_probe=8,
+            ).collect()
+        }
+
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_ivf_staged(
+            ivf_assign_cells(emb, cent), cent, queries, k=5, n_probe=8
+        ).collect()
+    }
+    assert probe() == inline and len(inline) > 0
+
+    # replay of the in-flight batch overwrites, never duplicates
+    apply(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 2)
+        .localCheckpoint(),
+        2,
+    )
+    assert probe() == inline
+
+    # spare-newest compaction: readers unchanged, centroids survive
+    n = compact_ivf_index(spark, root)
+    assert n > 0
+    subs = sorted(os.listdir(root))
+    assert "batch=compacted" in subs and "batch=2" in subs
+    assert "batch=0" not in subs and "batch=1" not in subs
+    assert "_centroids" in subs
+    assert np.allclose(read_ivf_centroids(spark, root), cent)
+    assert probe() == inline
