@@ -369,6 +369,12 @@ def _write_mover_ledger(
             hand = old.split(marker, 1)[1]
     except OSError:
         pass
+    # fold_bench annotates canonical movers with plan-identity and
+    # box-vs-code attribution (VERDICT r11 #3/#4); per-session drafts
+    # carry neither — the ledger grows the columns only when present
+    annotated = any(
+        "plan" in m or "attribution" in m for m in big.values()
+    )
     lines = [
         f"# Mover ledger — round {this_round} (GENERATED by bench.py)",
         "",
@@ -377,16 +383,27 @@ def _write_mover_ledger(
         "`SPARK_GRAFT_BENCH_ONLY=<name> python bench.py` on an idle box)",
         "below the marker.",
         "",
-        "| query | prev steady (s) | now steady (s) | ratio | stall retries |",
-        "|---|---|---|---|---|",
+        "| query | prev steady (s) | now steady (s) | ratio | stall retries |"
+        + (" plan | box-adjusted |" if annotated else ""),
+        "|---|---|---|---|---|" + ("---|---|" if annotated else ""),
     ]
     for n, m in big.items():
-        lines.append(
+        row = (
             f"| {n} | {m['prev']} | {m['now']} | {m['ratio']} "
             f"| {stall_retries.get(n, 0)} |"
         )
+        if annotated:
+            adj = m.get("calib_adjusted")
+            attr = m.get("attribution")
+            row += (
+                f" {m.get('plan', '-')} | "
+                + (f"x{adj} ({attr})" if adj is not None else "-")
+                + " |"
+            )
+        lines.append(row)
     if not big:
-        lines.append("| (none >=1.5x) | | | | |")
+        lines.append("| (none >=1.5x) | | | | |"
+                     + (" | |" if annotated else ""))
     lines += [
         "",
         f"Stall reps >5x steady across the whole run: {stall_rep_count}; "

@@ -549,3 +549,72 @@ def test_fold_stores_round_calibration_baseline(tmp_path, monkeypatch):
     fb.main()
     out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
     assert "attest" not in out
+
+
+def test_fold_cross_round_box_speed_and_fp_gated_movers(
+    tmp_path, monkeypatch
+):
+    """VERDICT r11 next-round #3 + #4: with a prior canonical carrying
+    attest.calib_median_s and reference fingerprints, the fold (a)
+    stores the box-speed ratio (this round's end-probe median over the
+    prior round's) and names it in the note, (b) marks each mover
+    plan-identical vs plan-changed from fingerprint equality, and (c)
+    attributes each mover to the BOX when its calibration-adjusted
+    ratio falls back inside the non-mover band, else to CODE — so a
+    uniform environment shift can never read as a code regression."""
+    fb = _load_fold_bench()
+    monkeypatch.setattr(fb, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    prev = _result(3.0, {"a": 1.0, "b": 1.0, "c": 1.0})
+    prev["attest"] = {"calib_median_s": 0.04}
+    prev["plans"] = {"a": "AAA", "b": "BBB", "c": "OLD"}
+    (tmp_path / "BENCH_local_r08.json").write_text(json.dumps(prev))
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": "0.1", "parsed": None})
+    )
+    # this round's box runs the probe at 2x the prior round's median:
+    # a & b moved WITH the box (x2.0); c moved x4.0 on a changed plan
+    s1 = _attested(8.0, {"a": 2.0, "b": 2.0, "c": 4.0}, 0.08)
+    s1["plans"] = {"a": "AAA", "b": "BBB", "c": "NEW"}
+    (tmp_path / "BENCH_session_r09_s1.json").write_text(json.dumps(s1))
+    monkeypatch.setattr("sys.argv", ["fold_bench.py", "--round", "9"])
+    fb.main()
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    assert out["attest"]["prev_calib_median_s"] == 0.04
+    assert out["attest"]["box_speed_ratio"] == 2.0
+    assert "box-speed vs r8: x2.0" in out["note"]
+    movers = out["movers"]
+    assert movers["a"]["plan"] == "identical"
+    assert movers["c"]["plan"] == "changed"
+    assert movers["a"]["calib_adjusted"] == 1.0
+    assert movers["a"]["attribution"] == "box"
+    assert movers["c"]["calib_adjusted"] == 2.0
+    assert movers["c"]["attribution"] == "code"
+    # ledger renders the new columns for annotated movers
+    ledger = (tmp_path / "docs" / "PERF_NOTES_r9_movers.md").read_text()
+    assert "plan | box-adjusted" in ledger
+    assert "identical" in ledger and "x2.0 (code)" in ledger
+
+
+def test_fold_no_prior_canonical_keeps_movers_unannotated(
+    tmp_path, monkeypatch
+):
+    """First round / missing prior canonical: no box ratio, movers
+    marked plan-unknown, note and ledger unchanged in shape."""
+    fb = _load_fold_bench()
+    monkeypatch.setattr(fb, "_HERE", str(tmp_path))
+    monkeypatch.setattr(bench, "_HERE", str(tmp_path))
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps({
+        "sf": "0.1",
+        "parsed": {"queries": {"a": 1.0}},
+    }))
+    s1 = _attested(2.0, {"a": 2.0}, 0.08)
+    s1["plans"] = {"a": "AAA"}
+    (tmp_path / "BENCH_session_r09_s1.json").write_text(json.dumps(s1))
+    monkeypatch.setattr("sys.argv", ["fold_bench.py", "--round", "9"])
+    fb.main()
+    out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
+    assert "box_speed_ratio" not in out.get("attest", {})
+    assert "box-speed" not in out["note"]
+    assert out["movers"]["a"]["plan"] == "unknown"
+    assert "attribution" not in out["movers"]["a"]

@@ -320,6 +320,30 @@ def main() -> None:
             ),
             "session_calibs": probes,
         }
+    # cross-round box-speed calibration (VERDICT r11 next-round #3):
+    # the prior canonical stores its round's END-probe median; the
+    # ratio of medians is the box-speed shift between the two rounds'
+    # bench environments, measured by the same fixed ~100 ms probe —
+    # so a uniform timing shift can be attributed to the BOX
+    # mechanically instead of argued from raw-total statistics
+    # (PERF_NOTES_r11 adjudicated r11's uniform x1.12 by hand).
+    prev_doc: dict = {}
+    prev_path = os.path.join(_HERE, f"BENCH_local_r{rnd - 1:02d}.json")
+    if os.path.exists(prev_path):
+        try:
+            prev_doc = _load(prev_path)
+        except (OSError, json.JSONDecodeError):
+            prev_doc = {}
+    box_ratio = None
+    prev_calib = (prev_doc.get("attest") or {}).get("calib_median_s")
+    cur_calib = (out.get("attest") or {}).get("calib_median_s")
+    if (
+        isinstance(prev_calib, (int, float)) and prev_calib > 0
+        and isinstance(cur_calib, (int, float)) and cur_calib > 0
+    ):
+        box_ratio = round(cur_calib / prev_calib, 3)
+        out["attest"]["prev_calib_median_s"] = prev_calib
+        out["attest"]["box_speed_ratio"] = box_ratio
     # session drafts persist on disk, so every refold sees all of them:
     # the draft count IS the session count, and stalls are re-summed from
     # drafts alone (the prior canonical already holds summed stalls — the
@@ -348,6 +372,11 @@ def main() -> None:
             "minima kept): "
             + ", ".join(f"{n} (x{r})" for n, r in sorted(tags.items()))
         )
+    if box_ratio is not None:
+        note += (
+            f"; box-speed vs r{rnd - 1}: x{box_ratio} "
+            f"(end-probe medians {cur_calib}/{prev_calib})"
+        )
     if args.note:
         note += "; " + args.note
     out["note"] = note
@@ -358,6 +387,30 @@ def main() -> None:
     # round's own BENCH_r{N}.json lands (r9 s5 review)
     prev = bench._previous_round_timings(sf, baseline_round=rnd - 1)
     out["movers"] = bench._compute_movers(out["steady"], prev)
+    # fingerprint-gated movers (VERDICT r11 next-round #4): the prior
+    # canonical stores its reference fingerprints, so each cross-round
+    # mover is marked plan-identical (same analyzed plan measured both
+    # rounds — a genuine runtime shift) vs plan-changed (the source
+    # changed; the timing delta is expected) vs unknown (either side
+    # unfingerprinted). With a box-speed ratio, each mover also gets
+    # its calibration-adjusted ratio and a box-vs-code attribution:
+    # a mover whose adjusted ratio falls back inside the non-mover
+    # band moved with the box, not the code.
+    prev_plans = prev_doc.get("plans") or {}
+    for name, m in out["movers"].items():
+        pfp = prev_plans.get(name)
+        cfp = (ref_plans or {}).get(name)
+        m["plan"] = (
+            "identical" if pfp and cfp and pfp == cfp
+            else "changed" if pfp and cfp
+            else "unknown"
+        )
+        if box_ratio:
+            adj = round(m["ratio"] / box_ratio, 3)
+            m["calib_adjusted"] = adj
+            m["attribution"] = (
+                "box" if 1 / 1.3 <= adj <= 1.3 else "code"
+            )
     # place big dicts after scalars/note so a truncated view stays readable
     ordered = {
         k: out[k]
