@@ -268,6 +268,7 @@ def incremental_hygiene_pipeline(
     delta: DataFrame,
     raw_col: Column | None = None,
     min_count: int = 3,
+    with_kept_text: bool = False,
 ) -> DataFrame:
     """The composed DAILY-DELTA hygiene job (VERDICT r11 next-round #1):
     what a 100 TB deployment actually runs nightly, as ONE plan over
@@ -309,7 +310,12 @@ def incremental_hygiene_pipeline(
 
     Output: ``(doc_id, host, n_lines, n_removed, removed_chars,
     n_redacted, scrubbed)`` — the kept, rewritten, scrubbed documents
-    with their strip/redaction accounting.
+    with their strip/redaction accounting. ``with_kept_text=True``
+    appends the pre-scrub ``kept_text`` column — the stage the staged
+    indexes fingerprint and count, which the index-maintenance face
+    (``streaming.sinks.hygiene_delta_ingest_foreach_batch``) upserts
+    from; the default output (and the registered query's plan) is
+    unchanged.
     """
     from flink_examples_spark.functions.pii import pii_counts, pii_scrub
     from flink_examples_spark.operators.dedup import (
@@ -350,10 +356,12 @@ def incremental_hygiene_pipeline(
         "doc_id", "host", "n_lines", "n_removed", "removed_chars",
         *pii_counts(raw),
         pii_scrub(raw).alias("scrubbed"),
+        *(["text"] if with_kept_text else []),
     )
     return step.select(
         "doc_id", "host", "n_lines", "n_removed", "removed_chars",
         (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4"))
         .alias("n_redacted"),
         "scrubbed",
+        *([F.col("text").alias("kept_text")] if with_kept_text else []),
     )

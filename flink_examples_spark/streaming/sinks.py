@@ -2173,3 +2173,157 @@ def compact_ivf_index(spark, index_path: str,
         .load(os.path.join(staging, "batch=compacted"))
         .count(),
     )
+
+
+def hygiene_delta_ingest_foreach_batch(
+    url_root: str,
+    line_root: str,
+    fp_root: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    url_col: str = "url_norm",
+    host_col: str = "host",
+    text_col: str = "text",
+    raw_col=None,
+    min_count: int = 3,
+    fmt: str = "parquet",
+) -> Callable[[DataFrame, int], None]:
+    """The daily hygiene job's ingest face — the DAY-2 LOOP: each
+    micro-batch is one delta dump; it is (1) run through the composed
+    ``operators.crawl.incremental_hygiene_pipeline`` against the three
+    ACCUMULATED staged indexes, (2) its kept/rewritten/scrubbed docs
+    ship under ``out_path/batch=<id>``, and (3) the indexes are
+    UPSERTED so tomorrow's dump probes today's state:
+
+      - url partials gain ALL the batch's canonical URLs (a seen URL
+        dedups future re-crawls whether or not its doc shipped —
+        shipping decisions never un-see a URL),
+      - line partials gain the SHIPPED docs' KEPT lines (the ship-state
+        rule: the corpus contains what survived, so boilerplate counts
+        track the post-strip text — deliberately different from the
+        registered query's raw-snapshot inline index, which models a
+        one-shot build over an as-crawled corpus),
+      - the fingerprint index gains the shipped docs' md5(kept_text) —
+        the SAME stage the probe fingerprints, so cross-day exact
+        dedup keeps firing.
+
+    The FIRST batch against empty roots is the bootstrap: url dedup
+    degenerates to within-batch min-id, the strip to within-batch
+    counts, fp dedup to within-batch keep-first — the face is total,
+    no separate corpus-initialization path. Replay safety: every read
+    EXCLUDES the in-flight batch's own subdirs (a replay must not
+    probe its own previous write — all its URLs would read as corpus
+    hits and the whole batch would drop), and every write overwrites
+    its own subdir; output-before-index ordering means a crash between
+    the writes replays the batch instead of poisoning the indexes with
+    never-shipped content. Compaction: the three roots compact with
+    their own faces (:func:`compact_url_partials`,
+    :func:`compact_host_line_partials`, :func:`compact_paragraph_index`
+    with ``fp_col='fp'``), each sparing the newest batch.
+
+    Pinned contract (tests/test_url.py day-2 e2e): after any prefix of
+    batches, the staged indexes equal a ONE-SHOT construction over
+    (all urls seen, all shipped kept texts) — so day N's output equals
+    the composed pipeline probing inline-built day-N state."""
+    from flink_examples_spark.operators.crawl import (
+        incremental_hygiene_pipeline,
+        url_partials,
+    )
+    from flink_examples_spark.operators.dedup import _host_lines
+
+    def _prior(root: str, sub: str) -> list[str]:
+        return (
+            [
+                os.path.join(root, n)
+                for n in os.listdir(root)
+                if not n.startswith((".", "_")) and n != sub
+            ]
+            if os.path.isdir(root)
+            else []
+        )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        for root in (url_root, line_root, fp_root):
+            _recover_swap(root)
+        sub = f"batch={batch_id}"
+        up = _prior(url_root, sub)
+        uidx = (
+            _fold_url_partials(spark.read.format(fmt).load(up))
+            if up
+            else spark.createDataFrame(
+                [], "url_norm string, n_docs_u long, chars_u long, "
+                    "min_doc_id long"
+            )
+        )
+        lp = _prior(line_root, sub)
+        lidx = (
+            _fold_host_line_partials(spark.read.format(fmt).load(lp))
+            if lp
+            else spark.createDataFrame(
+                [], "host string, lfp string, n_occ long, "
+                    "line_chars long"
+            )
+        )
+        fps = _prior(fp_root, sub)
+        cfps = (
+            spark.read.format(fmt).load(fps).select("fp").distinct()
+            if fps
+            else spark.createDataFrame([], "fp string")
+        )
+        delta = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(url_col).alias("url_norm"),
+            F.col(host_col).alias("host"),
+            F.col(text_col).alias("text"),
+        )
+        out = incremental_hygiene_pipeline(
+            uidx, lidx, cfps, delta,
+            raw_col=raw_col, min_count=min_count, with_kept_text=True,
+        ).localCheckpoint()
+        # ship FIRST: a crash before the index writes replays the
+        # batch; the reverse order would index never-shipped content
+        out.write.mode("overwrite").format(fmt).save(
+            os.path.join(out_path, sub)
+        )
+        url_partials(
+            delta.withColumn("n_chars", F.length("text")),
+            "doc_id", "doc_id", "n_chars", url=F.col("url_norm"),
+        ).write.mode("overwrite").format(fmt).save(
+            os.path.join(url_root, sub)
+        )
+        shipped = out.select(
+            "doc_id", "host", F.col("kept_text").alias("text")
+        )
+        (
+            _host_lines(shipped, "doc_id", "host", "text", ". ")
+            .groupBy("host", F.md5("line").alias("lfp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_occ"),
+                F.min(F.length("line").cast("long")).alias("line_chars"),
+            )
+            .write.mode("overwrite").format(fmt)
+            .save(os.path.join(line_root, sub))
+        )
+        shipped.select(F.md5("text").alias("fp")).distinct() \
+            .write.mode("overwrite").format(fmt) \
+            .save(os.path.join(fp_root, sub))
+
+    return apply
+
+
+def read_hygiene_fp_index(spark, fp_root: str,
+                          fmt: str = "parquet") -> DataFrame:
+    """The accumulated shipped-text fingerprint set ``(fp)`` —
+    distinct across batch subdirs (a duplicate fp in the probe's hit
+    table would multiply delta rows through the broadcast rejoin).
+    Missing path reads as EMPTY (the read_url_partials rule)."""
+    _recover_swap(fp_root)
+    subs = [
+        os.path.join(fp_root, n)
+        for n in os.listdir(fp_root)
+        if not n.startswith((".", "_"))
+    ] if os.path.isdir(fp_root) else []
+    if not subs:
+        return spark.createDataFrame([], "fp string")
+    return spark.read.format(fmt).load(subs).select("fp").distinct()

@@ -803,3 +803,121 @@ def test_hygiene_pipeline_staged_ingest_e2e(spark, tmp_path):
     # the stages actually bit: lines were struck and PII was redacted
     assert any(v[2] > 0 for v in got.values())
     assert all(v[4] > 0 for v in got.values())
+
+
+def test_hygiene_delta_ingest_day2_loop(spark, tmp_path):
+    """The DAY-2 LOOP, end-to-end: bootstrap the staged state by
+    running the unified hygiene ingest face on the corpus itself
+    (batch 0 against empty roots), then process two successive delta
+    days (batches 1 and 2). Pins: (a) day-2's shipped output equals
+    the composed pipeline probing ONE-SHOT inline-built day-2 state
+    (all urls seen in batches 0-1, line counts + fingerprints over
+    batches 0-1's SHIPPED kept texts) — the index-maintenance algebra
+    equals one-shot construction; (b) day-1 state actually matters
+    (dropping it changes day-2's output); (c) a day-2 replay is
+    idempotent; (d) compacting all three roots changes nothing."""
+    import os
+
+    from flink_examples_spark.operators.crawl import (
+        incremental_hygiene_pipeline as op,
+    )
+    from flink_examples_spark.operators.crawl import url_partials
+    from flink_examples_spark.operators.dedup import host_line_fp_index
+    from flink_examples_spark.queries import (
+        _hygiene_delta_frames,
+        _pii_raw_col,
+    )
+    from flink_examples_spark.streaming.sinks import (
+        _fold_url_partials,
+        compact_host_line_partials,
+        compact_paragraph_index,
+        compact_url_partials,
+        hygiene_delta_ingest_foreach_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    c, d = _hygiene_delta_frames(spark, sf)
+    docs = c.unionByName(d).select(
+        "doc_id", "url_norm", "host", "text"
+    ).localCheckpoint()
+    # hash-based day split: a modular split (doc_id % 10) correlates
+    # with the synthetic host (doc_id % 20) and the repost partner
+    # (doc_id + 20), making the days host-disjoint — no day could ever
+    # see another's urls/lines and pin (b) would be vacuous
+    from flink_examples_spark.operators.sampling import _bucket
+
+    day = _bucket("doc_id", "hygday")
+    d0 = docs.where(day < 7000).localCheckpoint()      # corpus bootstrap
+    d1 = docs.where(
+        (day >= 7000) & (day < 9000)
+    ).localCheckpoint()                                # day 1
+    d2 = docs.where(day >= 9000).localCheckpoint()     # day 2
+
+    uroot = str(tmp_path / "urls")
+    lroot = str(tmp_path / "lines")
+    fproot = str(tmp_path / "fps")
+    outroot = str(tmp_path / "out")
+    face = hygiene_delta_ingest_foreach_batch(
+        uroot, lroot, fproot, outroot, raw_col=_pii_raw_col()
+    )
+    for i, b in enumerate((d0, d1, d2)):
+        face(b, i)
+
+    def shipped(batch_ids):
+        return spark.read.parquet(
+            *[os.path.join(outroot, f"batch={i}") for i in batch_ids]
+        )
+
+    def as_dict(df):
+        return {
+            r.doc_id: (r.host, r.n_lines, r.n_removed, r.removed_chars,
+                       r.n_redacted, r.scrubbed, r.kept_text)
+            for r in df.collect()
+        }
+
+    out2 = as_dict(shipped([2]))
+    assert len(out2) > 0
+
+    # (a) one-shot reconstruction of the day-2 probe state
+    def inline_state(deltas):
+        seen = deltas[0]
+        for x in deltas[1:]:
+            seen = seen.unionByName(x)
+        uidx = _fold_url_partials(url_partials(
+            seen.withColumn("n_chars", F.length("text")),
+            "doc_id", "doc_id", "n_chars", url=F.col("url_norm"),
+        ))
+        ship = shipped(range(len(deltas))).select(
+            "doc_id", "host", F.col("kept_text").alias("text")
+        )
+        lidx = host_line_fp_index(ship, "doc_id", "host", "text")
+        cfps = ship.select(F.md5("text").alias("fp")).distinct()
+        return uidx, lidx, cfps
+
+    uidx, lidx, cfps = inline_state([d0, d1])
+    expected = as_dict(op(
+        uidx, lidx, cfps, d2,
+        raw_col=_pii_raw_col(), with_kept_text=True,
+    ))
+    assert out2 == expected
+
+    # (b) day-1 state matters: day-0-only state gives a different day-2
+    u0, l0, f0 = inline_state([d0])
+    day0_only = as_dict(op(
+        u0, l0, f0, d2, raw_col=_pii_raw_col(), with_kept_text=True,
+    ))
+    assert day0_only != out2
+
+    # (c) replay of the in-flight day is idempotent
+    face(d2, 2)
+    assert as_dict(shipped([2])) == out2
+
+    # (d) compaction on all three roots changes nothing
+    assert compact_url_partials(spark, uroot) > 0
+    assert compact_host_line_partials(spark, lroot) > 0
+    assert compact_paragraph_index(spark, fproot, fp_col="fp") > 0
+    face(d2, 2)
+    assert as_dict(shipped([2])) == out2
+    for root in (uroot, lroot, fproot):
+        subs = sorted(os.listdir(root))
+        assert "batch=compacted" in subs and "batch=0" not in subs
