@@ -44,6 +44,8 @@ Measured on local[32] at sf0.1 (2026-08-13, strip/NB 2026-08-14):
     skyline_2d             0.7s    0.7s    0.7s  -0.03   1.00 (r6, frontier ~12)
     host_line_strip        0.43s   0.40s   0.45s  0.03   1.00 (r10)
     embedding_neardup_incr 0.67s   0.61s   0.55s  -0.14  1.19* (r11, fixed delta)
+    hygiene_incremental    3.3s    2.5s    3.2s  -0.02   0.00 (r12, fixed delta, 79 rows const)
+    ivf_staged_probe       0.60s   0.62s   0.59s  0.00   0.00 (r12, fixed queries, 50 rows const)
 
 The merge row is the partition-scoped MERGE (2026-08-14): the staged
 corpus quadruples (shard count grows, constant rows per shard) while
@@ -195,6 +197,103 @@ def _make_incremental_neardup(emb1):
             | (F.pmod(F.col("vec_id"), 10) != 0)
         )
         return incremental_embedding_neardup(corpus, state["delta"])
+
+    return run
+
+
+def _make_hygiene_incremental(docs_src1):
+    """Fixed-delta composed hygiene pipeline (r12): the 10% delta is
+    pinned at its scale-1 membership while the corpus doubles, so the
+    curve measures the inline index builds (url fold, line fold,
+    corpus strip for fps — all linear) plus the delta-sized probe; a
+    corpus-keyed pairing anywhere would bend the curve. A per-host
+    footer line is appended post-doubling (identical across copies of
+    a source) so the line fold carries a genuinely hot key at every
+    scale — the map-side-combine discipline, not just unique lines."""
+    state: dict = {}
+
+    def _tag(d, n1):
+        from flink_examples_spark.functions.url import (
+            normalize_url,
+            synthetic_crawl_url,
+            url_host,
+        )
+
+        # copy-distinct hosts (source || copy index): the synthetic URL
+        # space is only 40 buckets per host, so copies sharing hosts
+        # would SATURATE it and url-drop the whole delta by 4x — the
+        # corpus must grow with constant dup density, like the text
+        # token prefixes and embedding sign flips
+        src = F.concat(
+            F.col("source"), F.lit("_"),
+            (F.col("doc_id") - F.pmod(F.col("doc_id"), n1))
+            .cast("long").cast("string"),
+        )
+        return d.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(". Footer "), src)
+            .alias("text"),
+            normalize_url(
+                synthetic_crawl_url(F.col("doc_id"), src)
+            ).alias("url_norm"),
+        ).withColumn(
+            "host",
+            url_host(F.col("url_norm")),
+        )
+
+    def run(d):
+        from flink_examples_spark.operators.crawl import (
+            incremental_hygiene_pipeline,
+        )
+        from flink_examples_spark.queries import _hygiene_corpus_indexes
+
+        if "n1" not in state:
+            state["n1"] = docs_src1.agg(F.max("doc_id")).first()[0] + 1
+        u = _tag(d, state["n1"])
+        if "delta" not in state:
+            state["delta"] = u.filter(
+                (F.pmod(F.col("doc_id"), 10) == 0)
+                & (F.col("doc_id") < state["n1"])
+            ).select(
+                "doc_id", "url_norm", "host", "text"
+            ).localCheckpoint()
+        corpus = u.filter(
+            (F.col("doc_id") >= state["n1"])
+            | (F.pmod(F.col("doc_id"), 10) != 0)
+        )
+        uidx, lidx, cfps = _hygiene_corpus_indexes(corpus)
+        return incremental_hygiene_pipeline(
+            uidx, lidx, cfps, state["delta"]
+        )
+
+    return run
+
+
+def _make_ivf_staged(emb1):
+    """Fixed query set probing a doubling staged-IVF corpus (r12):
+    centroids train ONCE on the scale-1 corpus (the staged-lifetime
+    rule — the quantizer never retrains under ingest), every doubled
+    corpus is assigned against them (one mapInPandas pass, linear) and
+    probed (cells scanned grow linearly with corpus mass; the probe
+    mask is constant). Curve must stay linear in corpus vectors."""
+    state: dict = {}
+
+    def run(d):
+        from flink_examples_spark.operators.similarity import (
+            cosine_topk_ivf_staged,
+            ivf_assign_cells,
+            train_ivf_centroids,
+        )
+
+        if not state:
+            state["cent"] = train_ivf_centroids(emb1, n_clusters=16)
+            state["queries"] = emb1.filter(
+                F.col("vec_id") < 10
+            ).localCheckpoint()
+        index = ivf_assign_cells(d, state["cent"])
+        return cosine_topk_ivf_staged(
+            index, state["cent"], state["queries"], k=5, n_probe=4
+        )
 
     return run
 
@@ -376,6 +475,19 @@ def main() -> None:
             emb1, "vec_id",
             _make_incremental_neardup(emb1),
         ),
+        # r12: composed incremental hygiene — fixed delta, doubling
+        # corpus; inline index builds are the linear term, the probe
+        # is delta-sized
+        "hygiene_incremental": (
+            docs_src1, "doc_id",
+            _make_hygiene_incremental(docs_src1),
+        ),
+        # r12: staged-IVF probe — fixed queries + once-trained
+        # centroids, doubling corpus assigned + probed; linear
+        "ivf_staged_probe": (
+            emb1, "vec_id",
+            _make_ivf_staged(emb1),
+        ),
     }
 
     # SPARK_GRAFT_CANARY_ONLY=<comma names>: re-measure a subset (solo
@@ -435,10 +547,15 @@ def main() -> None:
         import math
 
         t_exp = math.log2(times[2] / times[0]) / 2
-        r_exp = (math.log2(rows[2] / rows[0]) / 2) if rows[0] else None
+        r_exp = (
+            (math.log2(rows[2] / rows[0]) / 2)
+            if rows[0] and rows[2] else None
+        )
         summary[name] = {
             "time_growth_exponent": round(t_exp, 2),
-            "rows_growth_exponent": round(r_exp, 2) if r_exp else None,
+            "rows_growth_exponent": (
+                round(r_exp, 2) if r_exp is not None else None
+            ),
         }
         # the invariant that must hold: candidates stay FAR below n²
         # (all-pairs at 4x would be ~2e8 for docs / 3.2e7 for vectors)
