@@ -317,15 +317,38 @@ def incremental_hygiene_pipeline(
     from; the default output (and the registered query's plan) is
     unchanged.
     """
+    _, _, _, final = incremental_hygiene_stages(
+        url_index, line_index, corpus_fps, delta,
+        raw_col=raw_col, min_count=min_count,
+        with_kept_text=with_kept_text,
+    )
+    return final
+
+
+def incremental_hygiene_stages(
+    url_index: DataFrame,
+    line_index: DataFrame,
+    corpus_fps: DataFrame,
+    delta: DataFrame,
+    raw_col: Column | None = None,
+    min_count: int = 3,
+    with_kept_text: bool = False,
+):
+    """The [[incremental_hygiene_pipeline]] stage chain, exposed:
+    returns ``(verdicts, stripped, surv3, final)`` — per-doc URL keep
+    verdicts over the whole delta, the stripped stage-1 survivors, the
+    post-exact-dedup survivors, and the scrubbed output. ONE body (the
+    ``queries._hygiene_v2_stages`` convention): the pipeline query and
+    the per-stage funnel census read the same chain, so the funnel can
+    never drift from the pipeline."""
     from flink_examples_spark.functions.pii import pii_counts, pii_scrub
     from flink_examples_spark.operators.dedup import (
         incremental_host_line_strip,
     )
 
-    surv1 = (
-        incremental_url_keep(url_index, delta)
-        .filter(F.col("kept"))
-        .select("doc_id", "host", "text")
+    verdicts = incremental_url_keep(url_index, delta)
+    surv1 = verdicts.filter(F.col("kept")).select(
+        "doc_id", "host", "text"
     )
     stripped = incremental_host_line_strip(
         line_index, surv1, "doc_id", "host", "text", min_count=min_count
@@ -358,10 +381,11 @@ def incremental_hygiene_pipeline(
         pii_scrub(raw).alias("scrubbed"),
         *(["text"] if with_kept_text else []),
     )
-    return step.select(
+    final = step.select(
         "doc_id", "host", "n_lines", "n_removed", "removed_chars",
         (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4"))
         .alias("n_redacted"),
         "scrubbed",
         *([F.col("text").alias("kept_text")] if with_kept_text else []),
     )
+    return verdicts, stripped, surv3, final

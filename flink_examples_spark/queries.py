@@ -11458,7 +11458,10 @@ def _hygiene_corpus_indexes(corpus: DataFrame, checkpoint: bool = True):
     return uidx, lidx, cfps
 
 
-_INC_HYGIENE_ORACLE = f"""
+# the composed incremental hygiene chain as ONE shared CTE block (the
+# _HYGIENE_V2_SQL convention): the pipeline oracle and the funnel
+# oracle both end on these CTEs, so the two cannot drift
+_INC_HYGIENE_CTES = f"""
     WITH p0 AS (
         SELECT doc_id, source,
                COALESCE(CASE WHEN doc_id % 9 = 0 THEN
@@ -11553,6 +11556,9 @@ _INC_HYGIENE_ORACLE = f"""
                regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS t3
         FROM x2
     )
+"""
+
+_INC_HYGIENE_ORACLE = _INC_HYGIENE_CTES + """
     SELECT doc_id, host, n_lines, n_removed, removed_chars,
            n_email + n_phone + n_ipv4 AS n_redacted, t3 AS scrubbed
     FROM x3
@@ -11637,4 +11643,76 @@ def ann_cosine_topk_ivf_staged(
     index = ivf_assign_cells(emb, cent)
     return cosine_topk_ivf_staged(
         index, cent, emb.filter(F.col("vec_id") < 10), k=5, n_probe=8
+    )
+
+
+@register(
+    "hygiene_delta_funnel",
+    oracle=_INC_HYGIENE_CTES + """
+    , f0 AS (
+        SELECT host,
+               COUNT(*) AS n_delta,
+               CAST(SUM(CASE WHEN kept1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_url_kept
+        FROM uk WHERE is_delta GROUP BY 1
+    ), f3 AS (
+        SELECT host,
+               COUNT(*) AS n_kept,
+               CAST(SUM(n_removed) AS BIGINT) AS lines_removed,
+               CAST(SUM(removed_chars) AS BIGINT) AS chars_removed,
+               CAST(SUM(n_email + n_phone + n_ipv4) AS BIGINT)
+                   AS redactions
+        FROM x3 GROUP BY 1
+    )
+    SELECT f0.host, n_delta, n_url_kept,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(lines_removed, 0) AS lines_removed,
+           COALESCE(chars_removed, 0) AS chars_removed,
+           COALESCE(redactions, 0) AS redactions
+    FROM f0 LEFT JOIN f3 USING (host)
+    """,
+    doc="Per-host funnel census of the composed daily-delta hygiene "
+        "pipeline — the report an operator watches after each nightly "
+        "dump: how many delta docs arrived per host, how many survived "
+        "URL dedup, how many shipped after strip + exact dedup, and "
+        "the strip/redaction mass the survivors carried. Same stage "
+        "chain as incremental_hygiene_pipeline (ONE body each side: "
+        "operators.crawl.incremental_hygiene_stages / the shared "
+        "_INC_HYGIENE_CTES oracle block — the corpus_hygiene_funnel "
+        "convention), so the funnel can never drift from the pipeline; "
+        "the per-stage counts are |hosts|-sized aggregates joined on "
+        "host.",
+)
+def hygiene_delta_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_examples_spark.operators.crawl import (
+        incremental_hygiene_stages,
+    )
+
+    corpus, delta = _hygiene_delta_frames(spark, sf_dir)
+    uidx, lidx, cfps = _hygiene_corpus_indexes(corpus)
+    verdicts, _, _, final = incremental_hygiene_stages(
+        uidx,
+        lidx,
+        cfps,
+        delta.select("doc_id", "url_norm", "host", "text"),
+        raw_col=_pii_raw_col(),
+    )
+    f0 = verdicts.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.sum(F.col("kept").cast("long")).alias("n_url_kept"),
+    )
+    f3 = final.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_removed").alias("lines_removed"),
+        F.sum("removed_chars").alias("chars_removed"),
+        F.sum("n_redacted").alias("redactions"),
+    )
+    return f0.join(f3, "host", "left").select(
+        "host",
+        "n_delta",
+        "n_url_kept",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("lines_removed", F.lit(0)).alias("lines_removed"),
+        F.coalesce("chars_removed", F.lit(0)).alias("chars_removed"),
+        F.coalesce("redactions", F.lit(0)).alias("redactions"),
     )
