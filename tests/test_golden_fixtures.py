@@ -89,13 +89,24 @@ def test_query_index_doc_is_current():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    from flink_examples_spark.queries import registry
-
-    qs = registry()
     text = open(os.path.join(root, "docs", "QUERY_INDEX.md")).read()
-    assert f"{len(qs)} registered queries" in text
-    missing = [n for n in qs if f"`{n}`" not in text]
-    assert not missing, f"stale QUERY_INDEX.md, missing: {missing}"
+    # byte-for-byte against a fresh render (ADVICE r11: the old
+    # name-presence check let a stale SUMMARY survive a doc edit)
+    fresh = mod.render()
+    if text != fresh:
+        import difflib
+
+        diff = "".join(
+            difflib.unified_diff(
+                text.splitlines(keepends=True),
+                fresh.splitlines(keepends=True),
+                "docs/QUERY_INDEX.md", "registry render", n=0,
+            )
+        )
+        raise AssertionError(
+            "stale docs/QUERY_INDEX.md — re-run "
+            f"tools/gen_query_index.py:\n{diff[:4000]}"
+        )
 
 
 def test_zorder_key_interleave_golden_and_locality():
