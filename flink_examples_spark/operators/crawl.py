@@ -244,20 +244,34 @@ def incremental_url_keep(url_index: DataFrame, delta: DataFrame) -> DataFrame:
     Shuffle discipline (the [[incremental_url_dedup]] shape): ONE
     delta-sized url fold; the index is probed with the BROADCAST delta
     URL set and the hit flags broadcast back — the 100 TB index is
-    never reshuffled. Output: the delta frame plus a ``kept`` flag."""
-    dg = delta.groupBy("url_norm").agg(F.min("doc_id").alias("_min_d"))
+    never reshuffled. Output: the delta frame plus a ``kept`` flag.
+
+    A NULL ``url_norm`` (unparseable/missing crawl URL) is NO
+    evidence, not a duplicate group: such docs are kept and pass to
+    the later stages untouched — grouping NULLs would wrongly collapse
+    every url-less doc into one survivor, and the pre-r12 inner
+    rejoin silently DROPPED them (round-scope review r12). The
+    synthetic fixtures never produce NULL urls, so the registered
+    oracles are unaffected."""
+    dg = (
+        delta.filter(F.col("url_norm").isNotNull())
+        .groupBy("url_norm")
+        .agg(F.min("doc_id").alias("_min_d"))
+    )
     hits = (
         url_index.join(F.broadcast(dg.select("url_norm")), "url_norm")
         .select("url_norm")
         .withColumn("_in_corpus", F.lit(1))
     )
     verd = dg.join(F.broadcast(hits), "url_norm", "left")
-    return delta.join(F.broadcast(verd), "url_norm").select(
+    return delta.join(F.broadcast(verd), "url_norm", "left").select(
         *delta.columns,
-        (
+        F.when(F.col("url_norm").isNull(), F.lit(True))
+        .otherwise(
             F.col("_in_corpus").isNull()
             & (F.col("doc_id") == F.col("_min_d"))
-        ).alias("kept"),
+        )
+        .alias("kept"),
     )
 
 

@@ -687,6 +687,46 @@ def train_ivf_centroids(
     return cent
 
 
+def _ivf_score_fn(q_ids, q_norm, probe_sets, k, cell_of):
+    """ONE scoring body for both IVF probes ([[cosine_topk_ivf]]
+    re-assigns cells per batch; [[cosine_topk_ivf_staged]] reads the
+    stored column) — their pinned EXACT parity holds because this body
+    cannot drift between them (round-scope review r12; the
+    incremental_hygiene_stages one-body rule). ``cell_of(pdf, c_norm)``
+    returns the per-row cell ids."""
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: F811 — executor-side import
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = np.stack(pdf["cv"].to_numpy())
+            c_ids = pdf["neighbor_id"].to_numpy()
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_cell = cell_of(pdf, c_norm)
+            sims = c_norm @ q_norm.T
+            out = []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(c_cell, list(probe_sets[qi])) & (
+                    c_ids != qid
+                )
+                ids, vals = c_ids[mask], sims[mask, qi]
+                if len(ids) == 0:
+                    continue
+                top = min(k, len(ids))
+                sel = np.argpartition(-vals, top - 1)[:top]
+                out.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": ids[sel],
+                    "cosine": np.round(vals[sel], 6),
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return score
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -744,34 +784,14 @@ def cosine_topk_ivf(
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            c_mat = np.stack(pdf["cv"].to_numpy())
-            c_ids = pdf["neighbor_id"].to_numpy()
-            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-            c_cell = np.argmax(c_norm @ cent.T, axis=1)
-            sims = c_norm @ q_norm.T
-            out = []
-            for qi, qid in enumerate(q_ids):
-                in_probe = np.isin(c_cell, list(probe_sets[qi]))
-                mask = in_probe & (c_ids != qid)
-                ids, vals = c_ids[mask], sims[mask, qi]
-                if len(ids) == 0:
-                    continue
-                top = min(k, len(ids))
-                sel = np.argpartition(-vals, top - 1)[:top]
-                out.append(pd.DataFrame({
-                    "query_id": qid,
-                    "neighbor_id": ids[sel],
-                    "cosine": np.round(vals[sel], 6),
-                }))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+    def _assign_cells(pdf, c_norm):
+        import numpy as np  # noqa: F811 — executor-side import
+
+        return np.argmax(c_norm @ cent.T, axis=1)
 
     scored = corp.mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double"
+        _ivf_score_fn(q_ids, q_norm, probe_sets, k, _assign_cells),
+        "query_id long, neighbor_id long, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -802,6 +822,14 @@ def ivf_assign_cells(
     import numpy as np
 
     cent = np.asarray(centroids, dtype=np.float64)
+    if cent.size == 0:
+        # fail at the driver with the cause, not with an opaque numpy
+        # shape error inside an executor task (round-scope review r12;
+        # the ingest face raises its own message before reaching here)
+        raise ValueError(
+            "ivf_assign_cells: empty centroids — train/stage the "
+            "coarse quantizer before assigning"
+        )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np  # noqa: F811 — executor-side import
@@ -881,37 +909,12 @@ def cosine_topk_ivf_staged(
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).filter(F.col("cell").isin(all_cells))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np  # noqa: F811 — executor-side import
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            c_mat = np.stack(pdf["cv"].to_numpy())
-            c_ids = pdf["neighbor_id"].to_numpy()
-            c_cell = pdf["cell"].to_numpy()
-            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = c_norm @ q_norm.T
-            out = []
-            for qi, qid in enumerate(q_ids):
-                mask = np.isin(c_cell, list(probe_sets[qi])) & (
-                    c_ids != qid
-                )
-                ids, vals = c_ids[mask], sims[mask, qi]
-                if len(ids) == 0:
-                    continue
-                top = min(k, len(ids))
-                sel = np.argpartition(-vals, top - 1)[:top]
-                out.append(pd.DataFrame({
-                    "query_id": qid,
-                    "neighbor_id": ids[sel],
-                    "cosine": np.round(vals[sel], 6),
-                }))
-            if out:
-                yield pd.concat(out, ignore_index=True)
-
     scored = corp.mapInPandas(
-        score, "query_id long, neighbor_id long, cosine double"
+        _ivf_score_fn(
+            q_ids, q_norm, probe_sets, k,
+            lambda pdf, c_norm: pdf["cell"].to_numpy(),
+        ),
+        "query_id long, neighbor_id long, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")

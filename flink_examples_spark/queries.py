@@ -11424,7 +11424,8 @@ def _hygiene_corpus_survivors(corpus: DataFrame,
     )
 
 
-def _hygiene_corpus_indexes(corpus: DataFrame, checkpoint: bool = True):
+def _hygiene_corpus_indexes(corpus: DataFrame, checkpoint: bool = True,
+                            min_count: int = 3):
     """The three staged artifacts the composed incremental pipeline
     probes — ``(url_index, line_index, corpus_fps)`` — computed INLINE
     from the corpus snapshot (the url_dedup_incremental concession:
@@ -11435,7 +11436,10 @@ def _hygiene_corpus_indexes(corpus: DataFrame, checkpoint: bool = True):
     ship-time state: corpus survivors stripped under CORPUS-ONLY
     counts, so a delta that newly pushes a line over the threshold
     never retroactively changes a shipped doc's fingerprint (the
-    immutability asymmetry)."""
+    immutability asymmetry). ``min_count`` must match the value the
+    probe strips at — a threshold mismatch between the staged
+    fingerprints and the delta strip silently breaks stage-3 exact
+    dedup (round-scope review r12), so it is threaded through here."""
     from flink_examples_spark.operators.dedup import (
         host_line_dedup_strip,
         host_line_fp_index,
@@ -11450,7 +11454,8 @@ def _hygiene_corpus_indexes(corpus: DataFrame, checkpoint: bool = True):
         c1 = c1.localCheckpoint(eager=False)
     lidx = host_line_fp_index(c1, "doc_id", "host", "text")
     cfps = (
-        host_line_dedup_strip(c1, "doc_id", "host", "text")
+        host_line_dedup_strip(c1, "doc_id", "host", "text",
+                              min_count=min_count)
         .filter(F.length("kept_text") > 0)
         .select(F.md5("kept_text").alias("fp"))
         .distinct()

@@ -389,8 +389,9 @@ def test_fold_tags_loaded_sessions(tmp_path, monkeypatch):
     fb.main()
     out = json.loads((tmp_path / "BENCH_local_r09.json").read_text())
     assert list(out["load_tags"]) == ["BENCH_session_r09_s3.json"]
-    # leave-one-out baseline (ADVICE r11): 0.22 / median(0.10, 0.11)
-    assert out["load_tags"]["BENCH_session_r09_s3.json"] == 2.1
+    # leave-one-out, fastest-other dropped (ADVICE r11 + r12 review):
+    # 0.22 / median([0.11]) after dropping the fastest other (0.10)
+    assert out["load_tags"]["BENCH_session_r09_s3.json"] == 2.0
     assert "load-tagged session(s)" in out["note"]
     assert "BENCH_session_r09_s3.json" in out["note"]
     # tagged, NOT excluded: s3's winning minimum folds
@@ -480,6 +481,24 @@ def test_load_tags_leave_one_out_small_rounds():
         "s1": {"start": 0.12, "end": 0.050},
         "s2": {"start": 0.125, "end": 0.052},
     }) == {}
+
+    # r12 review: one anomalously FAST session in a 3-session round
+    # must not drag the leave-one-out baseline down and tag the
+    # normal majority (plain leave-one-out tagged s1 AND s2 here at
+    # x1.33 each — the fastest other is dropped from the baseline)
+    assert fb.load_tags({
+        "s1": {"start": 0.12, "end": 0.10},
+        "s2": {"start": 0.12, "end": 0.10},
+        "s3": {"start": 0.12, "end": 0.05},
+    }) == {}
+
+    # and a genuinely loaded session in a 3-session round still tags
+    tags = fb.load_tags({
+        "s1": {"start": 0.12, "end": 0.10},
+        "s2": {"start": 0.12, "end": 0.10},
+        "s3": {"start": 0.12, "end": 0.22},
+    })
+    assert list(tags) == ["s3"] and tags["s3"] == 2.2
 
 
 def test_fold_warns_on_partial_fingerprint_reference(

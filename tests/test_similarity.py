@@ -811,3 +811,18 @@ def test_ivf_index_ingest_replay_compaction_e2e(spark, sf_dir, tmp_path):
     assert "_centroids" in subs
     assert np.allclose(read_ivf_centroids(spark, root), cent)
     assert probe() == inline
+
+
+def test_ivf_assign_cells_empty_centroids_raises(spark):
+    """r12 review: an empty quantizer must fail at the DRIVER with the
+    cause, not as an opaque numpy shape error inside a task."""
+    import numpy as np
+    import pytest
+
+    from flink_examples_spark.operators.similarity import ivf_assign_cells
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty centroids"):
+        ivf_assign_cells(df, np.zeros((0, 0)))

@@ -921,3 +921,30 @@ def test_hygiene_delta_ingest_day2_loop(spark, tmp_path):
     for root in (uroot, lroot, fproot):
         subs = sorted(os.listdir(root))
         assert "batch=compacted" in subs and "batch=0" not in subs
+
+
+def test_incremental_url_keep_null_url_kept(spark):
+    """r12 review: a NULL url_norm (unparseable/missing crawl URL) is
+    NO evidence, not a duplicate group — such docs must survive with
+    kept=true, not vanish through the url_norm equi-join, and distinct
+    url-less docs must never dedup against each other."""
+    from flink_examples_spark.operators.crawl import incremental_url_keep
+
+    index = spark.createDataFrame(
+        [("a.com/p", 1, 100)], "url_norm string, n_docs long, keep_doc_id long"
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "a.com/p", "t1"),   # corpus hit -> dropped
+            (2, "b.com/q", "t2"),   # fresh url, min -> kept
+            (3, "b.com/q", "t3"),   # fresh url, not min -> dropped
+            (4, None, "t4"),        # no url evidence -> kept
+            (5, None, "t5"),        # no url evidence -> kept (NOT deduped vs 4)
+        ],
+        "doc_id long, url_norm string, text string",
+    )
+    got = {
+        r.doc_id: r.kept
+        for r in incremental_url_keep(index, delta).collect()
+    }
+    assert got == {1: False, 2: True, 3: False, 4: True, 5: True}

@@ -118,10 +118,20 @@ def load_tags(probes: dict[str, dict[str, float]]) -> dict[str, float]:
             # loaded one raises the all-in median enough to escape its
             # own tag line (2 sessions: a x1.5 probe vs its peer lands
             # at the midpoint, ratio 1.22 — never tagged). Comparing
-            # against the OTHER sessions' median keeps the baseline
-            # uncontaminated at any round size; with one session there
-            # is no baseline and nothing to tag against.
-            others = [v for n, v in vals.items() if n != name]
+            # against the OTHER sessions' median keeps a loaded
+            # candidate out of its own baseline; additionally dropping
+            # the FASTEST other (when two or more remain) keeps one
+            # anomalously fast session from dragging the baseline down
+            # and false-tagging the normal majority (round-scope
+            # review r12: at n=3, others = {normal, fast} has its
+            # median at the midpoint, and {0.10, 0.10, 0.05} tagged
+            # BOTH normal sessions). The bias is conservative: a tag
+            # now requires exceeding 1.3x a non-fastest peer.
+            others = sorted(
+                v for n, v in vals.items() if n != name
+            )
+            if len(others) >= 2:
+                others = others[1:]
             if not others:
                 continue
             med = statistics.median(others)
