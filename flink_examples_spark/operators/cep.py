@@ -491,10 +491,15 @@ def match_recognize(
             out[c] = key[i]
         return out[out_cols]
 
-    from flink_examples_spark.operators.util import keyed_python_partitions
+    from flink_examples_spark.operators.util import grouped_map_in_pandas
 
-    df = keyed_python_partitions(df, pcols)
-    return df.groupBy(*pcols).applyInPandas(run, output_schema)
+    # one mapInPandas pass with JVM-side partition sort + vectorized
+    # group carving instead of groupBy().applyInPandas — the per-group
+    # Arrow/pandas machinery dominated the NFA itself at high key
+    # cardinality (operators/util.py grouped_map_in_pandas; solo A/B on
+    # cep_reluctant_first_purchase x1.14, 1.56s -> 1.37s steady). `run`
+    # still sorts each group itself, so its contract is unchanged.
+    return grouped_map_in_pandas(df, pcols, ocols, run, output_schema)
 
 
 # ---------------------------------------------------------------------------

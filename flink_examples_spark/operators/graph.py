@@ -164,12 +164,25 @@ def triangle_counts(
     Nothing is ever all-pairs; every join key is an edge endpoint or
     an edge pair. Input edges may carry duplicates or both directions
     — they are canonicalized and deduped first.
+
+    The canonical undirected list and the oriented list are each
+    consumed by several downstream joins (und: degrees + orientation +
+    the closing-edge lookup; oriented: both wedge sides), so both are
+    pinned with ``localCheckpoint`` — un-pinned, every consumer
+    re-derives the whole upstream edge derivation (for the co-purchase
+    query that is the lineitem self-join: 24 scans / 42 Exchange nodes
+    in the r13 profile; ReuseExchange deduped part of the runtime but
+    the solo A/B still reads x1.23 — 2.87s -> 2.33s steady at sf0.1,
+    mostly planning + AQE re-optimization over the duplicated
+    subtrees). Both are |E|-row key tables — the linear-size artifact
+    a 100 TB run would stage anyway, never the payload.
     """
     lo, hi = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
     und = (
         edges.filter(F.col(src) != F.col(dst))
         .select(lo.alias("a"), hi.alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -190,6 +203,7 @@ def triangle_counts(
             .alias("e")
         )
         .select("e.u", "e.v")
+        .localCheckpoint(eager=True)
     )
     w1, w2 = oriented.alias("w1"), oriented.alias("w2")
     wedges = w1.join(

@@ -174,7 +174,16 @@ def hot_items_sliding_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Partial+final hash agg; filter pushed to parquet scan.",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load_table(spark, "lineitem", sf_dir)
+    # fan out before the 8-fold DECIMAL partial aggregate: the decimal
+    # sums (precision 28 buffers — BigDecimal path, not long-backed)
+    # are CPU-heavy per-row work serialized on the single-file scan
+    # task (solo A/B x1.29: 1.27s -> 0.99s; the narrow 7-column
+    # projection keeps the fan-out exchange cheap). Scale-guarded:
+    # _fan_out is a no-op on a multi-file scan.
+    l = _fan_out(spark, load_table(spark, "lineitem", sf_dir).select(
+        "l_shipdate", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    ))
     disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
     charge = disc_price * (1 + _dec("l_tax"))
     return (
@@ -1854,7 +1863,11 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"),
     )
-    tr = emb.filter(b >= 1000)
+    # fan out the scored side: |tr| x |ev| expression-fold cosines
+    # between the single-file scan and the first exchange are exactly
+    # the CPU-heavy per-row expansion _fan_out exists for — serialized
+    # on one task they were ~85% of this query (solo A/B below)
+    tr = _fan_out(spark, emb.filter(b >= 1000))
     cos = F.round(
         _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6
     )
@@ -7183,7 +7196,13 @@ def copurchase_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_partkey"
     )
-    x, y = li.alias("x"), li.alias("y")
+    # fan out the PROBE side only: pair emission + partial agg between
+    # the single-file scan and the first exchange is CPU-heavy per-row
+    # expansion (the _fan_out criterion) — serialized on one task it
+    # was ~80% of this query's cost (solo A/B x1.66: 2.09s -> 1.26s).
+    # The build side stays the plain scan so the planner's
+    # size-threshold broadcast decision is unchanged at any scale.
+    x, y = _fan_out(spark, li).alias("x"), li.alias("y")
     edges = (
         x.join(
             y,

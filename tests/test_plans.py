@@ -86,7 +86,13 @@ def test_python_stage_partition_count_pinned(spark, sf_dir):
     df = E.queries()["cep_ascending_purchase"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "REPARTITION_BY_NUM" in plan
-    assert python_eval_nodes(df) == ["FlatMapGroupsInPandas"]
+    # r13: the NFA runs through ONE MapInPandas pass (JVM partition
+    # sort + vectorized group carving, operators/util.py
+    # grouped_map_in_pandas) instead of FlatMapGroupsInPandas — the
+    # per-group Arrow/pandas round trip dominated at 1,500 keys
+    assert python_eval_nodes(df) == ["MapInPandas"]
+    # the partition sort that replaces the per-group sort shuffle
+    assert "Sort" in plan
 
 
 def test_interval_join_single_shuffle_per_side(spark, sf_dir):
