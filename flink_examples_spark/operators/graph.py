@@ -93,23 +93,22 @@ def walk_mass(
             mass.join(e, mass["node"] == e["src"])
             .select("src", "dst", F.expr(div).alias("c"))
         )
-        out_tot = contrib.groupBy("src").agg(F.sum("c").alias("_out"))
-        kept = (
-            mass.join(out_tot, mass["node"] == out_tot["src"], "left")
-            .select(
-                "node",
-                (F.col("mass") - F.coalesce(F.col("_out"), F.lit(0)))
-                .alias("mass"),
+        # mass-delta union: new mass = old mass - Σ sent + Σ received,
+        # folded in ONE map-side-combinable groupBy over (old mass rows
+        # ∪ per-edge -c at src ∪ per-edge +c at dst). The previous
+        # formulation materialized Σ sent as its own aggregate, LEFT
+        # JOINed it back onto mass, and union-aggregated the receive
+        # side — two extra exchanges per iteration for the identical
+        # integer sum (r13 A/B x1.08 at sf0.1; at scale the saving is
+        # two |V|-row shuffles per round).
+        delta = mass.unionByName(
+            contrib.select(
+                F.col("src").alias("node"), (-F.col("c")).alias("mass")
             )
+        ).unionByName(
+            contrib.select(F.col("dst").alias("node"), F.col("c").alias("mass"))
         )
-        recv = contrib.groupBy(F.col("dst").alias("node")).agg(
-            F.sum("c").alias("mass")
-        )
-        mass = (
-            kept.unionByName(recv)
-            .groupBy("node")
-            .agg(F.sum("mass").alias("mass"))
-        )
+        mass = delta.groupBy("node").agg(F.sum("mass").alias("mass"))
     return mass
 
 

@@ -2668,8 +2668,15 @@ def dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(_fan_out(spark, docs), "doc_id", "text", n=3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Band keys take the zero-shuffle ARRAY formulation (shingles_df
+    # omitted) rather than reading the shared index: the aggregate
+    # path explodes k=8 hash rows per shingle through a shuffle, and
+    # re-tokenizing in codegen beat that shuffle x1.27 at sf0.1 (r13
+    # A/B 2.86s -> 2.24s; the two formulations are bit-identical by
+    # the minhash_band_keys contract). The persisted index still
+    # serves both verify-side consumers.
     cand = minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=8, band_size=2, shingles_df=sh
+        _fan_out(spark, docs), "doc_id", "text", num_hashes=8, band_size=2
     )
     verified = verify_jaccard_on_candidates(
         docs, cand, "doc_id", "text", n=3, threshold=0.3, shingles_df=sh
@@ -3764,8 +3771,12 @@ def _corpus_pipeline(
     sh = shingles(
         _fan_out(spark, clean), "doc_id", "text", n=3
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # zero-shuffle ARRAY band keys instead of the explode+aggregate
+    # path over the shared index — same rationale and A/B as
+    # dedup_pipeline_keep (bit-identical by the minhash_band_keys
+    # contract; the persisted index still serves the verify stage)
     cand = minhash_lsh_pairs(
-        clean, "doc_id", "text", num_hashes=8, band_size=2, shingles_df=sh
+        _fan_out(spark, clean), "doc_id", "text", num_hashes=8, band_size=2
     )
     verified = verify_jaccard_on_candidates(
         clean, cand, "doc_id", "text", n=3, threshold=0.3, shingles_df=sh
