@@ -632,9 +632,13 @@ def connected_components(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
     ).localCheckpoint(eager=True)
+    # lazy pin: the tier-gate count right below is the first action, so
+    # it materializes the checkpoint as a side effect — an eager pin
+    # here ran the union+distinct as its own job and then the count as
+    # a second one over the pinned blocks (one job saved per call, r13)
     edges = base.union(
         base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     if edges.count() <= driver_threshold:
         parent: dict[int, int] = {}
 
@@ -683,16 +687,26 @@ def connected_components(
         hop = relaxed.select(
             F.col("src").alias("_p"), F.col("cluster_id").alias("_pl")
         )
+        # lazy pin + full-count convergence probe in ONE action (r13):
+        # the eager pin ran its own job and the limit(1) probe a second
+        # one per round. A LAZY checkpoint is materialized by whatever
+        # action runs it first — but only for the partitions that
+        # action computes, so the probe must NOT short-circuit: the
+        # full count below scans every partition of `updated` through
+        # the join, pinning all of them, and changed==0 is the same
+        # predicate limit(1).count()==0 tested. One job per round
+        # instead of two (the rounds are the whole cost of the
+        # distributed tier at bench scale; at 100 TB one fewer
+        # label-table pass per round).
         updated = (
             relaxed.join(hop, relaxed["cluster_id"] == hop["_p"])
             .select("src", F.col("_pl").alias("cluster_id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             updated.alias("n")
             .join(labels.alias("o"), "src")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
             .count()
         )
         labels = updated
