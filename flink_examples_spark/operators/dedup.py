@@ -650,8 +650,19 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.toLocalIterator():
-            ra, rb = find(row["src"]), find(row["dst"])
+        # ONE Arrow collect, not toLocalIterator: the per-partition
+        # streaming fetch submits a separate Spark job per partition
+        # (~32 tiny jobs here), and the count gate above already
+        # proved the edge set is driver-sized, so stream-bounding the
+        # fetch buys nothing. Arrow moves the two long columns as
+        # columnar batches (no Row objects), and the union-find walks
+        # plain Python ints zipped from them (one job saved per call
+        # plus a per-partition scheduling round trip, r13).
+        tbl = edges.toArrow()
+        for sa, sb in zip(
+            tbl.column("src").to_pylist(), tbl.column("dst").to_pylist()
+        ):
+            ra, rb = find(sa), find(sb)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(n, find(n)) for n in parent]

@@ -1734,8 +1734,16 @@ def dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_pairs(
         _fan_out(spark, docs), "doc_id", "text", num_hashes=8, band_size=2
     )
+    # spread the candidate set before the O(len^2) verify: the
+    # candidate distinct is kilobytes, so AQE coalesces its exchange to
+    # one partition and the whole Levenshtein stage — the dominant cost
+    # of this query — runs on a single core. The candidate rows are id
+    # pairs (metadata, guide §8: decide with small rows), so the extra
+    # round-robin exchange is noise next to the verify it parallelizes;
+    # at real scale the candidate set is wide already and _fan_out's
+    # leaf-width probe skips the repartition.
     return verify_levenshtein_on_candidates(
-        docs, cand, "doc_id", "text", min_sim=0.8
+        docs, _fan_out(spark, cand), "doc_id", "text", min_sim=0.8
     )
 
 
