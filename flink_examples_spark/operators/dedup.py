@@ -682,8 +682,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nlabel").alias("nlabel"))
         )
+        # carry the PRE-round label through as _old so the convergence
+        # probe below never has to join back against `labels`
         relaxed = labels.join(neigh, "src", "left").select(
             "src",
+            F.col("cluster_id").alias("_old"),
             F.least(
                 F.col("cluster_id"), F.coalesce("nlabel", "cluster_id")
             ).alias("cluster_id"),
@@ -698,29 +701,29 @@ def connected_components(
         hop = relaxed.select(
             F.col("src").alias("_p"), F.col("cluster_id").alias("_pl")
         )
-        # lazy pin + full-count convergence probe in ONE action (r13):
-        # the eager pin ran its own job and the limit(1) probe a second
-        # one per round. A LAZY checkpoint is materialized by whatever
-        # action runs it first — but only for the partitions that
-        # action computes, so the probe must NOT short-circuit: the
-        # full count below scans every partition of `updated` through
-        # the join, pinning all of them, and changed==0 is the same
-        # predicate limit(1).count()==0 tested. One job per round
-        # instead of two (the rounds are the whole cost of the
-        # distributed tier at bench scale; at 100 TB one fewer
-        # label-table pass per round).
+        # lazy pin + in-row convergence probe in ONE action (r13): the
+        # eager pin ran its own job, the limit(1) probe a second one
+        # per round, and the probe re-joined the new label table
+        # against the old one — two more |V|-row shuffle stages per
+        # round. With ``_old`` carried through the round, the probe is
+        # a plain filter+count over the pinned rows: a LAZY checkpoint
+        # is materialized by whatever action runs it first, and a
+        # filter scans EVERY partition (no short-circuit), so this one
+        # count both pins the round's label table and answers
+        # changed==0 — the same predicate the join probe tested. One
+        # job per round and zero probe shuffles (at 100 TB each round
+        # saves one full label-table join pass).
         updated = (
             relaxed.join(hop, relaxed["cluster_id"] == hop["_p"])
-            .select("src", F.col("_pl").alias("cluster_id"))
+            .select(
+                "src",
+                F.col("_pl").alias("cluster_id"),
+                (F.col("_old") != F.col("_pl")).alias("_chg"),
+            )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("_chg")).count()
+        labels = updated.select("src", "cluster_id")
         if changed == 0:
             break
     else:
