@@ -589,12 +589,18 @@ def embedding_neardup_lsh(
             {"vec_a": ids[i], "vec_b": ids[j], "cosine": sims[i, j]}
         )
 
-    from flink_examples_spark.operators.util import keyed_python_partitions
+    from flink_examples_spark.operators.util import grouped_map_in_pandas
 
+    # one mapInPandas pass over bucket-sorted partitions instead of
+    # groupBy().applyInPandas: n_tables * 2^n_planes small groups paid
+    # a per-group Arrow batch both ways (util.grouped_map_in_pandas —
+    # the r13 CEP-family migration); pair emission is order-free inside
+    # a bucket so results are identical
     return (
-        keyed_python_partitions(e, ["bucket"])
-        .groupBy("bucket")
-        .applyInPandas(per_bucket, "vec_a long, vec_b long, cosine double")
+        grouped_map_in_pandas(
+            e, ["bucket"], [], per_bucket,
+            "vec_a long, vec_b long, cosine double",
+        )
         # the same true pair collides in several tables; cosine is
         # computed identically everywhere so distinct() collapses them
         .distinct()

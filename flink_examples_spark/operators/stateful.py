@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_examples_spark.operators.util import keyed_python_partitions
+from flink_examples_spark.operators.util import grouped_map_in_pandas
 
 
 def fraud_pairs(
@@ -110,12 +110,13 @@ def dfa_alerts(
         )
 
     key_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[key]
-    return (
-        keyed_python_partitions(df, [key])
-        .groupBy(key)
-        .applyInPandas(run, f"key {key_t}, n_events long, n_alerts long")
-        .withColumnRenamed("key", key)
-    )
+    # one mapInPandas pass over key-sorted partitions (the r13
+    # grouped_map_in_pandas migration): ~|keys| tiny groups paid a
+    # per-group Arrow batch each way under applyInPandas; run() keeps
+    # its own in-group sort so the scan semantics are unchanged
+    return grouped_map_in_pandas(
+        df, [key], ocols, run, f"key {key_t}, n_events long, n_alerts long"
+    ).withColumnRenamed("key", key)
 
 
 def delta_trigger(
@@ -152,11 +153,8 @@ def delta_trigger(
         return out[["key", id_col, "bucket"]]
 
     types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    return (
-        keyed_python_partitions(df, [key])
-        .groupBy(key)
-        .applyInPandas(
-            run, f"key {types[key]}, {id_col} {types[id_col]}, bucket long"
-        )
-        .withColumnRenamed("key", key)
-    )
+    # same grouped_map_in_pandas migration as dfa_alerts above
+    return grouped_map_in_pandas(
+        df, [key], ocols, run,
+        f"key {types[key]}, {id_col} {types[id_col]}, bucket long"
+    ).withColumnRenamed("key", key)
