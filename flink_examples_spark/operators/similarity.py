@@ -589,18 +589,18 @@ def embedding_neardup_lsh(
             {"vec_a": ids[i], "vec_b": ids[j], "cosine": sims[i, j]}
         )
 
-    from flink_examples_spark.operators.util import grouped_map_in_pandas
+    from flink_examples_spark.operators.util import keyed_python_partitions
 
-    # one mapInPandas pass over bucket-sorted partitions instead of
-    # groupBy().applyInPandas: n_tables * 2^n_planes small groups paid
-    # a per-group Arrow batch both ways (util.grouped_map_in_pandas —
-    # the r13 CEP-family migration); pair emission is order-free inside
-    # a bucket so results are identical
+    # NOT migrated to grouped_map_in_pandas (r13): the per-group Arrow
+    # overhead is amortized here (n_tables * 2^n_planes groups of ~n/2^b
+    # vectors each, with the 64-d vector payload that the migration's
+    # sortWithinPartitions would have to move) — the interleaved A/B
+    # measured old 1.115 s vs new 1.105 s at sf0.1, i.e. neutral, so
+    # the simpler per-group form stays
     return (
-        grouped_map_in_pandas(
-            e, ["bucket"], [], per_bucket,
-            "vec_a long, vec_b long, cosine double",
-        )
+        keyed_python_partitions(e, ["bucket"])
+        .groupBy("bucket")
+        .applyInPandas(per_bucket, "vec_a long, vec_b long, cosine double")
         # the same true pair collides in several tables; cosine is
         # computed identically everywhere so distinct() collapses them
         .distinct()
