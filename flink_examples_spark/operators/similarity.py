@@ -380,8 +380,13 @@ def incremental_embedding_neardup(
     once and no chunk pair is ever co-resident on the driver);
     within-chunk pairs stay the local triangle GEMM. Same plan shape
     per pass, zero exchanges, parity with the unchunked path pinned in
-    tests/test_similarity.py. Default ``None`` keeps the single-pass
-    plan (the registered query's pinned fingerprint).
+    tests/test_similarity.py. Note the chunked path's corpus-side IO is
+    ``k`` streamed passes, not one — corpus IO scales with
+    ``ceil(|delta|/chunk_size)``, so size ``chunk_size`` to the
+    largest broadcastable delta slice rather than minimizing driver
+    peak alone. Default ``None`` keeps the single-pass plan (the
+    registered query's pinned fingerprint) and the one-pass corpus
+    cost.
     """
     import numpy as np
 
