@@ -684,6 +684,11 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "reps": reps,
+        # core count the session ran with (r14): the r13 driver's 8-cpu
+        # scaling run bootstrapped a round-14 canonical from 8-cpu
+        # minima — recording cpus lets fold_bench separate cross-core
+        # drafts instead of inferring from calibration probes
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
         "prev_queries_recovered": len(prev),
         "stalls": {
             "reps_over_5x_steady": stall_rep_count,
@@ -732,20 +737,58 @@ def main() -> None:
             reverse=True,
         )[:12]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "reps": reps,
-                "n_queries": len(timings),
-                "movers": top_movers,
-                "shape": "compact",
-            }
-        )
+    # per-query deltas vs prev committed steady (VERDICT r13 #1): the
+    # driver's 2000-char tail only ever sees THIS line, so it must
+    # carry per-query signal — counts at the >10% threshold, the worst
+    # regressions and best improvements as {query: {prev, now}}, and
+    # the start calibration probe so a loaded-box run is
+    # machine-readable from the compact line alone. Additions-only:
+    # every pre-r14 field keeps its name and shape.
+    common = {
+        n: (prev[n], steady[n]) for n in steady if n in prev and prev[n] > 0
+    }
+    regressed = sorted(
+        ((n, p, s) for n, (p, s) in common.items() if s > 1.1 * p),
+        key=lambda x: x[2] / x[1],
+        reverse=True,
     )
+    improved = sorted(
+        ((n, p, s) for n, (p, s) in common.items() if s < p / 1.1),
+        key=lambda x: x[2] / x[1],
+    )
+    compact = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "n_queries": len(timings),
+        "n_common": len(common),
+        "n_regressed": len(regressed),
+        "n_improved": len(improved),
+        "attest_start_calib_s": attest_start.get("calib_s"),
+        "movers": top_movers,
+        "regressed": {},
+        "improved": {},
+        "shape": "compact",
+    }
+    # budget (VERDICT r13 #1): <=1800 chars so the 2000-char tail
+    # always captures the WHOLE line; shrink the three capped maps
+    # together until it fits (counts above stay uncapped)
+    cap = 12
+    while True:
+        compact["movers"] = dict(list(top_movers.items())[:cap])
+        compact["regressed"] = {
+            n: {"prev": p, "now": s} for n, p, s in regressed[:cap]
+        }
+        compact["improved"] = {
+            n: {"prev": p, "now": s} for n, p, s in improved[:cap]
+        }
+        line = json.dumps(compact)
+        if len(line) <= 1800 or cap == 0:
+            break
+        cap -= 1
+    print(line)
     spark.stop()
 
 

@@ -374,6 +374,7 @@ def match_recognize(
     max_matches_per_key: int = 100_000,
     timeout_measures: Callable[[dict[str, pd.DataFrame], pd.DataFrame], dict] | None = None,
     max_concurrent_partials: int = 64,
+    row_number_col: str | None = None,
 ) -> DataFrame:
     """Run a MATCH_RECOGNIZE-style pattern per key.
 
@@ -409,6 +410,15 @@ def match_recognize(
     sheds the shortest branches). Include a discriminator column (e.g.
     ``timed_out boolean``) in the schema and filter to split the side
     output (P7).
+
+    row_number_col (r14): when set, each key's rows gain a 1-based
+    position column over the ORDER BY order before matching — exactly
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_by)``, but
+    computed inside the NFA's existing per-key sorted pass, so a
+    consumer that needs match positions (e.g. rows-between counts)
+    reads them from MEASURES instead of re-shuffling the input through
+    a separate window + joins (guide §2.4 — the NFA already paid the
+    keyed exchange and sort this window would need).
     """
     pattern = list(pattern)
     pcols = list(partition_by)
@@ -418,6 +428,8 @@ def match_recognize(
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ocols, kind="mergesort").reset_index(drop=True)
+        if row_number_col is not None:
+            pdf[row_number_col] = range(1, len(pdf) + 1)
         # One Arrow->dict conversion per key; the NFA inner loop then
         # touches plain Python objects only (no per-row pandas overhead).
         records = pdf.to_dict("records")
@@ -690,8 +702,13 @@ def match_recognize_sql(
     after_match: str = "SKIP TO NEXT ROW",
     within: str | None = None,
     ts_col: str | None = None,
+    row_number_col: str | None = None,
 ) -> DataFrame:
     """SQL-surface MATCH_RECOGNIZE (CEP.md:70-90) on top of the NFA.
+
+    ``row_number_col`` exposes :func:`match_recognize`'s in-pass
+    per-key ROW_NUMBER (see there) to MEASURES/DEFINE as a regular
+    field, e.g. ``LAST(P.rn) - FIRST(S.rn) - 1``.
 
     after_match: ``SKIP TO NEXT ROW`` | ``SKIP PAST LAST ROW`` |
     ``SKIP TO FIRST <var>`` | ``SKIP TO LAST <var>`` — the targeted
@@ -770,4 +787,5 @@ def match_recognize_sql(
         after_match=mode,
         within=within,
         ts_col=ts_col,
+        row_number_col=row_number_col,
     )

@@ -4329,6 +4329,16 @@ def doc_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(winnow_fingerprints("text", k=24, window=1)).alias("h"),
     )
+    # one md5-winnow pass per plan (r14, VERDICT r13 #4): fps feeds the
+    # shared-gram verdict aggregate AND the per-doc count — unpinned,
+    # the winnow explode ran twice per action. Lazy pin; linear-size
+    # (one row per gram); interleaved A/B x1.2 at sf0.1, and AQE still
+    # broadcasts the dup-only verdict side at runtime (an explicit
+    # hint A/B'd neutral vs the pin alone and would be wrong at 100 TB,
+    # where the boilerplate-gram set needn't fit one executor).
+    # Lineage is truncated: executor loss re-runs the job — the
+    # triangle-counts pin tradeoff.
+    fps = fps.localCheckpoint(eager=False)
     shared = (
         fps.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -4970,6 +4980,14 @@ def _hygiene_v2_stages(spark: SparkSession, sf_dir: str,
         F.md5(F.trim("kept_text")).alias("fp"),
         F.size(tokens("kept_text")).alias("n"),
     )
+    if checkpoint:
+        # one substring-strip pass per action (r14): dd feeds BOTH the
+        # dup-verdict aggregate and the keep join below — unpinned, the
+        # strip's chunk window over the kept corpus ran twice. Same
+        # lazy-pin convention and localCheckpoint fault-tolerance
+        # tradeoff as gk/kept above; interleaved A/B x1.13 (min) on
+        # corpus_hygiene_funnel at sf0.1, identical 20 rows.
+        dd = dd.localCheckpoint(eager=False)
     # exact-dup keep-min without a content-keyed window (the r5 de-skew
     # shape): dup-only verdict aggregate + left join — a mass-duplicated
     # body combines map-side instead of piling into one fp partition
@@ -8805,42 +8823,34 @@ def cep_reluctant_first_purchase(
     events = load_table(spark, "events", sf_dir).select(
         "user_id", "ts", "event_id", "event_type"
     )
-    out = match_recognize_sql(
+    # n_between comes from the NFA pass itself (row_number_col): the
+    # per-user 1-based position over (ts, event_id) is exactly the
+    # ROW_NUMBER the old formulation computed in a SEPARATE window and
+    # re-attached through two events-sized joins — the window-rank join
+    # the r13 adjudication measured as this query's dominant cost
+    # (VERDICT r13 #5; guide §2.4: the NFA already pays the keyed
+    # exchange + sort the window needed). Positions difference exactly
+    # as before; oracle hash-exact.
+    return match_recognize_sql(
         events,
         partition_by=["user_id"],
         order_by=["ts", "event_id"],
         measures={
             "signup_id": "FIRST(S.event_id)",
             "purchase_id": "LAST(P.event_id)",
+            "n_between": "LAST(P.rn) - FIRST(S.rn) - 1",
         },
         pattern="(S E*? P)",
         define={
             "S": "S.event_type = 'signup'",
             "P": "P.event_type = 'purchase'",
         },
-        output_schema="user_id long, signup_id long, purchase_id long",
+        output_schema=(
+            "user_id long, signup_id long, purchase_id long, "
+            "n_between long"
+        ),
         after_match="SKIP TO NEXT ROW",
-    )
-    # n_between from the matched E span is not directly a measure —
-    # recover it exactly by ranking events once and differencing
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
-    )
-    ranked = events.select("user_id", "event_id", rn.alias("rn"))
-    s_rn = ranked.select(
-        F.col("user_id").alias("su"), F.col("event_id").alias("signup_id"),
-        F.col("rn").alias("s_rn"))
-    p_rn = ranked.select(
-        F.col("event_id").alias("purchase_id"), F.col("rn").alias("p_rn"))
-    return (
-        out.join(s_rn, ["signup_id"])
-        .join(p_rn, ["purchase_id"])
-        .select(
-            "user_id", "signup_id", "purchase_id",
-            (F.col("p_rn") - F.col("s_rn") - 1).alias("n_between"),
-        )
+        row_number_col="rn",
     )
 
 
@@ -11491,9 +11501,18 @@ def _hygiene_corpus_indexes(corpus: DataFrame, checkpoint: bool = True,
     if checkpoint:
         c1 = c1.localCheckpoint(eager=False)
     lidx = host_line_fp_index(c1, "doc_id", "host", "text")
+    if checkpoint:
+        # one corpus-wide (host, line) aggregate per plan (r14): lidx
+        # feeds BOTH the delta strip probe and — via line_index below —
+        # the corpus_fps strip verdicts, which previously re-aggregated
+        # every corpus line a second time (guide §2.4). Lazy pin, the
+        # c1/gk convention; linear-size (one row per distinct
+        # (host, line)), recompute-on-executor-loss unavailable — the
+        # documented localCheckpoint tradeoff (see connected_components)
+        lidx = lidx.localCheckpoint(eager=False)
     cfps = (
         host_line_dedup_strip(c1, "doc_id", "host", "text",
-                              min_count=min_count)
+                              min_count=min_count, line_index=lidx)
         .filter(F.length("kept_text") > 0)
         .select(F.md5("kept_text").alias("fp"))
         .distinct()

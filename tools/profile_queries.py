@@ -136,14 +136,21 @@ def main() -> None:
             j for j in tracker.getJobIdsForGroup(group)
             if j not in jobs_before
         ]
+        # stage ids dedupe across jobs/attempts (ADVICE r13: the old
+        # always-true task-count guard was vacuous and retried stages
+        # were double-counted, inflating stages/tasks per rep)
         n_stages = n_tasks = 0
+        seen_stages: set[int] = set()
         for j in jobs:
             ji = tracker.getJobInfo(j)
             if ji is None:
                 continue
             for sid in ji.stageIds:
+                if sid in seen_stages:
+                    continue
+                seen_stages.add(sid)
                 si = tracker.getStageInfo(sid)
-                if si is not None and si.numActiveTasks + si.numCompletedTasks + si.numFailedTasks >= 0:
+                if si is not None:
                     n_stages += 1
                     n_tasks += si.numTasks
         sc.setJobGroup("idle", "idle")
