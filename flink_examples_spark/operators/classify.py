@@ -199,14 +199,25 @@ def dsir_hashed_importance(
     doc aggregate. [[dsir_train_weights]] / [[dsir_score]] are the
     staged split (train the bucket table offline, score any slice or
     streaming micro-batch against it).
+
+    The hashed-feature table is derived ONCE and pinned with a lazy
+    ``localCheckpoint`` (r14): the self-contained train-then-score
+    composition otherwise tokenizes, bigram-explodes, and md5-hashes
+    the corpus twice — once under the trainer aggregate, once under
+    the scorer. Linear-size pin ((doc_id, ft, flag) per bigram),
+    lineage truncated (the triangle-counts tradeoff); interleaved A/B
+    x1.11 at sf0.1, faster in 6/6 paired reps, identical 5000 rows.
+    The staged split keeps its one-pass shapes and is untouched.
     """
-    return dsir_score(
-        df,
-        dsir_train_weights(df, id_col, text_col, target_filter, n_buckets),
-        id_col,
-        text_col,
-        n_buckets,
+    feats = _hashed_bigram_features(
+        df, id_col, text_col, n_buckets,
+        extra=(target_filter.alias("_tgt"),),
+    ).localCheckpoint(eager=False)
+    weights = feats.groupBy("ft").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
     )
+    return _dsir_score_feats(feats, weights, id_col)
 
 
 def _hashed_bigram_features(
@@ -271,6 +282,16 @@ def dsir_score(
     from the table contribute zero evidence (left join + coalesce), so
     unseen data — the streaming micro-batch case — scores safely."""
     feats = _hashed_bigram_features(df, id_col, text_col, n_buckets)
+    return _dsir_score_feats(feats, weights, id_col)
+
+
+def _dsir_score_feats(
+    feats: DataFrame, weights: DataFrame, id_col: str
+) -> DataFrame:
+    """Scoring tail over an already-derived feature table — shared by
+    [[dsir_score]] and the fused [[dsir_hashed_importance]] (which
+    pins one feature table under both the trainer and this tail).
+    Ignores any extra columns riding on ``feats``."""
     totals = weights.agg(F.sum("ct").alias("_nt"), F.sum("cr").alias("_nr"))
     scored = (
         feats.join(F.broadcast(weights), "ft", "left")
