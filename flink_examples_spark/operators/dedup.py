@@ -153,37 +153,25 @@ def _capped_shingle_intersections(
     direction-dependent consumers mirror the AGGREGATED pair table
     instead, which is candidate-sized).
 
-    The capped shingle set is pinned with a lazy ``localCheckpoint``
-    (r14, VERDICT r13 #6): it feeds three consumers (sizes + both
-    self-join sides), each previously re-tokenizing the corpus and
-    re-running the hot-filter anti-join. The earlier recompute-beats-
-    cache measurement was about ``.cache()`` (pipeline break + cache
-    write); the pin A/B'd x1.08 (min) / x1.19 (median) interleaved at
-    sf0.1 on dedup_ngram_jaccard, identical 260 pairs. Linear-size
-    pin, lineage truncated (the triangle-counts tradeoff). Skipped
-    when the caller stages its own ``shingles_df`` (already persisted
-    or pinned there)."""
-    if shingles_df is not None:
-        sh = shingles_df
-        if max_shingle_freq is not None:
-            hot = (
-                sh.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("freq"))
-                .filter(F.col("freq") > max_shingle_freq)
-                .select("shingle")
-            )
-            sh = sh.join(hot, "shingle", "left_anti")
-    else:
-        sh = shingles(df, id_col, text_col, n)
-        if max_shingle_freq is not None:
-            hot = (
-                sh.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("freq"))
-                .filter(F.col("freq") > max_shingle_freq)
-                .select("shingle")
-            )
-            sh = sh.join(hot, "shingle", "left_anti")
-        sh = sh.localCheckpoint(eager=False)
+    NOT pinned (re-tested r14, VERDICT r13 #6): a lazy localCheckpoint
+    on the capped shingle set A/B'd a WASH on re-measurement (min
+    1.92 s vs 1.87 interleaved at sf0.1, medians equal — the first
+    measurement's x1.19 median did not reproduce), and a broadcast
+    hint on the aggregated pair table was strictly SLOWER (2.45 vs
+    2.08 median). Following the r13 LSH-revert precedent, a neutral
+    plan change is not kept: it would lock the committed fold to the
+    new plan's shallower minima and fabricate movers. The r13
+    recompute-beats-cache note stands for this head."""
+    sh = shingles_df if shingles_df is not None \
+        else shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

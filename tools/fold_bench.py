@@ -238,6 +238,30 @@ def main() -> None:
     if not paths:
         sys.exit(f"fold_bench: no session drafts for round {rnd}")
     docs = [_load(p) for p in paths]
+    # cross-core-count separation (r14): the r13 driver's 8-cpu scaling
+    # run landed as a round-14 session draft. A different core count is
+    # a different measurement, not box load — drafts whose recorded
+    # `cpus` differs from the NEWEST draft's are excluded from the fold
+    # (legacy drafts without the field fold as before; their slower
+    # minima cannot win an elementwise-min anyway).
+    ref_cpus = str(docs[-1].get("cpus") or "")
+    if ref_cpus:
+        kept, dropped = [], []
+        for p, d in zip(paths, docs):
+            c = str(d.get("cpus") or "")
+            if c and c != ref_cpus:
+                dropped.append(os.path.basename(p))
+            else:
+                kept.append((p, d))
+        if dropped:
+            print(
+                f"fold_bench: excluding {len(dropped)} draft(s) with a "
+                f"different core count than the newest ({ref_cpus} cpus): "
+                + ", ".join(dropped),
+                file=sys.stderr,
+            )
+            paths = [p for p, _ in kept]
+            docs = [d for _, d in kept]
     raw_totals = [d.get("value") for d in docs]
     canonical = os.path.join(_HERE, f"BENCH_local_r{rnd:02d}.json")
     folded_prior = False
